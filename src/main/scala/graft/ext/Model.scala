@@ -1,0 +1,121 @@
+package graft.ext
+
+/** LLM-shaped extension points (SURVEY §2.13). The reference hides all
+  * model calls behind pydantic-ai agents (extraction/facts.py:23-52,
+  * reconciliation/memories.py:28-108, reranker.py:43-47, ...); its tests
+  * replace them with scripted outputs (tests/mock_llm.py:46-91). We do the
+  * same: traits with deterministic scripted implementations, so everything
+  * the engine itself computes is exactly reproducible.
+  */
+final case class ExtractedEntity(name: String, entityType: String)
+final case class ExtractedRelation(
+    source: String,
+    target: String,
+    relationType: String
+)
+final case class Extraction(
+    facts: Seq[String],
+    entities: Seq[ExtractedEntity],
+    relations: Seq[ExtractedRelation]
+)
+final case class TemporalAnnotation(
+    factIndex: Int,
+    validAt: Option[Long],
+    invalidAt: Option[Long]
+)
+
+sealed trait DecisionAction
+object DecisionAction {
+  case object Add extends DecisionAction
+  case object Update extends DecisionAction
+  case object Delete extends DecisionAction
+  case object None extends DecisionAction
+}
+final case class Decision(
+    action: DecisionAction,
+    text: String,
+    targetMemoryId: Option[Long]
+)
+
+trait Extractor extends Serializable {
+  /** Combined extraction: facts + entities + relations from input text. */
+  def extract(text: String): Extraction
+  /** Entity extraction for a search query. */
+  def extractQueryEntities(query: String): Seq[ExtractedEntity] =
+    extract(query).entities
+  /** Bitemporal annotation of extracted facts (optional stage). */
+  def annotateTemporal(facts: Seq[String]): Seq[TemporalAnnotation] = Nil
+}
+
+trait Reconciler extends Serializable {
+  /** Given new facts and candidate existing memories (id, text), decide
+    * ADD / UPDATE / DELETE / NONE per fact
+    * (reference reconciliation/memories.py:28-108).
+    */
+  def reconcile(
+      facts: Seq[String],
+      candidates: Seq[(Long, String)]
+  ): Seq[Decision]
+}
+
+trait Reranker extends Serializable {
+  /** Relevance score in [0,1] per (query, text); fallback to the original
+    * score happens in the pipeline (reference reranker.py:65-124). */
+  def score(query: String, texts: Seq[String]): Seq[Double]
+}
+
+trait Summarizer extends Serializable {
+  /** Consolidate a batch of memory texts into summary texts (W7). */
+  def summarize(texts: Seq[String]): Seq[String]
+  /** Community naming/summary (G4). */
+  def describeCommunity(
+      memberNames: Seq[String],
+      relations: Seq[String]
+  ): (String, String) = (memberNames.sorted.mkString(", "), "community")
+}
+
+/** Scripted implementations for tests — deterministic, no model calls. */
+final class ScriptedExtractor(outputs: Seq[Extraction]) extends Extractor {
+  private val queue = scala.collection.mutable.Queue(outputs: _*)
+  override def extract(text: String): Extraction =
+    if (queue.nonEmpty) queue.dequeue()
+    else Extraction(Seq(text), Nil, Nil)
+}
+
+/** Default no-LLM reconciler: every fact is an ADD (matches the reference
+  * fast path when no candidates exist, reconciliation/memories.py:88-90).
+  */
+final class AddAllReconciler extends Reconciler {
+  override def reconcile(
+      facts: Seq[String],
+      candidates: Seq[(Long, String)]
+  ): Seq[Decision] =
+    facts.map(f => Decision(DecisionAction.Add, f, None))
+}
+
+final class ScriptedReconciler(outputs: Seq[Seq[Decision]])
+    extends Reconciler {
+  private val queue = scala.collection.mutable.Queue(outputs: _*)
+  override def reconcile(
+      facts: Seq[String],
+      candidates: Seq[(Long, String)]
+  ): Seq[Decision] =
+    if (queue.nonEmpty) queue.dequeue()
+    else facts.map(f => Decision(DecisionAction.Add, f, None))
+}
+
+/** Deterministic reranker: hash-based pseudo-score, stable across runs. */
+final class HashReranker extends Reranker {
+  override def score(query: String, texts: Seq[String]): Seq[Double] =
+    texts.map { t =>
+      val h = java.security.MessageDigest
+        .getInstance("SHA-256")
+        .digest((query + "|" + t).getBytes("UTF-8"))
+      ((h(0) & 0xff).toDouble * 256 + (h(1) & 0xff)) / 65535.0
+    }
+}
+
+final class ConcatSummarizer extends Summarizer {
+  override def summarize(texts: Seq[String]): Seq[String] =
+    Seq(texts.mkString("; "))
+}

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, oracle-portable hashing for dedup pipelines.
+  *
+  * Design note for scale AND verifiability: every hash bottoms out in
+  * md5 hex strings, which Spark and DuckDB compute identically. A MinHash
+  * value is the lexicographic MIN of fixed-length hex digests — order-
+  * isomorphic to the unsigned integer interpretation, with zero
+  * byte-order / signedness pitfalls across engines. All expressions stay
+  * inside whole-stage codegen (no UDFs).
+  */
+object HashFunctions {
+
+  /** Word n-gram shingles over the canonical token array. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = TextFunctions.tokens(text)
+    val count = size(ts)
+    // positions 0 .. count-n; slice is 1-based
+    array_distinct(
+      when(count < n, array(array_join(ts, " ")))
+        .otherwise(
+          transform(
+            sequence(lit(1), count - lit(n - 1)),
+            i => array_join(slice(ts, i, lit(n)), " ")
+          )
+        )
+    )
+  }
+
+  /** Character n-gram shingles over normalized text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val norm = TextFunctions.normalizedText(text)
+    val len = length(norm)
+    array_distinct(
+      when(len <= n, array(norm))
+        .otherwise(
+          transform(
+            sequence(lit(1), len - lit(n - 1)),
+            i => substring(norm, i, lit(n))
+          )
+        )
+    )
+  }
+
+  /** One MinHash value: min over shingles of md5(seed || '|' || shingle),
+    * as a 32-hex-char string. Lexicographic min == numeric min of the
+    * 128-bit digest.
+    */
+  def minhash(shingles: Column, seed: Int): Column =
+    array_min(transform(shingles, s => md5(concat(lit(seed + "|"), s))))
+
+  /** Full MinHash signature as an array of hex strings. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i => minhash(shingles, i)): _*)
+
+  /** LSH band keys: hash `rows`-sized bands of the signature; docs
+    * sharing any band key are near-dup candidates. Returns
+    * array<struct<band:int, key:string>>.
+    */
+  def lshBands(signature: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(array_join(slice(signature, b * rows + 1, rows), ",")).as("key")
+      )
+    }: _*)
+
+  /** SimHash over token hashes, `bits` wide (bits <= 32). Each token
+    * votes its md5-derived bit pattern; the sign of the per-bit vote sum
+    * forms the fingerprint. Uses the first 8 hex chars of the token md5
+    * as a 32-bit unsigned value via conv().
+    */
+  def simhash(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 32, "simhash bits must be in [1,32]")
+    val toks = TextFunctions.tokens(text)
+    val hashes = transform(
+      toks,
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    )
+    val bitCols = (0 until bits).map { i =>
+      // vote for bit i: +1 when set, -1 when clear, summed over tokens
+      val vote = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) =>
+          acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L))
+      )
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of two shingle arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

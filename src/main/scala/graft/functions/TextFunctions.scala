@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis primitives for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID and
+  * document fingerprinting. All pure `Column` expressions (codegen'd,
+  * no UDFs) and all expressible in ANSI-ish SQL so the DuckDB oracle can
+  * replay them exactly.
+  */
+object TextFunctions {
+
+  /** Canonical tokenizer: lowercase, split on runs of non-alphanumerics,
+    * drop empties. Matches the oracle SQL
+    * `regexp_split_to_array(lower(t), '[^a-z0-9]+')` + filter.
+    */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+
+  /** Whitespace-ish token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count (vocabulary size of the doc). */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text)))
+
+  /** A BPE-ish subword count proxy: alnum runs + standalone symbols.
+    * Counts regex matches of word pieces of <=4 chars.
+    */
+  def subwordCount(text: Column): Column = {
+    // ceil(len(token)/4) summed over tokens: cheap deterministic proxy
+    aggregate(
+      transform(tokens(text), t => ceil(length(t) / lit(4.0)).cast("long")),
+      lit(0L),
+      (acc, x) => acc + x
+    )
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]{}-]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total)
+  }
+
+  /** Fraction of tokens that are English stopwords. */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "at", "by", "this", "was", "are"
+  )
+
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    val sw = size(filter(ts, t => t.isin(EnglishStopwords: _*)))
+    when(n === 0, lit(0.0)).otherwise(sw.cast("double") / n)
+  }
+
+  /** Mean token length — long tokens suggest noise/base64 blobs. */
+  def meanTokenLength(text: Column): Column = {
+    val ts = tokens(text)
+    val n = size(ts)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(transform(ts, length(_).cast("double")), lit(0.0), _ + _) / n
+    )
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4·lengthScore + 0.3·(1-punctExcess) + 0.3·stopwordPresence.
+    * lengthScore = min(1, tokens/100); punctExcess = min(1, 4·punctRatio);
+    * stopwordPresence = min(1, 5·stopwordRatio).
+    */
+  def qualityScore(text: Column): Column = {
+    val lengthScore = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+    val punctExcess = least(lit(1.0), punctRatio(text) * 4.0)
+    val swPresence = least(lit(1.0), stopwordRatio(text) * 5.0)
+    lit(0.4) * lengthScore + lit(0.3) * (lit(1.0) - punctExcess) +
+      lit(0.3) * swPresence
+  }
+
+  /** Stopword lists for a tiny deterministic language-ID heuristic. */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "que"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "es", "por"),
+    "zh" -> Seq("de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2")
+  )
+
+  /** Language ID: the language whose stopword list has the most hits in
+    * the doc's distinct-token set; ties broken alphabetically by code
+    * (first wins); "und" when no list matches at all. Argmax is an
+    * explicit CASE chain so the SQL oracle can replay it verbatim.
+    */
+  def langId(text: Column): Column = {
+    val ts = array_distinct(tokens(text))
+    val codes = LangStopwords.keys.toSeq.sorted
+    val hits: Map[String, Column] = codes.map { c =>
+      c -> size(filter(ts, t => t.isin(LangStopwords(c): _*)))
+    }.toMap
+    val anyHit = codes.map(hits).reduce(_ + _) > 0
+    // first-wins alphabetical argmax: code c wins if >= all later codes
+    val argmax = codes.zipWithIndex.foldRight(lit(codes.last)) {
+      case ((c, i), elseCol) =>
+        val laterCodes = codes.drop(i + 1)
+        if (laterCodes.isEmpty) elseCol
+        else {
+          val geAllLater =
+            laterCodes.map(l => hits(c) >= hits(l)).reduce(_ && _)
+          when(geAllLater, lit(c)).otherwise(elseCol)
+        }
+    }
+    when(!anyHit, lit("und")).otherwise(argmax)
+  }
+
+  /** Document fingerprint: md5 of the sorted distinct token set — a
+    * content hash invariant to token order and repetition, portable to
+    * the SQL oracle.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Normalized text for exact-dedup: collapse whitespace, lowercase. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph traversal over (nodes, edges) DataFrames — the Spark
+  * re-expression of the reference's Cypher shapes (SURVEY §2.3).
+  * Edges: (src, dst, edge_type, ...). All traversals are equi-joins;
+  * small frontier sides should be broadcast by the caller via
+  * `broadcast(...)` or left to AQE.
+  */
+object GraphOps {
+
+  /** J1/J2 — 1-hop expansion: follow edges of a type from a set of
+    * source ids. Output: (src, dst).
+    */
+  def expand(edges: DataFrame, edgeType: String): DataFrame =
+    edges.filter(col("edge_type") === edgeType).select(col("src"), col("dst"))
+
+  /** J3 — 2-hop: src -[t1]-> mid -[t2]-> dst, distinct endpoints.
+    * Output: (src, mid, dst).
+    */
+  def twoHop(edges: DataFrame, t1: String, t2: String): DataFrame = {
+    val e1 = expand(edges, t1).select(col("src"), col("dst").as("mid"))
+    val e2 = expand(edges, t2).select(col("src").as("mid"), col("dst"))
+    e1.join(e2, "mid").select(col("src"), col("mid"), col("dst")).distinct()
+  }
+
+  /** J7 — variable-length path 1..maxDepth from seed nodes along one edge
+    * type (the reference's `LEADS_TO*1..n` temporal chain,
+    * manager.py:1475-1569). Spark has no recursive CTE, so this is an
+    * iterative frontier-join BFS: depth iterations, each one equi-join of
+    * the frontier against the edge table, dedup per wave. Frontiers are
+    * usually tiny → AQE broadcasts them. Output: (root, node, depth) with
+    * the MINIMUM depth per (root, node) — first-visit semantics.
+    */
+  def varLengthPaths(
+      edges: DataFrame,
+      edgeType: String,
+      seeds: DataFrame, // single column `root` (node ids)
+      maxDepth: Int,
+      reverse: Boolean = false
+  ): DataFrame = {
+    val e0 = expand(edges, edgeType)
+    val e = if (reverse) e0.select(col("dst").as("src"), col("src").as("dst")) else e0
+    var frontier = seeds.select(col("root"), col("root").as("node"))
+    var visited = frontier.withColumn("depth", lit(0))
+    var depth = 1
+    while (depth <= maxDepth) {
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("root"), col("dst").as("node"))
+        .distinct()
+        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+      // local-mode iterative joins grow the lineage; checkpoint-by-
+      // collect is wrong at scale, so cache each wave instead
+      val nextCached = next.cache()
+      visited = visited.unionByName(nextCached.withColumn("depth", lit(depth)))
+      frontier = nextCached
+      depth += 1
+    }
+    visited.filter(col("depth") > 0)
+  }
+
+  /** J11/A9 — as-of / latest-per-key join: most recent row per partition
+    * key at or before `asOf` (epoch ms), via window top-1.
+    */
+  def latestPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      idCol: String,
+      asOf: Option[Long] = None
+  ): DataFrame = {
+    val bounded = asOf.map(t => df.filter(col(tsCol) <= t)).getOrElse(df)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).desc, col(idCol).desc)
+    bounded
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** J15/R1 — hybrid merge of a vector result set and a graph result set
+    * keyed by id: full-outer join; present in both ⇒ max(score) ×
+    * (1 + agreementBonus) and source="both"; else passthrough
+    * (reference manager.py:662-695, bonus default 0.1 types.py:61).
+    */
+  def mergeResults(
+      vector: DataFrame, // (idCol, score)
+      graph: DataFrame, // (idCol, score)
+      idCol: String,
+      agreementBonus: Double = 0.1
+  ): DataFrame = {
+    val v = vector.select(col(idCol), col("score").as("v_score"))
+    val g = graph.select(col(idCol), col("score").as("g_score"))
+    v.join(g, Seq(idCol), "full_outer")
+      .withColumn(
+        "source",
+        when(col("v_score").isNotNull && col("g_score").isNotNull, lit("both"))
+          .when(col("v_score").isNotNull, lit("vector"))
+          .otherwise(lit("graph"))
+      )
+      .withColumn(
+        "score",
+        when(
+          col("source") === "both",
+          greatest(col("v_score"), col("g_score")) * (lit(1.0) + lit(agreementBonus))
+        ).otherwise(coalesce(col("v_score"), col("g_score")))
+      )
+      .select(col(idCol), col("score"), col("source"))
+  }
+
+  /** A5 — topology score per memory node over HAS_ENTITY edges
+    * (reference scoring.py:230-242):
+    * 0.6·min(1, log(1+degree)/log(11)) + 0.4·sharedRatio, where
+    * sharedRatio = fraction of the memory's entities that are linked to
+    * at least one OTHER memory. Two aggregations, no N+1 probing.
+    */
+  def topologyScores(hasEntityEdges: DataFrame): DataFrame = {
+    val e = hasEntityEdges.select(col("src").as("mem"), col("dst").as("ent")).distinct()
+    val entShared = e
+      .groupBy(col("ent"))
+      .agg(countDistinct(col("mem")).as("mem_count"))
+      .withColumn("shared", (col("mem_count") > 1).cast("double"))
+    e.join(entShared, "ent")
+      .groupBy(col("mem"))
+      .agg(
+        countDistinct(col("ent")).as("degree"),
+        avg(col("shared")).as("shared_ratio")
+      )
+      .withColumn(
+        "topology_score",
+        lit(0.6) * least(lit(1.0), log(lit(1.0) + col("degree")) / log(lit(11.0))) +
+          lit(0.4) * col("shared_ratio")
+      )
+      .select(col("mem"), col("degree"), col("shared_ratio"), col("topology_score"))
+  }
+
+  /** A6 — structural reinforcement: for each memory, the average
+    * importance of later memories sharing >=1 entity, scaled by gamma and
+    * clamped to [0,1] (reference scoring.py:245-299).
+    */
+  def reinforcement(
+      memories: DataFrame, // (id, created_at, importance)
+      hasEntityEdges: DataFrame, // (src=mem, dst=ent)
+      gamma: Double = 0.5
+  ): DataFrame = {
+    val e = hasEntityEdges.select(col("src").as("mem"), col("dst").as("ent")).distinct()
+    val m = memories.select(
+      col("id").as("mem"),
+      col("created_at"),
+      col("importance")
+    )
+    val left = e.join(m, "mem").select(
+      col("mem").as("parent"),
+      col("ent"),
+      col("created_at").as("p_created")
+    )
+    val right = e.join(m, "mem").select(
+      col("mem").as("child"),
+      col("ent"),
+      col("created_at").as("c_created"),
+      col("importance").as("c_importance")
+    )
+    left
+      .join(right, Seq("ent"))
+      .filter(col("child") =!= col("parent") && col("c_created") > col("p_created"))
+      .select(col("parent"), col("child"), col("c_importance"))
+      .distinct()
+      .groupBy(col("parent"))
+      .agg(avg(col("c_importance")).as("avg_child_importance"))
+      .withColumn(
+        "reinforcement",
+        greatest(lit(0.0), least(lit(1.0), lit(gamma) * col("avg_child_importance")))
+      )
+      .select(col("parent").as("mem"), col("avg_child_importance"), col("reinforcement"))
+  }
+}

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Search primitives (SURVEY §2.4): cosine k-NN, BM25, RRF fusion, hybrid
+  * search and MMR diversity — all as distributed DataFrame dataflow.
+  *
+  * Scale notes: top-k goes through `orderBy(...).limit(k)` which Spark
+  * plans as TakeOrderedAndProject (per-partition heap + driver merge, no
+  * full sort/shuffle). Every dedup / ranking step carries an explicit
+  * total order (score desc, id asc) so results are deterministic on an
+  * unordered engine — required for oracle hash-matching (SURVEY §7.4).
+  */
+object SearchOps {
+
+  /** V1 — brute-force cosine top-k against a constant query vector.
+    * The exact baseline; at 100 TB the LSH variant in [[SimilarityOps]]
+    * prunes candidates first and this re-ranks them.
+    *
+    * Reference: protocol.py:96-105, search/vector.py:18-77
+    * (score = max(0, 1 - distance) there; == cosine here since both
+    * vectors are unit-normalized by the embedder).
+    */
+  def cosineTopK(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      scoreName: String = "score"
+  ): DataFrame =
+    df.withColumn(scoreName, VectorFunctions.cosineToQuery(col(embCol), query))
+      .orderBy(col(scoreName).desc, col(idCol).asc)
+      .limit(k)
+
+  /** BM25 scoring of a document table against a bag of query terms
+    * (V3/V5; the reference delegates to its engine's text index,
+    * search/vector.py:123-132 — we build the classic inverted dataflow).
+    *
+    * Input: docs(idCol, textCol); output: (idCol, bm25) for docs matching
+    * >=1 term. Two aggregations (doc stats, term stats) + one join — the
+    * join key is the term, so at scale the per-term partial scores
+    * map-side combine before the final per-doc sum.
+    */
+  def bm25(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val spark = docs.sparkSession
+
+    val docTokens = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+
+    val corpus = docTokens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl")
+    )
+
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = docTokens
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+    val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+
+    tf.join(broadcast(df_), "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn(
+        "idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+      )
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("bm25"))
+      .select(col("doc_id").as(idCol), col("bm25"))
+  }
+
+  /** Reciprocal-rank fusion of scored result sets (V3). Each input must
+    * expose (idCol, scoreCol); ranks are dense positions ordered by
+    * (score desc, id asc). fused = Σ 1/(rrfK + rank). The reference uses
+    * rrfK = 1 (search/vector.py:130-132).
+    */
+  def rrfFuse(
+      inputs: Seq[(DataFrame, String)],
+      idCol: String,
+      rrfK: Double = 1.0
+  ): DataFrame = {
+    val ranked = inputs.map { case (df, scoreCol) =>
+      val w = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+      df.select(
+        col(idCol),
+        (lit(1.0) / (lit(rrfK) + row_number().over(w))).as("rrf_part")
+      )
+    }
+    ranked
+      .reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(sum(col("rrf_part")).as("rrf_score"))
+  }
+
+  /** V3 — hybrid search: BM25 candidates ∪ vector candidates, RRF-fused,
+    * then re-ranked by pure cosine (the reference re-ranks fused
+    * candidates by cosine, search/vector.py:146-168; docs without an
+    * embedding fall back to 0.5).
+    */
+  def hybridSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      embCol: String,
+      queryText: String,
+      queryVec: Array[Float],
+      k: Int,
+      rrfK: Double = 1.0,
+      fetchK: Int = 50
+  ): DataFrame = {
+    val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    val bm = bm25(docs, idCol, textCol, terms)
+      .orderBy(col("bm25").desc, col(idCol).asc)
+      .limit(fetchK)
+    val vec = docs
+      .withColumn("cos", VectorFunctions.cosineToQuery(col(embCol), queryVec))
+      .select(col(idCol), col("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(fetchK)
+    val fused = rrfFuse(Seq((bm, "bm25"), (vec, "cos")), idCol, rrfK)
+    fused
+      .join(docs, Seq(idCol), "inner")
+      .withColumn(
+        "score",
+        when(col(embCol).isNull, lit(0.5))
+          .otherwise(VectorFunctions.cosineToQuery(col(embCol), queryVec))
+      )
+      .select(col(idCol), col("rrf_score"), col("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** V4 — MMR diverse search (reference search/vector.py:194-291):
+    * fetch `fetchK` candidates by cosine, then greedily select k
+    * maximizing λ·sim(q,d) − (1−λ)·max sim(d, selected). The greedy loop
+    * is inherently sequential and k is small, so candidates are collected
+    * to the driver (fetchK = 4k by default, reference types.py:95).
+    */
+  def mmr(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      lambda: Double = 0.5,
+      fetchKOpt: Option[Int] = None
+  ): DataFrame = {
+    val spark = df.sparkSession
+    val fetchK = fetchKOpt.getOrElse(4 * k)
+    val cands = cosineTopK(df, embCol, idCol, query, fetchK)
+      .select(col(idCol).cast("long"), col(embCol), col("score"))
+      .collect()
+      .map(r =>
+        (
+          r.getLong(0),
+          r.getSeq[Float](1).toArray,
+          r.getDouble(2)
+        )
+      )
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+    while (selected.length < k && remaining.nonEmpty) {
+      var bestIdx = 0
+      var bestVal = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.length) {
+        val (id, emb, sim) = remaining(i)
+        val maxSel =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cos(emb, cands(s._3)._2)).max
+        val v = lambda * sim - (1 - lambda) * maxSel
+        // deterministic tie-break: higher value, then lower id
+        if (v > bestVal || (v == bestVal && id < remaining(bestIdx)._1)) {
+          bestVal = v; bestIdx = i
+        }
+        i += 1
+      }
+      val chosen = remaining.remove(bestIdx)
+      val origIdx = cands.indexWhere(_._1 == chosen._1)
+      selected += ((chosen._1, chosen._3, origIdx))
+    }
+
+    import spark.implicits._
+    selected.zipWithIndex
+      .map { case ((id, score, _), rank) => (id, score, rank + 1) }
+      .toSeq
+      .toDF(idCol, "score", "mmr_rank")
+  }
+}

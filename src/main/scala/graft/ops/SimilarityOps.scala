@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k per query (exact, the correctness
+  * oracle). Scale path: IVF-style partition pruning — assign every vector
+  * to its nearest of C centroids at write time, probe only the nProbe
+  * closest centroids per query, exact re-rank inside the probed cells.
+  * Both are pure DataFrame dataflow; the centroid assignment is a
+  * broadcast join (centroid table is tiny by construction).
+  */
+object SimilarityOps {
+
+  /** Exact brute-force top-k per query: cross join queries × corpus with
+    * the corpus broadcast-OR-shuffled by Catalyst/AQE, cosine scored,
+    * window top-k per query. Queries table must be small relative to the
+    * corpus (the common shape); the corpus is never collected.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int
+  ): DataFrame = {
+    val scored = queries
+      .select(col(queryId).as("query_id"), col(queryEmb).as("q_emb"))
+      .crossJoin(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF index: pick C deterministic centroids (the first C corpus
+    * vectors by id — deterministic and good enough for uniform synthetic
+    * data; k-means refinement is an optional offline step), assign each
+    * corpus vector to its nearest centroid.
+    * Returns (corpus with `cell` column, centroids DF).
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      numCells: Int
+  ): (DataFrame, DataFrame) = {
+    val centroids = corpus
+      .orderBy(col(corpusId).asc)
+      .limit(numCells)
+      .select(
+        row_number().over(Window.orderBy(col(corpusId).asc)).as("cell"),
+        col(corpusEmb).as("cent_emb")
+      )
+    val assigned = corpus
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col(corpusEmb), col("cent_emb")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col(corpusId)).orderBy(col("sim").desc, col("cell").asc)
+        )
+      )
+      .filter(col("rn") === 1)
+      .drop("rn", "sim", "cent_emb")
+    (assigned, centroids)
+  }
+
+  /** IVF probe: route each query to its nProbe nearest cells, exact
+    * cosine re-rank within the probed cells only. At scale the corpus is
+    * written partitioned by `cell`, so the probe prunes partitions at
+    * the parquet scan.
+    */
+  def ivfTopK(
+      assignedCorpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      centroids: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    val routed = queries
+      .select(col(queryId).as("query_id"), col(queryEmb).as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("q_emb"), col("cent_emb")))
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell").asc)
+        )
+      )
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    val scored = routed
+      .join(
+        assignedCorpus.select(
+          col(corpusId).as("neighbor_id"),
+          col(corpusEmb).as("c_emb"),
+          col("cell")
+        ),
+        Seq("cell")
+      )
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
+    val w = Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
