@@ -1,23 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the headline queries against
+  * SPARK_GRAFT_SF_DIR and prints ONE bare JSON line (build.sbt sets
+  * run/outputStrategy so sbt does not prefix it with "[info] ").
+  * Per-query failures are reported by exception name on stderr and as
+  * -1 in the JSON so the driver sees which query broke rather than a
+  * silent zero.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
+      else SparkEntry.queries.keys.toSeq.sorted
+    val results = names.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val sec =
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(
+                s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+              -1.0
+          }
+        name -> sec
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // bare line on stdout — the driver parses exactly this
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,186 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Projections
+import graft.ops.{DedupOps, SearchOps, SimilarityOps}
+import Tables._
+
+/** ANN / vector-similarity queries over the `embeddings` table
+  * (V1, J12, embedding near-dup; SURVEY §2.4, LLM-pipeline ops).
+  */
+object SimilarityQueries {
+
+  private val NearDupThreshold = 0.3
+  private val LshBands = 8
+  private val LshRows = 4
+  private val Dims = 64
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_bruteforce" -> { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+      SimilarityOps.bruteForceTopK(
+          emb, "vec_id", "embedding", emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_ann_ivf" -> { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+      val (assigned, centroids) = SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = 8)
+      SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", centroids,
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_recon_candidates" -> { (s, dir) =>
+      // J12 — reconciliation-candidate join: top-10 per new fact with
+      // cosine >= threshold, then dedup across facts (first fact wins,
+      // reference search/vector.py:294-348)
+      val emb = load(s, dir, "embeddings")
+      val perFact = SimilarityOps.bruteForceTopK(
+          emb, "vec_id", "embedding", emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+        .filter(col("cosine") >= NearDupThreshold)
+      val w = Window.partitionBy(col("neighbor_id")).orderBy(col("query_id").asc)
+      perFact
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+    "q_emb_neardup_exact" -> { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+      DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = NearDupThreshold, dims = Dims, bands = 0)
+        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_emb_neardup_lsh" -> { (s, dir) =>
+      val emb = load(s, dir, "embeddings")
+      DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
+          threshold = NearDupThreshold, dims = Dims, bands = LshBands, rowsPerBand = LshRows)
+        .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_cosine_topk" -> { (s, dir) =>
+      // V1 — cosine top-k against a constant query vector (the stored
+      // embedding of vec_id = 0, collected once driver-side)
+      val emb = load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      SearchOps.cosineTopK(emb, "embedding", "vec_id", q, k = 20)
+        .select(col("vec_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+    },
+    "q_mmr" -> { (s, dir) =>
+      // V4 — MMR diversity (greedy, driver-side; rows-only check: the
+      // sequential selection isn't reasonably expressible in SQL)
+      val emb = load(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      SearchOps.mmr(emb, "embedding", "vec_id", q, k = 10, lambda = 0.5)
+        .select(col("vec_id"), round(col("score"), 6).as("score"), col("mmr_rank"))
+        .orderBy(col("mmr_rank"))
+    }
+  )
+
+  /** DuckDB cosine of two DOUBLE[] expressions (mirror of
+    * VectorFunctions.cosineSimilarity incl. the zero-norm guard). */
+  private def cos(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_dot_product($a,$a)) = 0 OR sqrt(list_dot_product($b,$b)) = 0 THEN 0.0
+       | ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))
+       | END""".stripMargin.replaceAll("\n", " ")
+
+  def oracle: Map[String, String] = {
+    val bruteforce =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
+         |      FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+         |      FROM s)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    val ivf =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, cent.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent) WHERE rn = 1),
+         |routed AS (
+         |  SELECT query_id, qv, cell FROM (
+         |    SELECT e.vec_id AS query_id, e.v AS qv, cent.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent WHERE e.vec_id < 5) WHERE rn <= 2),
+         |scored AS (
+         |  SELECT routed.query_id, a.vec_id AS neighbor_id, ${cos("routed.qv", "a.v")} AS c
+         |  FROM routed JOIN assigned a ON routed.cell = a.cell AND routed.query_id <> a.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank FROM scored)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+    val recon =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
+         |      FROM e q JOIN e c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank FROM s),
+         |topk AS (SELECT * FROM r WHERE rank <= 10 AND c >= $NearDupThreshold),
+         |dedup AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY neighbor_id ORDER BY query_id ASC) AS rn FROM topk)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine
+         |FROM dedup WHERE rn = 1 ORDER BY query_id, neighbor_id""".stripMargin
+
+    val exact =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round(${cos("a.v", "b.v")}, 6) AS cosine
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${cos("a.v", "b.v")} >= $NearDupThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    // LSH oracle replicates the banded bucketing with the same ±1
+    // hyperplane literals the Spark side embeds
+    val w = Projections.signWeights(LshBands, LshRows, Dims)
+    def wLit(b: Int, p: Int): String = w(b)(p).mkString("[", ",", "]")
+    val bandSelects = (0 until LshBands).map { b =>
+      val keyExpr = (0 until LshRows).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${wLit(b, p)}::DOUBLE[]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT vec_id AS doc, v, $b AS band, ($keyExpr)::BIGINT AS key FROM e"
+    }.mkString(" UNION ALL ")
+    val lsh =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |banded AS ($bandSelects),
+         |pairs AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+         |          FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)
+         |SELECT p.doc_a, p.doc_b, round(${cos("a.v", "b.v")}, 6) AS cosine
+         |FROM pairs p JOIN e a ON p.doc_a = a.vec_id JOIN e b ON p.doc_b = b.vec_id
+         |WHERE ${cos("a.v", "b.v")} >= $NearDupThreshold
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    val topk =
+      s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, ${cos("v", "(SELECT qv FROM q)")} AS score FROM e)
+         |SELECT vec_id, round(score, 6) AS score FROM s
+         |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
+    Map(
+      "q_ann_bruteforce" -> bruteforce,
+      "q_ann_ivf" -> ivf,
+      "q_recon_candidates" -> recon,
+      "q_emb_neardup_exact" -> exact,
+      "q_emb_neardup_lsh" -> lsh,
+      "q_cosine_topk" -> topk
+      // q_mmr: rows-only (sequential greedy selection, not SQL-expressible)
+    )
+  }
+}

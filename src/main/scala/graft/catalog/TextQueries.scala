@@ -1,0 +1,194 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{HashFunctions, TextFunctions}
+import graft.ops.DedupOps
+import Tables._
+
+/** Text-analysis + dedup queries over the `documents` table, each with a
+  * DuckDB oracle (SURVEY §2 "LLM-data-pipeline" ops; VERDICT r1 next-1).
+  */
+object TextQueries {
+
+  private val punctClassScala = "[^.,;:!?'\"()\\[\\]{}-]"
+  private val punctClassSql = """[^.,;:!?''"()\[\]{}-]""" // '' = SQL-escaped quote
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        round(TextFunctions.meanTokenLength(col("text")), 6).as("mean_tok_len"),
+        round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality")
+      ).orderBy(col("doc_id"))
+    },
+    "q_text_langid" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      docs.select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+    "q_text_fingerprint" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      docs.select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fingerprint"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords")
+      ).orderBy(col("doc_id"))
+    },
+    "q_dedup_exact" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      DedupOps.exactDuplicates(docs, "doc_id", "text")
+        .select(
+          col("doc_id"),
+          col("content_hash"),
+          col("group_size").cast("long").as("group_size"),
+          col("keep_id"),
+          col("is_duplicate")
+        )
+        .orderBy(col("doc_id"))
+    },
+    "q_dedup_minhash" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 4, shingleSize = 3)
+        .orderBy(col("doc_id"))
+    },
+    "q_dedup_lsh_pairs" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      DedupOps.minhashLshPairs(docs, "doc_id", "text",
+          numHashes = 8, bands = 4, shingleSize = 3, minJaccard = 0.0)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    "q_dedup_simhash" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      DedupOps.simhashFingerprints(docs, "doc_id", "text", bits = 32)
+        .orderBy(col("doc_id"))
+    },
+    "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", n = 3, minJaccard = 0.5)
+        .select(col("grp"), col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("grp"), col("doc_a"), col("doc_b"))
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    val toks = sqlTokens("text")
+    val stopIn = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+
+    val textStats =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks, text FROM documents)
+         |SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  len(list_distinct(toks))::BIGINT AS n_distinct,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') / len(toks) END, 6) AS mean_tok_len,
+         |  round(CASE WHEN length(text) = 0 THEN 0.0
+         |        ELSE length(regexp_replace(text, '$punctClassSql', '', 'g'))::DOUBLE / length(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |        ELSE len(list_filter(toks, x -> x IN ($stopIn)))::DOUBLE / len(toks) END, 6) AS stopword_ratio,
+         |  round(0.4 * least(1.0, len(toks)::DOUBLE / 100.0)
+         |      + 0.3 * (1.0 - least(1.0, (CASE WHEN length(text) = 0 THEN 0.0
+         |            ELSE length(regexp_replace(text, '$punctClassSql', '', 'g'))::DOUBLE / length(text) END) * 4.0))
+         |      + 0.3 * least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0
+         |            ELSE len(list_filter(toks, x -> x IN ($stopIn)))::DOUBLE / len(toks) END) * 5.0), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin
+
+    val codes = TextFunctions.LangStopwords.keys.toSeq.sorted
+    val hitExprs = codes.map { c =>
+      val ws = TextFunctions.LangStopwords(c).map(w => s"'$w'").mkString(", ")
+      c -> s"len(list_filter(dt, x -> x IN ($ws)))"
+    }.toMap
+    // first-wins alphabetical argmax, mirroring TextFunctions.langId's
+    // foldRight: code c wins when its hits >= every LATER code's hits
+    val caseChain = codes.init.map { c =>
+      val later = codes.drop(codes.indexOf(c) + 1)
+      val cond = later.map(l => s"h_$c >= h_$l").mkString(" AND ")
+      s"WHEN $cond THEN '$c'"
+    }.mkString(" ")
+    val langid =
+      s"""WITH t AS (SELECT doc_id, list_distinct($toks) AS dt FROM documents),
+         |h AS (SELECT doc_id, ${codes.map(c => s"${hitExprs(c)} AS h_$c").mkString(", ")} FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN ${codes.map(c => s"h_$c").mkString(" + ")} = 0 THEN 'und'
+         |  $caseChain ELSE '${codes.last}' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin
+
+    val fingerprint =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+         |SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+         |  list_aggregate(list_transform(toks, x -> ceil(length(x) / 4.0)::BIGINT), 'sum')::BIGINT AS n_subwords
+         |FROM t ORDER BY doc_id""".stripMargin
+
+    val dedupExact =
+      s"""WITH h AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash FROM documents)
+         |SELECT doc_id, content_hash,
+         |  count(*) OVER (PARTITION BY content_hash)::BIGINT AS group_size,
+         |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+         |FROM h ORDER BY doc_id""".stripMargin
+
+    val shingles3 = sqlWordShingles(toks, 3)
+    val minhash4 =
+      s"""WITH sh AS (SELECT doc_id, $shingles3 AS shingles FROM documents)
+         |SELECT doc_id, ${(0 until 4).map(i => s"${sqlMinhash("shingles", i)} AS mh_$i").mkString(", ")}
+         |FROM sh ORDER BY doc_id""".stripMargin
+
+    val sig8 = s"[${(0 until 8).map(i => sqlMinhash("shingles", i)).mkString(", ")}]"
+    val lshPairs =
+      s"""WITH sh AS (SELECT doc_id AS doc, $shingles3 AS shingles FROM documents),
+         |sg AS (SELECT doc, shingles, $sig8 AS sig FROM sh),
+         |banded AS (
+         |  SELECT doc, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+         |  FROM sg, (SELECT unnest([0,1,2,3]) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)
+         |SELECT p.doc_a, p.doc_b, round(${sqlJaccard("a.shingles", "b.shingles")}, 6) AS jaccard
+         |FROM pairs p JOIN sg a ON p.doc_a = a.doc JOIN sg b ON p.doc_b = b.doc
+         |WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.0
+         |ORDER BY doc_a, doc_b""".stripMargin
+
+    val voteTerms = (0 until 32).map { i =>
+      s"CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val simhash =
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT)::BIGINT) AS hashes
+         |  FROM documents)
+         |SELECT doc_id, ($voteTerms)::BIGINT AS simhash FROM t ORDER BY doc_id""".stripMargin
+
+    val charSh =
+      """list_distinct(CASE WHEN length(norm) <= 3 THEN [norm]
+        | ELSE [substr(norm, i, 3) for i in range(1, length(norm) - 1)]
+        | END)""".stripMargin.replaceAll("\n", " ")
+    val ngramJaccard =
+      s"""WITH t AS (SELECT lang AS grp, doc_id AS doc,
+         |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
+         |sh AS (SELECT grp, doc, $charSh AS sh FROM t)
+         |SELECT l.grp AS grp, l.doc AS doc_a, r.doc AS doc_b,
+         |  round(${sqlJaccard("l.sh", "r.sh")}, 6) AS jaccard
+         |FROM sh l JOIN sh r ON l.grp = r.grp AND l.doc < r.doc
+         |WHERE ${sqlJaccard("l.sh", "r.sh")} >= 0.5
+         |ORDER BY l.grp, doc_a, doc_b""".stripMargin
+
+    Map(
+      "q_text_stats" -> textStats,
+      "q_text_langid" -> langid,
+      "q_text_fingerprint" -> fingerprint,
+      "q_dedup_exact" -> dedupExact,
+      "q_dedup_minhash" -> minhash4,
+      "q_dedup_lsh_pairs" -> lshPairs,
+      "q_dedup_simhash" -> simhash,
+      "q_dedup_ngram_jaccard" -> ngramJaccard
+    )
+  }
+}

@@ -15,6 +15,12 @@ trait Embedder extends Serializable {
   * extend the digest by re-hashing until >= dims*4 bytes, read
   * little-endian floats, squash f -> f/(|f|+1), then L2-normalize.
   * Same text always yields the same unit vector, for any dimension.
+  *
+  * Deliberate deviation from the Python fixture: NaN/Infinite float32
+  * reads are zeroed here, while the Python version propagates NaN
+  * (nan/(abs(nan)+1) = nan, and `norm > 0` is False so the vector stays
+  * unnormalized). We need well-defined unit vectors for oracle-checkable
+  * cosine math, so the ~1/256-per-float NaN case is squashed to 0.0.
   */
 final class MockEmbedder(val dimensions: Int = 16) extends Embedder {
   override def embed(texts: Seq[String]): Seq[Array[Float]] =

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,39 +132,84 @@ object DedupOps {
       .select(col("grp"), col("l.doc").as("doc_a"), col("r.doc").as("doc_b"), col("jaccard"))
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold. LSH-bucketed via
-    * sign-random-projection at scale; exact within buckets.
+  /** Embedding near-dup pairs: distinct (a < b) pairs with
+    * cosine >= threshold.
+    *
+    * Scale path (`bands > 0`): banded sign-random-projection LSH, the
+    * cosine analogue of MinHash banding. Each of `bands` bands hashes the
+    * vector through `rowsPerBand` deterministic ±1 hyperplanes
+    * ([[graft.functions.Projections.signWeights]], md5-parity derived and
+    * embedded as literal arrays, so the per-row work is a codegen'd dot
+    * product and the oracle can replicate the bucketing); a pair is a
+    * candidate when it agrees on ALL bits of ANY band, so recall rises
+    * with `bands` (multi-probe) instead of collapsing like round 1's
+    * single 8-bit probe. Candidates are exact-cosine re-ranked. The
+    * self-join key is (band, key): uniform buckets, never all-pairs.
+    *
+    * Exact mode (`bands = 0`): all-pairs within the input — the
+    * correctness oracle. ONLY for bounded inputs (it is a cartesian
+    * self-join); callers at scale must pre-group or use the LSH mode.
     */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,
       embCol: String,
       threshold: Double,
-      planes: Int = 8
+      dims: Int,
+      bands: Int = 8,
+      rowsPerBand: Int = 4
   ): DataFrame = {
-    import graft.functions.VectorFunctions
-    // deterministic pseudo-random hyperplanes from the row's own hash
-    // would break LSH; instead bucket on the sign pattern of `planes`
-    // fixed coordinate differences — cheap and deterministic. For the
-    // exact variant (bench baseline) callers pass planes = 0.
+    import graft.functions.{Projections, VectorFunctions}
     val base = df.select(col(idCol).as("doc"), col(embCol).as("emb"))
-    val bucketed =
-      if (planes <= 0) base.withColumn("bucket", lit(0))
-      else
-        base.withColumn(
-          "bucket",
-          (0 until planes)
-            .map(i =>
-              when(element_at(col("emb"), i + 1) >= 0, lit(1L << i)).otherwise(lit(0L))
-            )
+
+    val candidates =
+      if (bands <= 0) {
+        base
+          .as("l")
+          .join(base.as("r"))
+          .filter(col("l.doc") < col("r.doc"))
+          .select(
+            col("l.doc").as("doc_a"),
+            col("l.emb").as("emb_a"),
+            col("r.doc").as("doc_b"),
+            col("r.emb").as("emb_b")
+          )
+      } else {
+        val w = Projections.signWeights(bands, rowsPerBand, dims)
+        // sign bit of hyperplane (b, p): sum_i emb[i] * w(b,p,i)
+        def signBit(b: Int, p: Int): Column = {
+          val wCol = array(w(b)(p).map(lit): _*)
+          val proj = aggregate(
+            zip_with(col("emb"), wCol, (x, wi) => x.cast("double") * wi),
+            lit(0.0),
+            (acc, x) => acc + x
+          )
+          when(proj >= 0, lit(1L)).otherwise(lit(0L))
+        }
+        val bandKeys = array((0 until bands).map { b =>
+          val key = (0 until rowsPerBand)
+            .map(p => signBit(b, p) * lit(1L << p))
             .reduce(_ + _)
-        )
-    bucketed
-      .as("l")
-      .join(bucketed.as("r"), Seq("bucket"))
-      .filter(col("l.doc") < col("r.doc"))
-      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("l.emb"), col("r.emb")))
+          struct(lit(b).as("band"), key.as("key"))
+        }: _*)
+        val hashed = base.withColumn("bk", explode(bandKeys))
+          .select(col("doc"), col("emb"), col("bk.band").as("band"), col("bk.key").as("key"))
+        hashed
+          .as("l")
+          .join(hashed.as("r"), Seq("band", "key"))
+          .filter(col("l.doc") < col("r.doc"))
+          .select(
+            col("l.doc").as("doc_a"),
+            col("l.emb").as("emb_a"),
+            col("r.doc").as("doc_b"),
+            col("r.emb").as("emb_b")
+          )
+          .dropDuplicates("doc_a", "doc_b") // dedup on ids, not float arrays
+      }
+
+    candidates
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"), col("cosine"))
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 }

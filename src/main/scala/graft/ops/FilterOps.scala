@@ -51,9 +51,32 @@ object FilterOps {
     }
   }
 
+  /** Type-aware predicate: the reference's `$contains` is Python `in`,
+    * which means substring on strings but MEMBERSHIP on lists
+    * (search/vector.py:372-375). A bare Column can't branch on type, so
+    * this variant inspects the DataFrame schema and picks
+    * `array_contains` for array columns, substring `contains` otherwise.
+    */
+  def predicateFor(df: org.apache.spark.sql.DataFrame, field: String, p: Pred): Column =
+    p match {
+      case Contains(v)
+          if df.schema.fields.exists(f =>
+            f.name == field &&
+              f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+        col(field).isNotNull && array_contains(col(field), lit(v))
+      case other => predicate(field, other)
+    }
+
   def predicates(preds: Map[String, Pred]): Column =
     if (preds.isEmpty) lit(true)
     else preds.map { case (f, p) => predicate(f, p) }.reduce(_ && _)
+
+  def predicatesFor(
+      df: org.apache.spark.sql.DataFrame,
+      preds: Map[String, Pred]
+  ): Column =
+    if (preds.isEmpty) lit(true)
+    else preds.map { case (f, p) => predicateFor(df, f, p) }.reduce(_ && _)
 
   /** F3 — soft-expiry filter: drop expired rows unless included
     * (reference search/vector.py:54 et al.). */

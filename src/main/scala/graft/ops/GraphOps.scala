@@ -44,20 +44,37 @@ object GraphOps {
   ): DataFrame = {
     val e0 = expand(edges, edgeType)
     val e = if (reverse) e0.select(col("dst").as("src"), col("src").as("dst")) else e0
-    var frontier = seeds.select(col("root"), col("root").as("node"))
-    var visited = frontier.withColumn("depth", lit(0))
+    // Iterative joins grow lineage exponentially, so each accumulated
+    // `visited` snapshot is localCheckpoint'ed (eager, lineage-truncating)
+    // and the PREVIOUS snapshot's blocks are freed once the new one is
+    // materialized — a deep traversal holds at most two snapshots in
+    // executor storage, and the loop breaks early on an empty frontier
+    // (the round-1 version cached every wave and never unpersisted).
+    var visited = seeds
+      .select(col("root"), col("root").as("node"))
+      .withColumn("depth", lit(0))
+      .localCheckpoint() // eager
+    var visitedCount = visited.count()
     var depth = 1
-    while (depth <= maxDepth) {
+    var exhausted = false
+    while (depth <= maxDepth && !exhausted) {
+      val frontier = visited.filter(col("depth") === (depth - 1)).select(col("root"), col("node"))
       val next = frontier
         .join(e, frontier("node") === e("src"))
         .select(col("root"), col("dst").as("node"))
         .distinct()
         .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
-      // local-mode iterative joins grow the lineage; checkpoint-by-
-      // collect is wrong at scale, so cache each wave instead
-      val nextCached = next.cache()
-      visited = visited.unionByName(nextCached.withColumn("depth", lit(depth)))
-      frontier = nextCached
+        .withColumn("depth", lit(depth))
+      val newVisited = visited.unionByName(next).localCheckpoint() // eager
+      val newCount = newVisited.count()
+      if (newCount == visitedCount) {
+        exhausted = true // empty frontier — no deeper paths exist
+        newVisited.unpersist(blocking = false)
+      } else {
+        visited.unpersist(blocking = false) // safe: newVisited is self-contained
+        visited = newVisited
+        visitedCount = newCount
+      }
       depth += 1
     }
     visited.filter(col("depth") > 0)
@@ -146,7 +163,7 @@ object GraphOps {
   def reinforcement(
       memories: DataFrame, // (id, created_at, importance)
       hasEntityEdges: DataFrame, // (src=mem, dst=ent)
-      gamma: Double = 0.5
+      gamma: Double = 0.3 // structural_feedback_gamma default (types.py)
   ): DataFrame = {
     val e = hasEntityEdges.select(col("src").as("mem"), col("dst").as("ent")).distinct()
     val m = memories.select(
@@ -171,7 +188,10 @@ object GraphOps {
       .select(col("parent"), col("child"), col("c_importance"))
       .distinct()
       .groupBy(col("parent"))
-      .agg(avg(col("c_importance")).as("avg_child_importance"))
+      // NULL-importance children count as 1.0, matching the reference's
+      // child_props.get("importance", 1.0) (scoring.py) — a plain avg()
+      // would silently drop them
+      .agg(avg(coalesce(col("c_importance"), lit(1.0))).as("avg_child_importance"))
       .withColumn(
         "reinforcement",
         greatest(lit(0.0), least(lit(1.0), lit(gamma) * col("avg_child_importance")))

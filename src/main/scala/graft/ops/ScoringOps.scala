@@ -52,8 +52,10 @@ object ScoringOps {
       wImp: Double = 0.15,
       wTopo: Double = 0.0
   ): Column =
+    // missing importance defaults to 1.0, matching the reference's
+    // props.get("importance", 1.0) (scoring.py:86)
     lit(wSim) * similarity + lit(wRec) * recency + lit(wFreq) * frequency +
-      lit(wImp) * coalesce(importance, lit(0.0)) + lit(wTopo) * topology
+      lit(wImp) * coalesce(importance, lit(1.0)) + lit(wTopo) * topology
 
   /** R2 — topology boost: score × (1 + factor·topo), factor default 0.2
     * (reference scoring.py:185-222, types.py:84).

@@ -140,12 +140,22 @@ object SearchOps {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(fetchK)
     val fused = rrfFuse(Seq((bm, "bm25"), (vec, "cos")), idCol, rrfK)
+    // Re-rank fused candidates by clamped cosine; rows without a stored
+    // embedding fall back on the fused score: max(0, 1-fused) when
+    // fused < 1, else 0.5 (reference search/vector.py:166-168).
+    // Callers must pre-apply FilterOps.notExpired — the reference drops
+    // expired rows post-fusion (search/vector.py:157).
     fused
       .join(docs, Seq(idCol), "inner")
       .withColumn(
         "score",
-        when(col(embCol).isNull, lit(0.5))
-          .otherwise(VectorFunctions.cosineToQuery(col(embCol), queryVec))
+        when(
+          col(embCol).isNull,
+          when(col("rrf_score") < 1.0, greatest(lit(0.0), lit(1.0) - col("rrf_score")))
+            .otherwise(lit(0.5))
+        ).otherwise(
+          greatest(lit(0.0), VectorFunctions.cosineToQuery(col(embCol), queryVec))
+        )
       )
       .select(col(idCol), col("rrf_score"), col("score"))
       .orderBy(col("score").desc, col(idCol).asc)
