@@ -14,7 +14,10 @@ object SparkEntry {
   private val catalogs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (TextQueries.queries, TextQueries.oracle),
-      (SimilarityQueries.queries, SimilarityQueries.oracle)
+      (SimilarityQueries.queries, SimilarityQueries.oracle),
+      (FilterQueries.queries, FilterQueries.oracle),
+      (GraphQueries.queries, GraphQueries.oracle),
+      (SearchQueries.queries, SearchQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,202 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{FilterOps, GraphOps}
+import Tables._
+
+/** Filter / predicate / windowed-aggregation queries over the `events`
+  * table (F1-F7, J11/A9, A3, A4, S11/A2; SURVEY §2.2, §2.5).
+  *
+  * `events.ts` is a parquet TIMESTAMP(NANOS) column: Spark reads it as
+  * a nanos Long (spark.sql.legacy.parquet.nanosAsLong), DuckDB as a µs
+  * timestamp; `ts div 1000000` == `epoch_ms(ts)` (both floor).
+  */
+object FilterQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame =
+    // ts arrives as a nanos Long (legacy.parquet.nanosAsLong); integer
+    // division floors to epoch-ms exactly like DuckDB's epoch_ms(ts)
+    load(s, dir, "events")
+      .withColumn("ms", expr("ts div 1000000"))
+      .drop("ts")
+
+  // fixed window inside the events time range (2024-01-01 + ~35 days)
+  private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
+  private val T1 = T0 + 14L * 86400000L
+  private val Pit = T0 + 7L * 86400000L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_scope" -> { (s, dir) =>
+      // F1 — conjunctive equality scope filter from string config
+      val ev = events(s, dir).withColumn("user_str", col("user_id").cast("string"))
+      ev.filter(FilterOps.scopeFilter(Map("event_type" -> "view", "user_str" -> "7")))
+        .select(col("event_id"), col("ms"))
+        .orderBy(col("event_id"))
+    },
+    "q_filter_predicates" -> { (s, dir) =>
+      // F2 — operator predicates with Python null semantics ($ne passes
+      // NULL); event_type nulled for clicks to exercise them
+      import FilterOps._
+      val ev = events(s, dir).withColumn(
+        "etype_n",
+        when(col("event_type") === "click", lit(null: String)).otherwise(col("event_type"))
+      )
+      ev.filter(
+          predicatesFor(ev, Map(
+            "value" -> Gt(10.0),
+            "etype_n" -> Ne("view"),
+            "props" -> Contains("6")
+          )))
+        .select(col("event_id"), col("etype_n"), col("value"))
+        .orderBy(col("event_id"))
+    },
+    "q_filter_timerange" -> { (s, dir) =>
+      // F4 — created_at range filter
+      val ev = events(s, dir)
+      ev.filter(FilterOps.timeRange(col("ms"), Some(T0), Some(T1)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    "q_filter_pit" -> { (s, dir) =>
+      // F5 — bitemporal point-in-time: valid_at = ts, invalid_at only for
+      // views (valid for `value` days), NULL valid_at for errors (the
+      // reference's permissive NULL-passes rule, manager.py:2031-2040)
+      val ev = events(s, dir)
+        .withColumn(
+          "valid_at",
+          when(col("event_type") === "error", lit(null: java.lang.Long)).otherwise(col("ms"))
+        )
+        .withColumn(
+          "invalid_at",
+          when(col("event_type") === "view", col("ms") + floor(col("value") * 86400000.0))
+            .otherwise(lit(null: java.lang.Long))
+        )
+      ev.filter(FilterOps.validAtPointInTime(col("valid_at"), col("invalid_at"), Pit))
+        .select(col("event_id"), col("valid_at"), col("invalid_at"))
+        .orderBy(col("event_id"))
+    },
+    "q_filter_memtype" -> { (s, dir) =>
+      // F3+F7 — soft-expiry filter + memory-type with missing→"semantic";
+      // clicks have NULL type (→"semantic") and errors are "expired"
+      val ev = events(s, dir)
+        .withColumn(
+          "mtype",
+          when(col("event_type") === "click", lit(null: String)).otherwise(col("event_type"))
+        )
+        .withColumn(
+          "expired_at",
+          when(col("event_type") === "error", col("ms")).otherwise(lit(null: java.lang.Long))
+        )
+      ev.filter(FilterOps.notExpired(col("expired_at")))
+        .filter(FilterOps.memoryType(col("mtype"), "semantic"))
+        .select(col("event_id"))
+        .orderBy(col("event_id"))
+    },
+    "q_latest_per_key" -> { (s, dir) =>
+      // J11/A9 — as-of top-1 per key: latest event per user at Pit
+      val ev = events(s, dir)
+      GraphOps.latestPerKey(ev, Seq("user_id"), "ms", "event_id", asOf = Some(Pit))
+        .select(col("user_id"), col("event_id"), col("ms"))
+        .orderBy(col("user_id"))
+    },
+    "q_group_by_session" -> { (s, dir) =>
+      // A3 — group-by-session with chronological order inside each group
+      // (ids joined to a string so the compare is array-free)
+      val ev = events(s, dir)
+      ev.groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("ms"), col("event_id")))),
+              x => x.getField("event_id").cast("string")
+            ),
+            ","
+          ).as("event_ids"),
+          count(lit(1)).as("n")
+        )
+        .orderBy(col("user_id"))
+    },
+    "q_dedup_by_id" -> { (s, dir) =>
+      // A4 — ordered dedup: keep the highest-value event per type
+      val ev = events(s, dir)
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("event_type"))
+    },
+    "q_stats" -> { (s, dir) =>
+      // S11/A2 — stats scan: counts by type + distinct users
+      val ev = events(s, dir)
+      ev.groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(avg(col("value")), 6).as("avg_value")
+        )
+        .orderBy(col("event_type"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_filter_scope" ->
+      s"""SELECT event_id, epoch_ms(ts) AS ms FROM events
+         |WHERE event_type = 'view' AND user_id::VARCHAR = '7'
+         |ORDER BY event_id""".stripMargin,
+    "q_filter_predicates" ->
+      s"""WITH ev AS (SELECT event_id, value, props,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS etype_n FROM events)
+         |SELECT event_id, etype_n, value FROM ev
+         |WHERE value > 10.0 AND (etype_n IS NULL OR etype_n <> 'view')
+         |  AND (props IS NOT NULL AND contains(props, '6'))
+         |ORDER BY event_id""".stripMargin,
+    "q_filter_timerange" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+         |FROM events WHERE epoch_ms(ts) >= $T0 AND epoch_ms(ts) <= $T1
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_filter_pit" ->
+      s"""WITH ev AS (SELECT event_id,
+         |  CASE WHEN event_type = 'error' THEN NULL ELSE epoch_ms(ts) END AS valid_at,
+         |  CASE WHEN event_type = 'view' THEN epoch_ms(ts) + floor(value * 86400000.0)::BIGINT
+         |       ELSE NULL END AS invalid_at
+         |  FROM events)
+         |SELECT event_id, valid_at, invalid_at FROM ev
+         |WHERE valid_at IS NULL OR (valid_at <= $Pit AND (invalid_at IS NULL OR invalid_at > $Pit))
+         |ORDER BY event_id""".stripMargin,
+    "q_filter_memtype" ->
+      s"""WITH ev AS (SELECT event_id,
+         |  CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS mtype,
+         |  CASE WHEN event_type = 'error' THEN epoch_ms(ts) ELSE NULL END AS expired_at
+         |  FROM events)
+         |SELECT event_id FROM ev
+         |WHERE expired_at IS NULL AND coalesce(mtype, 'semantic') = 'semantic'
+         |ORDER BY event_id""".stripMargin,
+    "q_latest_per_key" ->
+      s"""WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+         |           WHERE epoch_ms(ts) <= $Pit),
+         |r AS (SELECT user_id, event_id, ms,
+         |      row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
+         |      FROM b)
+         |SELECT user_id, event_id, ms FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_group_by_session" ->
+      s"""SELECT user_id,
+         |  array_to_string(list(event_id::VARCHAR ORDER BY epoch_ms(ts), event_id), ',') AS event_ids,
+         |  count(*)::BIGINT AS n
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_dedup_by_id" ->
+      s"""WITH r AS (SELECT event_type, event_id, value,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+         |  FROM events)
+         |SELECT event_type, event_id, value FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_stats" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n,
+         |  count(DISTINCT user_id)::BIGINT AS n_users,
+         |  round(avg(value), 6) AS avg_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
