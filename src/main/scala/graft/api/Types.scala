@@ -1,0 +1,63 @@
+package graft.api
+
+/** Public API result types — ports of the reference's dataclasses
+  * (types.py:174-347). Ids are stringified at this boundary exactly like
+  * the reference (manager.py:1091 str(node_id)).
+  */
+final case class SearchResult(
+    memoryId: String,
+    text: String,
+    score: Double,
+    userId: String,
+    metadata: Option[String],
+    actorId: Option[String],
+    role: Option[String],
+    memoryType: String,
+    source: String, // vector | graph | both
+    createdAt: Option[Long],
+    learnedAt: Option[Long],
+    sessionId: Option[String],
+    expiredAt: Option[Long],
+    validAt: Option[Long],
+    invalidAt: Option[Long]
+)
+
+/** One add()-pipeline event (types.py:330-337). */
+final case class MemoryEvent(
+    event: String, // ADD | UPDATE | DELETE | NONE
+    memoryId: Option[String],
+    text: String,
+    previousText: Option[String] = None
+)
+
+final case class AddResult(events: Seq[MemoryEvent])
+
+final case class HistoryEntry(
+    event: String, // ADD | UPDATE | DELETE
+    memoryId: String,
+    timestamp: Long,
+    oldText: Option[String],
+    newText: Option[String],
+    actorId: Option[String],
+    role: Option[String]
+)
+
+final case class MemoryStats(
+    totalMemories: Long,
+    semanticCount: Long,
+    proceduralCount: Long,
+    episodicCount: Long,
+    entityCount: Long,
+    relationCount: Long,
+    episodeCount: Long,
+    communityCount: Long,
+    expiredCount: Long
+)
+
+/** R9 — one explain-pipeline stage observation (types.py:271-284). */
+final case class ExplainStep(name: String, detail: String, count: Long)
+
+final case class ExplainResult(
+    steps: Seq[ExplainStep],
+    results: Seq[SearchResult]
+)

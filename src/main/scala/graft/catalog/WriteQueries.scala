@@ -1,0 +1,133 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api.{MemoryConfig, MemoryManager}
+import graft.core.{EdgeTypes, GraphStore}
+import graft.ext._
+import Tables._
+
+/** Write-path correctness queries (W1/W2/W8/W9/J10/J11): drive the full
+  * add pipeline over the first N documents with scripted traits and a
+  * fixed clock, then emit the resulting memories / edges / history
+  * tables. The scenario is deterministic, so the DuckDB oracle states
+  * the FINAL STORE STATE closed-form over `documents` — an end-to-end
+  * check of the SCD2 executor that no single-operator query gives.
+  *
+  * Scenario: doc i (0-based, ordered by doc_id, i < N) is one add():
+  *   - extraction: one fact (the doc text) + one entity (the doc lang)
+  *   - decision: UPDATE targeting memory id i when i % 4 == 3
+  *     (supersedes the previous doc's memory), else ADD
+  *   - clock: created_at = T0 + i·1000
+  * Consequences the oracle asserts:
+  *   - memory id i+1 carries doc i's text; ids m with m % 4 == 3 are
+  *     soft-expired at T0 + m·1000
+  *   - SUPERSEDES(i+1 → i) for updates; HAS_ENTITY(i+1 → lang(i)) plus
+  *     the inherited HAS_ENTITY(i+1 → lang(i-1)) on updates (J10)
+  *   - entity ids in first-appearance order of lang
+  *   - one history row per doc: UPDATE (old=prev text) or ADD
+  */
+object WriteQueries {
+
+  private val N = 40
+  private val T0 = 1700000000000L
+  private val User = "alice"
+
+  /** Run the scenario once per sf dir; all three queries read the memo. */
+  private val memo = scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]()
+
+  private def scenario(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    memo.synchronized {
+      memo.getOrElseUpdate(dir, {
+        val docs = load(s, dir, "documents")
+          .filter(col("doc_id") < N)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .orderBy(col("doc_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+        val extractions = docs.map { case (_, text, lang) =>
+          Extraction(Seq(text), Seq(ExtractedEntity(lang, "lang")), Nil)
+        }
+        // doc 0 takes the no-candidates fast path (all-ADD, reconciler not
+        // consulted); docs 1..N-1 consume one scripted decision list each
+        val decisions: Seq[Seq[Decision]] = (1 until N).map { i =>
+          val (_, text, _) = docs(i)
+          if (i % 4 == 3) Seq(Decision(DecisionAction.Update, text, Some(i.toLong)))
+          else Seq(Decision(DecisionAction.Add, text, None))
+        }
+
+        val store = new GraphStore(s, checkpointEvery = 64)
+        val mgr = new MemoryManager(
+          s,
+          MemoryConfig(userId = User, embeddingDimensions = 16,
+            reconciliationThreshold = 0.0),
+          store,
+          new MockEmbedder(16),
+          new ScriptedExtractor(extractions.toSeq),
+          new ScriptedReconciler(decisions)
+        )
+        docs.zipWithIndex.foreach { case ((_, text, _), i) =>
+          mgr.add(text, now = Some(T0 + i * 1000L))
+        }
+
+        val mems = store.memories
+          .select(col("id"), col("text"), col("user_id"), col("created_at"),
+            col("expired_at"))
+          .orderBy(col("id"))
+          .localCheckpoint()
+        val edges = store.edges
+          .filter(col("edge_type").isin(EdgeTypes.HasEntity, EdgeTypes.Supersedes))
+          .select(col("src"), col("dst"), col("edge_type"))
+          .distinct()
+          .orderBy(col("edge_type"), col("src"), col("dst"))
+          .localCheckpoint()
+        val hist = store.history
+          .select(col("id"), col("memory_id"), col("event"), col("timestamp"),
+            col("old_text"), col("new_text"))
+          .orderBy(col("id"))
+          .localCheckpoint()
+        (mems, edges, hist)
+      })
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_write_memories" -> ((s, dir) => scenario(s, dir)._1),
+    "q_write_edges" -> ((s, dir) => scenario(s, dir)._2),
+    "q_write_history" -> ((s, dir) => scenario(s, dir)._3)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_write_memories" ->
+      s"""SELECT doc_id + 1 AS id, text, '$User' AS user_id,
+         |  $T0 + doc_id * 1000 AS created_at,
+         |  CASE WHEN (doc_id + 1) % 4 = 3 AND doc_id + 1 < $N
+         |       THEN $T0 + (doc_id + 1) * 1000 END AS expired_at
+         |FROM documents WHERE doc_id < $N ORDER BY id""".stripMargin,
+    "q_write_edges" ->
+      s"""WITH d AS (SELECT doc_id, lang FROM documents WHERE doc_id < $N),
+         |ent AS (SELECT lang, row_number() OVER (ORDER BY min(doc_id)) AS ent_id
+         |        FROM d GROUP BY lang),
+         |own AS (SELECT d.doc_id + 1 AS src, ent.ent_id AS dst, 'HAS_ENTITY' AS edge_type
+         |        FROM d JOIN ent ON d.lang = ent.lang),
+         |inherited AS (SELECT d.doc_id + 1 AS src, ent.ent_id AS dst, 'HAS_ENTITY' AS edge_type
+         |        FROM d JOIN d prev ON prev.doc_id = d.doc_id - 1
+         |        JOIN ent ON prev.lang = ent.lang
+         |        WHERE d.doc_id % 4 = 3),
+         |sup AS (SELECT doc_id + 1 AS src, doc_id AS dst, 'SUPERSEDES' AS edge_type
+         |        FROM d WHERE doc_id % 4 = 3)
+         |SELECT DISTINCT src, dst, edge_type
+         |FROM (SELECT * FROM own UNION ALL SELECT * FROM inherited UNION ALL SELECT * FROM sup)
+         |ORDER BY edge_type, src, dst""".stripMargin,
+    "q_write_history" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < $N)
+         |SELECT d.doc_id + 1 AS id, d.doc_id + 1 AS memory_id,
+         |  CASE WHEN d.doc_id % 4 = 3 THEN 'UPDATE' ELSE 'ADD' END AS event,
+         |  $T0 + d.doc_id * 1000 AS timestamp,
+         |  CASE WHEN d.doc_id % 4 = 3 THEN prev.text END AS old_text,
+         |  d.text AS new_text
+         |FROM d LEFT JOIN d prev ON prev.doc_id = d.doc_id - 1
+         |ORDER BY id""".stripMargin
+  )
+}

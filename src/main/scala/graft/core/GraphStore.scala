@@ -1,0 +1,212 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DataFrame-backed labeled-property-graph store (SURVEY §1, S1-S9).
+  *
+  * One DataFrame per label plus a single typed edge table. Mutations are
+  * the three Spark-native write shapes:
+  *   - append       = `unionByName` of a small new-rows DataFrame,
+  *   - upsert/patch = broadcast left-join MERGE (patch rows win on the
+  *                    patched columns, base rows pass through),
+  *   - delete       = `left_anti` join on the id set.
+  * Lineage is truncated with an eager `localCheckpoint` every
+  * `checkpointEvery` mutations so a long-lived session stays flat. At
+  * warehouse scale the same three shapes write Parquet partitions
+  * (persist/load below); the in-session DataFrames are the hot state.
+  *
+  * Ids are per-label sequences (reference ids are engine-global,
+  * protocol.py:17-27; per-label spaces are equivalent here because every
+  * edge type fixes its endpoint labels — SURVEY §1.3 — and they keep
+  * oracle SQL closed-form).
+  */
+final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
+
+  import spark.implicits._
+
+  var memories: DataFrame = spark.emptyDataset[MemoryRow].toDF
+  var entities: DataFrame = spark.emptyDataset[EntityRow].toDF
+  var episodes: DataFrame = spark.emptyDataset[EpisodeRow].toDF
+  var communities: DataFrame = spark.emptyDataset[CommunityRow].toDF
+  var history: DataFrame = spark.emptyDataset[HistoryRow].toDF
+  var edges: DataFrame = spark.emptyDataset[EdgeRow].toDF
+
+  private val memoryIds = new AtomicLong(0)
+  private val entityIds = new AtomicLong(0)
+  private val episodeIds = new AtomicLong(0)
+  private val communityIds = new AtomicLong(0)
+  private val historyIds = new AtomicLong(0)
+  private val edgeIds = new AtomicLong(0)
+
+  def nextMemoryId(): Long = memoryIds.incrementAndGet()
+  def nextEntityId(): Long = entityIds.incrementAndGet()
+  def nextEpisodeId(): Long = episodeIds.incrementAndGet()
+  def nextCommunityId(): Long = communityIds.incrementAndGet()
+  def nextHistoryId(): Long = historyIds.incrementAndGet()
+  def nextEdgeId(): Long = edgeIds.incrementAndGet()
+
+  private var mutations = 0
+  /** Bump write-version; checkpoint all tables every `checkpointEvery`
+    * mutations (dirty-flag consumers read [[writeVersion]]).
+    */
+  private var version = 0L
+  def writeVersion: Long = version
+
+  private def tick(): Unit = {
+    version += 1
+    mutations += 1
+    if (mutations % checkpointEvery == 0) {
+      memories = memories.localCheckpoint()
+      entities = entities.localCheckpoint()
+      episodes = episodes.localCheckpoint()
+      communities = communities.localCheckpoint()
+      history = history.localCheckpoint()
+      edges = edges.localCheckpoint()
+    }
+  }
+
+  // ---- appends (S4/S5) ----
+
+  def appendMemories(rows: Seq[MemoryRow]): Unit = {
+    if (rows.nonEmpty) {
+      memories = memories.unionByName(spark.createDataset(rows).toDF)
+      tick()
+    }
+  }
+  def appendEntities(rows: Seq[EntityRow]): Unit = {
+    if (rows.nonEmpty) {
+      entities = entities.unionByName(spark.createDataset(rows).toDF)
+      tick()
+    }
+  }
+  def appendEpisodes(rows: Seq[EpisodeRow]): Unit = {
+    if (rows.nonEmpty) {
+      episodes = episodes.unionByName(spark.createDataset(rows).toDF)
+      tick()
+    }
+  }
+  def appendCommunities(rows: Seq[CommunityRow]): Unit = {
+    if (rows.nonEmpty) {
+      communities = communities.unionByName(spark.createDataset(rows).toDF)
+      tick()
+    }
+  }
+  def appendHistory(rows: Seq[HistoryRow]): Unit = {
+    if (rows.nonEmpty) {
+      history = history.unionByName(spark.createDataset(rows).toDF)
+      tick()
+    }
+  }
+  def appendEdges(rows: Seq[EdgeRow]): Unit = {
+    if (rows.nonEmpty) {
+      edges = edges.unionByName(spark.createDataset(rows).toDF)
+      tick()
+    }
+  }
+
+  // ---- patch / upsert (S6, W2/W4/W6/W12) ----
+
+  /** Broadcast-MERGE: rows of `patch` (must carry `id` + the columns in
+    * `setCols` with the memories schema's types) overwrite those columns
+    * for matching ids; everything else passes through unchanged.
+    */
+  def patchMemories(patch: DataFrame, setCols: Seq[String]): Unit = {
+    val p = broadcast(
+      patch.select(
+        (col("id").as("__pid") +: setCols.map(c => col(c).as(s"__p_$c"))): _*))
+    val merged = memories
+      .join(p, memories("id") === p("__pid"), "left")
+      .select(memories.columns.map { c =>
+        if (setCols.contains(c))
+          when(col("__pid").isNotNull, col(s"__p_$c")).otherwise(memories(c)).as(c)
+        else memories(c)
+      }: _*)
+    memories = merged
+    tick()
+  }
+
+  /** R5 side effect — access_count += 1, last_accessed = now for the
+    * given ids (scoring.py:117-122), as one batched MERGE.
+    */
+  def bumpAccess(ids: Seq[Long], nowMs: Long): Unit = {
+    if (ids.nonEmpty) {
+      val idSet = ids.toSet.toSeq
+      memories = memories
+        .withColumn(
+          "access_count",
+          when(col("id").isin(idSet: _*), coalesce(col("access_count"), lit(0L)) + 1L)
+            .otherwise(col("access_count")))
+        .withColumn(
+          "last_accessed",
+          when(col("id").isin(idSet: _*), lit(nowMs)).otherwise(col("last_accessed")))
+      tick()
+    }
+  }
+
+  // ---- deletes (S7, W5) ----
+
+  def deleteMemories(ids: Seq[Long]): Unit = {
+    if (ids.nonEmpty) {
+      val d = ids.toDF("__did")
+      memories = memories.join(d, memories("id") === col("__did"), "left_anti")
+      // cascade: edges touching the deleted nodes disappear with them
+      // (Memory endpoints appear in HAS_ENTITY src, SUPERSEDES/LEADS_TO
+      // both ends, PRODUCED dst, HAS_HISTORY src). DERIVED_FROM is
+      // deliberately NOT cascaded: consolidation (W7) creates provenance
+      // edges to originals it then hard-deletes (manager.py:1905-1912) —
+      // the tombstone reference is the provenance record.
+      val memEdge = col("edge_type").isin(
+        EdgeTypes.HasEntity, EdgeTypes.Supersedes, EdgeTypes.LeadsTo,
+        EdgeTypes.Produced, EdgeTypes.HasHistory)
+      val idSet = ids.toSet.toSeq
+      edges = edges.filter(
+        !(memEdge && (col("src").isin(idSet: _*) || col("dst").isin(idSet: _*))))
+      tick()
+    }
+  }
+
+  def deleteEdgesById(ids: Seq[Long]): Unit = {
+    if (ids.nonEmpty) {
+      edges = edges.filter(!col("edge_id").isin(ids.toSet.toSeq: _*))
+      tick()
+    }
+  }
+
+  def deleteCommunities(ids: Seq[Long]): Unit = {
+    if (ids.nonEmpty) {
+      val idSet = ids.toSet.toSeq
+      communities = communities.filter(!col("id").isin(idSet: _*))
+      edges = edges.filter(
+        !(col("edge_type") === EdgeTypes.HasMember && col("src").isin(idSet: _*)))
+      tick()
+    }
+  }
+
+  // ---- persistence (S8) ----
+
+  def persist(dir: String): Unit = {
+    val tables = Seq(
+      "memories" -> memories, "entities" -> entities, "episodes" -> episodes,
+      "communities" -> communities, "history" -> history, "edges" -> edges)
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n")
+    }
+  }
+
+  def load(dir: String): Unit = {
+    def rd(n: String): DataFrame = spark.read.parquet(s"$dir/$n")
+    memories = rd("memories"); entities = rd("entities")
+    episodes = rd("episodes"); communities = rd("communities")
+    history = rd("history"); edges = rd("edges")
+    def maxId(df: DataFrame, c: String): Long =
+      if (df.isEmpty) 0L
+      else df.agg(max(col(c))).head().getLong(0)
+    memoryIds.set(maxId(memories, "id")); entityIds.set(maxId(entities, "id"))
+    episodeIds.set(maxId(episodes, "id")); communityIds.set(maxId(communities, "id"))
+    historyIds.set(maxId(history, "id")); edgeIds.set(maxId(edges, "edge_id"))
+    tick()
+  }
+}

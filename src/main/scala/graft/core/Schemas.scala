@@ -35,7 +35,12 @@ final case class MemoryRow(
     access_count: Option[Long],
     last_accessed: Option[Long],
     embedding: Array[Float],
-    source: Option[String]
+    source: Option[String],
+    // cached whole-graph metric columns (reference `_pagerank`,
+    // `_betweenness`, `_community` props, manager.py:1620,1629,1639)
+    pagerank: Option[Double] = None,
+    betweenness: Option[Double] = None,
+    community: Option[Long] = None
 )
 
 final case class EntityRow(

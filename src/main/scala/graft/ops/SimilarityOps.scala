@@ -29,12 +29,14 @@ object SimilarityOps {
       queries: DataFrame,
       queryId: String,
       queryEmb: String,
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = true // false when query ids are a separate id space
   ): DataFrame = {
-    val scored = queries
+    val paired = queries
       .select(col(queryId).as("query_id"), col(queryEmb).as("q_emb"))
       .crossJoin(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb")))
-      .filter(col("query_id") =!= col("neighbor_id"))
+    val scored = (if (excludeSelf) paired.filter(col("query_id") =!= col("neighbor_id"))
+                  else paired)
       .withColumn("cosine", VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
     val w = Window
       .partitionBy(col("query_id"))

@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api._
+import graft.core._
+import graft.ext._
+
+/** End-to-end manager behavior — ports the shape of the reference's
+  * integration tests (tests/test_manager.py) with scripted traits and a
+  * fixed clock (FIXTURES.md §1-3).
+  */
+class ManagerSpec extends SparkSuite {
+
+  private val T0 = 1700000000000L
+
+  private def mkManager(
+      outputs: Seq[Extraction] = Nil,
+      decisions: Seq[Seq[Decision]] = Nil,
+      config: MemoryConfig = MemoryConfig(userId = "alice")
+  ): MemoryManager = {
+    var tick = 0L
+    new MemoryManager(
+      spark, config, new GraphStore(spark),
+      new MockEmbedder(config.embeddingDimensions),
+      new ScriptedExtractor(outputs),
+      if (decisions.isEmpty) new AddAllReconciler else new ScriptedReconciler(decisions),
+      reranker = Some(new HashReranker),
+      clock = () => { tick += 1; T0 + tick * 1000 }
+    )
+  }
+
+  test("add(infer=false) inserts and search finds it") {
+    val m = mkManager()
+    val r = m.add("Alice works at Acme Corp", infer = false, now = Some(T0))
+    assert(r.events.map(_.event) == Seq("ADD"))
+    assert(r.events.head.memoryId.contains("1"))
+    val hits = m.search("Alice works at Acme Corp", k = 5)
+    assert(hits.nonEmpty)
+    assert(hits.head.memoryId == "1")
+    assert(hits.head.text == "Alice works at Acme Corp")
+    // same-text query embeds identically → cosine 1 (± fp) dominates
+    assert(hits.head.score > 0.99)
+  }
+
+  test("add(infer=true) extracts facts and entities, creates graph edges") {
+    val m = mkManager(outputs = Seq(Extraction(
+      facts = Seq("alice works at acme corp"),
+      entities = Seq(ExtractedEntity("alice", "person"),
+        ExtractedEntity("acme_corp", "organization")),
+      relations = Seq(ExtractedRelation("alice", "acme_corp", "works_at")))))
+    val r = m.add("Alice works at Acme Corp", now = Some(T0))
+    assert(r.events.map(_.event) == Seq("ADD"))
+    assert(m.store.entities.count() == 2)
+    val he = m.store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
+    assert(he.count() == 2) // memory -> each entity
+    val rel = m.store.edges.filter(col("edge_type") === EdgeTypes.Relation)
+    assert(rel.count() == 1)
+    assert(m.history("1").map(_.event) == Seq("ADD"))
+  }
+
+  test("empty facts → no events") {
+    val m = mkManager(outputs = Seq(Extraction(Nil, Nil, Nil)))
+    assert(m.add("hmm", now = Some(T0)).events.isEmpty)
+  }
+
+  test("UPDATE supersede chain: expiry + SUPERSEDES + inherited entity edges + history") {
+    val m = mkManager(
+      outputs = Seq(
+        Extraction(Seq("alice works at acme"), Seq(ExtractedEntity("alice", "person")), Nil),
+        Extraction(Seq("alice works at beta"), Seq(ExtractedEntity("beta", "org")), Nil)),
+      // first add hits the no-candidates fast path (all-ADD, reconciler
+      // NOT consulted, reconciliation/memories.py:88-90); only the second
+      // add consumes a scripted decision. Threshold 0 so it finds the
+      // first memory as a candidate.
+      decisions = Seq(
+        Seq(Decision(DecisionAction.Update, "alice works at beta", Some(1L)))),
+      config = MemoryConfig(userId = "alice", reconciliationThreshold = 0.0)
+    )
+    val m2 = m // alias
+    m2.add("Alice works at Acme", now = Some(T0))
+    val r2 = m2.add("Alice moved to Beta", now = Some(T0 + 10000))
+    assert(r2.events.map(_.event) == Seq("UPDATE"))
+    assert(r2.events.head.memoryId.contains("2"))
+    assert(r2.events.head.previousText.contains("alice works at acme"))
+
+    val old = m2.store.memories.filter(col("id") === 1).collect().head
+    assert(!old.isNullAt(old.fieldIndex("expired_at")))
+    val sup = m2.store.edges.filter(col("edge_type") === EdgeTypes.Supersedes)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sup.toSeq == Seq((2L, 1L)))
+    // inherited: memory 2 gets memory 1's alice edge + its own beta edge
+    val he2 = m2.store.edges
+      .filter(col("edge_type") === EdgeTypes.HasEntity && col("src") === 2)
+      .select("dst").collect().map(_.getLong(0)).toSet
+    assert(he2 == Set(1L, 2L)) // entity ids: alice=1, beta=2
+    assert(m2.history("2").map(_.event) == Seq("UPDATE"))
+    // expired memory no longer surfaces in search
+    val hits = m2.search("alice", k = 10)
+    assert(!hits.exists(_.memoryId == "1"))
+  }
+
+  test("DELETE decision expires with history; delete-without-target skipped") {
+    val m = mkManager(
+      outputs = Seq(
+        Extraction(Seq("fact a"), Nil, Nil),
+        Extraction(Seq("drop it"), Nil, Nil)),
+      decisions = Seq(
+        // first add = fast path; this is consumed by the second add
+        Seq(Decision(DecisionAction.Delete, "", Some(1L)),
+          Decision(DecisionAction.Delete, "", None))),
+      config = MemoryConfig(userId = "alice", reconciliationThreshold = 0.0)
+    )
+    m.add("a", now = Some(T0))
+    val r = m.add("b", now = Some(T0 + 1000))
+    assert(r.events.map(_.event) == Seq("DELETE"))
+    assert(m.getAll().isEmpty)
+    assert(m.getAll(includeExpired = true).size == 1)
+    assert(m.history("1").map(_.event) == Seq("ADD", "DELETE"))
+  }
+
+  test("multi-tenant scope isolation") {
+    val store = new GraphStore(spark)
+    def mgr(user: String) = new MemoryManager(spark,
+      MemoryConfig(userId = user), store, new MockEmbedder(16),
+      new ScriptedExtractor(Nil), new AddAllReconciler)
+    val ma = mgr("alice"); val mb = mgr("bob")
+    ma.add("alice secret", infer = false, now = Some(T0))
+    mb.add("bob secret", infer = false, now = Some(T0))
+    assert(ma.getAll().map(_.text) == Seq("alice secret"))
+    assert(mb.getAll().map(_.text) == Seq("bob secret"))
+    assert(ma.search("secret", k = 10).forall(_.text == "alice secret"))
+    assert(mb.deleteAll() == 1L)
+    assert(ma.getAll().size == 1)
+  }
+
+  test("stats counts by type and expiry") {
+    val m = mkManager()
+    m.add("s1", infer = false, now = Some(T0))
+    m.add("p1", memoryType = "procedural", infer = false, now = Some(T0))
+    m.add("e1", memoryType = "episodic", infer = false, now = Some(T0))
+    val s = m.stats()
+    assert(s.totalMemories == 3)
+    assert(s.semanticCount == 1 && s.proceduralCount == 1 && s.episodicCount == 1)
+    assert(s.expiredCount == 0)
+  }
+
+  test("update (W4) overwrites text and records history") {
+    val m = mkManager()
+    m.add("old text", infer = false, now = Some(T0))
+    assert(m.update("1", "new text", now = Some(T0 + 5000)))
+    val cur = m.store.memories.filter(col("id") === 1)
+      .select("text", "updated_at").collect().head
+    assert(cur.getString(0) == "new text")
+    assert(cur.getLong(1) == T0 + 5000)
+    assert(m.history("1").map(_.event) == Seq("ADD", "UPDATE"))
+    assert(!m.update("99", "nope"))
+  }
+
+  test("setImportance validates range and patches") {
+    val m = mkManager(config = MemoryConfig(userId = "alice", enableImportance = true))
+    m.add("x", infer = false, now = Some(T0))
+    assert(m.setImportance("1", 0.25))
+    intercept[IllegalArgumentException](m.setImportance("1", 1.5))
+    val imp = m.store.memories.filter(col("id") === 1)
+      .select("importance").collect().head.getDouble(0)
+    assert(imp == 0.25)
+  }
+
+  test("LEADS_TO session chain (J11) and temporal chain walk (J7)") {
+    val m = mkManager()
+    m.add("first", infer = false, runId = Some("r1"), now = Some(T0))
+    m.add("second", infer = false, runId = Some("r1"), now = Some(T0 + 1000))
+    m.add("third", infer = false, runId = Some("r1"), now = Some(T0 + 2000))
+    val lt = m.store.edges.filter(col("edge_type") === EdgeTypes.LeadsTo)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lt == Set((1L, 2L), (2L, 3L)))
+    assert(m.temporalChain("1", maxDepth = 5) == Seq("1", "2", "3"))
+    assert(m.temporalChain("2", maxDepth = 5, direction = "forward") == Seq("2", "3"))
+  }
+
+  test("episodes mode (W11): PRODUCED + NEXT_EPISODE chains, no LEADS_TO") {
+    val m = mkManager(config = MemoryConfig(userId = "alice", enableEpisodes = true))
+    m.add("msg one", infer = false, runId = Some("r1"), now = Some(T0))
+    m.add("msg two", infer = false, runId = Some("r1"), now = Some(T0 + 1000))
+    assert(m.store.episodes.count() == 2)
+    assert(m.store.edges.filter(col("edge_type") === EdgeTypes.Produced).count() == 2)
+    assert(m.store.edges.filter(col("edge_type") === EdgeTypes.LeadsTo).count() == 0)
+    val ne = m.store.edges.filter(col("edge_type") === EdgeTypes.NextEpisode)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ne.toSeq == Seq((1L, 2L)))
+  }
+
+  test("bitemporal: point-in-time search over validity intervals (F5)") {
+    // mirrors tests/test_bitemporal.py:189-286 — two NON-expired memories
+    // with explicit valid_at/invalid_at; PIT selects by validity interval
+    import spark.implicits._
+    val m = mkManager(config = MemoryConfig(userId = "alice"))
+    val jan = 1704067200000L; val jun = 1717200000000L
+    val mar = 1709251200000L; val jul = 1719792000000L
+    m.add("alice works at acme", infer = false, now = Some(jan))
+    m.add("alice works at globex", infer = false, now = Some(jun))
+    m.store.patchMemories(
+      Seq((1L, Some(jan), Some(jun)), (2L, Some(jun), None: Option[Long]))
+        .toDF("id", "valid_at", "invalid_at"),
+      Seq("valid_at", "invalid_at"))
+    val atJul = m.search("alice works", k = 10, pointInTime = Some(jul))
+      .map(_.memoryId).toSet
+    assert(atJul.contains("2") && !atJul.contains("1"))
+    val atMar = m.search("alice works", k = 10, pointInTime = Some(mar))
+      .map(_.memoryId).toSet
+    assert(atMar.contains("1") && !atMar.contains("2"))
+  }
+
+  test("bitemporal UPDATE stamps invalid_at on the superseded memory (W2)") {
+    val m = mkManager(
+      outputs = Seq(
+        Extraction(Seq("markus joined acme"), Nil, Nil),
+        Extraction(Seq("markus joined globex"), Nil, Nil)),
+      decisions = Seq(
+        Seq(Decision(DecisionAction.Update, "markus joined globex", Some(1L)))),
+      config = MemoryConfig(userId = "alice", enableBitemporal = true,
+        reconciliationThreshold = 0.0)
+    )
+    m.add("Markus joined Acme", now = Some(T0))
+    m.add("Markus left for Globex", now = Some(T0 + 100000))
+    val old = m.store.memories.filter(col("id") === 1).collect().head
+    assert(old.getLong(old.fieldIndex("expired_at")) == T0 + 100000)
+    // no fact_valid_at annotation → invalid_at falls back to the op ts
+    assert(old.getLong(old.fieldIndex("invalid_at")) == T0 + 100000)
+  }
+
+  test("min_score filter + memory_type filter in search") {
+    val m = mkManager(config = MemoryConfig(userId = "alice"))
+    m.add("completely unrelated text about gardening", infer = false, now = Some(T0))
+    m.add("target phrase exact", infer = false, now = Some(T0))
+    val strict = m.search("target phrase exact", k = 10, minScore = Some(0.9))
+    assert(strict.map(_.memoryId) == Seq("2"))
+    m.add("proc item", memoryType = "procedural", infer = false, now = Some(T0))
+    val typed = m.search("proc item", k = 10, memoryType = Some("procedural"))
+    assert(typed.nonEmpty && typed.forall(_.memoryType == "procedural"))
+  }
+
+  test("diverse (MMR) search path returns k distinct results") {
+    val m = mkManager()
+    (1 to 8).foreach(i => m.add(s"note number $i", infer = false, now = Some(T0)))
+    val hits = m.search("note number 1", k = 3, diverse = true)
+    assert(hits.size == 3)
+    assert(hits.map(_.memoryId).distinct.size == 3)
+  }
+
+  test("graph branch: entity match surfaces memory with cosine score; agreement bonus") {
+    val m = mkManager(
+      outputs = Seq(
+        Extraction(Seq("alice works at acme"),
+          Seq(ExtractedEntity("alice", "person")), Nil),
+        // query-entity extraction consumes one scripted output too
+        Extraction(Nil, Seq(ExtractedEntity("alice", "person")), Nil))
+    )
+    m.add("Alice works at Acme", now = Some(T0))
+    val hits = m.search("alice", k = 5)
+    assert(hits.nonEmpty)
+    // memory 1 found by both branches → source both, score boosted
+    assert(hits.head.memoryId == "1")
+    assert(hits.head.source == "both")
+  }
+
+  test("summarize (W7) consolidates into a summary with DERIVED_FROM provenance") {
+    val m = mkManager(config = MemoryConfig(userId = "alice",
+      consolidationBatchSize = 3, consolidationPreserveRecent = 1))
+    (1 to 4).foreach(i => m.add(s"old fact $i", infer = false, now = Some(T0 + i * 1000)))
+    val ids = m.summarize(now = Some(T0 + 100000))
+    assert(ids.size == 1) // 3 oldest batched; newest preserved
+    val df = m.store.edges.filter(col("edge_type") === EdgeTypes.DerivedFrom)
+    assert(df.count() == 3)
+    val remaining = m.getAll().map(_.text)
+    assert(remaining.contains("old fact 4"))
+    assert(remaining.exists(_.startsWith("old fact 1; old fact 2; old fact 3")))
+    assert(m.store.memories.filter(col("id") === 1).isEmpty) // hard-deleted
+  }
+
+  test("rerank (R4) applies trait scores and truncates") {
+    val m = mkManager()
+    (1 to 5).foreach(i => m.add(s"text $i", infer = false, now = Some(T0)))
+    val hits = m.search("text", k = 3, rerank = true)
+    assert(hits.size == 3)
+    // HashReranker scores are deterministic — repeated call identical
+    val again = m.search("text", k = 3, rerank = true)
+    assert(hits.map(r => (r.memoryId, r.score)) == again.map(r => (r.memoryId, r.score)))
+  }
+
+  test("config validation rejects bad values") {
+    intercept[IllegalArgumentException](MemoryConfig(userId = ""))
+    intercept[IllegalArgumentException](MemoryConfig(reconciliationThreshold = 1.5))
+    intercept[IllegalArgumentException](MemoryConfig(graphSearchDepth = 3))
+    intercept[IllegalArgumentException](MemoryConfig(mmrLambda = -0.1))
+    intercept[IllegalArgumentException](MemoryConfig(enableCommunitySummaries = true))
+    assert(MemoryConfig(enableCommunitySummaries = true,
+      enableGraphAlgorithms = true).enableCommunitySummaries)
+  }
+
+  test("addBatch bulk path: one append, ids sequential, history recorded") {
+    val m = mkManager()
+    val ids = m.addBatch(Seq("b1", "b2", "b3"), now = Some(T0))
+    assert(ids == Seq("1", "2", "3"))
+    assert(m.getAll().size == 3)
+    assert(m.history("2").map(_.event) == Seq("ADD"))
+  }
+
+  test("explain (R9) traces pipeline stages") {
+    val m = mkManager()
+    m.add("traced fact", infer = false, now = Some(T0))
+    val ex = m.explain("traced fact", k = 5)
+    val names = ex.steps.map(_.name)
+    assert(names.contains("embed_query"))
+    assert(names.contains("hybrid_search"))
+    assert(names.contains("merge"))
+    assert(names.last == "final")
+    assert(ex.results.nonEmpty)
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.MockEmbedder
+import graft.ops.{GraphOps, SearchOps, TemporalOps}
+
+/** Unit-level behavior of the core ops: BFS depth semantics, hybrid
+  * merge, as-of top-1, MMR greedy selection, embedder determinism,
+  * temporal hint regexes (reference temporal.py:9-88).
+  */
+class OpsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("varLengthPaths: min-depth first-visit, early stop, reverse") {
+    // 1→2→3→4 plus shortcut 1→3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .map { case (s, d) => (s, d, "T") }.toDF("src", "dst", "edge_type")
+    val seeds = Seq(1L).toDF("root")
+    val got = GraphOps.varLengthPaths(edges, "T", seeds, maxDepth = 10)
+      .select("node", "depth").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // node 3 reachable at depth 1 (shortcut) and 2 — min depth wins
+    assert(got == Map(2L -> 1, 3L -> 1, 4L -> 2))
+    val rev = GraphOps.varLengthPaths(edges, "T", Seq(4L).toDF("root"),
+      maxDepth = 10, reverse = true)
+      .select("node", "depth").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rev == Map(3L -> 1, 2L -> 2, 1L -> 2))
+  }
+
+  test("mergeResults: agreement bonus on max, passthrough otherwise") {
+    val v = Seq((1L, 0.8), (2L, 0.5)).toDF("id", "score")
+    val g = Seq((1L, 0.6), (3L, 0.4)).toDF("id", "score")
+    val got = GraphOps.mergeResults(v, g, "id", agreementBonus = 0.1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSet
+    assert(got == Set(
+      (1L, 0.8 * 1.1, "both"), (2L, 0.5, "vector"), (3L, 0.4, "graph")))
+  }
+
+  test("latestPerKey: as-of top-1 per key") {
+    val df = Seq(
+      ("u1", 10L, 1L), ("u1", 20L, 2L), ("u1", 30L, 3L),
+      ("u2", 15L, 4L)
+    ).toDF("user", "ts", "id")
+    val got = GraphOps.latestPerKey(df, Seq("user"), "ts", "id", asOf = Some(25L))
+      .select("user", "id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("u1" -> 2L, "u2" -> 4L))
+  }
+
+  test("MMR: first pick is top-cosine, selection is deterministic and diverse") {
+    val emb = new MockEmbedder(16)
+    val texts = (1 to 12).map(i => s"doc about topic $i")
+    val rows = texts.zipWithIndex.map { case (t, i) =>
+      ((i + 1).toLong, emb.embedOne(t))
+    }
+    val df = rows.toDF("id", "embedding")
+    val q = emb.embedOne("doc about topic 3")
+    val got = SearchOps.mmr(df, "embedding", "id", q, k = 4, lambda = 0.5)
+      .orderBy(col("mmr_rank")).collect().map(_.getLong(0))
+    assert(got.length == 4)
+    assert(got.head == 3L) // exact text match dominates relevance
+    val again = SearchOps.mmr(df, "embedding", "id", q, k = 4, lambda = 0.5)
+      .orderBy(col("mmr_rank")).collect().map(_.getLong(0))
+    assert(got.sameElements(again))
+  }
+
+  test("MockEmbedder: deterministic unit vectors, any dims") {
+    val e16 = new MockEmbedder(16)
+    val a = e16.embedOne("hello")
+    val b = e16.embedOne("hello")
+    assert(a.sameElements(b))
+    assert(a.length == 16)
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(!e16.embedOne("other").sameElements(a))
+    assert(new MockEmbedder(64).embedOne("hello").length == 64)
+  }
+
+  test("temporal hints: expired/chrono/timediff/point-in-time/general") {
+    val h1 = TemporalOps.detectTemporalHints("where did I used to work?")
+    assert(h1.includeExpired && h1.isTemporal)
+    val h2 = TemporalOps.detectTemporalHints("when did I first meet Sam?")
+    assert(h2.sortChronologically && h2.expandLimit)
+    val h3 = TemporalOps.detectTemporalHints("how long did the project take?")
+    assert(h3.includeExpired && h3.expandLimit)
+    val h4 = TemporalOps.detectTemporalHints("as of 2023 what was my role?")
+    assert(h4.pointInTimeHint && h4.includeExpired)
+    val h5 = TemporalOps.detectTemporalHints("what happened since March?")
+    assert(h5.isTemporal && h5.expandLimit && !h5.includeExpired)
+    val h6 = TemporalOps.detectTemporalHints("what is my favorite color?")
+    assert(!h6.isTemporal && h6.signals.isEmpty)
+  }
+
+  test("parseDateToEpochMs: ISO, year-only, invalid") {
+    assert(TemporalOps.parseDateToEpochMs("2024").contains(1704067200000L))
+    assert(TemporalOps.parseDateToEpochMs("2024-01-01").contains(1704067200000L))
+    assert(TemporalOps.parseDateToEpochMs("2024-01-01T00:00:00Z").contains(1704067200000L))
+    assert(TemporalOps.parseDateToEpochMs("not a date").isEmpty)
+    assert(TemporalOps.parseDateToEpochMs("").isEmpty)
+  }
+
+  test("bm25: term-bearing docs score, others absent; rrf fuses ranks") {
+    val docs = Seq(
+      (1L, "spark joins data fast"),
+      (2L, "spark spark spark"),
+      (3L, "unrelated text entirely")
+    ).toDF("doc_id", "text")
+    val bm = SearchOps.bm25(docs, "doc_id", "text", Seq("spark"))
+    val scored = bm.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored.keySet == Set(1L, 2L))
+    assert(scored(2L) > scored(1L)) // higher tf wins
+    val a = Seq((1L, 0.9), (2L, 0.8)).toDF("doc_id", "s")
+    val b = Seq((2L, 0.9), (3L, 0.8)).toDF("doc_id", "s")
+    val fused = SearchOps.rrfFuse(Seq((a, "s"), (b, "s")), "doc_id", rrfK = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused(2L) == 1.0 / 3 + 1.0 / 2) // rank 2 + rank 1
+    assert(fused(1L) == 1.0 / 2 && fused(3L) == 1.0 / 3)
+  }
+}
