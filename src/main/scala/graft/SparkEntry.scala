@@ -18,7 +18,8 @@ object SparkEntry {
       (FilterQueries.queries, FilterQueries.oracle),
       (GraphQueries.queries, GraphQueries.oracle),
       (SearchQueries.queries, SearchQueries.oracle),
-      (WriteQueries.queries, WriteQueries.oracle)
+      (WriteQueries.queries, WriteQueries.oracle),
+      (AlgoQueries.queries, AlgoQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -50,6 +51,7 @@ object SparkEntry {
     "q_group_by_session", "q_stats",
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
-    "q_score_boost", "q_score_composite"
+    "q_score_boost", "q_score_composite",
+    "q_pagerank", "q_communities", "q_modularity", "q_score_crosssession"
   )
 }

@@ -444,6 +444,114 @@ final class MemoryManager(
   }
 
   // ------------------------------------------------------------------
+  // G1-G4 — whole-graph metrics + communities (manager.py:1585-1644,
+  // communities.py:32-200). Lazy: recomputed at search time when the
+  // store's write-version moved (the reference's dirty flag).
+  // ------------------------------------------------------------------
+
+  // per-label id spaces → global node keys for cross-label graph algos
+  private val MemC = 0L; private val EntC = 1L; private val EpiC = 2L
+  private val ComC = 3L; private val HisC = 4L
+  private def gkey(idCol: org.apache.spark.sql.Column, code: Long) =
+    idCol * 8L + code
+
+  /** Edges with label-space-disambiguated endpoints. */
+  private def globalEdges: DataFrame = {
+    val srcCode = typedCode("src")
+    val dstCode = typedCode("dst")
+    store.edges.select(
+      (col("src") * 8L + srcCode).as("src"),
+      (col("dst") * 8L + dstCode).as("dst"))
+  }
+  private def typedCode(side: String) = {
+    val t = col("edge_type")
+    val isSrc = side == "src"
+    when(t === EdgeTypes.HasEntity, if (isSrc) MemC else EntC)
+      .when(t === EdgeTypes.Relation, EntC)
+      .when(t === EdgeTypes.Supersedes, MemC)
+      .when(t === EdgeTypes.DerivedFrom, MemC)
+      .when(t === EdgeTypes.LeadsTo, MemC)
+      .when(t === EdgeTypes.Produced, if (isSrc) EpiC else MemC)
+      .when(t === EdgeTypes.Mentions, if (isSrc) EpiC else EntC)
+      .when(t === EdgeTypes.NextEpisode, EpiC)
+      .when(t === EdgeTypes.HasMember, if (isSrc) ComC else EntC)
+      .when(t === EdgeTypes.HasHistory, if (isSrc) MemC else HisC)
+      .otherwise(lit(7L))
+  }
+
+  private var metricsVersion = -1L
+
+  /** G1+G2+G3 — recompute and cache metric columns on Memory rows when
+    * the graph changed since the last recompute.
+    */
+  def recomputeGraphMetricsIfDirty(): Unit =
+    if (config.enableGraphAlgorithms && store.writeVersion != metricsVersion) {
+      val ge = globalEdges.localCheckpoint()
+      if (!ge.isEmpty) {
+        val pr = GraphAlgorithms.pageRank(ge)
+        val bc = GraphAlgorithms.betweenness(ge)
+        val lp = GraphAlgorithms.labelPropagation(ge)
+        val memMetrics = pr
+          .join(bc, Seq("node"), "full_outer")
+          .join(lp, Seq("node"), "full_outer")
+          .filter(pmod(col("node"), lit(8L)) === MemC)
+          .select(((col("node") - MemC) / 8L).cast("long").as("id"),
+            col("pagerank"), col("betweenness"), col("community"))
+        store.patchMemories(memMetrics, Seq("pagerank", "betweenness", "community"))
+        if (config.enableCommunitySummaries) materializeCommunities(lp)
+      }
+      metricsVersion = store.writeVersion
+    }
+
+  /** G4 — materialize entity communities (≥ 2 scoped members) as
+    * Community nodes + HAS_MEMBER edges; unchanged membership is kept,
+    * dissolved communities are deleted (communities.py:32-200).
+    */
+  private def materializeCommunities(lp: DataFrame): Unit = {
+    val entComm = lp.filter(pmod(col("node"), lit(8L)) === EntC)
+      .select(((col("node") - EntC) / 8L).cast("long").as("ent_id"),
+        col("community"))
+    val members = entComm
+      .join(scopeCol2(store.entities).select(col("id").as("ent_id"), col("name")), "ent_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getString(2))) // (community, ent, name)
+      .groupBy(_._1)
+      .filter(_._2.length >= 2)
+    val existing = store.communities
+      .filter(col("user_id") === config.userId)
+      .select(col("id"), col("community_id"), col("member_count"))
+      .collect()
+      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2)))
+      .toMap
+    val ts = clock()
+    members.foreach { case (commId, ms) =>
+      existing.get(commId) match {
+        case Some((_, cnt)) if cnt == ms.length => () // unchanged → skip
+        case other =>
+          other.foreach { case (oldId, _) => store.deleteCommunities(Seq(oldId)) }
+          val names = ms.map(_._3).sorted
+          val (name, summary) = summarizer.describeCommunity(names.toSeq, Nil)
+          val cid = store.nextCommunityId()
+          store.appendCommunities(Seq(CommunityRow(cid, name, summary, commId,
+            ms.length.toLong, config.userId, ts, ts)))
+          store.appendEdges(ms.map { case (_, ent, _) =>
+            EdgeRow(store.nextEdgeId(), cid, ent, EdgeTypes.HasMember, Map.empty)
+          }.toSeq)
+      }
+    }
+    val dissolved = existing.filterNot { case (commId, _) => members.contains(commId) }
+    dissolved.values.foreach { case (oldId, _) => store.deleteCommunities(Seq(oldId)) }
+  }
+
+  /** Community read API (communities.py:203-238). */
+  def getCommunities(): Seq[(String, String, Long)] =
+    store.communities.filter(col("user_id") === config.userId)
+      .orderBy(col("id"))
+      .select(col("name"), col("summary"), col("member_count"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+
+  // ------------------------------------------------------------------
   // search pipeline (§3.1)
   // ------------------------------------------------------------------
 
@@ -497,6 +605,7 @@ final class MemoryManager(
       now: Option[Long],
       trace: Option[scala.collection.mutable.ArrayBuffer[ExplainStep]]
   ): Seq[SearchResult] = {
+    recomputeGraphMetricsIfDirty() // lazy G1-G4 maintenance (manager.py:541-549)
     val hints = TemporalOps.detectTemporalHints(query)
     val includeExpired = includeExpired0 || hints.includeExpired
     val effectiveK = if (hints.expandLimit) k * 2 else k

@@ -1,0 +1,200 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraphAlgorithms, ScoringOps}
+import Tables._
+
+/** Whole-graph algorithm queries (G1-G3 + R3; SURVEY §2.8): PageRank
+  * with a recursive-CTE oracle, exact Brandes betweenness checked
+  * closed-form on chain graphs, deterministic label-propagation
+  * communities + modularity, and the cross-session boost composition.
+  */
+object AlgoQueries {
+
+  private val PrIters = 20
+  private val Damping = 0.85
+  private val LpaRounds = 5
+
+  /** order→part "contains" edges (the dense graph). */
+  private def containsEdges(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
+
+  /** per-customer next-order chain edges for custkey < 30 (the graph
+    * whose betweenness is closed-form: position·(len−pos) on a chain).
+    */
+  private def chainEdges(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    load(s, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .withColumn("nxt", lead(col("o_orderkey"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("o_orderkey").as("src"), col("nxt").as("dst"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> { (s, dir) =>
+      GraphAlgorithms.pageRank(containsEdges(s, dir), PrIters, Damping)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy(col("node"))
+    },
+    "q_betweenness" -> { (s, dir) =>
+      GraphAlgorithms.betweenness(chainEdges(s, dir))
+        .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
+        .orderBy(col("node"))
+    },
+    "q_communities" -> { (s, dir) =>
+      GraphAlgorithms.labelPropagation(containsEdges(s, dir), LpaRounds)
+        .orderBy(col("node"))
+    },
+    "q_modularity" -> { (s, dir) =>
+      val e = containsEdges(s, dir)
+      GraphAlgorithms.modularity(e, GraphAlgorithms.labelPropagation(e, LpaRounds))
+    },
+    "q_score_crosssession" -> { (s, dir) =>
+      // R3 — cross-session boost from cached metric columns: pagerank of
+      // the contains graph + betweenness of the chain graph
+      val ord = load(s, dir, "orders")
+      val pr = GraphAlgorithms.pageRank(containsEdges(s, dir), PrIters, Damping)
+        .select(col("node").as("o_orderkey"), col("pagerank"))
+      val bc = GraphAlgorithms.betweenness(chainEdges(s, dir))
+        .select(col("node").as("o_orderkey"), col("betweenness"))
+      ord.join(pr, Seq("o_orderkey"), "left")
+        .join(bc, Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          round(ScoringOps.crossSessionBoost(col("o_totalprice") / 500000.0,
+            col("pagerank"), col("betweenness"), factor = 0.3), 6).as("boosted"))
+        .orderBy(col("o_orderkey"))
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    // interpolate the exact Scala doubles so both engines use identical
+    // constants (1.0 - 0.85 differs from the literal 0.15 by one ulp)
+    val reset = (1.0 - Damping).toString
+    val damp = Damping.toString
+
+    val pagerank =
+      s"""WITH RECURSIVE
+         |e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
+         |pr AS (
+         |  SELECT node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it FROM nodes
+         |  UNION ALL
+         |  SELECT n.node, $reset + $damp * coalesce(cs.s, 0.0) AS rank, curit.it + 1 AS it
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(pr.rank / od.odeg) AS s
+         |             FROM pr JOIN e ON pr.node = e.src JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) cs ON n.node = cs.node
+         |  CROSS JOIN (SELECT max(it) AS it FROM pr) curit
+         |  WHERE curit.it < $PrIters)
+         |SELECT node, round(rank, 6) AS pagerank FROM pr WHERE it = $PrIters
+         |ORDER BY node""".stripMargin
+
+    val chainCte =
+      """o AS (SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS pos,
+        |    count(*) OVER (PARTITION BY o_custkey) AS len
+        |  FROM orders WHERE o_custkey < 30),
+        |chain AS (SELECT * FROM o WHERE len >= 2),
+        |nn AS (SELECT count(*) AS n FROM chain)""".stripMargin
+
+    val betweenness =
+      s"""WITH $chainCte
+         |SELECT c.o_orderkey AS node,
+         |  round(((c.pos - 1) * (c.len - c.pos))::DOUBLE / ((nn.n - 1) * (nn.n - 2)), 6) AS betweenness
+         |FROM chain c CROSS JOIN nn ORDER BY node""".stripMargin
+
+    val lpa =
+      s"""WITH RECURSIVE
+         |dir AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+         |und AS (SELECT src, dst FROM (
+         |  SELECT src, dst FROM dir UNION SELECT dst AS src, src AS dst FROM dir)
+         |  WHERE src <> dst),
+         |lp AS (
+         |  SELECT src AS node, src AS label, 0 AS it FROM (SELECT DISTINCT src FROM und)
+         |  UNION ALL
+         |  SELECT node, label, it FROM (
+         |    SELECT u.src AS node, lp.label AS label, max(lp.it) + 1 AS it,
+         |      row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, lp.label ASC) AS rn
+         |    FROM und u JOIN lp ON u.dst = lp.node
+         |    GROUP BY u.src, lp.label)
+         |  WHERE rn = 1 AND it <= $LpaRounds)
+         |SELECT node, label AS community FROM lp WHERE it = $LpaRounds
+         |ORDER BY node""".stripMargin
+
+    val modularity =
+      s"""WITH RECURSIVE
+         |dir AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+         |und0 AS (SELECT src, dst FROM (
+         |  SELECT src, dst FROM dir UNION SELECT dst AS src, src AS dst FROM dir)
+         |  WHERE src <> dst),
+         |lp AS (
+         |  SELECT src AS node, src AS label, 0 AS it FROM (SELECT DISTINCT src FROM und0)
+         |  UNION ALL
+         |  SELECT node, label, it FROM (
+         |    SELECT u.src AS node, lp.label AS label, max(lp.it) + 1 AS it,
+         |      row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, lp.label ASC) AS rn
+         |    FROM und0 u JOIN lp ON u.dst = lp.node
+         |    GROUP BY u.src, lp.label)
+         |  WHERE rn = 1 AND it <= $LpaRounds),
+         |communities AS (SELECT node, label AS community FROM lp WHERE it = $LpaRounds),
+         |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM dir WHERE src <> dst GROUP BY 1, 2),
+         |m AS (SELECT count(*)::DOUBLE AS m FROM und),
+         |withc AS (SELECT u.a, u.b, ca.community AS ca, cb.community AS cb
+         |  FROM und u JOIN communities ca ON u.a = ca.node
+         |  JOIN communities cb ON u.b = cb.node),
+         |intra AS (SELECT ca AS community, count(*)::BIGINT AS e_c
+         |  FROM withc WHERE ca = cb GROUP BY ca),
+         |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) GROUP BY node),
+         |degc AS (SELECT c.community, sum(d.deg)::BIGINT AS deg_c
+         |  FROM deg d JOIN communities c ON d.node = c.node GROUP BY c.community)
+         |SELECT round(sum(coalesce(i.e_c, 0)::DOUBLE / m.m
+         |  - pow(dc.deg_c::DOUBLE / (2.0 * m.m), 2.0)), 6) AS modularity
+         |FROM degc dc LEFT JOIN intra i ON dc.community = i.community CROSS JOIN m""".stripMargin
+
+    val crossSession =
+      s"""WITH RECURSIVE
+         |e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
+         |pr AS (
+         |  SELECT node, CAST(1.0 AS DOUBLE) AS rank, 0 AS it FROM nodes
+         |  UNION ALL
+         |  SELECT n.node, $reset + $damp * coalesce(cs.s, 0.0) AS rank, curit.it + 1 AS it
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(pr.rank / od.odeg) AS s
+         |             FROM pr JOIN e ON pr.node = e.src JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) cs ON n.node = cs.node
+         |  CROSS JOIN (SELECT max(it) AS it FROM pr) curit
+         |  WHERE curit.it < $PrIters),
+         |prf AS (SELECT node, rank AS pagerank FROM pr WHERE it = $PrIters),
+         |$chainCte,
+         |bc AS (SELECT c.o_orderkey AS node,
+         |  ((c.pos - 1) * (c.len - c.pos))::DOUBLE / ((nn.n - 1) * (nn.n - 2)) AS betweenness
+         |  FROM chain c CROSS JOIN nn)
+         |SELECT o.o_orderkey,
+         |  round((o.o_totalprice / 500000.0) * (1.0 + 0.3 * (
+         |    0.7 * least(1.0, coalesce(prf.pagerank, 0.0) * 10.0)
+         |  + 0.3 * least(1.0, coalesce(bc.betweenness, 0.0) * 10.0))), 6) AS boosted
+         |FROM orders o
+         |LEFT JOIN prf ON o.o_orderkey = prf.node
+         |LEFT JOIN bc ON o.o_orderkey = bc.node
+         |ORDER BY o.o_orderkey""".stripMargin
+
+    Map(
+      "q_pagerank" -> pagerank,
+      "q_betweenness" -> betweenness,
+      "q_communities" -> lpa,
+      "q_modularity" -> modularity,
+      "q_score_crosssession" -> crossSession
+    )
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api._
+import graft.core._
+import graft.ext._
+import graft.ops.GraphAlgorithms
+
+/** Known-value checks for the whole-graph algorithms (G1-G4). */
+class AlgoSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) =
+    pairs.toSeq.toDF("src", "dst")
+
+  test("pageRank: 3-cycle is the fixed point 1.0") {
+    val pr = GraphAlgorithms.pageRank(edges(1L -> 2L, 2L -> 3L, 3L -> 1L), iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 3)
+    pr.values.foreach(v => assert(math.abs(v - 1.0) < 1e-9))
+  }
+
+  test("pageRank: star source keeps reset mass, sinks split it") {
+    val pr = GraphAlgorithms.pageRank(edges(1L -> 2L, 1L -> 3L), iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr(1L) - 0.15) < 1e-12)
+    // sinks: 0.15 + 0.85 * (0.15/2) after convergence
+    val expected = 0.15 + 0.85 * (0.15 / 2)
+    assert(math.abs(pr(2L) - expected) < 1e-12)
+    assert(pr(2L) == pr(3L))
+  }
+
+  test("betweenness: directed chain interior nodes") {
+    // 1→2→3→4: node v at position i: (i-1)(L-i) pairs; norm (n-1)(n-2)=6
+    val bc = GraphAlgorithms.betweenness(edges(1L -> 2L, 2L -> 3L, 3L -> 4L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(bc(2L) - 2.0 / 6) < 1e-12)
+    assert(math.abs(bc(3L) - 2.0 / 6) < 1e-12)
+    assert(bc(1L) == 0.0 && bc(4L) == 0.0)
+  }
+
+  test("betweenness: diamond splits shortest-path credit") {
+    // 1→2→4, 1→3→4: two shortest paths 1→4, each mid carries 1/2
+    val bc = GraphAlgorithms.betweenness(
+      edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val norm = 3.0 * 2.0 // (n-1)(n-2), n=4
+    assert(math.abs(bc(2L) - 0.5 / norm) < 1e-12)
+    assert(math.abs(bc(3L) - 0.5 / norm) < 1e-12)
+    assert(bc(4L) == 0.0)
+  }
+
+  test("labelPropagation: two cliques converge to two communities") {
+    // triangle {1,2,3} + triangle {4,5,6} + one bridge 3-4
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val lp = GraphAlgorithms.labelPropagation(e, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lp(1L) == lp(2L) && lp(2L) == lp(3L))
+    assert(lp(4L) == lp(5L) && lp(5L) == lp(6L))
+    val m = GraphAlgorithms.modularity(e,
+      GraphAlgorithms.labelPropagation(e, rounds = 5)).collect().head.getDouble(0)
+    assert(m > 0.2) // clearly-clustered graph has positive modularity
+  }
+
+  test("manager: lazy metric recompute patches memory columns; R3 live") {
+    val m = new MemoryManager(
+      spark,
+      MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        crossSessionFactor = 0.5),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("alice works at acme"),
+          Seq(ExtractedEntity("alice", "person"), ExtractedEntity("acme", "org")),
+          Seq(ExtractedRelation("alice", "acme", "works_at"))))),
+      new AddAllReconciler)
+    m.add("Alice works at Acme", now = Some(1700000000000L))
+    val hits = m.search("alice works at acme", k = 5) // triggers recompute
+    assert(hits.nonEmpty)
+    val mem = m.store.memories.filter(col("id") === 1).collect().head
+    assert(!mem.isNullAt(mem.fieldIndex("pagerank"))) // G1 column cached
+  }
+
+  test("manager: community materialization (G4) with >=2 entity members") {
+    val m = new MemoryManager(
+      spark,
+      MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        enableCommunitySummaries = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("alice and bob work at acme"),
+          Seq(ExtractedEntity("alice", "person"), ExtractedEntity("bob", "person"),
+            ExtractedEntity("acme", "org")),
+          Seq(ExtractedRelation("alice", "acme", "works_at"),
+            ExtractedRelation("bob", "acme", "works_at"))))),
+      new AddAllReconciler)
+    m.add("Alice and Bob work at Acme", now = Some(1700000000000L))
+    m.search("anything", k = 1) // triggers materialization
+    val comms = m.getCommunities()
+    assert(comms.nonEmpty)
+    assert(comms.head._3 >= 2) // member_count
+    assert(m.store.edges.filter(col("edge_type") === EdgeTypes.HasMember).count() >= 2)
+  }
+}
