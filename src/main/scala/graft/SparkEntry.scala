@@ -19,7 +19,9 @@ object SparkEntry {
       (GraphQueries.queries, GraphQueries.oracle),
       (SearchQueries.queries, SearchQueries.oracle),
       (WriteQueries.queries, WriteQueries.oracle),
-      (AlgoQueries.queries, AlgoQueries.oracle)
+      (AlgoQueries.queries, AlgoQueries.oracle),
+      (MultimodalQueries.queries, MultimodalQueries.oracle),
+      (MiscQueries.queries, MiscQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -39,6 +39,8 @@ final case class MemoryConfig(
     // temporal
     enableBitemporal: Boolean = false,
     enableEpisodes: Boolean = false,
+    // multimodal
+    enableVision: Boolean = false,
     // consolidation (W7)
     consolidationBatchSize: Int = 10,
     consolidationPreserveRecent: Int = 5,

@@ -27,6 +27,7 @@ final class MemoryManager(
     reconciler: Reconciler,
     reranker: Option[Reranker] = None,
     summarizer: Summarizer = new ConcatSummarizer,
+    vision: Vision = new HashVision,
     clock: () => Long = () => System.currentTimeMillis()
 ) {
 
@@ -109,6 +110,31 @@ final class MemoryManager(
         AddResult(events)
       }
     }
+  }
+
+  /** S10 + W1 — add from message input (str | dict | list[dict] incl.
+    * multimodal content parts): parse, extract actor, describe images
+    * via the Vision trait when enabled (manager.py:214-224), then run
+    * the normal add pipeline on the normalized text.
+    */
+  def addMessages(
+      input: graft.sources.MessageInput,
+      memoryType: String = DefaultType,
+      sessionId: Option[String] = None,
+      runId: Option[String] = None,
+      metadata: Option[String] = None,
+      infer: Boolean = true,
+      now: Option[Long] = None
+  ): AddResult = {
+    val (text0, parsed, images) = graft.sources.Messages.parse(input)
+    val (actorId, role) = graft.sources.Messages.extractActor(parsed)
+    val text =
+      if (images.nonEmpty && config.enableVision) {
+        val descs = vision.describe(images).filter(_.nonEmpty)
+        val imageText = descs.map(d => s"[Image: $d]").mkString("\n")
+        if (text0.nonEmpty) s"$text0\n$imageText" else imageText
+      } else text0
+    add(text, memoryType, sessionId, runId, actorId, role, metadata, infer, now)
   }
 
   /** W3 — raw batch add: one embed call, one append (manager.py:381-477).

@@ -1,0 +1,81 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/** Remaining small-operator coverage: point/property lookups (S2/S3),
+  * relations-per-result decoration (J6), metadata JSON decode (F9),
+  * relation aggregation strings (A7).
+  */
+object MiscQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_point_lookup" -> { (s, dir) =>
+      // S2 — id-set point lookup as a broadcast join, never row-at-a-time
+      import s.implicits._
+      val ids = Seq(5L, 10L, 15L, 25L).toDF("c_custkey")
+      load(s, dir, "customer").join(broadcast(ids), Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    "q_property_lookup" -> { (s, dir) =>
+      // S3 — find_nodes_by_property(name, value)
+      load(s, dir, "part").filter(col("p_size") === 10)
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    "q_relations_decorate" -> { (s, dir) =>
+      // J6 — per-memory relation decoration: (m)-[:HAS_ENTITY]->(e)
+      // -[r]->(t) collected as a sorted joined string per memory
+      // (order = memory, entity = part, relation = supplied_by supplier)
+      val li = load(s, dir, "lineitem").filter(col("l_orderkey") < 500)
+      val he = li.select(col("l_orderkey").as("mem"), col("l_partkey").as("ent")).distinct()
+      val rel = load(s, dir, "lineitem")
+        .select(col("l_partkey").as("ent"), col("l_suppkey").as("tgt")).distinct()
+      he.join(rel, Seq("ent"))
+        .select(col("mem"),
+          concat(col("ent"), lit(":supplied_by:"), col("tgt")).as("r"))
+        .groupBy(col("mem"))
+        .agg(array_join(array_sort(collect_set(col("r"))), ";").as("relations"),
+          countDistinct(col("r")).as("n_relations"))
+        .orderBy(col("mem"))
+    },
+    "q_metadata_json" -> { (s, dir) =>
+      // F9 — metadata JSON string decode (from_json to a map, like the
+      // reference's json.loads at search/vector.py:422-433)
+      load(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataTypes.createMapType(
+              org.apache.spark.sql.types.DataTypes.StringType,
+              org.apache.spark.sql.types.DataTypes.StringType))("k")
+            .cast("long").as("k"))
+        .filter(col("k") > 50)
+        .orderBy(col("event_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_point_lookup" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (5, 10, 15, 25) ORDER BY c_custkey""".stripMargin,
+    "q_property_lookup" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_size = 10 ORDER BY p_partkey""".stripMargin,
+    "q_relations_decorate" ->
+      """WITH he AS (SELECT DISTINCT l_orderkey AS mem, l_partkey AS ent
+        |            FROM lineitem WHERE l_orderkey < 500),
+        |rel AS (SELECT DISTINCT l_partkey AS ent, l_suppkey AS tgt FROM lineitem),
+        |rs AS (SELECT he.mem, he.ent || ':supplied_by:' || rel.tgt AS r
+        |       FROM he JOIN rel ON he.ent = rel.ent)
+        |SELECT mem, array_to_string(list_sort(list(DISTINCT r)), ';') AS relations,
+        |  count(DISTINCT r)::BIGINT AS n_relations
+        |FROM rs GROUP BY mem ORDER BY mem""".stripMargin,
+    "q_metadata_json" ->
+      """SELECT event_id, regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k
+        |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT > 50
+        |ORDER BY event_id""".stripMargin
+  )
+}

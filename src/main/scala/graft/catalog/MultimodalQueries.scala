@@ -1,0 +1,97 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Multimodal
+import Tables._
+
+/** Multimodal-column queries (S10 column form + media plumbing): content
+  * parts synthesized deterministically from `documents` (text part per
+  * doc, image part for every 5th doc), media payloads as binary columns
+  * derived from the doc digest. The decode/feature kernels are the
+  * documented stubs — the schemas, explode fan-out and byte-level
+  * features are the real, oracle-checked plumbing.
+  */
+object MultimodalQueries {
+
+  /** documents → (doc_id, parts array<struct<part_type,text,image_url>>). */
+  private def withParts(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").select(
+      col("doc_id"),
+      when(
+        col("doc_id") % 5 === 0,
+        array(
+          struct(lit("text").as("part_type"), col("text").as("text"),
+            lit(null: String).as("image_url")),
+          struct(lit("image_url").as("part_type"), lit(null: String).as("text"),
+            concat(lit("img://doc/"), col("doc_id")).as("image_url")))
+      ).otherwise(
+        array(struct(lit("text").as("part_type"), col("text").as("text"),
+          lit(null: String).as("image_url")))
+      ).as("parts"))
+
+  /** documents → media rows with a binary payload (md5 digest bytes). */
+  private def media(s: SparkSession, dir: String): DataFrame =
+    load(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      lit("image/png").as("media_type"),
+      unhex(md5(col("text"))).as("data"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_parts" -> { (s, dir) =>
+      Multimodal.explodeContentParts(withParts(s, dir), "doc_id", "parts")
+        .orderBy(col("doc_id"), col("part_idx"))
+    },
+    "q_media_features" -> { (s, dir) =>
+      val m = media(s, dir)
+      m.select(
+        col("media_id"),
+        Multimodal.mediaLength(col("data")).as("media_len"),
+        Multimodal.stubWidth(col("data")).as("width"),
+        Multimodal.stubHeight(col("data")).as("height"),
+        round(element_at(Multimodal.stubEmbedding(col("data"), 4), 1), 6).as("f0"),
+        round(element_at(Multimodal.stubEmbedding(col("data"), 4), 4), 6).as("f3"))
+        .orderBy(col("media_id"))
+    },
+    "q_media_frames" -> { (s, dir) =>
+      // frame-sample plumbing: 4 equal byte slices; emit per-frame length
+      // + frame digest so the fan-out shape is oracle-checked
+      val m = media(s, dir).withColumn("frames", Multimodal.frameSample("data", 4))
+      m.select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).cast("long").as("frame_len"),
+          lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_multimodal_parts" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, 0 AS part_idx, 'text' AS part_type, text,
+        |         NULL AS image_url FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS part_idx, 'image_url' AS part_type, NULL AS text,
+        |         'img://doc/' || doc_id AS image_url
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY doc_id, part_idx""".stripMargin,
+    "q_media_features" ->
+      """WITH d AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents)
+        |SELECT media_id,
+        |  16::BIGINT AS media_len,
+        |  (('0x' || substr(h, 1, 2))::UBIGINT)::BIGINT + 1 AS width,
+        |  (('0x' || substr(h, 3, 2))::UBIGINT)::BIGINT + 1 AS height,
+        |  round((('0x' || substr(md5_b, 1, 2))::UBIGINT)::DOUBLE / 255.0, 6) AS f0,
+        |  round((('0x' || substr(md5_b, 7, 2))::UBIGINT)::DOUBLE / 255.0, 6) AS f3
+        |FROM (SELECT media_id, h, md5(h) AS md5_b FROM d)
+        |ORDER BY media_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH d AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        |f AS (SELECT media_id, i AS frame_idx, substr(h, i * 8 + 1, 8) AS frame_hex
+        |      FROM d, (SELECT unnest([0,1,2,3]) AS i))
+        |SELECT media_id, frame_idx,
+        |  (length(frame_hex) / 2)::BIGINT AS frame_len, frame_hex
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

@@ -74,6 +74,27 @@ trait Summarizer extends Serializable {
   ): (String, String) = (memberNames.sorted.mkString(", "), "community")
 }
 
+trait Vision extends Serializable {
+  /** Describe images as text; failures fall back to the placeholder
+    * "[image: undescribed]" (reference vision.py:24-55). */
+  def describe(images: Seq[graft.sources.ImageContent]): Seq[String]
+}
+
+/** Deterministic vision stub: "describes" an image by a digest of its
+  * url/bytes — same image, same description. */
+final class HashVision extends Vision {
+  override def describe(images: Seq[graft.sources.ImageContent]): Seq[String] =
+    images.map { img =>
+      img.url.orElse(img.data.map(d => java.util.Base64.getEncoder.encodeToString(d))) match {
+        case Some(key) =>
+          val h = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(key.getBytes("UTF-8"))
+          f"image ${h.take(4).map(b => f"${b & 0xff}%02x").mkString}"
+        case None => "[image: undescribed]"
+      }
+    }
+}
+
 /** Scripted implementations for tests — deterministic, no model calls. */
 final class ScriptedExtractor(outputs: Seq[Extraction]) extends Extractor {
   private val queue = scala.collection.mutable.Queue(outputs: _*)

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for training-data pipelines: media as
+  * opaque `binary` columns with typed metadata, content-part arrays as
+  * explodable typed columns, and decode / feature-extract / frame-sample
+  * operators.
+  *
+  * The actual image/audio codecs are NOT in this environment, so the
+  * decode kernels are clearly-marked deterministic STUBS — but the
+  * Spark-side plumbing is real and tested: schemas, the
+  * `mapPartitions`-with-iterator batch shape (the Scala analogue of
+  * `mapInPandas`), and codegen'd column features that never leave
+  * whole-stage codegen.
+  */
+object Multimodal {
+
+  /** One media asset: opaque bytes + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      media_type: String, // image/png, audio/wav, video/mp4, ...
+      data: Array[Byte],
+      meta: Map[String, String]
+  )
+
+  /** Decoded-image metadata produced by the decode stage. */
+  final case class DecodedImage(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      ok: Boolean
+  )
+
+  // ------------------------------------------------------------------
+  // content parts → typed columns
+  // ------------------------------------------------------------------
+
+  /** Explode an `array<struct<part_type,text,image_url>>` column into
+    * one row per part with a stable part index (S10 column form).
+    */
+  def explodeContentParts(df: DataFrame, idCol: String, partsCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(partsCol)).as(Seq("part_idx", "part")))
+      .select(
+        col(idCol),
+        col("part_idx"),
+        col("part.part_type").as("part_type"),
+        col("part.text").as("text"),
+        col("part.image_url").as("image_url"))
+
+  // ------------------------------------------------------------------
+  // decode (mapPartitions batch shape; STUB kernel)
+  // ------------------------------------------------------------------
+
+  /** STUB decode kernel: a real build links an image codec here. The
+    * deterministic fake reads "dimensions" from the first bytes so the
+    * pipeline shape (schema in → schema out, per-partition batching) is
+    * fully exercised without the codec.
+    */
+  private def decodeStub(m: MediaRow): DecodedImage =
+    if (m.data.isEmpty) DecodedImage(m.media_id, 0, 0, 0, ok = false)
+    else
+      DecodedImage(
+        m.media_id,
+        width = 1 + (m.data(0) & 0xff),
+        height = 1 + (m.data(if (m.data.length > 1) 1 else 0) & 0xff),
+        channels = 3,
+        ok = true)
+
+  /** Decode a media Dataset partition-wise — the `mapInPandas` analogue:
+    * one iterator in, one iterator out per partition, no per-row task
+    * overhead, arbitrary native calls allowed inside.
+    */
+  def decodeImages(media: Dataset[MediaRow]): Dataset[DecodedImage] = {
+    implicit val enc = Encoders.product[DecodedImage]
+    media.mapPartitions(_.map(decodeStub))
+  }
+
+  // ------------------------------------------------------------------
+  // codegen'd column features (no UDFs — oracle-replayable)
+  // ------------------------------------------------------------------
+
+  /** Byte length of the media payload. */
+  def mediaLength(data: Column): Column = length(data).cast("long")
+
+  /** STUB header metadata as columns: byte k of the payload, read via
+    * hex() so the expression stays inside whole-stage codegen.
+    */
+  def headerByte(data: Column, k: Int): Column =
+    conv(substring(hex(data), k * 2 + 1, 2), 16, 10).cast("long")
+
+  /** STUB image dims from header bytes (mirrors [[decodeImages]]'s fake). */
+  def stubWidth(data: Column): Column = headerByte(data, 0) + 1L
+  def stubHeight(data: Column): Column = headerByte(data, 1) + 1L
+
+  /** STUB feature vector: `dims` (≤ 16) values derived from the payload
+    * digest, scaled to [0,1] — deterministic, codegen'd, replayable in
+    * SQL. A real build swaps in a vision-model embedding at the same
+    * column type (array<double>).
+    */
+  def stubEmbedding(data: Column, dims: Int): Column = {
+    require(dims >= 1 && dims <= 16, "stub embedding dims must be in [1,16]")
+    // digest the lowercase-hex form (not raw bytes): engines without
+    // BLOB hashing (the SQL oracle) can replay it exactly
+    val digest = md5(lower(hex(data)))
+    array((0 until dims).map { i =>
+      conv(substring(digest, i * 2 + 1, 2), 16, 10).cast("double") / 255.0
+    }: _*)
+  }
+
+  /** Frame sampling for video-ish payloads: `n` equal byte slices as an
+    * array<binary> column (the real build decodes frames; the slicing,
+    * schema and fan-out are the actual plumbing). SQL-expression form
+    * because the DSL `substring` only takes literal offsets.
+    */
+  def frameSample(dataColName: String, n: Int): Column = {
+    require(n >= 1)
+    val chunk = s"int(greatest(1, ceil(length($dataColName) / ${n}.0D)))"
+    expr(s"transform(sequence(0, ${n - 1}), i -> substring($dataColName, i * $chunk + 1, $chunk))")
+  }
+}
