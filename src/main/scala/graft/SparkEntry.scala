@@ -24,9 +24,13 @@ object SparkEntry {
       (MiscQueries.queries, MiscQueries.oracle)
     )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. End-to-end: seeds a store through the full add pipeline
+    * (SCD2 writes, entity graph), then runs the staged search (hybrid +
+    * graph merge, boosts, top-k).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q_text_stats")(spark, "/root/testdata/sf0.001")
+    queries("q_pipeline_search")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -375,11 +375,29 @@ final class MemoryManager(
       } yield EdgeRow(store.nextEdgeId(), m, e, EdgeTypes.HasEntity, Map.empty))
 
       if (extraction.relations.nonEmpty) {
-        // W10 — relation reconciliation: delete the first edge matching
-        // each (source, target, relation_type) the reconciler rejects
+        // W10 — relation reconciliation: the trait decides which existing
+        // triples to drop; delete the FIRST matching edge per rejected
+        // (source, target, relation_type), like manager.py:1753-1767
         val existing = existingRelations(entityIds.values.toSeq)
-        // deterministic default: no deletions unless a Reconciler-driven
-        // policy is added; the reference only deletes on LLM say-so
+        if (existing.nonEmpty) {
+          val names = store.entities
+            .filter(col("id").isin(existing.flatMap(e => Seq(e._2, e._3)).distinct: _*))
+            .select(col("id"), col("name")).collect()
+            .map(r => r.getLong(0) -> r.getString(1)).toMap
+          val existingTriples = existing.map { case (eid, s, t, rt) =>
+            (eid, ExtractedRelation(names.getOrElse(s, s.toString),
+              names.getOrElse(t, t.toString), rt))
+          }
+          val toDelete = reconciler.reconcileRelations(
+            extraction.relations, existingTriples.map(_._2))
+          val deleteIds = toDelete.flatMap { d =>
+            existingTriples.find { case (_, r) =>
+              r.source == d.source && r.target == d.target &&
+                r.relationType == d.relationType
+            }.map(_._1)
+          }.distinct
+          store.deleteEdgesById(deleteIds)
+        }
         store.appendEdges(extraction.relations.flatMap { r =>
           for {
             s <- entityIds.get(r.source)
@@ -387,7 +405,6 @@ final class MemoryManager(
           } yield EdgeRow(store.nextEdgeId(), s, t, EdgeTypes.Relation,
             Map("relation_type" -> r.relationType))
         })
-        val _ = existing // J5 scan exercised; deletion policy is trait-driven
       }
     }
   }
@@ -989,6 +1006,48 @@ final class MemoryManager(
       .join(store.memories, col("node") === col("id"))
       .orderBy(col("created_at").asc, col("id").asc)
       .select(col("id")).collect().map(_.getLong(0).toString).toSeq
+  }
+
+  /** J8 — episode chain walk along NEXT_EPISODE, forward/backward/both,
+    * up to maxDepth, chronological (manager.py:1407-1473). The chain is
+    * linear, so this is the BFS walk with depth-limited frontier.
+    */
+  def episodeChain(episodeId: String, maxDepth: Int = 10,
+      direction: String = "both"): Seq[String] = {
+    import spark.implicits._
+    val seeds = Seq(episodeId.toLong).toDF("root")
+    def walk(rev: Boolean) =
+      GraphOps.varLengthPaths(store.edges, EdgeTypes.NextEpisode, seeds,
+        maxDepth, reverse = rev)
+    val fwd = if (direction != "backward") walk(false)
+      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
+    val bwd = if (direction != "forward") walk(true)
+      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
+    fwd.unionByName(bwd).select(col("node"))
+      .unionByName(seeds.select(col("root").as("node")))
+      .distinct()
+      .join(store.episodes, col("node") === col("id"))
+      .orderBy(col("created_at").asc, col("id").asc)
+      .select(col("id")).collect().map(_.getLong(0).toString).toSeq
+  }
+
+  /** J9 — provenance: the episode that PRODUCED a memory, and the
+    * memories/entities an episode produced/mentions (manager.py:1333-1377).
+    */
+  def getProvenance(memoryId: String): Option[String] =
+    store.edges
+      .filter(col("edge_type") === EdgeTypes.Produced &&
+        col("dst") === memoryId.toLong)
+      .orderBy(col("src").asc)
+      .select(col("src")).collect().headOption.map(_.getLong(0).toString)
+
+  def episodeOutputs(episodeId: String): (Seq[String], Seq[String]) = {
+    val id = episodeId.toLong
+    def dsts(t: String) = store.edges
+      .filter(col("edge_type") === t && col("src") === id)
+      .orderBy(col("dst").asc)
+      .select(col("dst")).collect().map(_.getLong(0).toString).toSeq
+    (dsts(EdgeTypes.Produced), dsts(EdgeTypes.Mentions))
   }
 
   /** W7 — consolidation: summarize oldest non-expired memories in

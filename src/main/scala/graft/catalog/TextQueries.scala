@@ -59,9 +59,13 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     "q_dedup_lsh_pairs" -> { (s, dir) =>
+      // 8 rows per band: band-collision probability is sim^8, so the
+      // word-soup corpus (pairwise sim ~0.4) yields ~3e-3 candidate rate
+      // instead of the ~50% that 2-row bands produced — the difference
+      // between a bucketed join and an accidental all-pairs at sf0.1
       val docs = load(s, dir, "documents")
       DedupOps.minhashLshPairs(docs, "doc_id", "text",
-          numHashes = 8, bands = 4, shingleSize = 3, minJaccard = 0.0)
+          numHashes = 32, bands = 4, shingleSize = 3, minJaccard = 0.0)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -71,8 +75,12 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
+      // exact all-pairs is contractually a BOUNDED-GROUP op — bucket by
+      // (lang, n_chars % 8) so group sizes stay ~1/8 of a language slice
+      // at any sf (the LSH query above is the unbounded-scale path)
       val docs = load(s, dir, "documents")
-      DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "lang", n = 3, minJaccard = 0.5)
+        .withColumn("grp_b", concat(col("lang"), lit("_"), pmod(col("n_chars"), lit(8))))
+      DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "grp_b", n = 3, minJaccard = 0.5)
         .select(col("grp"), col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("grp"), col("doc_a"), col("doc_b"))
     }
@@ -142,12 +150,12 @@ object TextQueries {
          |SELECT doc_id, ${(0 until 4).map(i => s"${sqlMinhash("shingles", i)} AS mh_$i").mkString(", ")}
          |FROM sh ORDER BY doc_id""".stripMargin
 
-    val sig8 = s"[${(0 until 8).map(i => sqlMinhash("shingles", i)).mkString(", ")}]"
+    val sig32 = s"[${(0 until 32).map(i => sqlMinhash("shingles", i)).mkString(", ")}]"
     val lshPairs =
       s"""WITH sh AS (SELECT doc_id AS doc, $shingles3 AS shingles FROM documents),
-         |sg AS (SELECT doc, shingles, $sig8 AS sig FROM sh),
+         |sg AS (SELECT doc, shingles, $sig32 AS sig FROM sh),
          |banded AS (
-         |  SELECT doc, b.band, md5(array_to_string(sig[b.band*2+1:b.band*2+2], ',')) AS key
+         |  SELECT doc, b.band, md5(array_to_string(sig[b.band*8+1:b.band*8+8], ',')) AS key
          |  FROM sg, (SELECT unnest([0,1,2,3]) AS band) b),
          |pairs AS (
          |  SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
@@ -171,7 +179,7 @@ object TextQueries {
         | ELSE [substr(norm, i, 3) for i in range(1, length(norm) - 1)]
         | END)""".stripMargin.replaceAll("\n", " ")
     val ngramJaccard =
-      s"""WITH t AS (SELECT lang AS grp, doc_id AS doc,
+      s"""WITH t AS (SELECT lang || '_' || (n_chars % 8) AS grp, doc_id AS doc,
          |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),
          |sh AS (SELECT grp, doc, $charSh AS sh FROM t)
          |SELECT l.grp AS grp, l.doc AS doc_a, r.doc AS doc_b,

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.api.{MemoryConfig, MemoryManager}
 import graft.core.{EdgeTypes, GraphStore}
 import graft.ext._
+import org.apache.spark.sql.SparkSession
 import Tables._
 
 /** Write-path correctness queries (W1/W2/W8/W9/J10/J11): drive the full
@@ -34,10 +35,12 @@ object WriteQueries {
   private val T0 = 1700000000000L
   private val User = "alice"
 
-  /** Run the scenario once per sf dir; all three queries read the memo. */
-  private val memo = scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]()
+  /** Run the scenario once per sf dir; all queries read the memo. */
+  private val memo =
+    scala.collection.mutable.Map[String, (GraphStore, DataFrame, DataFrame, DataFrame)]()
 
-  private def scenario(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+  private[catalog] def scenario(
+      s: SparkSession, dir: String): (GraphStore, DataFrame, DataFrame, DataFrame) =
     memo.synchronized {
       memo.getOrElseUpdate(dir, {
         val docs = load(s, dir, "documents")
@@ -88,14 +91,34 @@ object WriteQueries {
             col("old_text"), col("new_text"))
           .orderBy(col("id"))
           .localCheckpoint()
-        (mems, edges, hist)
+        (store, mems, edges, hist)
       })
     }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_write_memories" -> ((s, dir) => scenario(s, dir)._1),
-    "q_write_edges" -> ((s, dir) => scenario(s, dir)._2),
-    "q_write_history" -> ((s, dir) => scenario(s, dir)._3)
+    "q_write_memories" -> ((s, dir) => scenario(s, dir)._2),
+    "q_write_edges" -> ((s, dir) => scenario(s, dir)._3),
+    "q_write_history" -> ((s, dir) => scenario(s, dir)._4),
+    "q_pipeline_search" -> { (s, dir) =>
+      // flagship end-to-end: full staged search over the scenario store —
+      // hybrid + graph branches, merge with agreement bonus, expiry
+      // filter, topology boost, composite importance scoring, top-k.
+      // Every stage operator is oracle-verified individually; the
+      // composition is a rows-only check (driver smoke + ScalaTest).
+      import s.implicits._
+      val store = scenario(s, dir)._1
+      val mgr = new MemoryManager(
+        s,
+        MemoryConfig(userId = User, embeddingDimensions = 16,
+          enableTopologyBoost = true, enableImportance = true),
+        store, new MockEmbedder(16),
+        new ScriptedExtractor(Nil), new AddAllReconciler)
+      val results = mgr.search("key agg row scan slow fast table", k = 10,
+        now = Some(T0 + 1000000L))
+      results.map(r => (r.memoryId, BigDecimal(r.score).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, r.source, r.memoryType))
+        .toDF("memory_id", "score", "source", "memory_type")
+    }
   )
 
   def oracle: Map[String, String] = Map(

@@ -56,6 +56,16 @@ trait Reconciler extends Serializable {
       facts: Seq[String],
       candidates: Seq[(Long, String)]
   ): Seq[Decision]
+
+  /** W10 — relation reconciliation: given newly-extracted relations and
+    * existing (source, target, relation_type) triples around the touched
+    * entities, return the existing triples to delete
+    * (reference reconciliation/relations.py:26-62). Default: keep all.
+    */
+  def reconcileRelations(
+      newRelations: Seq[ExtractedRelation],
+      existing: Seq[ExtractedRelation]
+  ): Seq[ExtractedRelation] = Nil
 }
 
 trait Reranker extends Serializable {

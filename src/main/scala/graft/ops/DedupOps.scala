@@ -31,6 +31,13 @@ object DedupOps {
 
   /** MinHash signatures: numHashes md5-derived min-hex values over word
     * shingles. Output columns: idCol, mh_0 .. mh_{n-1}.
+    *
+    * Shape: explode shingles once, then numHashes `min` aggregations —
+    * each md5 is computed exactly once and the mins combine map-side.
+    * (The tempting nested-HOF form — an array of minhash expressions
+    * over a shingle column — collapses in Catalyst so the whole
+    * shingle-generation subtree is re-inlined into EVERY hash: 32×
+    * recompute, observed 3.5× slower at sf0.1 than this aggregation.)
     */
   def minhashSignatures(
       df: DataFrame,
@@ -39,14 +46,12 @@ object DedupOps {
       numHashes: Int = 16,
       shingleSize: Int = 3
   ): DataFrame = {
-    val withShingles = df.select(
+    val exploded = df.select(
       col(idCol),
-      HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles")
-    )
-    val sigCols = (0 until numHashes).map(i =>
-      HashFunctions.minhash(col("shingles"), i).as(s"mh_$i")
-    )
-    withShingles.select(col(idCol) +: sigCols: _*)
+      explode(HashFunctions.wordShingles(col(textCol), shingleSize)).as("s"))
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh_$i"))
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -65,18 +70,17 @@ object DedupOps {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shingled = df
-      .select(
-        col(idCol).as("doc"),
-        HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles")
-      )
-      .withColumn(
-        "sig",
-        array((0 until numHashes).map(i => HashFunctions.minhash(col("shingles"), i)): _*)
-      )
+    val shingled = df.select(
+      col(idCol).as("doc"),
+      HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+
+    // signatures via the explode+min-agg shape (see minhashSignatures)
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .select(col(idCol).as("doc"),
+        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
       .withColumn("bandkeys", HashFunctions.lshBands(col("sig"), bands, rows))
 
-    val banded = shingled
+    val banded = sigs
       .select(col("doc"), explode(col("bandkeys")).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
 

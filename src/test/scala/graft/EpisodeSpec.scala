@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.api._
+import graft.core._
+import graft.ext._
+
+/** J8/J9 episode walks + provenance, W10 relation reconciliation,
+  * S8 persistence round-trip.
+  */
+class EpisodeSpec extends SparkSuite {
+
+  private val T0 = 1700000000000L
+
+  test("episodeChain (J8) walks NEXT_EPISODE in both directions") {
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableEpisodes = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Nil), new AddAllReconciler)
+    (1 to 4).foreach(i =>
+      m.add(s"msg $i", infer = false, runId = Some("r1"), now = Some(T0 + i * 1000)))
+    assert(m.episodeChain("1", maxDepth = 10) == Seq("1", "2", "3", "4"))
+    assert(m.episodeChain("3", direction = "forward") == Seq("3", "4"))
+    assert(m.episodeChain("3", direction = "backward") == Seq("1", "2", "3"))
+    assert(m.episodeChain("2", maxDepth = 1) == Seq("1", "2", "3"))
+  }
+
+  test("provenance (J9): PRODUCED + MENTIONS lookups") {
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableEpisodes = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(Extraction(Seq("alice works at acme"),
+        Seq(ExtractedEntity("alice", "person")), Nil))),
+      new AddAllReconciler)
+    m.add("Alice works at Acme", now = Some(T0))
+    assert(m.getProvenance("1").contains("1")) // memory 1 ← episode 1
+    val (produced, mentions) = m.episodeOutputs("1")
+    assert(produced == Seq("1"))
+    assert(mentions == Seq("1")) // entity alice
+  }
+
+  test("relation reconciliation (W10): trait-selected triples deleted, first match only") {
+    val reconciler = new Reconciler {
+      override def reconcile(facts: Seq[String],
+          candidates: Seq[(Long, String)]): Seq[Decision] =
+        facts.map(f => Decision(DecisionAction.Add, f, None))
+      override def reconcileRelations(
+          newRels: Seq[ExtractedRelation],
+          existing: Seq[ExtractedRelation]): Seq[ExtractedRelation] =
+        existing.filter(_.relationType == "works_at") // drop outdated triple
+    }
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice"),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("alice works at acme"),
+          Seq(ExtractedEntity("alice", "p"), ExtractedEntity("acme", "o")),
+          Seq(ExtractedRelation("alice", "acme", "works_at"))),
+        Extraction(Seq("alice left acme"),
+          Seq(ExtractedEntity("alice", "p"), ExtractedEntity("acme", "o")),
+          Seq(ExtractedRelation("alice", "acme", "left"))))),
+      reconciler)
+    m.add("Alice works at Acme", now = Some(T0))
+    val rels0 = m.store.edges.filter(col("edge_type") === EdgeTypes.Relation)
+    assert(rels0.count() == 1)
+    m.add("Alice left Acme", now = Some(T0 + 1000))
+    val rels = m.store.edges.filter(col("edge_type") === EdgeTypes.Relation)
+      .select("props").collect().map(_.getMap[String, String](0)("relation_type"))
+    assert(rels.toSeq == Seq("left")) // works_at deleted, left appended
+  }
+
+  test("persistence (S8): parquet round-trip preserves state and id counters") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val m = new MemoryManager(spark, MemoryConfig(userId = "alice"),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Nil), new AddAllReconciler)
+    m.add("persisted fact one", infer = false, now = Some(T0))
+    m.add("persisted fact two", infer = false, now = Some(T0 + 1000))
+    m.store.persist(dir)
+
+    val store2 = new GraphStore(spark)
+    store2.load(dir)
+    val m2 = new MemoryManager(spark, MemoryConfig(userId = "alice"),
+      store2, new MockEmbedder(16), new ScriptedExtractor(Nil), new AddAllReconciler)
+    assert(m2.getAll().map(_.text).toSet ==
+      Set("persisted fact one", "persisted fact two"))
+    // id counter resumes after the loaded max
+    val r = m2.add("third", infer = false, now = Some(T0 + 2000))
+    assert(r.events.head.memoryId.contains("3"))
+    assert(m2.search("persisted fact one", k = 1).head.text == "persisted fact one")
+  }
+}
