@@ -85,7 +85,17 @@ final class MemoryManager(
       linkSessionOrEpisode(Seq(id), Nil, text, sessionId, runId, ts)
       AddResult(Seq(MemoryEvent("ADD", Some(id.toString), text)))
     } else {
-      val extraction = extractor.extract(text)
+      // combined extraction with the reference's fallback ladder:
+      // combined fails → separate facts + entities legs
+      // (extraction/entities.py:96-132)
+      val extraction =
+        try extractor.extract(text)
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            val facts = extractor.extractFactsOnly(text)
+            val (ents, rels) = extractor.extractEntitiesOnly(text)
+            Extraction(facts, ents, rels)
+        }
       if (extraction.facts.isEmpty) AddResult(Nil)
       else {
         val temporal: Map[Int, TemporalAnnotation] =

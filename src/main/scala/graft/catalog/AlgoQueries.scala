@@ -23,6 +23,18 @@ object AlgoQueries {
     load(s, dir, "lineitem")
       .select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
 
+  /** PageRank over the contains graph, computed once per sf dir — the
+    * cached-metrics pattern (manager.py:1596-1598): q_pagerank and
+    * q_score_crosssession share one 20-iteration run.
+    */
+  private val prMemo = scala.collection.mutable.Map[String, DataFrame]()
+  private def pagerankOf(s: SparkSession, dir: String): DataFrame =
+    prMemo.synchronized {
+      prMemo.getOrElseUpdate(dir,
+        GraphAlgorithms.pageRank(containsEdges(s, dir), PrIters, Damping)
+          .localCheckpoint())
+    }
+
   /** per-customer next-order chain edges for custkey < 30 (the graph
     * whose betweenness is closed-form: position·(len−pos) on a chain).
     */
@@ -38,7 +50,7 @@ object AlgoQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> { (s, dir) =>
-      GraphAlgorithms.pageRank(containsEdges(s, dir), PrIters, Damping)
+      pagerankOf(s, dir)
         .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
         .orderBy(col("node"))
     },
@@ -59,7 +71,7 @@ object AlgoQueries {
       // R3 — cross-session boost from cached metric columns: pagerank of
       // the contains graph + betweenness of the chain graph
       val ord = load(s, dir, "orders")
-      val pr = GraphAlgorithms.pageRank(containsEdges(s, dir), PrIters, Damping)
+      val pr = pagerankOf(s, dir)
         .select(col("node").as("o_orderkey"), col("pagerank"))
       val bc = GraphAlgorithms.betweenness(chainEdges(s, dir))
         .select(col("node").as("o_orderkey"), col("betweenness"))

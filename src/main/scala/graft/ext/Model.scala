@@ -38,13 +38,47 @@ final case class Decision(
 )
 
 trait Extractor extends Serializable {
-  /** Combined extraction: facts + entities + relations from input text. */
+  /** Combined extraction: facts + entities + relations from input text.
+    * May throw — callers fall back to the separate legs below, mirroring
+    * the reference's combined→separate ladder
+    * (extraction/entities.py:96-132).
+    */
   def extract(text: String): Extraction
+  /** Fallback leg 1: facts only. */
+  def extractFactsOnly(text: String): Seq[String] = Seq(text)
+  /** Fallback leg 2: entities + relations only. */
+  def extractEntitiesOnly(
+      text: String): (Seq[ExtractedEntity], Seq[ExtractedRelation]) = (Nil, Nil)
   /** Entity extraction for a search query. */
   def extractQueryEntities(query: String): Seq[ExtractedEntity] =
     extract(query).entities
   /** Bitemporal annotation of extracted facts (optional stage). */
   def annotateTemporal(facts: Seq[String]): Seq[TemporalAnnotation] = Nil
+}
+
+/** Failure-injection extractor: `extract` throws for the first
+  * `failures` calls (the scripted-error pattern of tests/mock_llm.py:
+  * 66-91), then delegates; the separate-leg fallbacks always succeed.
+  */
+final class FailingThenScriptedExtractor(
+    failures: Int,
+    outputs: Seq[Extraction]
+) extends Extractor {
+  private var remaining = failures
+  private val queue = scala.collection.mutable.Queue(outputs: _*)
+  override def extract(text: String): Extraction = {
+    if (remaining > 0) {
+      remaining -= 1
+      throw new RuntimeException("scripted combined-extraction failure")
+    }
+    if (queue.nonEmpty) queue.dequeue() else Extraction(Seq(text), Nil, Nil)
+  }
+  override def extractFactsOnly(text: String): Seq[String] =
+    if (queue.nonEmpty) queue.front.facts else Seq(text)
+  override def extractEntitiesOnly(
+      text: String): (Seq[ExtractedEntity], Seq[ExtractedRelation]) =
+    if (queue.nonEmpty) { val e = queue.dequeue(); (e.entities, e.relations) }
+    else (Nil, Nil)
 }
 
 trait Reconciler extends Serializable {
