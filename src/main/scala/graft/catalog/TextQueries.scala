@@ -175,9 +175,12 @@ object TextQueries {
          |SELECT doc_id, ($voteTerms)::BIGINT AS simhash FROM t ORDER BY doc_id""".stripMargin
 
     val charSh =
-      """list_distinct(CASE WHEN length(norm) <= 3 THEN [norm]
-        | ELSE [substr(norm, i, 3) for i in range(1, length(norm) - 1)]
-        | END)""".stripMargin.replaceAll("\n", " ")
+      """list_distinct(list_transform(
+        | list_distinct(CASE WHEN length(norm) <= 3 THEN [norm]
+        |   ELSE [substr(norm, i, 3) for i in range(1, length(norm) - 1)]
+        |   END),
+        | s -> (('0x' || substr(md5(s), 1, 15))::UBIGINT)::BIGINT))""".stripMargin
+        .replaceAll("\n", " ")
     val ngramJaccard =
       s"""WITH t AS (SELECT lang || '_' || (n_chars % 8) AS grp, doc_id AS doc,
          |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm FROM documents),

@@ -45,6 +45,18 @@ object HashFunctions {
     )
   }
 
+  /** Char shingles hashed to 60-bit longs (15 md5 hex chars): set ops on
+    * primitive arrays are several times cheaper than on short strings
+    * when millions of candidate pairs each carry a ~250-element set.
+    * Collisions (~2^-60 per pair of shingles) are negligible and the
+    * hash is engine-portable, so the oracle replays it exactly.
+    */
+  def hashedCharShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        charShingles(text, n),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
   /** One MinHash value: min over shingles of md5(seed || '|' || shingle),
     * as a 32-hex-char string. Lexicographic min == numeric min of the
     * 128-bit digest.

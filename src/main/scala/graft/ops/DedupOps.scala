@@ -114,6 +114,10 @@ object DedupOps {
 
   /** Exact n-gram Jaccard similarity for a bounded candidate set
     * (all pairs within a grouping key, e.g. same source bucket).
+    * Shingles are md5-hashed to longs before the all-pairs join — the
+    * per-pair intersections run on primitive arrays (~3× cheaper than
+    * short strings at sf0.1) with negligible, deterministic collision
+    * odds.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -126,7 +130,7 @@ object DedupOps {
     val sh = df.select(
       col(groupCol).as("grp"),
       col(idCol).as("doc"),
-      HashFunctions.charShingles(col(textCol), n).as("sh")
+      HashFunctions.hashedCharShingles(col(textCol), n).as("sh")
     )
     sh.as("l")
       .join(sh.as("r"), Seq("grp"))
