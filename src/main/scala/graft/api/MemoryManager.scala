@@ -38,6 +38,21 @@ final class MemoryManager(
   private def lockFor(user: String): Object =
     userLocks.computeIfAbsent(user, _ => new Object)
 
+  /** A8 — usage accumulation: per-operation call counts, the engine-side
+    * analogue of the reference's RunUsage.incr (manager.py:177-193,
+    * types.py:330-347; token counts live in the model clients there, so
+    * the deterministic engine counts operations instead).
+    */
+  private val usageCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private def usageIncr(op: String): Unit =
+    usageCounts.computeIfAbsent(op, _ => new java.util.concurrent.atomic.AtomicLong())
+      .incrementAndGet()
+  def usage(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    usageCounts.asScala.map { case (k, v) => k -> v.get() }.toMap
+  }
+
   // ------------------------------------------------------------------
   // scoped reads (F1/F3)
   // ------------------------------------------------------------------
@@ -77,6 +92,7 @@ final class MemoryManager(
       infer: Boolean = true,
       now: Option[Long] = None
   ): AddResult = lockFor(config.userId).synchronized {
+    usageIncr("add")
     val ts = now.getOrElse(clock())
     if (!infer) {
       val id = createMemory(text, Some(embedder.embedOne(text)), ts,
@@ -658,6 +674,7 @@ final class MemoryManager(
       now: Option[Long],
       trace: Option[scala.collection.mutable.ArrayBuffer[ExplainStep]]
   ): Seq[SearchResult] = {
+    usageIncr("search")
     recomputeGraphMetricsIfDirty() // lazy G1-G4 maintenance (manager.py:541-549)
     val hints = TemporalOps.detectTemporalHints(query)
     val includeExpired = includeExpired0 || hints.includeExpired
@@ -913,6 +930,20 @@ final class MemoryManager(
     collectResults(df.orderBy(col("created_at").desc, col("id").desc))
       .map(_.toSearchResult)
   }
+
+  /** A3 — group results by session (null → "default"), chronological
+    * within each group (manager.py:1571-1583).
+    */
+  def searchGrouped(
+      query: String,
+      k: Int = 10,
+      now: Option[Long] = None
+  ): Map[String, Seq[SearchResult]] =
+    search(query, k, now = now)
+      .groupBy(_.sessionId.getOrElse("default"))
+      .view
+      .mapValues(_.sortBy(r => (r.createdAt.getOrElse(0L), r.memoryId.toLong)))
+      .toMap
 
   /** W4 — direct update: overwrite text + re-embed (manager.py:1093-1112). */
   def update(memoryId: String, newText: String, now: Option[Long] = None): Boolean = {

@@ -112,7 +112,10 @@ object SimilarityQueries {
     val ivf =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
-         |         FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         |         FROM (SELECT e.vec_id, e.v
+         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // 8) AS stride FROM e) s
+         |               WHERE e.vec_id % s.stride = 0
+         |               ORDER BY e.vec_id LIMIT 8)),
          |assigned AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, cent.cell,

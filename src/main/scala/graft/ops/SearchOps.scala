@@ -95,6 +95,12 @@ object SearchOps {
     * expose (idCol, scoreCol); ranks are dense positions ordered by
     * (score desc, id asc). fused = Σ 1/(rrfK + rank). The reference uses
     * rrfK = 1 (search/vector.py:130-132).
+    *
+    * SCALE CONTRACT: every input MUST be pre-limited (top-fetchK) before
+    * fusion — ranking uses an unpartitioned window, which is correct and
+    * cheap on candidate pages (≤ a few hundred rows) but would serialize
+    * an unlimited input onto one partition. hybridSearch honors this by
+    * limiting both legs to fetchK first.
     */
   def rrfFuse(
       inputs: Seq[(DataFrame, String)],

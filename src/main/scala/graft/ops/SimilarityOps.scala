@@ -47,10 +47,13 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF index: pick C deterministic centroids (the first C corpus
-    * vectors by id — deterministic and good enough for uniform synthetic
-    * data; k-means refinement is an optional offline step), assign each
-    * corpus vector to its nearest centroid.
+  /** IVF index: pick C deterministic centroids STRIDED across the id
+    * range (ids ≡ 0 mod n/C, first C by id) so the cells cover the
+    * corpus instead of its first block — better recall than round 1's
+    * "first C by id" while staying exactly oracle-replayable; k-means
+    * refinement remains an optional offline step. Scale shape: a filter
+    * + TakeOrderedAndProject (C small), never a global window over the
+    * corpus. Assign each corpus vector to its nearest centroid.
     * Returns (corpus with `cell` column, centroids DF).
     */
   def ivfIndex(
@@ -59,7 +62,10 @@ object SimilarityOps {
       corpusEmb: String,
       numCells: Int
   ): (DataFrame, DataFrame) = {
+    val n = corpus.count()
+    val stride = math.max(1L, n / numCells)
     val centroids = corpus
+      .filter(pmod(col(corpusId), lit(stride)) === 0)
       .orderBy(col(corpusId).asc)
       .limit(numCells)
       .select(

@@ -307,6 +307,19 @@ class ManagerSpec extends SparkSuite {
     assert(m.history("2").map(_.event) == Seq("ADD"))
   }
 
+  test("usage accumulation (A8) + grouped results (A3)") {
+    val m = mkManager()
+    m.add("s1 text", infer = false, sessionId = Some("sess-a"), now = Some(T0))
+    m.add("s2 text", infer = false, sessionId = Some("sess-b"), now = Some(T0 + 1000))
+    m.add("no session", infer = false, now = Some(T0 + 2000))
+    m.search("text", k = 10)
+    val u = m.usage()
+    assert(u("add") == 3 && u("search") == 1)
+    val grouped = m.searchGrouped("text", k = 10)
+    assert(grouped.keySet == Set("sess-a", "sess-b", "default"))
+    assert(grouped("sess-a").map(_.memoryId) == Seq("1"))
+  }
+
   test("explain (R9) traces pipeline stages") {
     val m = mkManager()
     m.add("traced fact", infer = false, now = Some(T0))
