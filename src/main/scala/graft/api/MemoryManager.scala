@@ -156,7 +156,14 @@ final class MemoryManager(
     val (actorId, role) = graft.sources.Messages.extractActor(parsed)
     val text =
       if (images.nonEmpty && config.enableVision) {
-        val descs = vision.describe(images).filter(_.nonEmpty)
+        // a throwing Vision impl degrades to the placeholder instead of
+        // losing the message (vision.py:44-55 per-image fallback)
+        val descs =
+          try vision.describe(images).filter(_.nonEmpty)
+          catch {
+            case scala.util.control.NonFatal(_) =>
+              images.map(_ => "[image: undescribed]")
+          }
         val imageText = descs.map(d => s"[Image: $d]").mkString("\n")
         if (text0.nonEmpty) s"$text0\n$imageText" else imageText
       } else text0
@@ -173,6 +180,7 @@ final class MemoryManager(
       runId: Option[String] = None,
       now: Option[Long] = None
   ): Seq[String] = lockFor(config.userId).synchronized {
+    usageIncr("add_batch")
     val ts = now.getOrElse(clock())
     val embs = embedder.embed(texts)
     val rows = texts.zip(embs).map { case (t, e) =>
@@ -180,10 +188,12 @@ final class MemoryManager(
         sessionId, runId, None, None, None, None)
     }
     store.appendMemories(rows)
-    store.appendHistory(rows.map(r =>
-      HistoryRow(store.nextHistoryId(), r.id, "ADD", ts, None, Some(r.text), None, None)))
-    store.appendEdges(rows.map(r =>
-      EdgeRow(store.nextEdgeId(), r.id, r.id, EdgeTypes.HasHistory, Map.empty)))
+    val hist = rows.map(r =>
+      HistoryRow(store.nextHistoryId(), r.id, "ADD", ts, None, Some(r.text), None, None))
+    store.appendHistory(hist)
+    // memory → History NODE edges (history ids, not the memory's own id)
+    store.appendEdges(hist.map(h =>
+      EdgeRow(store.nextEdgeId(), h.memory_id, h.id, EdgeTypes.HasHistory, Map.empty)))
     rows.map(_.id.toString)
   }
 
@@ -502,12 +512,17 @@ final class MemoryManager(
           .orderBy(col("created_at").desc, col("id").desc)
           .select(col("id")).collect().headOption.map(_.getLong(0))
         val chain = prev.toSeq ++ newIds
-        val edges = chain.sliding(2).zipWithIndex.collect {
+        // sequence numbering mirrors manager.py:1211-1221: prev→new[0]
+        // is 0; new[i]→new[i+1] is ALWAYS i+1 (even without a prev)
+        val prevEdge = prev.map(p =>
+          EdgeRow(store.nextEdgeId(), p, newIds.head, EdgeTypes.LeadsTo,
+            Map("sequence" -> "0")))
+        val newEdges = newIds.sliding(2).zipWithIndex.collect {
           case (Seq(a, b), i) =>
             EdgeRow(store.nextEdgeId(), a, b, EdgeTypes.LeadsTo,
-              Map("sequence" -> i.toString))
+              Map("sequence" -> (i + 1).toString))
         }.toSeq
-        store.appendEdges(edges)
+        store.appendEdges(prevEdge.toSeq ++ newEdges)
       }
     }
   }
@@ -551,10 +566,12 @@ final class MemoryManager(
   private var metricsVersion = -1L
 
   /** G1+G2+G3 — recompute and cache metric columns on Memory rows when
-    * the graph changed since the last recompute.
+    * the EDGE TOPOLOGY changed since the last recompute (graphVersion,
+    * not writeVersion: access-count bumps and property patches must not
+    * retrigger whole-graph analytics on every search).
     */
   def recomputeGraphMetricsIfDirty(): Unit =
-    if (config.enableGraphAlgorithms && store.writeVersion != metricsVersion) {
+    if (config.enableGraphAlgorithms && store.graphVersion != metricsVersion) {
       val ge = globalEdges.localCheckpoint()
       if (!ge.isEmpty) {
         val pr = GraphAlgorithms.pageRank(ge)
@@ -569,7 +586,7 @@ final class MemoryManager(
         store.patchMemories(memMetrics, Seq("pagerank", "betweenness", "community"))
         if (config.enableCommunitySummaries) materializeCommunities(lp)
       }
-      metricsVersion = store.writeVersion
+      metricsVersion = store.graphVersion
     }
 
   /** G4 — materialize entity communities (≥ 2 scoped members) as
@@ -773,17 +790,40 @@ final class MemoryManager(
     // ---- R5 composite importance scoring (+ access side effect) ----
     if (config.enableImportance) {
       val ts = now.getOrElse(clock())
+      val ids = page.map(_.id)
+      val he = store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
+      // wTopo > 0 pulls A5 topology per result; structural decay pulls
+      // A6 reinforcement to modulate the recency rate (scoring.py:15-125)
+      val topoMap: Map[Long, Double] =
+        if (config.weightTopology > 0 && ids.nonEmpty)
+          GraphOps.topologyScores(he)
+            .filter(col("mem").isin(ids: _*))
+            .select(col("mem"), col("topology_score")).collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        else Map.empty
+      val reinfMap: Map[Long, Double] =
+        if (config.enableStructuralDecay && ids.nonEmpty)
+          GraphOps.reinforcement(
+              store.memories.select(col("id"), col("created_at"), col("importance")),
+              he, config.structuralFeedbackGamma)
+            .filter(col("mem").isin(ids: _*))
+            .select(col("mem"), col("reinforcement")).collect()
+            .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        else Map.empty
       page = page.map { r =>
-        val recency = {
-          val ageDays = (ts - r.createdAt.getOrElse(0L)).toDouble / 86400000.0
-          math.exp(-config.recencyDecayRate * ageDays)
-        }
+        val ageDays = (ts - r.createdAt.getOrElse(0L)).toDouble / 86400000.0
+        val rate =
+          if (config.enableStructuralDecay)
+            config.recencyDecayRate * (1.0 - 0.5 * reinfMap.getOrElse(r.id, 0.0))
+          else config.recencyDecayRate
+        val recency = math.exp(-rate * ageDays)
         val freq = math.min(1.0,
           math.log(1.0 + r.accessCount.getOrElse(0L).toDouble) / math.log(101.0))
         val score = config.weightSimilarity * r.score +
           config.weightRecency * recency +
           config.weightFrequency * freq +
-          config.weightImportance * r.importance.getOrElse(1.0)
+          config.weightImportance * r.importance.getOrElse(1.0) +
+          config.weightTopology * topoMap.getOrElse(r.id, 0.0)
         r.copy(score = score)
       }.sortBy(r => (-r.score, r.id))
       store.bumpAccess(page.map(_.id), ts)
@@ -947,6 +987,7 @@ final class MemoryManager(
 
   /** W4 — direct update: overwrite text + re-embed (manager.py:1093-1112). */
   def update(memoryId: String, newText: String, now: Option[Long] = None): Boolean = {
+    usageIncr("update")
     val ts = now.getOrElse(clock())
     val id = memoryId.toLong
     val old = store.memories.filter(col("id") === id)
@@ -966,6 +1007,7 @@ final class MemoryManager(
 
   /** W5 — hard delete. */
   def delete(memoryId: String): Boolean = {
+    usageIncr("delete")
     val id = memoryId.toLong
     val exists = !store.memories.filter(col("id") === id).isEmpty
     if (exists) store.deleteMemories(Seq(id))
@@ -974,6 +1016,7 @@ final class MemoryManager(
 
   /** W5 — delete_all within scope; returns the deleted count (A10). */
   def deleteAll(): Long = {
+    usageIncr("delete_all")
     val ids = scopeCol(store.memories).select(col("id")).collect().map(_.getLong(0))
     store.deleteMemories(ids.toSeq)
     ids.length.toLong
@@ -1096,6 +1139,7 @@ final class MemoryManager(
     * hard-delete originals (manager.py:1835-1915).
     */
   def summarize(now: Option[Long] = None): Seq[String] = lockFor(config.userId).synchronized {
+    usageIncr("summarize")
     val ts = now.getOrElse(clock())
     val topo = GraphOps.topologyScores(
         store.edges.filter(col("edge_type") === EdgeTypes.HasEntity))

@@ -49,14 +49,19 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   def nextEdgeId(): Long = edgeIds.incrementAndGet()
 
   private var mutations = 0
-  /** Bump write-version; checkpoint all tables every `checkpointEvery`
-    * mutations (dirty-flag consumers read [[writeVersion]]).
+  /** Write-version: every mutation. Graph-version: only mutations that
+    * change edge topology (edge appends, node/edge deletes) — the
+    * whole-graph-metrics dirty flag reads THIS one, so access-count
+    * bumps and property patches don't retrigger PageRank/betweenness.
     */
   private var version = 0L
+  private var graphVer = 0L
   def writeVersion: Long = version
+  def graphVersion: Long = graphVer
 
-  private def tick(): Unit = {
+  private def tick(structural: Boolean = false): Unit = {
     version += 1
+    if (structural) graphVer += 1
     mutations += 1
     if (mutations % checkpointEvery == 0) {
       memories = memories.localCheckpoint()
@@ -70,40 +75,40 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
 
   // ---- appends (S4/S5) ----
 
-  def appendMemories(rows: Seq[MemoryRow]): Unit = {
+  def appendMemories(rows: Seq[MemoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       memories = memories.unionByName(spark.createDataset(rows).toDF)
       tick()
     }
   }
-  def appendEntities(rows: Seq[EntityRow]): Unit = {
+  def appendEntities(rows: Seq[EntityRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       entities = entities.unionByName(spark.createDataset(rows).toDF)
       tick()
     }
   }
-  def appendEpisodes(rows: Seq[EpisodeRow]): Unit = {
+  def appendEpisodes(rows: Seq[EpisodeRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       episodes = episodes.unionByName(spark.createDataset(rows).toDF)
       tick()
     }
   }
-  def appendCommunities(rows: Seq[CommunityRow]): Unit = {
+  def appendCommunities(rows: Seq[CommunityRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       communities = communities.unionByName(spark.createDataset(rows).toDF)
       tick()
     }
   }
-  def appendHistory(rows: Seq[HistoryRow]): Unit = {
+  def appendHistory(rows: Seq[HistoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       history = history.unionByName(spark.createDataset(rows).toDF)
       tick()
     }
   }
-  def appendEdges(rows: Seq[EdgeRow]): Unit = {
+  def appendEdges(rows: Seq[EdgeRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       edges = edges.unionByName(spark.createDataset(rows).toDF)
-      tick()
+      tick(structural = true)
     }
   }
 
@@ -113,7 +118,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     * `setCols` with the memories schema's types) overwrite those columns
     * for matching ids; everything else passes through unchanged.
     */
-  def patchMemories(patch: DataFrame, setCols: Seq[String]): Unit = {
+  def patchMemories(patch: DataFrame, setCols: Seq[String]): Unit = this.synchronized {
     val p = broadcast(
       patch.select(
         (col("id").as("__pid") +: setCols.map(c => col(c).as(s"__p_$c"))): _*))
@@ -131,7 +136,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   /** R5 side effect — access_count += 1, last_accessed = now for the
     * given ids (scoring.py:117-122), as one batched MERGE.
     */
-  def bumpAccess(ids: Seq[Long], nowMs: Long): Unit = {
+  def bumpAccess(ids: Seq[Long], nowMs: Long): Unit = this.synchronized {
     if (ids.nonEmpty) {
       val idSet = ids.toSet.toSeq
       memories = memories
@@ -148,7 +153,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
 
   // ---- deletes (S7, W5) ----
 
-  def deleteMemories(ids: Seq[Long]): Unit = {
+  def deleteMemories(ids: Seq[Long]): Unit = this.synchronized {
     if (ids.nonEmpty) {
       val d = ids.toDF("__did")
       memories = memories.join(d, memories("id") === col("__did"), "left_anti")
@@ -164,30 +169,30 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
       val idSet = ids.toSet.toSeq
       edges = edges.filter(
         !(memEdge && (col("src").isin(idSet: _*) || col("dst").isin(idSet: _*))))
-      tick()
+      tick(structural = true)
     }
   }
 
-  def deleteEdgesById(ids: Seq[Long]): Unit = {
+  def deleteEdgesById(ids: Seq[Long]): Unit = this.synchronized {
     if (ids.nonEmpty) {
       edges = edges.filter(!col("edge_id").isin(ids.toSet.toSeq: _*))
-      tick()
+      tick(structural = true)
     }
   }
 
-  def deleteCommunities(ids: Seq[Long]): Unit = {
+  def deleteCommunities(ids: Seq[Long]): Unit = this.synchronized {
     if (ids.nonEmpty) {
       val idSet = ids.toSet.toSeq
       communities = communities.filter(!col("id").isin(idSet: _*))
       edges = edges.filter(
         !(col("edge_type") === EdgeTypes.HasMember && col("src").isin(idSet: _*)))
-      tick()
+      tick(structural = true)
     }
   }
 
   // ---- persistence (S8) ----
 
-  def persist(dir: String): Unit = {
+  def persist(dir: String): Unit = this.synchronized {
     val tables = Seq(
       "memories" -> memories, "entities" -> entities, "episodes" -> episodes,
       "communities" -> communities, "history" -> history, "edges" -> edges)
@@ -196,7 +201,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     }
   }
 
-  def load(dir: String): Unit = {
+  def load(dir: String): Unit = this.synchronized {
     def rd(n: String): DataFrame = spark.read.parquet(s"$dir/$n")
     memories = rd("memories"); entities = rd("entities")
     episodes = rd("episodes"); communities = rd("communities")

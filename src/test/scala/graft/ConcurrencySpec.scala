@@ -29,6 +29,40 @@ class ConcurrencySpec extends SparkSuite {
     assert(all.map(_.memoryId.toLong).max == 20L) // dense id allocation
   }
 
+  test("cross-user concurrent writers on a SHARED store lose no writes") {
+    // per-user manager locks don't cover different users sharing one
+    // store — the store itself serializes mutations
+    val store = new GraphStore(spark)
+    def mgr(user: String) = new MemoryManager(spark, MemoryConfig(userId = user),
+      store, new MockEmbedder(16), new ScriptedExtractor(Nil), new AddAllReconciler)
+    val users = Seq("alice", "bob", "carol")
+    val threads = users.map { u =>
+      val m = mgr(u)
+      new Thread(() => (1 to 5).foreach { i =>
+        m.add(s"$u-fact-$i", infer = false, now = Some(T0 + i))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(store.memories.count() == 15)
+    users.foreach(u => assert(mgr(u).getAll().size == 5))
+  }
+
+  test("access bumps do not retrigger whole-graph metric recompute") {
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        enableImportance = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(Extraction(Seq("alice works at acme"),
+        Seq(ExtractedEntity("alice", "person")), Nil))),
+      new AddAllReconciler)
+    m.add("Alice works at Acme", now = Some(T0))
+    m.search("alice works at acme", k = 5) // computes metrics + bumps access
+    val gvAfterFirst = m.store.graphVersion
+    m.search("alice works at acme", k = 5) // bumpAccess only — no edges
+    assert(m.store.graphVersion == gvAfterFirst) // dirty flag stays clean
+  }
+
   test("combined-extraction failure falls back to separate legs") {
     val extractor = new FailingThenScriptedExtractor(
       failures = 1,
