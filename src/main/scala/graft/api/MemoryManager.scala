@@ -745,7 +745,13 @@ final class MemoryManager(
 
     // ---- filter chain F3/F4/F5 ----
     // memories has its own `source` column ("summarize" marker) — the
-    // merge result's source (vector/graph/both) wins at the API
+    // merge result's source (vector/graph/both) wins at the API.
+    // NOTE on includeExpired: both candidate branches above pre-drop
+    // expired rows, so this flag only disables the (already-moot)
+    // post-merge filter — a quirk ported FAITHFULLY from the reference,
+    // whose candidate generators do the same (search/vector.py:54,157,
+    // graph.py:136); expired memories are reachable via get_all
+    // (include_expired=true) and history, not via search.
     val withProps = merged.join(
       store.memories.withColumnRenamed("source", "mem_source"), Seq("id"))
     var filtered = if (includeExpired) withProps

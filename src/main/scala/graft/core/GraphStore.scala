@@ -193,8 +193,15 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   // ---- persistence (S8) ----
 
   def persist(dir: String): Unit = this.synchronized {
+    // memories are partitioned by a user bucket so the F1 scope filter
+    // prunes partitions at the parquet scan — at warehouse scale a
+    // single-tenant read touches 1/64th of the files (user_id itself
+    // would explode the partition count at millions of tenants)
+    memories
+      .withColumn("user_bucket", pmod(crc32(col("user_id")), lit(64)))
+      .write.mode("overwrite").partitionBy("user_bucket").parquet(s"$dir/memories")
     val tables = Seq(
-      "memories" -> memories, "entities" -> entities, "episodes" -> episodes,
+      "entities" -> entities, "episodes" -> episodes,
       "communities" -> communities, "history" -> history, "edges" -> edges)
     tables.foreach { case (n, df) =>
       df.write.mode("overwrite").parquet(s"$dir/$n")
@@ -203,7 +210,8 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
 
   def load(dir: String): Unit = this.synchronized {
     def rd(n: String): DataFrame = spark.read.parquet(s"$dir/$n")
-    memories = rd("memories"); entities = rd("entities")
+    memories = rd("memories").drop("user_bucket")
+    entities = rd("entities")
     episodes = rd("episodes"); communities = rd("communities")
     history = rd("history"); edges = rd("edges")
     def maxId(df: DataFrame, c: String): Long =

@@ -99,6 +99,32 @@ class OpsSpec extends SparkSuite {
     assert(TemporalOps.parseDateToEpochMs("").isEmpty)
   }
 
+  test("IVF: strided centroids, top-k recall vs brute force on clustered data") {
+    val emb = new MockEmbedder(16)
+    // clustered corpus: 8 topic clusters × 25 near-duplicates
+    val rows = (0 until 200).map { i =>
+      val topic = i % 8
+      (i.toLong, emb.embedOne(s"topic $topic variant ${i / 8}"))
+    }
+    val df = rows.toDF("id", "embedding")
+    val queries = df.filter(col("id") < 4)
+    val exact = graft.ops.SimilarityOps
+      .bruteForceTopK(df, "id", "embedding", queries, "id", "embedding", k = 10)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (assigned, cents) = graft.ops.SimilarityOps.ivfIndex(df, "id", "embedding", 8)
+    val approx = graft.ops.SimilarityOps
+      .ivfTopK(assigned, "id", "embedding", cents, queries, "id", "embedding",
+        k = 10, nProbe = 3)
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => (ex & ap).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.3, s"IVF mean recall $meanRecall too low") // 3/8 cells probed
+  }
+
   test("bm25: term-bearing docs score, others absent; rrf fuses ranks") {
     val docs = Seq(
       (1L, "spark joins data fast"),
