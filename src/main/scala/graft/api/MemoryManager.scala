@@ -766,11 +766,15 @@ final class MemoryManager(
     }
 
     // ---- boost chain R2/R3 ----
-    if (config.enableTopologyBoost) {
-      val topo = GraphOps.topologyScores(
+    // topology scores feed both the R2 boost and R5's wTopo term —
+    // compute the whole-graph aggregation at most once per search
+    lazy val topoDf = GraphOps.topologyScores(
         store.edges.filter(col("edge_type") === EdgeTypes.HasEntity))
-        .select(col("mem").as("id"), col("topology_score"))
-      filtered = filtered.join(topo, Seq("id"), "left")
+      .select(col("mem"), col("topology_score"))
+      .localCheckpoint()
+    if (config.enableTopologyBoost) {
+      filtered = filtered
+        .join(topoDf.withColumnRenamed("mem", "id"), Seq("id"), "left")
         .withColumn("score", ScoringOps.topologyBoost(col("score"),
           col("topology_score"), config.topologyBoostFactor))
         .drop("topology_score")
@@ -798,11 +802,12 @@ final class MemoryManager(
       val ts = now.getOrElse(clock())
       val ids = page.map(_.id)
       val he = store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
-      // wTopo > 0 pulls A5 topology per result; structural decay pulls
-      // A6 reinforcement to modulate the recency rate (scoring.py:15-125)
+      // wTopo > 0 pulls A5 topology per result (shared topoDf, computed
+      // once even when R2 also ran); structural decay pulls A6
+      // reinforcement to modulate the recency rate (scoring.py:15-125)
       val topoMap: Map[Long, Double] =
         if (config.weightTopology > 0 && ids.nonEmpty)
-          GraphOps.topologyScores(he)
+          topoDf
             .filter(col("mem").isin(ids: _*))
             .select(col("mem"), col("topology_score")).collect()
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -817,7 +822,10 @@ final class MemoryManager(
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         else Map.empty
       page = page.map { r =>
-        val ageDays = (ts - r.createdAt.getOrElse(0L)).toDouble / 86400000.0
+        // clamp: future-dated rows must not get recency > 1 (the
+        // reference clamps age to >= 0, scoring.py:386)
+        val ageDays =
+          math.max(0L, ts - r.createdAt.getOrElse(0L)).toDouble / 86400000.0
         val rate =
           if (config.enableStructuralDecay)
             config.recencyDecayRate * (1.0 - 0.5 * reinfMap.getOrElse(r.id, 0.0))

@@ -27,12 +27,15 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
 
   import spark.implicits._
 
-  var memories: DataFrame = spark.emptyDataset[MemoryRow].toDF
-  var entities: DataFrame = spark.emptyDataset[EntityRow].toDF
-  var episodes: DataFrame = spark.emptyDataset[EpisodeRow].toDF
-  var communities: DataFrame = spark.emptyDataset[CommunityRow].toDF
-  var history: DataFrame = spark.emptyDataset[HistoryRow].toDF
-  var edges: DataFrame = spark.emptyDataset[EdgeRow].toDF
+  // @volatile: mutators run store-synchronized, but readers (search,
+  // candidate scans) read these refs lock-free from other threads — the
+  // volatile store gives them the happens-before edge to see fresh state
+  @volatile var memories: DataFrame = spark.emptyDataset[MemoryRow].toDF
+  @volatile var entities: DataFrame = spark.emptyDataset[EntityRow].toDF
+  @volatile var episodes: DataFrame = spark.emptyDataset[EpisodeRow].toDF
+  @volatile var communities: DataFrame = spark.emptyDataset[CommunityRow].toDF
+  @volatile var history: DataFrame = spark.emptyDataset[HistoryRow].toDF
+  @volatile var edges: DataFrame = spark.emptyDataset[EdgeRow].toDF
 
   private val memoryIds = new AtomicLong(0)
   private val entityIds = new AtomicLong(0)
@@ -54,8 +57,8 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     * whole-graph-metrics dirty flag reads THIS one, so access-count
     * bumps and property patches don't retrigger PageRank/betweenness.
     */
-  private var version = 0L
-  private var graphVer = 0L
+  @volatile private var version = 0L
+  @volatile private var graphVer = 0L
   def writeVersion: Long = version
   def graphVersion: Long = graphVer
 
@@ -196,10 +199,14 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     // memories are partitioned by a user bucket so the F1 scope filter
     // prunes partitions at the parquet scan — at warehouse scale a
     // single-tenant read touches 1/64th of the files (user_id itself
-    // would explode the partition count at millions of tenants)
-    memories
-      .withColumn("user_bucket", pmod(crc32(col("user_id")), lit(64)))
-      .write.mode("overwrite").partitionBy("user_bucket").parquet(s"$dir/memories")
+    // would explode the partition count at millions of tenants).
+    // A 0-row partitioned write emits no schema-bearing files and the
+    // read-back fails UNABLE_TO_INFER_SCHEMA — write flat when empty.
+    val mem = memories.withColumn("user_bucket", pmod(crc32(col("user_id")), lit(64)))
+    if (memories.isEmpty)
+      mem.write.mode("overwrite").parquet(s"$dir/memories")
+    else
+      mem.write.mode("overwrite").partitionBy("user_bucket").parquet(s"$dir/memories")
     val tables = Seq(
       "entities" -> entities, "episodes" -> episodes,
       "communities" -> communities, "history" -> history, "edges" -> edges)
@@ -220,6 +227,6 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     memoryIds.set(maxId(memories, "id")); entityIds.set(maxId(entities, "id"))
     episodeIds.set(maxId(episodes, "id")); communityIds.set(maxId(communities, "id"))
     historyIds.set(maxId(history, "id")); edgeIds.set(maxId(edges, "edge_id"))
-    tick()
+    tick(structural = true) // the whole edge table changed
   }
 }

@@ -18,8 +18,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StreamingStats {
 
   /** Tumbling-window counts per event type with a watermark. Input must
-    * have (ts timestamp, event_type string); output one row per closed
-    * (window, event_type).
+    * have (ts timestamp, event_type string, value double); output one
+    * row per closed (window, event_type) with count + value sum.
     */
   def windowedCounts(
       events: DataFrame,
@@ -62,7 +62,10 @@ object StreamingStats {
           batch.toSeq.sortBy(e => (e.ts_ms, e.event_type)).foreach { e =>
             cur match {
               case Some(s) if e.ts_ms - s.last <= gapMs =>
-                cur = Some(s.copy(last = e.ts_ms, n = s.n + 1))
+                // max(): a late cross-batch event must not rewind `last`
+                // (no watermark on this path, so disorder is normal) —
+                // otherwise the next on-time event falsely exceeds the gap
+                cur = Some(s.copy(last = math.max(s.last, e.ts_ms), n = s.n + 1))
               case Some(s) =>
                 out += SessionOut(user, s.start, s.last, s.n) // gap exceeded
                 cur = Some(SessionState(e.ts_ms, e.ts_ms, 1))

@@ -70,6 +70,15 @@ class EpisodeSpec extends SparkSuite {
     assert(rels.toSeq == Seq("left")) // works_at deleted, left appended
   }
 
+  test("persistence (S8): empty store round-trips (0-row partitioned write regression)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val store = new GraphStore(spark)
+    store.persist(dir)
+    val store2 = new GraphStore(spark)
+    store2.load(dir) // must not fail UNABLE_TO_INFER_SCHEMA
+    assert(store2.memories.isEmpty && store2.edges.isEmpty)
+  }
+
   test("persistence (S8): parquet round-trip preserves state and id counters") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store").toString
     val m = new MemoryManager(spark, MemoryConfig(userId = "alice"),
