@@ -56,16 +56,46 @@ object FilterOps {
     * (search/vector.py:372-375). A bare Column can't branch on type, so
     * this variant inspects the DataFrame schema and picks
     * `array_contains` for array columns, substring `contains` otherwise.
+    *
+    * Missing keys follow the reference's props.get semantics
+    * (search/vector.py:357): actual = None, so $ne/$nin pass and
+    * everything else fails — a filter on an unknown field must NOT
+    * throw an analysis error. Extension beyond the reference: a field
+    * spelled `metadata.<key>` addresses the metadata JSON string (F9
+    * decode applied inline), compared as a string.
     */
-  def predicateFor(df: org.apache.spark.sql.DataFrame, field: String, p: Pred): Column =
-    p match {
-      case Contains(v)
-          if df.schema.fields.exists(f =>
-            f.name == field &&
-              f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
-        col(field).isNotNull && array_contains(col(field), lit(v))
-      case other => predicate(field, other)
-    }
+  def predicateFor(df: org.apache.spark.sql.DataFrame, field: String, p: Pred): Column = {
+    val fields = df.schema.fieldNames.toSet
+    if (field.startsWith("metadata.") && fields.contains("metadata")) {
+      val key = field.stripPrefix("metadata.")
+      val extracted = get_json_object(col("metadata"), s"$$.$key")
+      p match {
+        case Eq(v) => extracted === lit(v.toString)
+        case Gt(v) => extracted > lit(v.toString)
+        case Gte(v) => extracted >= lit(v.toString)
+        case Lt(v) => extracted < lit(v.toString)
+        case Lte(v) => extracted <= lit(v.toString)
+        case Ne(v) => extracted.isNull || extracted =!= lit(v.toString)
+        case In(vs) => extracted.isin(vs.map(_.toString): _*)
+        case Nin(vs) => extracted.isNull || !extracted.isin(vs.map(_.toString): _*)
+        case Contains(v) => extracted.isNotNull && extracted.contains(v)
+      }
+    } else if (!fields.contains(field)) {
+      // unknown prop: Python None semantics, not an analysis error
+      p match {
+        case Ne(_) | Nin(_) => lit(true)
+        case _ => lit(false)
+      }
+    } else
+      p match {
+        case Contains(v)
+            if df.schema.fields.exists(f =>
+              f.name == field &&
+                f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) =>
+          col(field).isNotNull && array_contains(col(field), lit(v))
+        case other => predicate(field, other)
+      }
+  }
 
   def predicates(preds: Map[String, Pred]): Column =
     if (preds.isEmpty) lit(true)

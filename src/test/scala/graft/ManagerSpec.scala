@@ -307,6 +307,21 @@ class ManagerSpec extends SparkSuite {
     assert(m.history("2").map(_.event) == Seq("ADD"))
   }
 
+  test("filters: unknown keys use None semantics; metadata.<key> addresses JSON") {
+    import graft.ops.FilterOps._
+    val m = mkManager()
+    m.add("tagged fact", infer = false, metadata = Some("""{"category": "work"}"""),
+      now = Some(T0))
+    m.add("plain fact", infer = false, now = Some(T0))
+    // unknown field: Eq never matches, Ne matches everything (Python None != v)
+    assert(m.search("fact", k = 10, filters = Map("no_such_prop" -> Eq("x"))).isEmpty)
+    assert(m.search("fact", k = 10, filters = Map("no_such_prop" -> Ne("x"))).size == 2)
+    // metadata JSON key addressing (F9 inline decode)
+    val tagged = m.search("fact", k = 10,
+      filters = Map("metadata.category" -> Eq("work")))
+    assert(tagged.map(_.memoryId) == Seq("1"))
+  }
+
   test("usage accumulation (A8) + grouped results (A3)") {
     val m = mkManager()
     m.add("s1 text", infer = false, sessionId = Some("sess-a"), now = Some(T0))
