@@ -110,10 +110,27 @@ object HashFunctions {
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** Jaccard similarity of two shingle arrays. */
+  /** Jaccard similarity of two shingle arrays. Inputs must be DISTINCT
+    * (every producer in this module emits array_distinct output), so
+    * |A∪B| = |A|+|B|−|A∩B| — this skips materializing the union array
+    * that array_union would build per candidate pair.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  /** Jaccard of two SORTED DISTINCT array<long> columns via the native
+    * two-pointer merge ([[NativeExprs.SortedIntersectSize]]) — the
+    * all-pairs hot path: zero allocation per pair, fully codegen'd.
+    * Sort once per document (sort_array), intersect per pair.
+    */
+  def jaccardSortedLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    val inter = GraftSqlShim.column(NativeExprs.SortedIntersectSize(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b))).cast("double")
+    val uni = size(a).cast("double") + size(b).cast("double") - inter
     when(uni === 0, lit(0.0)).otherwise(inter / uni)
   }
 }

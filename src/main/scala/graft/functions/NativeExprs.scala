@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector/set hot paths.
+  *
+  * Spark's higher-order functions (`zip_with`, `aggregate`, `transform`)
+  * are CodegenFallback — every row pays interpreted lambda dispatch and
+  * a materialized intermediate array. For a brute-force cosine scan that
+  * is the entire cost, so these ops get real `doGenCode`: one fused
+  * primitive loop, no allocation, inlined into whole-stage codegen.
+  * Semantics (null/zero-norm/length-mismatch) exactly mirror the HOF
+  * formulations they replace in [[VectorFunctions]] — accumulation is
+  * left-to-right in array order, so results are bit-identical and the
+  * DuckDB oracles need no change.
+  */
+private[functions] object NativeExprs {
+
+  private def elemGetter(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+    case other => throw new IllegalArgumentException(s"unsupported array type $other")
+  }
+
+  private def elemAt(dt: DataType, arr: ArrayData, i: Int): Double = dt match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(s"unsupported array type $other")
+  }
+
+  private def checkVec(dt: DataType, side: String): Option[String] = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => None
+    case other => Some(s"$side input must be array<float|double>, got $other")
+  }
+
+  /** cosine(a, b) = dot/(‖a‖·‖b‖); 0.0 when either norm is 0 (checked
+    * FIRST, mirroring `when(na === 0 || nb === 0, 0.0)`), null on null
+    * input, null element, or length mismatch with non-zero norms (the
+    * zip_with-pads-with-null behavior).
+    */
+  case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_cosine"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(left.dataType, "left").orElse(checkVec(right.dataType, "right")) match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => TypeCheckSuccess
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      val ny = y.numElements()
+      var sa = 0.0; var sb = 0.0; var dot = 0.0
+      var anyNull = false
+      var i = 0
+      while (i < nx) {
+        if (x.isNullAt(i)) anyNull = true
+        else { val v = elemAt(left.dataType, x, i); sa += v * v }
+        i += 1
+      }
+      i = 0
+      while (i < ny) {
+        if (y.isNullAt(i)) anyNull = true
+        else { val v = elemAt(right.dataType, y, i); sb += v * v }
+        i += 1
+      }
+      if (!anyNull && nx == ny) {
+        i = 0
+        while (i < nx) {
+          dot += elemAt(left.dataType, x, i) * elemAt(right.dataType, y, i)
+          i += 1
+        }
+      }
+      val na = math.sqrt(sa); val nb = math.sqrt(sb)
+      if (na == 0.0 || nb == 0.0) 0.0
+      else if (anyNull || nx != ny) null
+      else dot / (na * nb)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val gx = elemGetter(left.dataType, a, "i")
+        val gy = elemGetter(right.dataType, b, "i")
+        s"""
+        int nx = $a.numElements();
+        int ny = $b.numElements();
+        double sa = 0.0, sb = 0.0, dot = 0.0;
+        boolean anyNull = false;
+        for (int i = 0; i < nx; i++) {
+          if ($a.isNullAt(i)) { anyNull = true; }
+          else { double v = $gx; sa += v * v; }
+        }
+        for (int i = 0; i < ny; i++) {
+          if ($b.isNullAt(i)) { anyNull = true; }
+          else { double v = $gy; sb += v * v; }
+        }
+        if (!anyNull && nx == ny) {
+          for (int i = 0; i < nx; i++) { dot += ($gx) * ($gy); }
+        }
+        double na = Math.sqrt(sa); double nb = Math.sqrt(sb);
+        if (na == 0.0 || nb == 0.0) { ${ev.value} = 0.0; }
+        else if (anyNull || nx != ny) { ${ev.isNull} = true; }
+        else { ${ev.value} = dot / (na * nb); }
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** dot(a, b): left-to-right sum of products; null on null input, null
+    * element, or length mismatch (mirrors aggregate-over-zip_with).
+    */
+  case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_dot"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(left.dataType, "left").orElse(checkVec(right.dataType, "right")) match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => TypeCheckSuccess
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements()
+      if (nx != y.numElements()) return null
+      var dot = 0.0
+      var i = 0
+      while (i < nx) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        dot += elemAt(left.dataType, x, i) * elemAt(right.dataType, y, i)
+        i += 1
+      }
+      dot
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val gx = elemGetter(left.dataType, a, "i")
+        val gy = elemGetter(right.dataType, b, "i")
+        s"""
+        int nx = $a.numElements();
+        if (nx != $b.numElements()) { ${ev.isNull} = true; }
+        else {
+          double dot = 0.0;
+          boolean anyNull = false;
+          for (int i = 0; i < nx; i++) {
+            if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
+            dot += ($gx) * ($gy);
+          }
+          if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = dot; }
+        }
+        """
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotProduct =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** |A ∩ B| for two SORTED DISTINCT array<long> columns via a two-pointer
+    * merge — O(|A|+|B|), zero allocation. The pair-join hot path of
+    * n-gram Jaccard: callers sort once per document, then every candidate
+    * pair intersects in one fused loop instead of building two hash sets
+    * (array_intersect) plus a union array per pair.
+    */
+  case class SortedIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sorted_intersect_size"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+        case other => TypeCheckFailure(s"inputs must be array<long>, got $other")
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val nx = x.numElements(); val ny = y.numElements()
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        int nx = $a.numElements();
+        int ny = $b.numElements();
+        int i = 0, j = 0, c = 0;
+        while (i < nx && j < ny) {
+          long xv = $a.getLong(i); long yv = $b.getLong(j);
+          if (xv == yv) { c++; i++; j++; }
+          else if (xv < yv) { i++; } else { j++; }
+        }
+        ${ev.value} = c;
+        """)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectSize =
+      copy(left = newLeft, right = newRight)
+  }
+}

@@ -1,11 +1,17 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftSqlShim}
 import org.apache.spark.sql.functions._
 
-/** Vector math over ArrayType(Float|Double) columns, built from Spark's
-  * codegen'd higher-order functions (zip_with / aggregate) so the hot path
-  * stays inside whole-stage codegen — no UDF boxing on embedding arrays.
+/** Vector math over ArrayType(Float|Double) columns.
+  *
+  * The dot/cosine kernels are native Catalyst expressions with
+  * `doGenCode` ([[NativeExprs]]): Spark's higher-order functions are
+  * CodegenFallback (interpreted lambda dispatch + an intermediate array
+  * per row), which was the dominant cost of every brute-force vector
+  * scan. The native forms fuse into whole-stage codegen as one primitive
+  * loop and produce bit-identical results to the HOF formulations they
+  * replaced (left-to-right accumulation, same null/zero-norm rules).
   *
   * Semantics match the reference's cosine (search/graph.py:24-31):
   * dot/(‖a‖·‖b‖), 0.0 if either norm is 0.
@@ -16,37 +22,24 @@ object VectorFunctions {
 
   /** Sum of elementwise products, computed in double. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    GraftSqlShim.column(NativeExprs.DotProduct(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column =
     sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
 
   /** Cosine similarity; 0.0 when either vector has zero norm. */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val na = l2Norm(a)
-    val nb = l2Norm(b)
-    when(na === 0.0 || nb === 0.0, lit(0.0))
-      .otherwise(dotProduct(a, b) / (na * nb))
-  }
+  def cosineSimilarity(a: Column, b: Column): Column =
+    GraftSqlShim.column(NativeExprs.CosineSim(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
-  /** Cosine against a constant query vector (the common search shape).
-    * The query is embedded as an array literal so Catalyst folds its norm.
-    */
+  /** Cosine against a constant query vector (the common search shape). */
   def cosineToQuery(emb: Column, query: Array[Float]): Column = {
     val q = query.map(_.toDouble)
     val qNorm = math.sqrt(q.map(x => x * x).sum)
     if (qNorm == 0.0) lit(0.0)
-    else {
-      val qCol = array(q.map(lit): _*)
-      val dot = dotProduct(emb, qCol)
-      val n = l2Norm(emb)
-      when(n === 0.0, lit(0.0)).otherwise(dot / (n * lit(qNorm)))
-    }
+    else cosineSimilarity(emb, array(q.map(lit): _*))
   }
 
   /** Squared L2 distance (for LSH bucketing / diagnostics). */

@@ -127,15 +127,17 @@ object DedupOps {
       n: Int = 3,
       minJaccard: Double = 0.0
   ): DataFrame = {
+    // sort once per document so every candidate pair intersects via the
+    // native two-pointer merge — no per-pair hash sets or union arrays
     val sh = df.select(
       col(groupCol).as("grp"),
       col(idCol).as("doc"),
-      HashFunctions.hashedCharShingles(col(textCol), n).as("sh")
+      sort_array(HashFunctions.hashedCharShingles(col(textCol), n)).as("sh")
     )
     sh.as("l")
       .join(sh.as("r"), Seq("grp"))
       .filter(col("l.doc") < col("r.doc"))
-      .withColumn("jaccard", HashFunctions.jaccard(col("l.sh"), col("r.sh")))
+      .withColumn("jaccard", HashFunctions.jaccardSortedLong(col("l.sh"), col("r.sh")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("grp"), col("l.doc").as("doc_a"), col("r.doc").as("doc_b"), col("jaccard"))
   }
@@ -187,11 +189,7 @@ object DedupOps {
         // sign bit of hyperplane (b, p): sum_i emb[i] * w(b,p,i)
         def signBit(b: Int, p: Int): Column = {
           val wCol = array(w(b)(p).map(lit): _*)
-          val proj = aggregate(
-            zip_with(col("emb"), wCol, (x, wi) => x.cast("double") * wi),
-            lit(0.0),
-            (acc, x) => acc + x
-          )
+          val proj = VectorFunctions.dotProduct(col("emb"), wCol)
           when(proj >= 0, lit(1L)).otherwise(lit(0L))
         }
         val bandKeys = array((0 until bands).map { b =>

@@ -5,12 +5,29 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Whole-graph analytics (SURVEY §2.8, G1-G3) as deterministic
-  * DataFrame iteration — no driver-side graph materialization, every
-  * pass is a keyed join/aggregation, so the same code runs on a
-  * 1000-executor cluster. Determinism (fixed iteration counts,
-  * total-order tie-breaks) is what makes these oracle-checkable.
+  * DataFrame iteration — no driver-side graph materialization on the
+  * unbounded paths, every pass a keyed join/aggregation, so the same
+  * code runs on a 1000-executor cluster. Determinism (fixed iteration
+  * counts, total-order tie-breaks) is what makes these oracle-checkable.
+  *
+  * Iteration discipline (applies to PageRank and LPA): the static sides
+  * (edges, nodes) are hash-repartitioned on their join key ONCE and
+  * localCheckpoint'd, and every per-iteration aggregation keys on the
+  * same column — so after the first wave the only exchange per
+  * iteration is the one the algorithm genuinely needs (the contribution
+  * aggregation), not a re-shuffle of the full edge table.
   */
 object GraphAlgorithms {
+
+  /** Edge-count bound under which exact Brandes betweenness runs as a
+    * broadcast graph with root-parallel executors instead of
+    * (root,node)-keyed BFS waves. Wave scheduling costs ~0.3 s per
+    * depth level at local[32]; a deep small graph (session chains) pays
+    * that 2·diameter times for data that fits in one broadcast. Above
+    * the bound the wave implementation — O(V·E) but fully distributed —
+    * takes over; callers at real scale pass sampled `roots`.
+    */
+  val BroadcastEdgeLimit = 500000L
 
   /** G1 — static PageRank, the classic damped formulation GraphX's
     * Pregel implements (reference params: damping 0.85,
@@ -20,23 +37,29 @@ object GraphAlgorithms {
     * thresholds are not, across engines). Edges: (src, dst), distinct.
     * Output: (node, pagerank).
     *
-    * Scale: each iteration is one shuffle on dst; the rank table is
-    * checkpointed per wave to keep lineage flat. 100 TB graphs: the
-    * contribution join partitions by src — co-partition edges by src
-    * at write time and the join is shuffle-free.
+    * Scale shape: outdeg is folded into the checkpointed edge table once
+    * (src, dst, outdeg), partitioned by src; ranks stay partitioned by
+    * node, so each iteration is exactly ONE shuffle (the dst-keyed
+    * contribution sum). Lineage is cut every 2 iterations — eager
+    * materialization every wave costs more than it saves at local[32].
     */
   def pageRank(edges: DataFrame, iters: Int = 20, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
-      .distinct()
+    val p = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val e = e0.join(outdeg, "src")
+      .repartition(p, col("src"))
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e0.select(col("src").as("node"))
+      .unionByName(e0.select(col("dst").as("node")))
+      .distinct()
+      .repartition(p, col("node"))
+      .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to iters) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
-        .join(outdeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("in_sum"))
@@ -44,27 +67,34 @@ object GraphAlgorithms {
         .join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
-      ranks.unpersist(blocking = false)
-      ranks = next
+      if (i % 2 == 0 || i == iters) {
+        val ck = next.localCheckpoint()
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = ck
+        ranks = ck
+      } else ranks = next
     }
     ranks.select(col("node"), col("rank").as("pagerank"))
   }
 
-  /** G2 — exact betweenness centrality (Brandes), parallelized over
-    * SOURCES instead of per-source sequential BFS: the state is keyed by
-    * (root, node), so all |V| single-source computations advance in the
-    * same DataFrame wave — the Spark-native shape of Brandes.
+  /** G2 — exact betweenness centrality (Brandes). Two physical plans,
+    * one semantics:
     *
-    * Forward: BFS waves accumulate dist(root,v) and σ(root,v) (number of
-    * shortest paths). Backward: for d = maxDepth..1,
-    * δ(root,v) += Σ_{w: succ} σ(v)/σ(w)·(1+δ(w)).
-    * betweenness(v) = Σ_root δ(root,v); normalized by (n−1)(n−2)
-    * (directed, matching networkx normalized=True, protocol.py:42).
-    * Output: (node, betweenness).
+    * Small graphs (≤ [[BroadcastEdgeLimit]] edges): broadcast the
+    * adjacency to every executor and parallelize over ROOTS — each task
+    * runs textbook sequential Brandes from its roots in memory, results
+    * reduce by node. This is per-source parallelism, the standard way to
+    * distribute Brandes; the graph is bounded by the broadcast limit,
+    * the roots scale out.
     *
-    * Exact Brandes is O(V·E) — fine at test scale; at 100 TB sample
-    * pivot roots (pass a `roots` subset) — the algorithm is unchanged.
+    * Large graphs: source-parallel BFS waves with (root,node)-keyed
+    * state — all |roots| single-source computations advance in the same
+    * DataFrame wave. O(V·E) total; at 100 TB pass sampled pivot `roots`
+    * (Brandes–Pich) — the dataflow is unchanged and the caller scales
+    * the estimate by |V|/|roots|.
+    *
+    * Normalized by (n−1)(n−2) (directed, matching networkx
+    * normalized=True, protocol.py:42). Output: (node, betweenness).
     */
   def betweenness(edges: DataFrame, rootsOpt: Option[DataFrame] = None): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
@@ -73,6 +103,102 @@ object GraphAlgorithms {
       .distinct()
       .localCheckpoint()
     val n = nodes.count()
+    val m = e.count()
+    if (m <= BroadcastEdgeLimit) betweennessBroadcast(e, nodes, n, rootsOpt)
+    else betweennessWaves(e, nodes, n, rootsOpt)
+  }
+
+  /** Root-parallel exact Brandes over a broadcast adjacency (bounded
+    * graphs). Node ids of any type are indexed through a canonical
+    * string key; the result joins back to the original-typed node
+    * column, so output schema matches the wave path exactly.
+    */
+  private def betweennessBroadcast(
+      e: DataFrame,
+      nodes: DataFrame,
+      n: Long,
+      rootsOpt: Option[DataFrame]
+  ): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edgePairs = e.select(col("src").cast("string"), col("dst").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nodeKeys = nodes.select(col("node").cast("string"))
+      .collect().map(_.getString(0)).sorted // deterministic indexing
+    val idx = nodeKeys.zipWithIndex.toMap
+    val nn = nodeKeys.length
+    val adjBuf = Array.fill(nn)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    edgePairs.foreach { case (s, d) => adjBuf(idx(s)) += idx(d) }
+    val adj = adjBuf.map(_.toArray.sorted)
+
+    val rootIdx: Array[Int] = rootsOpt match {
+      case Some(r) =>
+        r.select(col("root").cast("string")).collect()
+          .flatMap(row => idx.get(row.getString(0))).distinct.sorted
+      case None => Array.range(0, nn)
+    }
+    val sc = spark.sparkContext
+    val bcAdj = sc.broadcast(adj)
+    val parallelism = math.max(1, math.min(rootIdx.length, sc.defaultParallelism * 4))
+    val deltas = sc.parallelize(rootIdx.toIndexedSeq, parallelism)
+      .flatMap { r =>
+        val a = bcAdj.value
+        val size = a.length
+        val dist = Array.fill(size)(-1)
+        val sigma = new Array[Double](size)
+        val preds = Array.fill(size)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        val order = new scala.collection.mutable.ArrayBuffer[Int](size)
+        val queue = new java.util.ArrayDeque[Int]()
+        dist(r) = 0; sigma(r) = 1.0; queue.add(r)
+        while (!queue.isEmpty) {
+          val v = queue.poll()
+          order += v
+          var k = 0
+          val nbrs = a(v)
+          while (k < nbrs.length) {
+            val w = nbrs(k)
+            if (dist(w) < 0) { dist(w) = dist(v) + 1; queue.add(w) }
+            if (dist(w) == dist(v) + 1) { sigma(w) += sigma(v); preds(w) += v }
+            k += 1
+          }
+        }
+        val delta = new Array[Double](size)
+        var oi = order.length - 1
+        while (oi >= 0) {
+          val w = order(oi)
+          val pw = preds(w)
+          var k = 0
+          while (k < pw.length) {
+            val v = pw(k)
+            delta(v) += sigma(v) / sigma(w) * (1.0 + delta(w))
+            k += 1
+          }
+          oi -= 1
+        }
+        (0 until size).iterator
+          .filter(v => v != r && delta(v) != 0.0)
+          .map(v => (v, delta(v)))
+      }
+      .reduceByKey(_ + _)
+    val raw = deltas.toDF("idx", "raw")
+    val nodeIdx = nodeKeys.zipWithIndex.toSeq.toDF("node_key", "idx")
+    val norm = if (n > 2) (n - 1).toDouble * (n - 2).toDouble else 1.0
+    nodes
+      .join(broadcast(nodeIdx), nodes("node").cast("string") === col("node_key"), "left")
+      .join(raw, Seq("idx"), "left")
+      .select(col("node"), (coalesce(col("raw"), lit(0.0)) / lit(norm)).as("betweenness"))
+  }
+
+  /** Distributed wave implementation for graphs above the broadcast
+    * bound: forward BFS accumulates dist(root,v) and σ(root,v), the
+    * backward sweep accumulates dependencies depth-by-depth.
+    */
+  private def betweennessWaves(
+      e: DataFrame,
+      nodes: DataFrame,
+      n: Long,
+      rootsOpt: Option[DataFrame]
+  ): DataFrame = {
     val roots = rootsOpt.getOrElse(nodes.select(col("node").as("root")))
 
     // ---- forward BFS with path counting ----
@@ -150,30 +276,42 @@ object GraphAlgorithms {
     * order-dependent and not reproducible across engines — deterministic
     * LPA is oracle-checkable and parallel; [[modularity]] scores the
     * partition so quality stays measurable. Output: (node, community).
+    *
+    * Scale shape: the undirected edge table is repartitioned by dst once
+    * and checkpointed; the per-round argmax is a two-level aggregation
+    * ((node,label) count → max_by) that partially aggregates map-side —
+    * no per-round sort-window and no re-shuffle of the edge table.
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+    val p = edges.sparkSession.sessionState.conf.numShufflePartitions
     val dir = edges.select(col("src"), col("dst")).distinct()
     val und = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .filter(col("src") =!= col("dst"))
+      .repartition(p, col("dst"))
       .localCheckpoint()
-    val nodes = und.select(col("src").as("node")).distinct().localCheckpoint()
+    val nodes = und.select(col("src").as("node")).distinct()
+      .repartition(p, col("node"))
+      .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
-    for (_ <- 1 to rounds) {
-      val neigh = und
+    var lastCkpt: DataFrame = null
+    for (i <- 1 to rounds) {
+      // most-frequent neighbor label, smallest label on ties: count per
+      // (node,label), then max_by over a (cnt, -label) total order —
+      // both levels combine map-side, unlike a row_number window
+      val next = und
         .join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label").asc)
-      val next = neigh
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
-        .localCheckpoint()
-      labels.unpersist(blocking = false)
-      labels = next
+        .groupBy(col("node"))
+        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+      if (i % 2 == 0 || i == rounds) {
+        val ck = next.localCheckpoint()
+        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+        lastCkpt = ck
+        labels = ck
+      } else labels = next
     }
     labels.select(col("node"), col("label").as("community"))
   }
