@@ -129,10 +129,13 @@ final class MemoryManager(
         val events = executeDecisions(decisions, embeddings, temporal, ts,
           memoryType, sessionId, runId, actorId, role, metadata)
         storeGraph(extraction, events.flatMap(_.memoryId).map(_.toLong))
+        // session chains link only ADD events (manager.py:315 filters
+        // e.action == MemoryAction.ADD); episode creation additionally
+        // requires a non-empty event list (manager.py:316)
         linkSessionOrEpisode(
-          events.filter(e => e.event == "ADD" || e.event == "UPDATE")
-            .flatMap(_.memoryId).map(_.toLong),
-          extraction.entities, text, sessionId, runId, ts)
+          events.filter(_.event == "ADD").flatMap(_.memoryId).map(_.toLong),
+          extraction.entities, text, sessionId, runId, ts,
+          hasEvents = events.nonEmpty)
         AddResult(events)
       }
     }
@@ -478,10 +481,15 @@ final class MemoryManager(
       content: String,
       sessionId: Option[String],
       runId: Option[String],
-      ts: Long
+      ts: Long,
+      hasEvents: Boolean = true
   ): Unit = {
-    val chainKey = runId.orElse(sessionId)
-    if (config.enableEpisodes) {
+    // chain key must match what newMemoryRow STORES in run_id
+    // (runId.orElse(config.runId)) or the prev-link lookup silently never
+    // matches when config.runId is set; reference: config.run_id or sid
+    // (manager.py:314)
+    val chainKey = runId.orElse(config.runId).orElse(sessionId)
+    if (config.enableEpisodes && hasEvents) {
       val epId = store.nextEpisodeId()
       store.appendEpisodes(Seq(EpisodeRow(epId, content, "message",
         config.userId, ts, sessionId, runId)))
@@ -854,7 +862,11 @@ final class MemoryManager(
       page = page.sortBy(r => (r.createdAt.getOrElse(0L), r.id))
       trace.foreach(_ += ExplainStep("temporal_sort", "chronological", page.size.toLong))
     }
-    page.take(k).map(_.toSearchResult)
+    // J6/F8 — decorate the RETURNED page with relation triples (every
+    // reference search response carries them, vector.py:56/162/268)
+    val top = page.take(k)
+    val rels = relationsFor(top.map(_.id))
+    top.map(r => r.copy(relations = rels.getOrElse(r.id, Nil)).toSearchResult)
   }
 
   private def scopeColExpr = {
@@ -879,12 +891,18 @@ final class MemoryManager(
     if (entities.isEmpty) emptyOut
     else {
       val names = entities.map(_.name)
-      val lowerNames = names.map(_.toLowerCase)
       val ents = scopeCol2(store.entities)
+      // the lowercase fallback is PER ENTITY (graph.py:100-108): an
+      // entity with an exact hit keeps it, an entity without one falls
+      // back to case-insensitive — not all-or-nothing across the set
       val exact = ents.filter(col("name").isin(names: _*))
+      val exactNames = exact.select(col("name")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val missingLower = names.filterNot(exactNames).map(_.toLowerCase).distinct
       val entIds =
-        if (!exact.isEmpty) exact
-        else ents.filter(lower(col("name")).isin(lowerNames: _*))
+        if (missingLower.isEmpty) exact
+        else exact.unionByName(
+          ents.filter(lower(col("name")).isin(missingLower: _*))).distinct()
       val he = store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
       val mem = scopedMemories() // F3 applied
       val typeOk = memoryType match {
@@ -936,13 +954,43 @@ final class MemoryManager(
       memoryType: String, createdAt: Option[Long], learnedAt: Option[Long],
       sessionId: Option[String], expiredAt: Option[Long],
       validAt: Option[Long], invalidAt: Option[Long],
-      importance: Option[Double], accessCount: Option[Long]
+      importance: Option[Double], accessCount: Option[Long],
+      relations: Seq[RelationTriple] = Nil
   ) {
     def toSearchResult: SearchResult = SearchResult(
       id.toString, text, score, config.userId, metadata, actorId, role,
       memoryType, source, createdAt, learnedAt, sessionId, expiredAt,
-      validAt, invalidAt)
+      validAt, invalidAt, relations)
   }
+
+  /** F8/J6 — relation triples for a bounded page of memory ids:
+    * memory -HAS_ENTITY-> e -RELATION-> t, decorated with entity names
+    * (search/vector.py:384-409). ONE batched join for the whole page
+    * where the reference issues a per-result probe; triples are ordered
+    * (source, relation, target) for determinism.
+    */
+  private def relationsFor(ids: Seq[Long]): Map[Long, Seq[RelationTriple]] =
+    if (ids.isEmpty) Map.empty
+    else {
+      val he = store.edges
+        .filter(col("edge_type") === EdgeTypes.HasEntity && col("src").isin(ids: _*))
+        .select(col("src").as("mem"), col("dst").as("ent"))
+      val rel = store.edges
+        .filter(col("edge_type") === EdgeTypes.Relation)
+        .select(col("src").as("ent"), col("dst").as("tgt"),
+          coalesce(col("props").getItem("relation_type"), lit("")).as("relation"))
+      val eName = store.entities.select(col("id"), col("name"))
+      he.join(rel, Seq("ent"))
+        .join(eName.select(col("id").as("ent"), col("name").as("source_name")), Seq("ent"))
+        .join(eName.select(col("id").as("tgt"), col("name").as("target_name")), Seq("tgt"))
+        .select(col("mem"), col("source_name"), col("relation"), col("target_name"))
+        .distinct()
+        .orderBy(col("mem"), col("source_name"), col("relation"), col("target_name"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          RelationTriple(r.getString(1), r.getString(2), r.getString(3)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    }
 
   private def collectResults(df: DataFrame): Seq[ResultRow] = {
     def optL(r: Row, c: String): Option[Long] =
@@ -1075,7 +1123,12 @@ final class MemoryManager(
       proceduralCount = typed.getOrElse(MemoryTypes.Procedural, 0L),
       episodicCount = typed.getOrElse(MemoryTypes.Episodic, 0L),
       entityCount = scopeCol2(store.entities).count(),
-      relationCount = store.edges.filter(col("edge_type") === EdgeTypes.Relation).count(),
+      // relation count scoped through the src entity's owner — a raw
+      // edge-type count would leak cross-tenant relations on a shared
+      // store (the reference scopes by graph_name, manager.py:1964-1974)
+      relationCount = store.edges.filter(col("edge_type") === EdgeTypes.Relation)
+        .join(scopeCol2(store.entities).select(col("id").as("src")), Seq("src"))
+        .count(),
       episodeCount = store.episodes.filter(col("user_id") === config.userId).count(),
       communityCount = store.communities.filter(col("user_id") === config.userId).count(),
       expiredCount = m.filter(col("expired_at").isNotNull).count()
@@ -1129,15 +1182,89 @@ final class MemoryManager(
       .select(col("id")).collect().map(_.getLong(0).toString).toSeq
   }
 
-  /** J9 — provenance: the episode that PRODUCED a memory, and the
-    * memories/entities an episode produced/mentions (manager.py:1333-1377).
+  /** S1 (episodes) — scoped episode listing with limit
+    * (manager.py:2251-2255 get_episodes → 1318-1331): user-scoped,
+    * optionally session-filtered, chronological, hydrated with produced
+    * memory ids + mentioned entity names.
     */
-  def getProvenance(memoryId: String): Option[String] =
-    store.edges
+  def getEpisodes(sessionId: Option[String] = None, limit: Int = 50): Seq[EpisodeResult] = {
+    val base = store.episodes.filter(col("user_id") === config.userId)
+    val scoped = sessionId.map(s => base.filter(col("session_id") === s)).getOrElse(base)
+    hydrateEpisodes(scoped.orderBy(col("created_at").asc, col("id").asc).limit(limit))
+  }
+
+  /** J9 — provenance: the episodes that PRODUCED a memory, hydrated to
+    * full EpisodeResults (manager.py:1333-1377).
+    */
+  def getProvenance(memoryId: String): Seq[EpisodeResult] = {
+    val epIds = store.edges
       .filter(col("edge_type") === EdgeTypes.Produced &&
         col("dst") === memoryId.toLong)
-      .orderBy(col("src").asc)
-      .select(col("src")).collect().headOption.map(_.getLong(0).toString)
+      .select(col("src").as("id")).distinct()
+    hydrateEpisodes(store.episodes.join(epIds, Seq("id")))
+  }
+
+  /** Hydrate episode rows with produced-memory ids and mentioned-entity
+    * names: two grouped joins for the whole set — no per-episode probe
+    * loops (the reference issues one query per episode per edge type,
+    * manager.py:1330-1350).
+    */
+  private def hydrateEpisodes(eps: DataFrame): Seq[EpisodeResult] = {
+    val prodAgg = store.edges.filter(col("edge_type") === EdgeTypes.Produced)
+      .groupBy(col("src").as("id"))
+      .agg(sort_array(collect_list(col("dst"))).as("produced"))
+    val mentAgg = store.edges.filter(col("edge_type") === EdgeTypes.Mentions)
+      .select(col("src").as("id"), col("dst").as("ent"))
+      .join(store.entities.select(col("id").as("ent"), col("name")), Seq("ent"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("ent"), col("name")))).as("ments"))
+    eps
+      .join(prodAgg, Seq("id"), "left")
+      .join(mentAgg, Seq("id"), "left")
+      .orderBy(col("created_at").asc, col("id").asc)
+      .select(col("id"), col("content"), col("source"), col("user_id"),
+        col("session_id"), col("run_id"), col("created_at"),
+        col("produced"), col("ments"))
+      .collect()
+      .map { r =>
+        def optS(i: Int) = if (r.isNullAt(i)) None else Some(r.getString(i))
+        val produced =
+          if (r.isNullAt(7)) Nil else r.getSeq[Long](7).map(_.toString).toSeq
+        val mentioned =
+          if (r.isNullAt(8)) Nil
+          else r.getSeq[Row](8).map(_.getString(1)).toSeq
+        EpisodeResult(r.getLong(0).toString, r.getString(1), r.getString(2),
+          r.getString(3), optS(4), optS(5), Some(r.getLong(6)),
+          produced, mentioned)
+      }.toSeq
+  }
+
+  /** G4 read side — communities containing any of the given entities,
+    * matched case-insensitively on member names (communities.py:241-283).
+    * One grouped join over HAS_MEMBER for the whole community set.
+    */
+  def getCommunityContext(entityNames: Seq[String]): Seq[CommunityInfo] =
+    if (entityNames.isEmpty) Nil
+    else {
+      val nameSet = entityNames.map(_.toLowerCase).distinct
+      val members = store.edges.filter(col("edge_type") === EdgeTypes.HasMember)
+        .select(col("src").as("cid"), col("dst").as("ent"))
+        .join(store.entities.select(col("id").as("ent"), col("name")), Seq("ent"))
+      val agg = members.groupBy(col("cid")).agg(
+        sort_array(collect_list(struct(col("ent"), col("name")))).as("ms"),
+        max(when(lower(col("name")).isin(nameSet: _*), 1).otherwise(0)).as("hit"))
+      store.communities.filter(col("user_id") === config.userId)
+        .join(agg, col("id") === col("cid"))
+        .filter(col("hit") === 1)
+        .orderBy(col("id"))
+        .select(col("community_id"), col("name"), col("summary"),
+          col("member_count"), col("ms"))
+        .collect()
+        .map { r =>
+          CommunityInfo(r.getLong(0).toString, r.getString(1), r.getString(2),
+            r.getLong(3), r.getSeq[Row](4).map(_.getString(1)).toSeq)
+        }.toSeq
+    }
 
   def episodeOutputs(episodeId: String): (Seq[String], Seq[String]) = {
     val id = episodeId.toLong

@@ -4,6 +4,11 @@ package graft.api
   * (types.py:174-347). Ids are stringified at this boundary exactly like
   * the reference (manager.py:1091 str(node_id)).
   */
+/** One {source, relation, target} triple attached to a search result
+  * (types.py:188-209 `relations`; search/vector.py:384-409).
+  */
+final case class RelationTriple(source: String, relation: String, target: String)
+
 final case class SearchResult(
     memoryId: String,
     text: String,
@@ -19,7 +24,8 @@ final case class SearchResult(
     sessionId: Option[String],
     expiredAt: Option[Long],
     validAt: Option[Long],
-    invalidAt: Option[Long]
+    invalidAt: Option[Long],
+    relations: Seq[RelationTriple] = Nil
 )
 
 /** One add()-pipeline event (types.py:330-337). */
@@ -52,6 +58,30 @@ final case class MemoryStats(
     episodeCount: Long,
     communityCount: Long,
     expiredCount: Long
+)
+
+/** A raw episode with provenance information (types.py:304-316). */
+final case class EpisodeResult(
+    episodeId: String,
+    content: String,
+    source: String,
+    userId: String,
+    sessionId: Option[String],
+    runId: Option[String],
+    createdAt: Option[Long],
+    producedMemories: Seq[String] = Nil,
+    mentionedEntities: Seq[String] = Nil
+)
+
+/** One community a queried entity belongs to (types.py:320-328,
+  * communities.py:241-283).
+  */
+final case class CommunityInfo(
+    communityId: String,
+    name: String,
+    summary: String,
+    memberCount: Long,
+    memberEntities: Seq[String]
 )
 
 /** R9 — one explain-pipeline stage observation (types.py:271-284). */

@@ -17,7 +17,10 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) =>
+      // per-row text metrics are CPU-bound; spread a single-partition
+      // small-file scan across the session's cores first
       val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
       docs.select(
         col("doc_id"),
         TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),

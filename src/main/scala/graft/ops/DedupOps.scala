@@ -46,9 +46,16 @@ object DedupOps {
       numHashes: Int = 16,
       shingleSize: Int = 3
   ): DataFrame = {
-    val exploded = df.select(
-      col(idCol),
-      explode(HashFunctions.wordShingles(col(textCol), shingleSize)).as("s"))
+    // hash-heavy: repartition the (narrow) text rows by id FIRST so the
+    // shingle+md5 explode runs on every core — a small-file scan arrives
+    // as one partition and would otherwise hash single-threaded — and
+    // the per-id min-agg then needs no further exchange
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val exploded = df.select(col(idCol), col(textCol))
+      .repartition(p, col(idCol))
+      .select(
+        col(idCol),
+        explode(HashFunctions.wordShingles(col(textCol), shingleSize)).as("s"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh_$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -70,9 +77,12 @@ object DedupOps {
   ): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val shingled = df.select(
-      col(idCol).as("doc"),
-      HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val shingled = df.select(col(idCol).as("doc"), col(textCol))
+      .repartition(p, col("doc"))
+      .select(
+        col("doc"),
+        HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
 
     // signatures via the explode+min-agg shape (see minhashSignatures)
     val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
@@ -128,12 +138,19 @@ object DedupOps {
       minJaccard: Double = 0.0
   ): DataFrame = {
     // sort once per document so every candidate pair intersects via the
-    // native two-pointer merge — no per-pair hash sets or union arrays
-    val sh = df.select(
-      col(groupCol).as("grp"),
-      col(idCol).as("doc"),
-      sort_array(HashFunctions.hashedCharShingles(col(textCol), n)).as("sh")
-    )
+    // native two-pointer merge — no per-pair hash sets or union arrays.
+    // The shingle table is repartitioned by grp (parallel hashing + the
+    // self-join needs no further exchange) and checkpointed so the
+    // md5-per-shingle work runs ONCE, not once per join side.
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = df.select(col(groupCol).as("grp"), col(idCol).as("doc"), col(textCol))
+      .repartition(p, col("grp"))
+      .select(
+        col("grp"),
+        col("doc"),
+        sort_array(HashFunctions.hashedCharShingles(col(textCol), n)).as("sh")
+      )
+      .localCheckpoint()
     sh.as("l")
       .join(sh.as("r"), Seq("grp"))
       .filter(col("l.doc") < col("r.doc"))
@@ -170,7 +187,9 @@ object DedupOps {
       rowsPerBand: Int = 4
   ): DataFrame = {
     import graft.functions.{Projections, VectorFunctions}
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val base = df.select(col(idCol).as("doc"), col(embCol).as("emb"))
+      .repartition(p, col("doc")) // parallel banding on small-file scans
 
     val candidates =
       if (bands <= 0) {

@@ -32,9 +32,14 @@ object SimilarityOps {
       k: Int,
       excludeSelf: Boolean = true // false when query ids are a separate id space
   ): DataFrame = {
+    // corpus-side parallelism drives the scoring loop: a small-file scan
+    // arrives as one partition, which would serialize every cosine —
+    // spread it across the session's shuffle width first
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val paired = queries
       .select(col(queryId).as("query_id"), col(queryEmb).as("q_emb"))
-      .crossJoin(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb")))
+      .crossJoin(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb"))
+        .repartition(p))
     val scored = (if (excludeSelf) paired.filter(col("query_id") =!= col("neighbor_id"))
                   else paired)
       .withColumn("cosine", VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))

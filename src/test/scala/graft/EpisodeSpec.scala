@@ -34,10 +34,21 @@ class EpisodeSpec extends SparkSuite {
         Seq(ExtractedEntity("alice", "person")), Nil))),
       new AddAllReconciler)
     m.add("Alice works at Acme", now = Some(T0))
-    assert(m.getProvenance("1").contains("1")) // memory 1 ← episode 1
+    val prov = m.getProvenance("1") // memory 1 ← episode 1, hydrated
+    assert(prov.map(_.episodeId) == Seq("1"))
+    assert(prov.head.content == "Alice works at Acme")
+    assert(prov.head.producedMemories == Seq("1"))
+    assert(prov.head.mentionedEntities == Seq("alice"))
     val (produced, mentions) = m.episodeOutputs("1")
     assert(produced == Seq("1"))
     assert(mentions == Seq("1")) // entity alice
+
+    // getEpisodes: scoped listing, chronological, session filter + limit
+    m.add("Bob joined Acme", sessionId = Some("s2"), now = Some(T0 + 1000))
+    val all = m.getEpisodes()
+    assert(all.map(_.episodeId) == Seq("1", "2"))
+    assert(m.getEpisodes(sessionId = Some("s2")).map(_.episodeId) == Seq("2"))
+    assert(m.getEpisodes(limit = 1).map(_.episodeId) == Seq("1"))
   }
 
   test("relation reconciliation (W10): trait-selected triples deleted, first match only") {

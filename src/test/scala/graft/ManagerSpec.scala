@@ -134,6 +134,55 @@ class ManagerSpec extends SparkSuite {
     assert(ma.getAll().size == 1)
   }
 
+  test("stats relationCount is tenant-scoped on a shared store") {
+    val store = new GraphStore(spark)
+    def mgr(user: String) = new MemoryManager(spark,
+      MemoryConfig(userId = user), store, new MockEmbedder(16),
+      new ScriptedExtractor(Seq(Extraction(Seq(s"$user works at acme"),
+        Seq(ExtractedEntity(s"${user}_self", "p"), ExtractedEntity("acme", "o")),
+        Seq(ExtractedRelation(s"${user}_self", "acme", "works_at"))))),
+      new AddAllReconciler)
+    mgr("bob").add("Bob works at Acme", now = Some(T0))
+    assert(mgr("alice").stats().relationCount == 0) // bob's edge invisible
+    assert(mgr("bob").stats().relationCount == 1)
+  }
+
+  test("search results carry relation triples (J6/F8)") {
+    val m = mkManager(outputs = Seq(Extraction(
+      facts = Seq("alice works at acme corp"),
+      entities = Seq(ExtractedEntity("alice", "person"),
+        ExtractedEntity("acme_corp", "organization")),
+      relations = Seq(ExtractedRelation("alice", "acme_corp", "works_at")))))
+    m.add("Alice works at Acme Corp", now = Some(T0))
+    val hits = m.search("alice works at acme corp", k = 5)
+    assert(hits.nonEmpty)
+    assert(hits.head.relations ==
+      Seq(RelationTriple("alice", "works_at", "acme_corp")))
+    // memories without relations stay empty, not null
+    m.add("unrelated note", infer = false, now = Some(T0))
+    val plain = m.search("unrelated note", k = 1)
+    assert(plain.head.relations.isEmpty)
+  }
+
+  test("community context (G4): entity names map to their communities") {
+    val m = mkManager(
+      outputs = Seq(Extraction(Seq("alice and bob work at acme"),
+        Seq(ExtractedEntity("alice", "person"), ExtractedEntity("bob", "person"),
+          ExtractedEntity("acme", "org")),
+        Seq(ExtractedRelation("alice", "acme", "works_at"),
+          ExtractedRelation("bob", "acme", "works_at")))),
+      config = MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        enableCommunitySummaries = true))
+    m.add("Alice and Bob work at Acme", now = Some(T0))
+    m.search("anything", k = 1) // triggers community materialization
+    val ctx = m.getCommunityContext(Seq("ALICE")) // case-insensitive
+    assert(ctx.nonEmpty)
+    assert(ctx.head.memberEntities.contains("alice"))
+    assert(ctx.head.memberCount >= 2)
+    assert(m.getCommunityContext(Seq("nobody")).isEmpty)
+    assert(m.getCommunityContext(Nil).isEmpty)
+  }
+
   test("stats counts by type and expiry") {
     val m = mkManager()
     m.add("s1", infer = false, now = Some(T0))
