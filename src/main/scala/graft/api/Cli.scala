@@ -1,0 +1,171 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{GraphStore, MemoryTypes}
+import graft.ext._
+import graft.ops.FilterOps
+
+/** CLI entry point over the engine (reference cli.py:16-341):
+  * add / search / list / update / delete / history / summarize / stats /
+  * explain, JSON on stdout. Global flags: --user <id>, --store <dir>
+  * (parquet persistence root; loaded on start, persisted back after
+  * mutating commands), --no-infer for add, -k / --type / --min-score
+  * where the reference accepts them.
+  *
+  * The LLM-backed traits are deterministic local impls (the container
+  * has no model endpoint): SHA-256 mock embedder, heuristic extractor,
+  * add-all reconciler — the same fixture stack the test suite uses, so
+  * `graft.Cli add/search` round-trips are reproducible.
+  */
+object Cli {
+
+  // ---- minimal JSON writer (no extra deps allowed in build.sbt) ----
+  private def js(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private def jopt(o: Option[String]): String = o.map(js).getOrElse("null")
+  private def jarr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
+  private def jobj(fields: (String, String)*): String =
+    fields.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
+
+  private def resultJson(r: SearchResult): String = jobj(
+    "memory_id" -> js(r.memoryId),
+    "text" -> js(r.text),
+    "score" -> r.score.toString,
+    "memory_type" -> js(r.memoryType),
+    "source" -> js(r.source),
+    "created_at" -> r.createdAt.map(_.toString).getOrElse("null"),
+    "session_id" -> jopt(r.sessionId),
+    "relations" -> jarr(r.relations.map(t => jobj(
+      "source" -> js(t.source), "relation" -> js(t.relation),
+      "target" -> js(t.target))))
+  )
+
+  /** Parse argv and execute one command against the given manager;
+    * returns the JSON the command prints. Factored from main() so specs
+    * drive it without a process boundary.
+    */
+  def run(args: Seq[String], m: MemoryManager): String = {
+    def flag(name: String): Boolean = args.contains(name)
+    def opt(name: String): Option[String] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    // positional args = everything after the command that isn't a flag
+    val cmdIdx = args.indexWhere(a => !a.startsWith("-"), 0)
+    val cmd = if (cmdIdx >= 0) args(cmdIdx) else "help"
+    val flagsTakingValue =
+      Set("--user", "--store", "-k", "--type", "-t", "--min-score",
+        "--session", "--limit")
+    val positional = args.zipWithIndex.drop(cmdIdx + 1).collect {
+      case (a, i) if !a.startsWith("-") &&
+        !(i > 0 && flagsTakingValue(args(i - 1))) => a
+    }
+    val k = opt("-k").map(_.toInt).getOrElse(10)
+    val memoryType = opt("--type").orElse(opt("-t"))
+
+    cmd match {
+      case "add" =>
+        val res = m.add(positional.head, infer = !flag("--no-infer"),
+          memoryType = memoryType.getOrElse(MemoryTypes.Default))
+        jobj("events" -> jarr(res.events.map(e => jobj(
+          "event" -> js(e.event),
+          "memory_id" -> jopt(e.memoryId),
+          "text" -> js(e.text)))))
+      case "search" =>
+        val hits = m.search(positional.mkString(" "), k = k,
+          memoryType = memoryType,
+          minScore = opt("--min-score").map(_.toDouble))
+        jobj("results" -> jarr(hits.map(resultJson)))
+      case "list" =>
+        jobj("results" -> jarr(m.getAll(memoryType).map(resultJson)))
+      case "update" =>
+        jobj("updated" -> m.update(positional(0), positional(1)).toString)
+      case "delete" =>
+        if (flag("--all")) jobj("deleted" -> m.deleteAll().toString)
+        else jobj("deleted" -> m.delete(positional.head).toString)
+      case "history" =>
+        jobj("history" -> jarr(m.history(positional.head).map(h => jobj(
+          "event" -> js(h.event),
+          "timestamp" -> h.timestamp.toString,
+          "old_text" -> jopt(h.oldText),
+          "new_text" -> jopt(h.newText)))))
+      case "summarize" =>
+        jobj("summary_ids" -> jarr(m.summarize().map(js)))
+      case "stats" =>
+        val s = m.stats()
+        jobj(
+          "total_memories" -> s.totalMemories.toString,
+          "semantic" -> s.semanticCount.toString,
+          "procedural" -> s.proceduralCount.toString,
+          "episodic" -> s.episodicCount.toString,
+          "entities" -> s.entityCount.toString,
+          "relations" -> s.relationCount.toString,
+          "episodes" -> s.episodeCount.toString,
+          "communities" -> s.communityCount.toString,
+          "expired" -> s.expiredCount.toString)
+      case "episodes" =>
+        jobj("episodes" -> jarr(
+          m.getEpisodes(opt("--session"),
+              opt("--limit").map(_.toInt).getOrElse(50))
+            .map(e => jobj(
+              "episode_id" -> js(e.episodeId),
+              "content" -> js(e.content),
+              "produced" -> jarr(e.producedMemories.map(js)),
+              "mentioned" -> jarr(e.mentionedEntities.map(js))))))
+      case "explain" =>
+        val ex = m.explain(positional.mkString(" "), k = k, memoryType = memoryType)
+        jobj(
+          "steps" -> jarr(ex.steps.map(st => jobj(
+            "name" -> js(st.name),
+            "detail" -> js(st.detail),
+            "count" -> st.count.toString))),
+          "results" -> jarr(ex.results.map(resultJson)))
+      case other =>
+        jobj("error" -> js(s"unknown command: $other"),
+          "commands" -> jarr(Seq("add", "search", "list", "update", "delete",
+            "history", "summarize", "stats", "episodes", "explain").map(js)))
+    }
+  }
+
+  private def isMutating(cmd: String): Boolean =
+    Set("add", "update", "delete", "summarize")(cmd)
+
+  def main(argv: Array[String]): Unit = {
+    val args = argv.toSeq
+    def opt(name: String): Option[String] = {
+      val i = args.indexOf(name)
+      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+    }
+    val user = opt("--user").orElse(sys.env.get("GRAFT_USER")).getOrElse("default")
+    val storeDir = opt("--store").orElse(sys.env.get("GRAFT_STORE"))
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-cli")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val store = new GraphStore(spark)
+      storeDir.filter(d => new java.io.File(d).exists()).foreach(store.load)
+      val dims = sys.env.get("GRAFT_DIMS").map(_.toInt).getOrElse(64)
+      val m = new MemoryManager(spark,
+        MemoryConfig(userId = user, embeddingDimensions = dims),
+        store, new MockEmbedder(dims), new HeuristicExtractor,
+        new AddAllReconciler)
+      val cmd = args.find(a => !a.startsWith("-")).getOrElse("help")
+      println(run(args, m))
+      if (isMutating(cmd)) storeDir.foreach(store.persist)
+    } finally spark.stop()
+  }
+}

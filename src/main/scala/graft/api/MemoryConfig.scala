@@ -36,6 +36,16 @@ final case class MemoryConfig(
     enableGraphAlgorithms: Boolean = false,
     crossSessionFactor: Double = 0.0,
     enableCommunitySummaries: Boolean = false,
+    // above this node count the engine's metric recompute switches from
+    // exact full-source Brandes (O(V·E)) to pivot-sampled roots
+    // (Brandes–Pich estimator), keeping the write path bounded at scale
+    betweennessExactMaxNodes: Long = 4096L,
+    betweennessSampleRoots: Int = 256,
+    // push the tenant scope into BOTH hybrid candidate legs instead of
+    // the reference's post-hoc filter (search/vector.py:96-97,159-160):
+    // faithful mode can return zero in-scope rows on a crowded shared
+    // store; scoped mode guarantees the tenant a full candidate page
+    scopedHybridCandidates: Boolean = false,
     // temporal
     enableBitemporal: Boolean = false,
     enableEpisodes: Boolean = false,
@@ -76,6 +86,8 @@ final case class MemoryConfig(
     !enableCommunitySummaries || enableGraphAlgorithms,
     "community summaries require graph algorithms (types.py:107-109)")
   req(consolidationBatchSize > 0, "consolidation_batch_size must be positive")
+  req(betweennessExactMaxNodes >= 0, "betweenness_exact_max_nodes must be >= 0")
+  req(betweennessSampleRoots > 0, "betweenness_sample_roots must be positive")
   req(consolidationPreserveRecent >= 0, "consolidation_preserve_recent must be >= 0")
 
   /** F1 scope filter map (manager.py:164-175). */

@@ -405,9 +405,7 @@ final class MemoryManager(
     */
   private def storeGraph(extraction: Extraction, memoryIds: Seq[Long]): Unit = {
     if (extraction.entities.nonEmpty) {
-      val entityIds: Map[String, Long] = extraction.entities.map { ent =>
-        ent.name -> findOrCreateEntity(ent)
-      }.toMap
+      val entityIds: Map[String, Long] = upsertEntities(extraction.entities)
       store.appendEdges(for {
         m <- memoryIds
         e <- entityIds.values.toSeq.sorted
@@ -448,17 +446,33 @@ final class MemoryManager(
     }
   }
 
-  private def findOrCreateEntity(ent: ExtractedEntity): Long = {
+  /** W9 — BATCHED entity upsert: one lookup join for every entity of the
+    * add and one append for all the misses, replacing the reference's
+    * per-entity probe loop (manager.py:1646-1680) — bulk ingest was
+    * paying one Spark job per entity per message.
+    */
+  private def upsertEntities(ents: Seq[ExtractedEntity]): Map[String, Long] = {
+    if (ents.isEmpty) return Map.empty
+    val names = ents.map(_.name).distinct
     val base = store.entities
-      .filter(col("name") === ent.name && col("user_id") === config.userId)
+      .filter(col("user_id") === config.userId && col("name").isin(names: _*))
     val scoped = config.graphName
       .map(g => base.filter(col("graph_name") === g)).getOrElse(base)
-    scoped.select(col("id")).collect().headOption.map(_.getLong(0)).getOrElse {
-      val id = store.nextEntityId()
-      store.appendEntities(Seq(EntityRow(id, ent.name, ent.entityType,
-        config.userId, config.graphName)))
-      id
-    }
+    val existing = scoped
+      .groupBy(col("name")).agg(min(col("id")).as("id")) // deterministic pick
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // first occurrence wins, extraction order preserved (ids are
+    // assigned in the order the extractor emitted the entities, exactly
+    // like the per-entity loop did)
+    val missing = ents.filter(e => !existing.contains(e.name))
+      .foldLeft(Vector.empty[ExtractedEntity]) { (acc, e) =>
+        if (acc.exists(_.name == e.name)) acc else acc :+ e
+      }
+    val created = missing.map(e => e.name -> (store.nextEntityId(), e.entityType))
+    store.appendEntities(created.map { case (n, (id, t)) =>
+      EntityRow(id, n, t, config.userId, config.graphName)
+    })
+    existing ++ created.map { case (n, (id, _)) => n -> id }
   }
 
   /** J5 — E→E relation scan around a set of entities. */
@@ -495,9 +509,15 @@ final class MemoryManager(
         config.userId, ts, sessionId, runId)))
       store.appendEdges(newIds.map(m =>
         EdgeRow(store.nextEdgeId(), epId, m, EdgeTypes.Produced, Map.empty)))
-      val entIds = entities.flatMap(e =>
-        store.entities.filter(col("name") === e.name && col("user_id") === config.userId)
-          .select(col("id")).collect().headOption.map(_.getLong(0)))
+      // one lookup for ALL mentioned entities (was a per-entity probe)
+      val entNames = entities.map(_.name).distinct
+      val entIds =
+        if (entNames.isEmpty) Nil
+        else store.entities
+          .filter(col("user_id") === config.userId && col("name").isin(entNames: _*))
+          .groupBy(col("name")).agg(min(col("id")).as("id"))
+          .orderBy(col("id"))
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
       store.appendEdges(entIds.map(e =>
         EdgeRow(store.nextEdgeId(), epId, e, EdgeTypes.Mentions, Map.empty)))
       // NEXT_EPISODE from the previous episode of the same user+run
@@ -583,7 +603,7 @@ final class MemoryManager(
       val ge = globalEdges.localCheckpoint()
       if (!ge.isEmpty) {
         val pr = GraphAlgorithms.pageRank(ge)
-        val bc = GraphAlgorithms.betweenness(ge)
+        val bc = scaledBetweenness(ge)
         val lp = GraphAlgorithms.labelPropagation(ge)
         val memMetrics = pr
           .join(bc, Seq("node"), "full_outer")
@@ -596,6 +616,30 @@ final class MemoryManager(
       }
       metricsVersion = store.graphVersion
     }
+
+  /** Exact Brandes below the node bound; above it, pivot-sampled roots
+    * (deterministic stride over the node ordering) with the |V|/|S|
+    * Brandes–Pich scale-up — the write path's metric refresh stays
+    * bounded at O(|S|·E) instead of O(V·E) on a grown graph.
+    */
+  private def scaledBetweenness(ge: DataFrame): DataFrame = {
+    val nodes = ge.select(col("src").as("node"))
+      .unionByName(ge.select(col("dst").as("node")))
+      .distinct()
+    val n = nodes.count()
+    if (n <= config.betweennessExactMaxNodes) GraphAlgorithms.betweenness(ge)
+    else {
+      val s = config.betweennessSampleRoots.toLong
+      val stride = math.max(1L, n / s)
+      // deterministic pivots strided across the id space — a filter +
+      // TakeOrderedAndProject, never a global window over the node set
+      val roots = GraphOps.samplePivots(nodes, stride, config.betweennessSampleRoots)
+      val actualRoots = roots.count().toDouble
+      val sampled = GraphAlgorithms.betweenness(ge, Some(roots))
+      sampled.withColumn("betweenness",
+        col("betweenness") * lit(n.toDouble / math.max(1.0, actualRoots)))
+    }
+  }
 
   /** G4 — materialize entity communities (≥ 2 scoped members) as
     * Community nodes + HAS_MEMBER edges; unchanged membership is kept,
@@ -721,12 +765,17 @@ final class MemoryManager(
         SearchOps.mmr(base, "embedding", "id", queryVec, effectiveK, config.mmrLambda)
           .select(col("id"), col("score"))
       } else {
-        // candidates fused over the whole store (the engine's text+vector
-        // indexes are unscoped), scope/predicates post-hoc like
-        // search/vector.py:157-163
+        // Faithful mode: candidates fused over the whole store (the
+        // engine's text+vector indexes are unscoped), scope/predicates
+        // post-hoc like search/vector.py:157-163. Scoped mode pushes the
+        // tenant scope into BOTH legs — on a large multi-tenant store
+        // the global top-fetchK page can contain zero rows for the
+        // querying tenant, starving them of results brute-force search
+        // would have found; the post-filter below stays (harmless).
+        val candBase = if (config.scopedHybridCandidates) scopeCol(mem) else mem
         val nonEmptyEmb = size(col("embedding")) > 0
         val cand = SearchOps.hybridSearch(
-          mem.withColumn("embedding",
+          candBase.withColumn("embedding",
             when(nonEmptyEmb, col("embedding")).otherwise(lit(null))),
           "id", "text", "embedding", query, queryVec, effectiveK,
           config.rrfK, fetchK = math.max(50, 4 * effectiveK))

@@ -139,6 +139,47 @@ final class HashVision extends Vision {
     }
 }
 
+/** Deterministic rule-based extractor for LLM-free deployments (the CLI
+  * default): sentences become facts; capitalized multi-word spans become
+  * entities (snake_cased, like the reference's entity normalization,
+  * extraction/entities.py name handling); "A <verb phrase> B" between
+  * two entities in one sentence becomes a relation with the lowercased
+  * connecting words as relation_type.
+  */
+final class HeuristicExtractor extends Extractor {
+  private val Sentence = "[.!?]+\\s+|[.!?]+$".r
+  private val EntitySpan = "\\b([A-Z][a-zA-Z0-9]*(?:\\s+[A-Z][a-zA-Z0-9]*)*)\\b".r
+  private def norm(s: String): String = s.trim.toLowerCase.replaceAll("\\s+", "_")
+
+  override def extract(text: String): Extraction = {
+    val sentences = Sentence.split(text).map(_.trim).filter(_.nonEmpty).toSeq
+    val facts = if (sentences.nonEmpty) sentences else Seq(text.trim).filter(_.nonEmpty)
+    val entities = scala.collection.mutable.LinkedHashMap.empty[String, ExtractedEntity]
+    val relations = scala.collection.mutable.ArrayBuffer.empty[ExtractedRelation]
+    sentences.foreach { s =>
+      val spans = EntitySpan.findAllMatchIn(s).map(_.group(1)).toSeq
+        .filterNot(sp => sp.length < 2)
+      spans.foreach(sp =>
+        entities.getOrElseUpdate(norm(sp), ExtractedEntity(norm(sp), "entity")))
+      // relation: two entity spans with 1-4 connecting words
+      spans.sliding(2).foreach {
+        case Seq(a, b) =>
+          val i = s.indexOf(a); val j = s.indexOf(b, i + a.length)
+          if (i >= 0 && j > i) {
+            val between = s.substring(i + a.length, j).trim
+              .replaceAll("[^a-zA-Z\\s]", "").trim
+            val words = between.split("\\s+").filter(_.nonEmpty)
+            if (words.nonEmpty && words.length <= 4)
+              relations += ExtractedRelation(norm(a), norm(b),
+                words.map(_.toLowerCase).mkString("_"))
+          }
+        case _ => ()
+      }
+    }
+    Extraction(facts, entities.values.toSeq, relations.toSeq)
+  }
+}
+
 /** Scripted implementations for tests — deterministic, no model calls. */
 final class ScriptedExtractor(outputs: Seq[Extraction]) extends Extractor {
   private val queue = scala.collection.mutable.Queue(outputs: _*)

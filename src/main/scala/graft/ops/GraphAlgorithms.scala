@@ -96,7 +96,11 @@ object GraphAlgorithms {
     * Normalized by (n−1)(n−2) (directed, matching networkx
     * normalized=True, protocol.py:42). Output: (node, betweenness).
     */
-  def betweenness(edges: DataFrame, rootsOpt: Option[DataFrame] = None): DataFrame = {
+  def betweenness(
+      edges: DataFrame,
+      rootsOpt: Option[DataFrame] = None,
+      broadcastEdgeLimit: Long = BroadcastEdgeLimit
+  ): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
@@ -104,7 +108,7 @@ object GraphAlgorithms {
       .localCheckpoint()
     val n = nodes.count()
     val m = e.count()
-    if (m <= BroadcastEdgeLimit) betweennessBroadcast(e, nodes, n, rootsOpt)
+    if (m <= broadcastEdgeLimit) betweennessBroadcast(e, nodes, n, rootsOpt)
     else betweennessWaves(e, nodes, n, rootsOpt)
   }
 

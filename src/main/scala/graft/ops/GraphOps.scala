@@ -198,4 +198,16 @@ object GraphOps {
       )
       .select(col("parent").as("mem"), col("avg_child_importance"), col("reinforcement"))
   }
+
+  /** Deterministic pivot sampling for approximate whole-graph metrics
+    * (Brandes–Pich roots): every stride-th node id, capped at `maxRoots`.
+    * Plans as filter + TakeOrderedAndProject — no global window, so it
+    * costs one scan regardless of graph size.
+    */
+  def samplePivots(nodes: DataFrame, stride: Long, maxRoots: Int): DataFrame =
+    nodes
+      .filter(pmod(col("node"), lit(stride)) === 0)
+      .orderBy(col("node").asc)
+      .limit(maxRoots)
+      .select(col("node").as("root"))
 }

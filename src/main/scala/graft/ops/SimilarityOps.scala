@@ -77,7 +77,17 @@ object SimilarityOps {
         row_number().over(Window.orderBy(col(corpusId).asc)).as("cell"),
         col(corpusEmb).as("cent_emb")
       )
-    val assigned = corpus
+    (assignToCells(corpus, corpusId, corpusEmb, centroids), centroids)
+  }
+
+  /** Nearest-centroid assignment: broadcast join + per-vector argmax. */
+  private def assignToCells(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      centroids: DataFrame
+  ): DataFrame =
+    corpus
       .crossJoin(broadcast(centroids))
       .withColumn("sim", VectorFunctions.cosineSimilarity(col(corpusEmb), col("cent_emb")))
       .withColumn(
@@ -88,6 +98,42 @@ object SimilarityOps {
       )
       .filter(col("rn") === 1)
       .drop("rn", "sim", "cent_emb")
+
+  /** IVF index with Lloyd refinement: seed with the strided centroids,
+    * then `lloydIters` rounds of (assign → elementwise-mean recenter).
+    * Fixed iteration count keeps it reproducible up to float-sum order;
+    * cells that lose every member drop out (classic k-means shrinkage).
+    * Better recall than raw strided seeding on clustered corpora; the
+    * oracle-checked q_ann_ivf stays on the strided index, whose exact
+    * bucketing DuckDB can replay — recall of this variant is asserted
+    * against brute force in IvfSpec instead.
+    *
+    * Scale shape per round: one broadcast assign + one
+    * (cell,pos)-keyed mean — both map-side combinable; the centroid
+    * table never leaves broadcast size.
+    */
+  def ivfIndexKMeans(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      numCells: Int,
+      lloydIters: Int = 5
+  ): (DataFrame, DataFrame) = {
+    var (assigned, centroids) = ivfIndex(corpus, corpusId, corpusEmb, numCells)
+    for (_ <- 1 to lloydIters) {
+      centroids = assigned
+        .select(col("cell"), posexplode(col(corpusEmb)).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")
+          ).as("cent_emb"))
+        .localCheckpoint()
+      assigned = assignToCells(corpus, corpusId, corpusEmb, centroids)
+    }
     (assigned, centroids)
   }
 

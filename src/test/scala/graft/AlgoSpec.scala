@@ -52,6 +52,49 @@ class AlgoSpec extends SparkSuite {
     assert(bc(4L) == 0.0)
   }
 
+  test("betweenness: broadcast and wave paths agree (incl. sampled roots)") {
+    // two joined diamonds — non-trivial sigma splits at every depth
+    val g = edges(1L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 4L,
+      4L -> 5L, 4L -> 6L, 5L -> 7L, 6L -> 7L)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bcast = toMap(GraphAlgorithms.betweenness(g))
+    val waves = toMap(GraphAlgorithms.betweenness(g, broadcastEdgeLimit = 0L))
+    assert(bcast.keySet == waves.keySet)
+    bcast.foreach { case (k, v) => assert(math.abs(v - waves(k)) < 1e-9) }
+
+    // sampled roots: both paths restricted to the same root subset agree
+    val roots = Seq(1L, 4L).toDF("root")
+    val sb = toMap(GraphAlgorithms.betweenness(g, Some(roots)))
+    val sw = toMap(GraphAlgorithms.betweenness(g, Some(roots), broadcastEdgeLimit = 0L))
+    sb.foreach { case (k, v) => assert(math.abs(v - sw(k)) < 1e-9) }
+    // fewer roots → no more credit than the full-source run anywhere
+    sb.foreach { case (k, v) => assert(v <= bcast(k) + 1e-9) }
+  }
+
+  test("manager: metric recompute switches to sampled pivots above the node bound") {
+    // chain of 12 memories via LEADS_TO; exact bound forced tiny so the
+    // sampled estimator runs; the chain's betweenness peak must stay in
+    // the middle under sampling (ranking preserved)
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        betweennessExactMaxNodes = 4, betweennessSampleRoots = 6),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Nil), new AddAllReconciler)
+    (1 to 12).foreach(i =>
+      m.add(s"step $i", infer = false, sessionId = Some("s1"),
+        now = Some(1700000000000L + i * 1000)))
+    m.recomputeGraphMetricsIfDirty()
+    val bcByMem = m.store.memories
+      .select(col("id"), col("betweenness")).collect()
+      .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bcByMem.nonEmpty)
+    // ends of the chain carry no shortest-path credit, middle does
+    val mid = bcByMem.filter { case (k, _) => k >= 4 && k <= 9 }.values
+    assert(mid.exists(_ > 0.0))
+    assert(bcByMem(1L) <= mid.max && bcByMem(12L) <= mid.max)
+  }
+
   test("labelPropagation: two cliques converge to two communities") {
     // triangle {1,2,3} + triangle {4,5,6} + one bridge 3-4
     val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)

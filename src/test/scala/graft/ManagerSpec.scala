@@ -134,6 +134,48 @@ class ManagerSpec extends SparkSuite {
     assert(ma.getAll().size == 1)
   }
 
+  test("scoped hybrid candidates: tenant starved by global top-k still gets results") {
+    val store = new GraphStore(spark)
+    def mgr(user: String, scoped: Boolean) = new MemoryManager(spark,
+      MemoryConfig(userId = user, scopedHybridCandidates = scoped),
+      store, new MockEmbedder(16), new ScriptedExtractor(Nil), new AddAllReconciler)
+    // crowd the store: the global candidate page (fetchK=max(50,4k))
+    // fills with alice rows that all embed closer to the query text
+    val ma = mgr("alice", scoped = false)
+    (1 to 60).foreach(i => ma.add(s"common topic note $i", infer = false, now = Some(T0)))
+    val mb = mgr("bob", scoped = false)
+    mb.add("bob niche fact", infer = false, now = Some(T0))
+    // faithful mode: bob's row may or may not survive the global page —
+    // scoped mode MUST return it
+    val hits = mgr("bob", scoped = true).search("common topic note 1", k = 5)
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.userId == "bob"))
+  }
+
+  test("batched entity upsert: Spark job count does not scale with entity count") {
+    def run(nEnts: Int): Long = {
+      val ents = (1 to nEnts).map(i => ExtractedEntity(s"e$i", "t"))
+      val m = mkManager(outputs = Seq(Extraction(Seq("f"), ents, Nil)))
+      val counter = new java.util.concurrent.atomic.AtomicLong()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        m.add("msg", now = Some(T0))
+        Thread.sleep(300) // let queued listener events drain
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val one = run(1)
+    val eight = run(8)
+    // one lookup + one append regardless of entity count (was ~2 jobs
+    // per entity); allow small constant slack for AQE stages
+    assert(eight <= one + 2, s"jobs grew with entity count: $one -> $eight")
+  }
+
   test("stats relationCount is tenant-scoped on a shared store") {
     val store = new GraphStore(spark)
     def mgr(user: String) = new MemoryManager(spark,
