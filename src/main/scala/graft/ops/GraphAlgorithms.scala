@@ -48,23 +48,26 @@ object GraphAlgorithms {
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val e = e0.join(outdeg, "src")
-      .repartition(p, col("src"))
+      .repartition(col("src"))
       .localCheckpoint()
     val nodes = e0.select(col("src").as("node"))
       .unionByName(e0.select(col("dst").as("node")))
       .distinct()
-      .repartition(p, col("node"))
+      .repartition(col("node"))
       .localCheckpoint()
     var ranks = nodes.withColumn("rank", lit(1.0))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iters) {
+      // shuffle_hash: both sides are already hash-partitioned on the key,
+      // so SMJ's only extra work would be the per-iteration re-sort —
+      // hash build over the (smaller) rank table skips it
       val contribs = e
-        .join(ranks, e("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
         .groupBy(col("node"))
         .agg(sum(col("c")).as("in_sum"))
       val next = nodes
-        .join(contribs, Seq("node"), "left")
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
       if (i % 2 == 0 || i == iters) {
@@ -292,10 +295,10 @@ object GraphAlgorithms {
     val und = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .filter(col("src") =!= col("dst"))
-      .repartition(p, col("dst"))
+      .repartition(col("dst"))
       .localCheckpoint()
     val nodes = und.select(col("src").as("node")).distinct()
-      .repartition(p, col("node"))
+      .repartition(col("node"))
       .localCheckpoint()
     var labels = nodes.withColumn("label", col("node"))
     var lastCkpt: DataFrame = null
@@ -304,7 +307,7 @@ object GraphAlgorithms {
       // (node,label), then max_by over a (cnt, -label) total order —
       // both levels combine map-side, unlike a row_number window
       val next = und
-        .join(labels, und("dst") === labels("node"))
+        .join(labels.hint("shuffle_hash"), und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))

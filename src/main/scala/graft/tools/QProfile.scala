@@ -3,11 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.functions.HashFunctions
-import graft.ops.DedupOps
+import graft.ops.GraphAlgorithms
 
-/** Ad-hoc stage profiler for the expensive dedup query — not part of the
-  * driver contract; run with runMain graft.tools.QProfile.
+/** Ad-hoc stage profiler for the expensive iterative queries — not part
+  * of the driver contract; run with runMain graft.tools.QProfile.
   */
 object QProfile {
   def main(args: Array[String]): Unit = {
@@ -26,29 +25,15 @@ object QProfile {
       r
     }
 
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      .withColumn("grp_b", concat(col("lang"), lit("_"), pmod(col("n_chars"), lit(8))))
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val edges = li.select(col("l_orderkey").as("src"), col("l_partkey").as("dst"))
 
-    val sh = docs.select(
-      col("grp_b").as("grp"), col("doc_id").as("doc"),
-      sort_array(HashFunctions.hashedCharShingles(col("text"), 3)).as("sh"))
-
-    time("shingles only")(sh.agg(sum(size(col("sh")))).collect())
-    val shC = sh.localCheckpoint()
-    time("pairs count (no jaccard)") {
-      shC.as("l").join(shC.as("r"), Seq("grp"))
-        .filter(col("l.doc") < col("r.doc")).count()
-    }
-    time("pairs + jaccard (ckpt sh)") {
-      shC.as("l").join(shC.as("r"), Seq("grp"))
-        .filter(col("l.doc") < col("r.doc"))
-        .withColumn("jaccard", HashFunctions.jaccardSortedLong(col("l.sh"), col("r.sh")))
-        .filter(col("jaccard") >= 0.5).count()
-    }
-    time("full query (recompute sh)") {
-      DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "grp_b", n = 3, minJaccard = 0.5)
-        .count()
-    }
+    time("pagerank 20 iters")(
+      GraphAlgorithms.pageRank(edges, 20).agg(sum("pagerank")).collect())
+    time("pagerank 20 iters (2nd)")(
+      GraphAlgorithms.pageRank(edges, 20).agg(sum("pagerank")).collect())
+    time("lpa 5 rounds")(
+      GraphAlgorithms.labelPropagation(edges, 5).agg(sum("community")).collect())
     spark.stop()
   }
 }
