@@ -20,34 +20,7 @@ import graft.ops.FilterOps
   */
 object Cli {
 
-  // ---- minimal JSON writer (no extra deps allowed in build.sbt) ----
-  private def js(s: String): String =
-    "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-  private def jopt(o: Option[String]): String = o.map(js).getOrElse("null")
-  private def jarr(xs: Seq[String]): String = xs.mkString("[", ",", "]")
-  private def jobj(fields: (String, String)*): String =
-    fields.map { case (k, v) => js(k) + ":" + v }.mkString("{", ",", "}")
-
-  private def resultJson(r: SearchResult): String = jobj(
-    "memory_id" -> js(r.memoryId),
-    "text" -> js(r.text),
-    "score" -> r.score.toString,
-    "memory_type" -> js(r.memoryType),
-    "source" -> js(r.source),
-    "created_at" -> r.createdAt.map(_.toString).getOrElse("null"),
-    "session_id" -> jopt(r.sessionId),
-    "relations" -> jarr(r.relations.map(t => jobj(
-      "source" -> js(t.source), "relation" -> js(t.relation),
-      "target" -> js(t.target))))
-  )
+  import Json._
 
   /** Parse argv and execute one command against the given manager;
     * returns the JSON the command prints. Factored from main() so specs

@@ -28,7 +28,8 @@ final class MemoryManager(
     reranker: Option[Reranker] = None,
     summarizer: Summarizer = new ConcatSummarizer,
     vision: Vision = new HashVision,
-    clock: () => Long = () => System.currentTimeMillis()
+    clock: () => Long = () => System.currentTimeMillis(),
+    tracer: graft.trace.Tracer = graft.trace.NoopTracer
 ) {
 
   import MemoryTypes.{Default => DefaultType}
@@ -92,6 +93,7 @@ final class MemoryManager(
       infer: Boolean = true,
       now: Option[Long] = None
   ): AddResult = lockFor(config.userId).synchronized {
+    tracer.span("memory.add", Map("user" -> config.userId, "infer" -> infer.toString)) {
     usageIncr("add")
     val ts = now.getOrElse(clock())
     if (!infer) {
@@ -139,6 +141,7 @@ final class MemoryManager(
         AddResult(events)
       }
     }
+    }
   }
 
   /** S10 + W1 — add from message input (str | dict | list[dict] incl.
@@ -183,6 +186,7 @@ final class MemoryManager(
       runId: Option[String] = None,
       now: Option[Long] = None
   ): Seq[String] = lockFor(config.userId).synchronized {
+    tracer.span("memory.add_batch", Map("n" -> texts.size.toString)) {
     usageIncr("add_batch")
     val ts = now.getOrElse(clock())
     val embs = embedder.embed(texts)
@@ -198,6 +202,7 @@ final class MemoryManager(
     store.appendEdges(hist.map(h =>
       EdgeRow(store.nextEdgeId(), h.memory_id, h.id, EdgeTypes.HasHistory, Map.empty)))
     rows.map(_.id.toString)
+    }
   }
 
   /** J12 — reconciliation-candidate search: top-k cosine per fact above
@@ -208,7 +213,8 @@ final class MemoryManager(
   private def candidateSearch(
       facts: Seq[String],
       embeddings: Seq[Array[Float]]
-  ): Seq[(Long, String)] = {
+  ): Seq[(Long, String)] = tracer.span("memory.candidate_search",
+      Map("facts" -> facts.size.toString)) {
     val mem = scopedMemories()
     if (mem.isEmpty) Nil
     else {
@@ -599,7 +605,8 @@ final class MemoryManager(
     * retrigger whole-graph analytics on every search).
     */
   def recomputeGraphMetricsIfDirty(): Unit =
-    if (config.enableGraphAlgorithms && store.graphVersion != metricsVersion) {
+    if (config.enableGraphAlgorithms && store.graphVersion != metricsVersion)
+      tracer.span("memory.graph_metrics_recompute") {
       val ge = globalEdges.localCheckpoint()
       if (!ge.isEmpty) {
         val pr = GraphAlgorithms.pageRank(ge)
@@ -742,7 +749,8 @@ final class MemoryManager(
       pointInTime: Option[Long],
       now: Option[Long],
       trace: Option[scala.collection.mutable.ArrayBuffer[ExplainStep]]
-  ): Seq[SearchResult] = {
+  ): Seq[SearchResult] = tracer.span("memory.search",
+      Map("user" -> config.userId, "k" -> k.toString)) {
     usageIncr("search")
     recomputeGraphMetricsIfDirty() // lazy G1-G4 maintenance (manager.py:541-549)
     val hints = TemporalOps.detectTemporalHints(query)
@@ -1097,7 +1105,8 @@ final class MemoryManager(
       .toMap
 
   /** W4 — direct update: overwrite text + re-embed (manager.py:1093-1112). */
-  def update(memoryId: String, newText: String, now: Option[Long] = None): Boolean = {
+  def update(memoryId: String, newText: String, now: Option[Long] = None): Boolean =
+    tracer.span("memory.update", Map("id" -> memoryId)) {
     usageIncr("update")
     val ts = now.getOrElse(clock())
     val id = memoryId.toLong
@@ -1117,21 +1126,23 @@ final class MemoryManager(
   }
 
   /** W5 — hard delete. */
-  def delete(memoryId: String): Boolean = {
-    usageIncr("delete")
-    val id = memoryId.toLong
-    val exists = !store.memories.filter(col("id") === id).isEmpty
-    if (exists) store.deleteMemories(Seq(id))
-    exists
-  }
+  def delete(memoryId: String): Boolean =
+    tracer.span("memory.delete", Map("id" -> memoryId)) {
+      usageIncr("delete")
+      val id = memoryId.toLong
+      val exists = !store.memories.filter(col("id") === id).isEmpty
+      if (exists) store.deleteMemories(Seq(id))
+      exists
+    }
 
   /** W5 — delete_all within scope; returns the deleted count (A10). */
-  def deleteAll(): Long = {
-    usageIncr("delete_all")
-    val ids = scopeCol(store.memories).select(col("id")).collect().map(_.getLong(0))
-    store.deleteMemories(ids.toSeq)
-    ids.length.toLong
-  }
+  def deleteAll(): Long =
+    tracer.span("memory.delete_all", Map("user" -> config.userId)) {
+      usageIncr("delete_all")
+      val ids = scopeCol(store.memories).select(col("id")).collect().map(_.getLong(0))
+      store.deleteMemories(ids.toSeq)
+      ids.length.toLong
+    }
 
   /** W12 — set_importance with [0,1] validation (manager.py:2016-2028). */
   def setImportance(memoryId: String, importance: Double): Boolean = {
@@ -1160,7 +1171,7 @@ final class MemoryManager(
   }
 
   /** S11 — stats scan (manager.py:1926-2014). */
-  def stats(): MemoryStats = {
+  def stats(): MemoryStats = tracer.span("memory.stats") {
     val m = scopeCol(store.memories)
     val typed = m.filter(col("expired_at").isNull)
       .groupBy(coalesce(col("memory_type"), lit(MemoryTypes.Default)).as("t"))
@@ -1329,6 +1340,7 @@ final class MemoryManager(
     * hard-delete originals (manager.py:1835-1915).
     */
   def summarize(now: Option[Long] = None): Seq[String] = lockFor(config.userId).synchronized {
+    tracer.span("memory.summarize", Map("user" -> config.userId)) {
     usageIncr("summarize")
     val ts = now.getOrElse(clock())
     val topo = GraphOps.topologyScores(
@@ -1359,5 +1371,6 @@ final class MemoryManager(
         id.toString
       }
     }.toSeq
+    }
   }
 }
