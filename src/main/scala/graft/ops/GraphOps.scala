@@ -35,15 +35,100 @@ object GraphOps {
     * usually tiny → AQE broadcasts them. Output: (root, node, depth) with
     * the MINIMUM depth per (root, node) — first-visit semantics.
     */
+  /** Edge bound under which the BFS runs root-parallel over a broadcast
+    * adjacency instead of per-depth frontier joins — a depth-10 walk on
+    * a small graph otherwise pays 10 wave-scheduling rounds for data
+    * that fits in one broadcast (same dual-path rationale as
+    * [[GraphAlgorithms.betweenness]]). Lower than betweenness's bound:
+    * a chain walk has FEW roots, so the driver-side collect+index isn't
+    * amortized the way |V| Brandes sources amortize it — measured
+    * crossover on the sf0.1 order-chain graph (~110k edges, ~30 roots)
+    * favors waves.
+    */
+  val BfsBroadcastEdgeLimit = 32768L
+
   def varLengthPaths(
       edges: DataFrame,
       edgeType: String,
       seeds: DataFrame, // single column `root` (node ids)
       maxDepth: Int,
-      reverse: Boolean = false
+      reverse: Boolean = false,
+      broadcastEdgeLimit: Long = BfsBroadcastEdgeLimit
   ): DataFrame = {
     val e0 = expand(edges, edgeType)
-    val e = if (reverse) e0.select(col("dst").as("src"), col("src").as("dst")) else e0
+    val e1 = if (reverse) e0.select(col("dst").as("src"), col("src").as("dst")) else e0
+    val eCk = e1.distinct().localCheckpoint()
+    if (eCk.count() <= broadcastEdgeLimit)
+      varLengthPathsBroadcast(eCk, seeds, maxDepth)
+    else varLengthPathsWaves(eCk, seeds, maxDepth)
+  }
+
+  /** Root-parallel BFS over a broadcast adjacency (bounded graphs):
+    * min-depth-per-(root,node) semantics identical to the wave path.
+    */
+  private def varLengthPathsBroadcast(
+      e: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int
+  ): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edgePairs = e.select(col("src").cast("string"), col("dst").cast("string"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nodeKeys = (edgePairs.flatMap(p => Seq(p._1, p._2)).distinct).sorted
+    val idx = nodeKeys.zipWithIndex.toMap
+    val adjBuf = Array.fill(nodeKeys.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    edgePairs.foreach { case (s, d) => adjBuf(idx(s)) += idx(d) }
+    val adj = adjBuf.map(_.toArray.sorted)
+    val rootKeys = seeds.select(col("root").cast("string"))
+      .distinct().collect().map(_.getString(0))
+    val rootIdx = rootKeys.flatMap(idx.get).sorted
+
+    val sc = spark.sparkContext
+    val bcAdj = sc.broadcast(adj)
+    val par = math.max(1, math.min(rootIdx.length, sc.defaultParallelism))
+    val hits =
+      if (rootIdx.isEmpty) sc.emptyRDD[(Int, Int, Int)]
+      else sc.parallelize(rootIdx.toIndexedSeq, par).flatMap { r =>
+        val a = bcAdj.value
+        val dist = Array.fill(a.length)(-1)
+        dist(r) = 0
+        var frontier = List(r)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+        var d = 1
+        while (d <= maxDepth && frontier.nonEmpty) {
+          val next = scala.collection.mutable.ListBuffer.empty[Int]
+          frontier.foreach { v =>
+            a(v).foreach { w =>
+              if (dist(w) < 0) { dist(w) = d; out += ((r, w, d)); next += w }
+            }
+          }
+          frontier = next.toList
+          d += 1
+        }
+        out
+      }
+    // map indices back through the ORIGINAL-typed node values so output
+    // schema matches the wave path exactly
+    val nodesTyped = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v")))
+      .distinct()
+      .withColumn("key", col("v").cast("string"))
+    val keyIdx = nodeKeys.zipWithIndex.toSeq.toDF("key", "i")
+    val typedIdx = nodesTyped.join(broadcast(keyIdx), Seq("key"))
+      .select(col("i"), col("v"))
+    hits.toDF("ri", "ni", "depth")
+      .join(broadcast(typedIdx.select(col("i").as("ri"), col("v").as("root"))), Seq("ri"))
+      .join(broadcast(typedIdx.select(col("i").as("ni"), col("v").as("node"))), Seq("ni"))
+      .select(col("root"), col("node"), col("depth"))
+  }
+
+  private def varLengthPathsWaves(
+      e: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int
+  ): DataFrame = {
     // Iterative joins grow lineage exponentially, so each accumulated
     // `visited` snapshot is localCheckpoint'ed (eager, lineage-truncating)
     // and the PREVIOUS snapshot's blocks are freed once the new one is

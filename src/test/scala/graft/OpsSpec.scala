@@ -26,6 +26,17 @@ class OpsSpec extends SparkSuite {
       maxDepth = 10, reverse = true)
       .select("node", "depth").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(rev == Map(3L -> 1, 2L -> 2, 1L -> 2))
+
+    // broadcast and wave paths agree (incl. multi-root, depth cap)
+    val seeds2 = Seq(1L, 2L).toDF("root")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("root", "node", "depth").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bcast = rows(GraphOps.varLengthPaths(edges, "T", seeds2, maxDepth = 2))
+    val waves = rows(GraphOps.varLengthPaths(edges, "T", seeds2, maxDepth = 2,
+      broadcastEdgeLimit = 0L))
+    assert(bcast == waves)
+    assert(bcast((1L, 4L, 2)) || !bcast.contains((1L, 4L, 3))) // depth cap holds
   }
 
   test("mergeResults: agreement bonus on max, passthrough otherwise") {
