@@ -44,6 +44,25 @@ object TextQueries {
         TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords")
       ).orderBy(col("doc_id"))
     },
+    "q_text_quality_rules" -> { (s, dir) =>
+      // Gopher-rule battery: every flag + the conjunction, per document
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val t = col("text")
+      val wcOk = TextFunctions.gopherWordCountOk(t, lo = 20)
+      val mlOk = TextFunctions.gopherMeanLenOk(t)
+      val symRatio = TextFunctions.gopherSymbolRatio(t)
+      val stopHits = TextFunctions.gopherStopHits(t)
+      docs.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).cast("long").as("n_words"),
+        wcOk.as("wc_ok"),
+        mlOk.as("mean_len_ok"),
+        round(symRatio, 6).as("symbol_ratio"),
+        stopHits.cast("long").as("stop_hits"),
+        (wcOk && mlOk && symRatio < 0.1 && stopHits >= 2).as("passes")
+      ).orderBy(col("doc_id"))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       val docs = load(s, dir, "documents")
       DedupOps.exactDuplicates(docs, "doc_id", "text")
@@ -194,7 +213,27 @@ object TextQueries {
          |WHERE ${sqlJaccard("l.sh", "r.sh")} >= 0.5
          |ORDER BY l.grp, doc_a, doc_b""".stripMargin
 
+    val qualityRules =
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_words,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') / len(toks) END AS mean_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE (length(text) - length(translate(text, '#@~', '')))::DOUBLE / len(toks) END AS symbol_ratio,
+         |  len(list_filter(list_distinct(toks), x -> x IN ($stopIn)))::BIGINT AS stop_hits
+         |  FROM t)
+         |SELECT doc_id, n_words,
+         |  (n_words >= 20 AND n_words <= 100000) AS wc_ok,
+         |  (mean_len >= 3.0 AND mean_len <= 10.0) AS mean_len_ok,
+         |  round(symbol_ratio, 6) AS symbol_ratio,
+         |  stop_hits,
+         |  ((n_words >= 20 AND n_words <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         |    AND symbol_ratio < 0.1 AND stop_hits >= 2) AS passes
+         |FROM m ORDER BY doc_id""".stripMargin
+
     Map(
+      "q_text_quality_rules" -> qualityRules,
       "q_text_stats" -> textStats,
       "q_text_langid" -> langid,
       "q_text_fingerprint" -> fingerprint,

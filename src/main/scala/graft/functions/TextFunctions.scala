@@ -80,6 +80,30 @@ object TextFunctions {
   }
 
   /** Stopword lists for a tiny deterministic language-ID heuristic. */
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard pretraining-corpus filter battery), as pure Column flags:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    * and a minimum of distinct common-stopword hits. Thresholds are the
+    * published defaults scaled to short synthetic docs where noted.
+    */
+  def gopherWordCountOk(text: Column, lo: Int = 50, hi: Int = 100000): Column = {
+    val n = tokenCount(text)
+    n >= lo && n <= hi
+  }
+  def gopherMeanLenOk(text: Column, lo: Double = 3.0, hi: Double = 10.0): Column = {
+    val m = meanTokenLength(text)
+    m >= lo && m <= hi
+  }
+  /** '#'/'@'/'~' occurrences per word (Gopher uses #/… — kept ASCII so
+    * Spark and DuckDB `translate` agree bytewise). */
+  def gopherSymbolRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    val sym = (length(text) - length(translate(text, "#@~", ""))).cast("double")
+    when(n === 0, lit(0.0)).otherwise(sym / n.cast("double"))
+  }
+  def gopherStopHits(text: Column): Column =
+    size(filter(array_distinct(tokens(text)), t => t.isin(EnglishStopwords: _*)))
+
   val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
     "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
