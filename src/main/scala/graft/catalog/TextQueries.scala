@@ -96,6 +96,15 @@ object TextQueries {
       DedupOps.simhashFingerprints(docs, "doc_id", "text", bits = 32)
         .orderBy(col("doc_id"))
     },
+    "q_dedup_simhash_pairs" -> { (s, dir) =>
+      // banded simhash self-join: exact recall for Hamming <= 3 via the
+      // 4-slice pigeonhole, never all-pairs
+      val docs = load(s, dir, "documents")
+      DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
+          bits = 32, bands = 4, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       // exact all-pairs is contractually a BOUNDED-GROUP op — bucket by
       // (lang, n_chars % 8) so group sizes stay ~1/8 of a language slice
@@ -232,8 +241,22 @@ object TextQueries {
          |    AND symbol_ratio < 0.1 AND stop_hits >= 2) AS passes
          |FROM m ORDER BY doc_id""".stripMargin
 
+    val simhashPairs =
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT)::BIGINT) AS hashes
+         |  FROM documents),
+         |fp AS (SELECT doc_id AS doc, ($voteTerms)::BIGINT AS sh FROM t),
+         |banded AS (SELECT doc, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+         |  FROM fp, (SELECT unnest([0,1,2,3]) AS band) b),
+         |pairs AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b,
+         |    bit_count(xor(l.sh, r.sh))::BIGINT AS hamming
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+
     Map(
       "q_text_quality_rules" -> qualityRules,
+      "q_dedup_simhash_pairs" -> simhashPairs,
       "q_text_stats" -> textStats,
       "q_text_langid" -> langid,
       "q_text_fingerprint" -> fingerprint,

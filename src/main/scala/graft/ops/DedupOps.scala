@@ -122,6 +122,47 @@ object DedupOps {
   ): DataFrame =
     df.select(col(idCol), HashFunctions.simhash(col(textCol), bits).as("simhash"))
 
+  /** SimHash near-dup candidate pairs at scale: band the `bits`-wide
+    * fingerprint into `bands` contiguous bit-slices and self-join on
+    * (band, slice) — by pigeonhole, any pair within Hamming distance
+    * `maxHamming` < bands shares at least one identical slice, so
+    * recall is EXACT for that radius while the join stays bucketed
+    * (never all-pairs). Candidates are verified with the true Hamming
+    * distance. Output: (doc_a, doc_b, hamming).
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val fp = df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .repartition(p, col("doc"))
+      .select(col("doc"), HashFunctions.simhash(col("t"), bits).as("sh"))
+    val banded = fp.select(
+      col("doc"), col("sh"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sh"), b * sliceBits).bitwiseAND(lit(mask)).as("key"))): _*))
+        .as("bk"))
+      .select(col("doc"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("l")
+      .join(banded.as("r"), Seq("band", "key"))
+      .filter(col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set
     * (all pairs within a grouping key, e.g. same source bucket).
     * Shingles are md5-hashed to longs before the all-pairs join — the

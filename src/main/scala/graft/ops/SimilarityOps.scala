@@ -137,6 +137,23 @@ object SimilarityOps {
     (assigned, centroids)
   }
 
+  /** The 100 TB layout: persist the assigned corpus PARTITIONED BY cell
+    * so a probe becomes a partition-pruned scan — Spark reads only the
+    * nProbe cell directories (PlanSpec asserts PartitionFilters appear).
+    */
+  def writeIvfPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** Read back only the probed cells; the cell predicate is a partition
+    * filter, never a row filter.
+    */
+  def readIvfCells(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cells: Seq[Int]
+  ): DataFrame =
+    spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+
   /** IVF probe: route each query to its nProbe nearest cells, exact
     * cosine re-rank within the probed cells only. At scale the corpus is
     * written partitioned by `cell`, so the probe prunes partitions at

@@ -39,6 +39,27 @@ class OpsSpec extends SparkSuite {
     assert(bcast((1L, 4L, 2)) || !bcast.contains((1L, 4L, 3))) // depth cap holds
   }
 
+  test("simhashNearDupPairs: banded join finds EXACTLY the brute-force Hamming<=3 pairs") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val banded = graft.ops.DedupOps
+      .simhashNearDupPairs(docs, "doc_id", "text", bits = 32, bands = 4, maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over all pairs — the ground truth the pigeonhole
+    // banding must reproduce exactly for hamming <= bands-1
+    val fp = docs.select(col("doc_id"),
+      graft.functions.HashFunctions.simhash(col("text"), 32).as("sh"))
+    val brute = fp.as("l").join(fp.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id"), col("r.doc_id"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("h"))
+      .filter(col("h") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded == brute)
+    assert(brute.nonEmpty) // the corpus contains exact dups → hamming 0 pairs
+  }
+
   test("mergeResults: agreement bonus on max, passthrough otherwise") {
     val v = Seq((1L, 0.8), (2L, 0.5)).toDF("id", "score")
     val g = Seq((1L, 0.6), (3L, 0.4)).toDF("id", "score")

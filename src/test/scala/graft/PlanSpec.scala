@@ -47,6 +47,22 @@ class PlanSpec extends SparkSuite {
       plan(q).contains("BroadcastNestedLoopJoin"), plan(q).take(800))
   }
 
+  test("cell-partitioned IVF layout prunes partitions at the scan") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val (assigned, _) = SimilarityOps.ivfIndex(emb, "vec_id", "embedding", 4)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    SimilarityOps.writeIvfPartitioned(assigned, dir)
+    val probed = SimilarityOps.readIvfCells(spark, dir, Seq(1, 2))
+    val p = plan(probed)
+    assert(p.contains("PartitionFilters:") && p.contains("cell"), p.take(800))
+    // the cell predicate must NOT appear as a pushed ROW filter
+    assert(!p.replaceAll("(?s)PartitionFilters.*?]", "").contains("In(cell"),
+      p.take(800))
+    assert(probed.select(col("cell")).distinct().collect()
+      .map(_.getInt(0)).toSet == Set(1, 2))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
