@@ -26,28 +26,61 @@ object Cli {
     * returns the JSON the command prints. Factored from main() so specs
     * drive it without a process boundary.
     */
+  private val FlagsTakingValue =
+    Set("--user", "--store", "-k", "--type", "-t", "--min-score",
+      "--session", "--limit")
+
+  /** First token that is neither a flag nor a flag's value — so the
+    * documented `--user bob add ...` placement parses `add`, not `bob`. */
+  private[api] def commandOf(args: Seq[String]): (Int, String) = {
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("-")) i += (if (FlagsTakingValue(a)) 2 else 1)
+      else return (i, a)
+    }
+    (-1, "help")
+  }
+
   def run(args: Seq[String], m: MemoryManager): String = {
     def flag(name: String): Boolean = args.contains(name)
     def opt(name: String): Option[String] = {
       val i = args.indexOf(name)
       if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
     }
-    // positional args = everything after the command that isn't a flag
-    val cmdIdx = args.indexWhere(a => !a.startsWith("-"), 0)
-    val cmd = if (cmdIdx >= 0) args(cmdIdx) else "help"
-    val flagsTakingValue =
-      Set("--user", "--store", "-k", "--type", "-t", "--min-score",
-        "--session", "--limit")
+    val (cmdIdx, cmd) = commandOf(args)
     val positional = args.zipWithIndex.drop(cmdIdx + 1).collect {
       case (a, i) if !a.startsWith("-") &&
-        !(i > 0 && flagsTakingValue(args(i - 1))) => a
+        !(i > 0 && FlagsTakingValue(args(i - 1))) => a
     }
+    def pos(i: Int, what: String): String =
+      if (i < positional.length) positional(i)
+      else throw new IllegalArgumentException(s"missing argument: $what")
     val k = opt("-k").map(_.toInt).getOrElse(10)
     val memoryType = opt("--type").orElse(opt("-t"))
 
+    // bad arguments return the same {"error": ...} contract as the MCP
+    // surface instead of a stack trace (cli.py exits with a message)
+    try runCmd(cmd, m, positional, pos, flag, opt, k, memoryType)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        jobj("error" -> js(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+    }
+  }
+
+  private def runCmd(
+      cmd: String,
+      m: MemoryManager,
+      positional: Seq[String],
+      pos: (Int, String) => String,
+      flag: String => Boolean,
+      opt: String => Option[String],
+      k: Int,
+      memoryType: Option[String]
+  ): String = {
     cmd match {
       case "add" =>
-        val res = m.add(positional.head, infer = !flag("--no-infer"),
+        val res = m.add(pos(0, "text"), infer = !flag("--no-infer"),
           memoryType = memoryType.getOrElse(MemoryTypes.Default))
         jobj("events" -> jarr(res.events.map(e => jobj(
           "event" -> js(e.event),
@@ -61,12 +94,12 @@ object Cli {
       case "list" =>
         jobj("results" -> jarr(m.getAll(memoryType).map(resultJson)))
       case "update" =>
-        jobj("updated" -> m.update(positional(0), positional(1)).toString)
+        jobj("updated" -> m.update(pos(0, "memory_id"), pos(1, "text")).toString)
       case "delete" =>
         if (flag("--all")) jobj("deleted" -> m.deleteAll().toString)
-        else jobj("deleted" -> m.delete(positional.head).toString)
+        else jobj("deleted" -> m.delete(pos(0, "memory_id")).toString)
       case "history" =>
-        jobj("history" -> jarr(m.history(positional.head).map(h => jobj(
+        jobj("history" -> jarr(m.history(pos(0, "memory_id")).map(h => jobj(
           "event" -> js(h.event),
           "timestamp" -> h.timestamp.toString,
           "old_text" -> jopt(h.oldText),
@@ -136,7 +169,7 @@ object Cli {
         MemoryConfig(userId = user, embeddingDimensions = dims),
         store, new MockEmbedder(dims), new HeuristicExtractor,
         new AddAllReconciler)
-      val cmd = args.find(a => !a.startsWith("-")).getOrElse("help")
+      val (_, cmd) = commandOf(args)
       println(run(args, m))
       if (isMutating(cmd)) storeDir.foreach(store.persist)
     } finally spark.stop()

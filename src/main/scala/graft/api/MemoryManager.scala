@@ -511,8 +511,13 @@ final class MemoryManager(
     val chainKey = runId.orElse(config.runId).orElse(sessionId)
     if (config.enableEpisodes && hasEvents) {
       val epId = store.nextEpisodeId()
+      // episode rows store the EFFECTIVE run id (per-call or config) —
+      // the reference stores config.run_id (manager.py:1245-1246) and
+      // the chain lookup below matches coalesce(run_id, session_id)
+      // against chainKey, so the stored value must equal the key or
+      // NEXT_EPISODE linking silently never fires when config.runId set
       store.appendEpisodes(Seq(EpisodeRow(epId, content, "message",
-        config.userId, ts, sessionId, runId)))
+        config.userId, ts, sessionId, runId.orElse(config.runId))))
       store.appendEdges(newIds.map(m =>
         EdgeRow(store.nextEdgeId(), epId, m, EdgeTypes.Produced, Map.empty)))
       // one lookup for ALL mentioned entities (was a per-entity probe)

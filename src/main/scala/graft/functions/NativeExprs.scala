@@ -62,30 +62,34 @@ private[functions] object NativeExprs {
       val nx = x.numElements()
       val ny = y.numElements()
       var sa = 0.0; var sb = 0.0; var dot = 0.0
-      var anyNull = false
+      var nullA = false; var nullB = false
       var i = 0
       while (i < nx) {
-        if (x.isNullAt(i)) anyNull = true
+        if (x.isNullAt(i)) nullA = true
         else { val v = elemAt(left.dataType, x, i); sa += v * v }
         i += 1
       }
       i = 0
       while (i < ny) {
-        if (y.isNullAt(i)) anyNull = true
+        if (y.isNullAt(i)) nullB = true
         else { val v = elemAt(right.dataType, y, i); sb += v * v }
         i += 1
       }
-      if (!anyNull && nx == ny) {
+      if (!nullA && !nullB && nx == ny) {
         i = 0
         while (i < nx) {
           dot += elemAt(left.dataType, x, i) * elemAt(right.dataType, y, i)
           i += 1
         }
       }
-      val na = math.sqrt(sa); val nb = math.sqrt(sb)
-      if (na == 0.0 || nb == 0.0) 0.0
-      else if (anyNull || nx != ny) null
-      else dot / (na * nb)
+      // 3-valued-logic mirror of when(na === 0 || nb === 0, 0.0): a null
+      // element makes that side's norm NULL, so its ===0 test is null,
+      // never true — only a null-free zero-norm side short-circuits to 0
+      val naZero = !nullA && math.sqrt(sa) == 0.0
+      val nbZero = !nullB && math.sqrt(sb) == 0.0
+      if (naZero || nbZero) 0.0
+      else if (nullA || nullB || nx != ny) null
+      else dot / (math.sqrt(sa) * math.sqrt(sb))
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -96,22 +100,24 @@ private[functions] object NativeExprs {
         int nx = $a.numElements();
         int ny = $b.numElements();
         double sa = 0.0, sb = 0.0, dot = 0.0;
-        boolean anyNull = false;
+        boolean nullA = false, nullB = false;
         for (int i = 0; i < nx; i++) {
-          if ($a.isNullAt(i)) { anyNull = true; }
+          if ($a.isNullAt(i)) { nullA = true; }
           else { double v = $gx; sa += v * v; }
         }
         for (int i = 0; i < ny; i++) {
-          if ($b.isNullAt(i)) { anyNull = true; }
+          if ($b.isNullAt(i)) { nullB = true; }
           else { double v = $gy; sb += v * v; }
         }
-        if (!anyNull && nx == ny) {
+        if (!nullA && !nullB && nx == ny) {
           for (int i = 0; i < nx; i++) { dot += ($gx) * ($gy); }
         }
-        double na = Math.sqrt(sa); double nb = Math.sqrt(sb);
-        if (na == 0.0 || nb == 0.0) { ${ev.value} = 0.0; }
-        else if (anyNull || nx != ny) { ${ev.isNull} = true; }
-        else { ${ev.value} = dot / (na * nb); }
+        // null element => that side's ===0 test is NULL, never true
+        boolean naZero = !nullA && Math.sqrt(sa) == 0.0;
+        boolean nbZero = !nullB && Math.sqrt(sb) == 0.0;
+        if (naZero || nbZero) { ${ev.value} = 0.0; }
+        else if (nullA || nullB || nx != ny) { ${ev.isNull} = true; }
+        else { ${ev.value} = dot / (Math.sqrt(sa) * Math.sqrt(sb)); }
         """
       })
 

@@ -67,7 +67,7 @@ final class MemoryTools(m: MemoryManager) {
         case "memory_add" =>
           val res = m.add(
             str("text").getOrElse(throw new IllegalArgumentException("text required")),
-            memoryType = str("memory_type").getOrElse("semantic"),
+            memoryType = str("memory_type").getOrElse(graft.core.MemoryTypes.Default),
             sessionId = str("session_id"),
             infer = bool("infer", d = true))
           jobj("events" -> jarr(res.events.map(e => jobj(
@@ -80,7 +80,7 @@ final class MemoryTools(m: MemoryManager) {
             case _ => throw new IllegalArgumentException("texts required")
           }
           val ids = m.addBatch(texts,
-            memoryType = str("memory_type").getOrElse("semantic"))
+            memoryType = str("memory_type").getOrElse(graft.core.MemoryTypes.Default))
           jobj("memory_ids" -> jarr(ids.map(js)))
         case "memory_search" =>
           val hits = m.search(

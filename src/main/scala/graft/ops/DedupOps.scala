@@ -159,8 +159,10 @@ object DedupOps {
       .filter(col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
         bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
-      .distinct()
+      // verify BEFORE the dedup shuffle: hamming is a pure function of
+      // the pair, so the distinct only carries surviving candidates
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for a bounded candidate set

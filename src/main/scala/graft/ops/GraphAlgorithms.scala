@@ -291,6 +291,11 @@ object GraphAlgorithms {
     */
   def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
     val p = edges.sparkSession.sessionState.conf.numShufflePartitions
+    // max_by over (cnt, -label) needs numeric negation; non-numeric node
+    // ids (the API accepts any orderable type) use the row_number window
+    // instead — same argmax, one extra sort per round
+    val numericIds = edges.schema("src").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val dir = edges.select(col("src"), col("dst")).distinct()
     val und = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -306,13 +311,22 @@ object GraphAlgorithms {
       // most-frequent neighbor label, smallest label on ties: count per
       // (node,label), then max_by over a (cnt, -label) total order —
       // both levels combine map-side, unlike a row_number window
-      val next = und
+      val counted = und
         .join(labels.hint("shuffle_hash"), und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-        .groupBy(col("node"))
-        .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+      val next =
+        if (numericIds)
+          counted.groupBy(col("node"))
+            .agg(max_by(col("label"), struct(col("cnt"), -col("label"))).as("label"))
+        else {
+          val w = Window.partitionBy(col("node"))
+            .orderBy(col("cnt").desc, col("label").asc)
+          counted.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("node"), col("label"))
+        }
       if (i % 2 == 0 || i == rounds) {
         val ck = next.localCheckpoint()
         if (lastCkpt != null) lastCkpt.unpersist(blocking = false)

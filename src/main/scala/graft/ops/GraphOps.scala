@@ -57,10 +57,13 @@ object GraphOps {
   ): DataFrame = {
     val e0 = expand(edges, edgeType)
     val e1 = if (reverse) e0.select(col("dst").as("src"), col("src").as("dst")) else e0
-    val eCk = e1.distinct().localCheckpoint()
-    if (eCk.count() <= broadcastEdgeLimit)
-      varLengthPathsBroadcast(eCk, seeds, maxDepth)
-    else varLengthPathsWaves(eCk, seeds, maxDepth)
+    // dispatch on a BOUNDED count — limit(N+1).count() stops scanning
+    // once the bound is exceeded, so the large-graph wave path never
+    // materializes or fully counts the edge table just to route
+    val bounded = e1.limit((broadcastEdgeLimit + 1).toInt).count()
+    if (bounded <= broadcastEdgeLimit)
+      varLengthPathsBroadcast(e1.distinct(), seeds, maxDepth)
+    else varLengthPathsWaves(e1, seeds, maxDepth)
   }
 
   /** Root-parallel BFS over a broadcast adjacency (bounded graphs):
@@ -285,14 +288,26 @@ object GraphOps {
   }
 
   /** Deterministic pivot sampling for approximate whole-graph metrics
-    * (Brandes–Pich roots): every stride-th node id, capped at `maxRoots`.
-    * Plans as filter + TakeOrderedAndProject — no global window, so it
-    * costs one scan regardless of graph size.
+    * (Brandes–Pich roots): hash-stride over the node ids, capped at
+    * `maxRoots`, ordered by hash so the kept subset is a uniform
+    * pseudo-random draw. Hashing matters: raw `node % stride` is biased
+    * when ids carry structure (the engine's global keys are id*8+code —
+    * an even stride would categorically exclude odd label codes), and
+    * ordering by raw id would concentrate pivots on the oldest nodes.
+    * Plans as filter + TakeOrderedAndProject — no global window, one
+    * scan regardless of graph size. Falls back to the lowest-hash
+    * `maxRoots` nodes if the stride filter somehow matches nothing.
     */
-  def samplePivots(nodes: DataFrame, stride: Long, maxRoots: Int): DataFrame =
-    nodes
-      .filter(pmod(col("node"), lit(stride)) === 0)
-      .orderBy(col("node").asc)
+  def samplePivots(nodes: DataFrame, stride: Long, maxRoots: Int): DataFrame = {
+    val h = abs(xxhash64(col("node")))
+    val strided = nodes
+      .filter(pmod(h, lit(math.max(1L, stride))) === 0)
+      .orderBy(h.asc, col("node").asc)
       .limit(maxRoots)
       .select(col("node").as("root"))
+    if (strided.isEmpty)
+      nodes.orderBy(h.asc, col("node").asc).limit(maxRoots)
+        .select(col("node").as("root"))
+    else strided
+  }
 }

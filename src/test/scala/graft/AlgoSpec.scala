@@ -78,7 +78,7 @@ class AlgoSpec extends SparkSuite {
     // the middle under sampling (ranking preserved)
     val m = new MemoryManager(spark,
       MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
-        betweennessExactMaxNodes = 4, betweennessSampleRoots = 6),
+        betweennessExactMaxNodes = 4, betweennessSampleRoots = 12),
       new GraphStore(spark), new MockEmbedder(16),
       new ScriptedExtractor(Nil), new AddAllReconciler)
     (1 to 12).foreach(i =>
@@ -89,10 +89,23 @@ class AlgoSpec extends SparkSuite {
       .select(col("id"), col("betweenness")).collect()
       .filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(bcByMem.nonEmpty)
-    // ends of the chain carry no shortest-path credit, middle does
-    val mid = bcByMem.filter { case (k, _) => k >= 4 && k <= 9 }.values
-    assert(mid.exists(_ > 0.0))
-    assert(bcByMem(1L) <= mid.max && bcByMem(12L) <= mid.max)
+    // node 1 has no in-edges, so no shortest path passes THROUGH it
+    // under any root sample; interior memories carry credit as long as
+    // any sampled root is an early chain memory — with 12 of ~24 nodes
+    // sampled (hash-strided, deterministic) that always holds. (Node 12
+    // is NOT a sink: mem→history edges let paths pass through it.)
+    assert(bcByMem.values.exists(_ > 0.0))
+    assert(bcByMem(1L) == 0.0)
+  }
+
+  test("labelPropagation accepts non-numeric node ids (window fallback)") {
+    // (a 2-node component would oscillate under synchronous LPA — same
+    // for numeric ids — so the fixture is a triangle, which converges)
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+    val got = GraphAlgorithms.labelPropagation(e, rounds = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got.values.toSet.size == 1) // triangle converges to one label
   }
 
   test("labelPropagation: two cliques converge to two communities") {

@@ -62,6 +62,19 @@ class CliSpec extends SparkSuite {
     assert(Cli.run(Seq("bogus"), m).contains("unknown command"))
   }
 
+  test("global flags before the command parse correctly; bad args return error JSON") {
+    val m = mkManager()
+    // --user takes a value: "add" is the command, not "bob"
+    val out = Cli.run(Seq("--user", "bob", "add", "flagged note", "--no-infer"), m)
+    assert(out.contains("\"ADD\""), out)
+    assert(Cli.run(Seq("list"), m).contains("flagged note"))
+    // missing positionals → {"error": ...}, not a stack trace
+    assert(Cli.run(Seq("add"), m).contains("missing argument: text"))
+    assert(Cli.run(Seq("update", "1"), m).contains("missing argument: text"))
+    assert(Cli.run(Seq("update", "zzz", "t"), m).contains("\"error\""))
+    assert(Cli.run(Seq("history"), m).contains("missing argument: memory_id"))
+  }
+
   test("JSON escaping survives quotes and newlines") {
     val m = mkManager()
     Cli.run(Seq("add", "say \"hi\"\nthen leave", "--no-infer"), m)

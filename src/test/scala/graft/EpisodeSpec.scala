@@ -51,6 +51,22 @@ class EpisodeSpec extends SparkSuite {
     assert(m.getEpisodes(limit = 1).map(_.episodeId) == Seq("1"))
   }
 
+  test("episode chain links when the run id comes from CONFIG, not the call") {
+    // regression: chainKey uses runId.orElse(config.runId); the stored
+    // episode row must carry the same effective run id or the
+    // prev-episode lookup never matches (manager.py:1245-1246,1297)
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", runId = Some("r9"), enableEpisodes = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Nil), new AddAllReconciler)
+    m.add("first", infer = false, sessionId = Some("s"), now = Some(T0))
+    m.add("second", infer = false, sessionId = Some("s"), now = Some(T0 + 1000))
+    val nextEdges = m.store.edges
+      .filter(col("edge_type") === EdgeTypes.NextEpisode).count()
+    assert(nextEdges == 1L) // episode 1 -> episode 2 linked via config.runId
+    assert(m.episodeChain("1") == Seq("1", "2"))
+  }
+
   test("relation reconciliation (W10): trait-selected triples deleted, first match only") {
     val reconciler = new Reconciler {
       override def reconcile(facts: Seq[String],

@@ -39,6 +39,37 @@ class OpsSpec extends SparkSuite {
     assert(bcast((1L, 4L, 2)) || !bcast.contains((1L, 4L, 3))) // depth cap holds
   }
 
+  test("native cosine matches the HOF formulation on null/zero/mismatch edge cases") {
+    // the semantics contract: null element => null result UNLESS the
+    // OTHER side is a null-free zero vector (3-valued when(na===0||nb===0))
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        | (array(1.0F, 2.0F),      array(1.0F, 2.0F)),
+        | (array(1.0F, CAST(NULL AS FLOAT)), array(1.0F, 2.0F)),
+        | (array(1.0F, CAST(NULL AS FLOAT)), array(0.0F, 0.0F)),
+        | (array(0.0F, 0.0F),      array(1.0F, 2.0F)),
+        | (array(1.0F),            array(1.0F, 2.0F)),
+        | (CAST(NULL AS ARRAY<FLOAT>), array(1.0F, 2.0F))
+        | AS t(a, b)""".stripMargin)
+    def legacyCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dd(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+      def norm(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(dd(c), lit(0.0), (acc, x) => acc + x * x))
+      val dot = aggregate(zip_with(dd(a), dd(b), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(norm(a) === 0.0 || norm(b) === 0.0, lit(0.0))
+        .otherwise(dot / (norm(a) * norm(b)))
+    }
+    val rows = df.select(
+      graft.functions.VectorFunctions.cosineSimilarity(col("a"), col("b")).as("native"),
+      legacyCosine(col("a"), col("b")).as("hof")).collect()
+    rows.foreach { r =>
+      val n = if (r.isNullAt(0)) null else r.getDouble(0)
+      val h = if (r.isNullAt(1)) null else r.getDouble(1)
+      assert(n == h, s"native=$n hof=$h")
+    }
+  }
+
   test("simhashNearDupPairs: banded join finds EXACTLY the brute-force Hamming<=3 pairs") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/documents.parquet").exists())
