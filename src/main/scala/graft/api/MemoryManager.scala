@@ -91,14 +91,16 @@ final class MemoryManager(
       role: Option[String] = None,
       metadata: Option[String] = None,
       infer: Boolean = true,
-      now: Option[Long] = None
+      now: Option[Long] = None,
+      importance: Double = 1.0 // per-call base score (manager.py add importance=1.0)
   ): AddResult = lockFor(config.userId).synchronized {
     tracer.span("memory.add", Map("user" -> config.userId, "infer" -> infer.toString)) {
     usageIncr("add")
     val ts = now.getOrElse(clock())
     if (!infer) {
       val id = createMemory(text, Some(embedder.embedOne(text)), ts,
-        memoryType, sessionId, runId, actorId, role, metadata, validAt = None)
+        memoryType, sessionId, runId, actorId, role, metadata, validAt = None,
+        importance = importance)
       recordHistory("ADD", id, ts, None, Some(text), actorId, role)
       linkSessionOrEpisode(Seq(id), Nil, text, sessionId, runId, ts)
       AddResult(Seq(MemoryEvent("ADD", Some(id.toString), text)))
@@ -129,7 +131,7 @@ final class MemoryManager(
             extraction.facts.map(f => Decision(DecisionAction.Add, f, None))
           else reconciler.reconcile(extraction.facts, candidates)
         val events = executeDecisions(decisions, embeddings, temporal, ts,
-          memoryType, sessionId, runId, actorId, role, metadata)
+          memoryType, sessionId, runId, actorId, role, metadata, importance)
         storeGraph(extraction, events.flatMap(_.memoryId).map(_.toLong))
         // session chains link only ADD events (manager.py:315 filters
         // e.action == MemoryAction.ADD); episode creation additionally
@@ -184,7 +186,8 @@ final class MemoryManager(
       memoryType: String = DefaultType,
       sessionId: Option[String] = None,
       runId: Option[String] = None,
-      now: Option[Long] = None
+      now: Option[Long] = None,
+      importance: Double = 1.0
   ): Seq[String] = lockFor(config.userId).synchronized {
     tracer.span("memory.add_batch", Map("n" -> texts.size.toString)) {
     usageIncr("add_batch")
@@ -192,7 +195,7 @@ final class MemoryManager(
     val embs = embedder.embed(texts)
     val rows = texts.zip(embs).map { case (t, e) =>
       newMemoryRow(store.nextMemoryId(), t, Some(e), ts, memoryType,
-        sessionId, runId, None, None, None, None)
+        sessionId, runId, None, None, None, None, importance)
     }
     store.appendMemories(rows)
     val hist = rows.map(r =>
@@ -254,7 +257,8 @@ final class MemoryManager(
       runId: Option[String],
       actorId: Option[String],
       role: Option[String],
-      metadata: Option[String]
+      metadata: Option[String],
+      importance: Double = 1.0
   ): Seq[MemoryEvent] = {
     val events = scala.collection.mutable.ArrayBuffer.empty[MemoryEvent]
     decisions.zipWithIndex.foreach { case (d, i) =>
@@ -263,7 +267,7 @@ final class MemoryManager(
         case DecisionAction.Add =>
           val emb = embeddings.lift(i)
           val id = createMemory(d.text, emb, ts, memoryType, sessionId,
-            runId, actorId, role, metadata, factValidAt)
+            runId, actorId, role, metadata, factValidAt, importance)
           recordHistory("ADD", id, ts, None, Some(d.text), actorId, role)
           events += MemoryEvent("ADD", Some(id.toString), d.text)
 
@@ -271,7 +275,7 @@ final class MemoryManager(
           // UPDATE without target downgrades to ADD (manager.py:910-943)
           val emb = embeddings.lift(i)
           val id = createMemory(d.text, emb, ts, memoryType, sessionId,
-            runId, actorId, role, metadata, factValidAt)
+            runId, actorId, role, metadata, factValidAt, importance)
           recordHistory("ADD", id, ts, None, Some(d.text), actorId, role)
           events += MemoryEvent("ADD", Some(id.toString), d.text)
 
@@ -280,7 +284,7 @@ final class MemoryManager(
           val oldText = expireMemory(target, ts, Some(factValidAt.getOrElse(ts)))
           val emb = embedder.embedOne(d.text)
           val id = createMemory(d.text, Some(emb), ts, memoryType, sessionId,
-            runId, actorId, role, metadata, factValidAt)
+            runId, actorId, role, metadata, factValidAt, importance)
           store.appendEdges(Seq(EdgeRow(store.nextEdgeId(), id, target,
             EdgeTypes.Supersedes, Map.empty)))
           inheritEntityEdges(target, id)
@@ -314,7 +318,8 @@ final class MemoryManager(
       actorId: Option[String],
       role: Option[String],
       metadata: Option[String],
-      validAt: Option[Long]
+      validAt: Option[Long],
+      importance: Double = 1.0
   ): MemoryRow =
     MemoryRow(
       id = id, text = text, user_id = config.userId,
@@ -324,7 +329,7 @@ final class MemoryManager(
       session_id = sessionId, agent_id = config.agentId,
       run_id = runId.orElse(config.runId), graph_name = config.graphName,
       metadata = metadata, actor_id = actorId, role = role,
-      importance = if (config.enableImportance) Some(1.0) else None,
+      importance = if (config.enableImportance) Some(importance) else None,
       access_count = if (config.enableImportance) Some(0L) else None,
       last_accessed = None,
       embedding = embedding.getOrElse(Array.empty[Float]),
@@ -341,7 +346,8 @@ final class MemoryManager(
       actorId: Option[String],
       role: Option[String],
       metadata: Option[String],
-      validAt: Option[Long]
+      validAt: Option[Long],
+      importance: Double = 1.0
   ): Long = {
     embedding.foreach { e =>
       require(e.isEmpty || e.length == config.embeddingDimensions,
@@ -349,7 +355,7 @@ final class MemoryManager(
     }
     val id = store.nextMemoryId()
     store.appendMemories(Seq(newMemoryRow(id, text, embedding, ts,
-      memoryType, sessionId, runId, actorId, role, metadata, validAt)))
+      memoryType, sessionId, runId, actorId, role, metadata, validAt, importance)))
     id
   }
 
@@ -1200,51 +1206,61 @@ final class MemoryManager(
     )
   }
 
-  /** J7 — temporal chain: LEADS_TO walk from a memory, both directions,
-    * chronological (manager.py:1475-1569).
+  /** J7 — temporal chain: LEADS_TO walk from a memory, default forward,
+    * EXCLUDING the origin (manager.py:1475-1569: `[:LEADS_TO*1..d]`
+    * matches paths of length >= 1), hydrated to (memory_id, text,
+    * created_at, session_id) entries; for "both", forward results come
+    * first then backward, each created_at-ordered — faithful to the
+    * reference's two sequential query blocks.
     */
   def temporalChain(memoryId: String, maxDepth: Int = 5,
-      direction: String = "both"): Seq[String] = {
+      direction: String = "forward"): Seq[ChainEntry] = {
     import spark.implicits._
     val seeds = Seq(memoryId.toLong).toDF("root")
-    val fwd =
-      if (direction == "forward" || direction == "both")
-        GraphOps.varLengthPaths(store.edges, EdgeTypes.LeadsTo, seeds, maxDepth)
-      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
-    val bwd =
-      if (direction == "backward" || direction == "both")
-        GraphOps.varLengthPaths(store.edges, EdgeTypes.LeadsTo, seeds, maxDepth,
-          reverse = true)
-      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
-    fwd.unionByName(bwd).select(col("node"))
-      .unionByName(seeds.select(col("root").as("node"))) // chain includes origin
-      .distinct()
-      .join(store.memories, col("node") === col("id"))
-      .orderBy(col("created_at").asc, col("id").asc)
-      .select(col("id")).collect().map(_.getLong(0).toString).toSeq
+    def leg(rev: Boolean): Seq[ChainEntry] =
+      GraphOps.varLengthPaths(store.edges, EdgeTypes.LeadsTo, seeds, maxDepth,
+          reverse = rev)
+        .select(col("node"))
+        .distinct()
+        .join(scopeCol(store.memories), col("node") === col("id"))
+        .orderBy(col("created_at").asc, col("id").asc)
+        .select(col("id"), col("text"), col("created_at"), col("session_id"))
+        .collect()
+        .map { r =>
+          ChainEntry(r.getLong(0).toString, r.getString(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getString(3)))
+        }.toSeq
+    val fwd = if (direction == "forward" || direction == "both") leg(false) else Nil
+    val bwd = if (direction == "backward" || direction == "both") leg(true) else Nil
+    fwd ++ bwd
   }
 
-  /** J8 — episode chain walk along NEXT_EPISODE, forward/backward/both,
-    * up to maxDepth, chronological (manager.py:1407-1473). The chain is
-    * linear, so this is the BFS walk with depth-limited frontier.
+  /** J8 — episode chain walk along NEXT_EPISODE for session replay
+    * (manager.py:1407-1473): EXCLUDES the start episode, returns
+    * EpisodeResults ordered furthest-predecessor → ... → origin-adjacent
+    * → successors (the reference's reversed(backward) + forward shape).
     */
   def episodeChain(episodeId: String, maxDepth: Int = 10,
-      direction: String = "both"): Seq[String] = {
+      direction: String = "forward"): Seq[EpisodeResult] = {
     import spark.implicits._
     val seeds = Seq(episodeId.toLong).toDF("root")
-    def walk(rev: Boolean) =
+    def walkIds(rev: Boolean): Seq[Long] =
       GraphOps.varLengthPaths(store.edges, EdgeTypes.NextEpisode, seeds,
-        maxDepth, reverse = rev)
-    val fwd = if (direction != "backward") walk(false)
-      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
-    val bwd = if (direction != "forward") walk(true)
-      else spark.emptyDataset[(Long, Long, Int)].toDF("root", "node", "depth")
-    fwd.unionByName(bwd).select(col("node"))
-      .unionByName(seeds.select(col("root").as("node")))
-      .distinct()
-      .join(store.episodes, col("node") === col("id"))
-      .orderBy(col("created_at").asc, col("id").asc)
-      .select(col("id")).collect().map(_.getLong(0).toString).toSeq
+          maxDepth, reverse = rev)
+        .select(col("node"), col("depth")).distinct()
+        .orderBy(col("depth").asc, col("node").asc)
+        .collect().map(_.getLong(0)).toSeq
+    val fwd = if (direction != "backward") walkIds(false) else Nil
+    val bwd = if (direction != "forward") walkIds(true) else Nil
+    val ordered = bwd.reverse ++ fwd
+    if (ordered.isEmpty) Nil
+    else {
+      val byId = hydrateEpisodes(
+        store.episodes.filter(col("id").isin(ordered: _*)))
+        .map(e => e.episodeId.toLong -> e).toMap
+      ordered.flatMap(byId.get)
+    }
   }
 
   /** S1 (episodes) — scoped episode listing with limit

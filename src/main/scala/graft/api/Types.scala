@@ -60,6 +60,16 @@ final case class MemoryStats(
     expiredCount: Long
 )
 
+/** One hop of a temporal LEADS_TO chain (manager.py:1490 "List of dicts
+  * with memory_id, text, created_at, session_id").
+  */
+final case class ChainEntry(
+    memoryId: String,
+    text: String,
+    createdAt: Option[Long],
+    sessionId: Option[String]
+)
+
 /** A raw episode with provenance information (types.py:304-316). */
 final case class EpisodeResult(
     episodeId: String,

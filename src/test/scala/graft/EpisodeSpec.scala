@@ -20,10 +20,14 @@ class EpisodeSpec extends SparkSuite {
       new ScriptedExtractor(Nil), new AddAllReconciler)
     (1 to 4).foreach(i =>
       m.add(s"msg $i", infer = false, runId = Some("r1"), now = Some(T0 + i * 1000)))
-    assert(m.episodeChain("1", maxDepth = 10) == Seq("1", "2", "3", "4"))
-    assert(m.episodeChain("3", direction = "forward") == Seq("3", "4"))
-    assert(m.episodeChain("3", direction = "backward") == Seq("1", "2", "3"))
-    assert(m.episodeChain("2", maxDepth = 1) == Seq("1", "2", "3"))
+    // reference semantics (manager.py:1407-1473): origin EXCLUDED,
+    // order = reversed(backward) ++ forward, hydrated EpisodeResults
+    def ids(r: Seq[EpisodeResult]) = r.map(_.episodeId)
+    assert(ids(m.episodeChain("1", maxDepth = 10)) == Seq("2", "3", "4"))
+    assert(ids(m.episodeChain("3", direction = "forward")) == Seq("4"))
+    assert(ids(m.episodeChain("3", direction = "backward")) == Seq("1", "2"))
+    assert(ids(m.episodeChain("2", maxDepth = 1, direction = "both")) == Seq("1", "3"))
+    assert(m.episodeChain("1").head.content == "msg 2") // hydrated props
   }
 
   test("provenance (J9): PRODUCED + MENTIONS lookups") {
@@ -64,7 +68,7 @@ class EpisodeSpec extends SparkSuite {
     val nextEdges = m.store.edges
       .filter(col("edge_type") === EdgeTypes.NextEpisode).count()
     assert(nextEdges == 1L) // episode 1 -> episode 2 linked via config.runId
-    assert(m.episodeChain("1") == Seq("1", "2"))
+    assert(m.episodeChain("1").map(_.episodeId) == Seq("2"))
   }
 
   test("relation reconciliation (W10): trait-selected triples deleted, first match only") {

@@ -258,6 +258,19 @@ class ManagerSpec extends SparkSuite {
     assert(imp == 0.25)
   }
 
+  test("per-call importance on add/addBatch stored when importance enabled") {
+    val m = mkManager(config = MemoryConfig(userId = "alice", enableImportance = true))
+    m.add("weighty", infer = false, importance = 0.4, now = Some(T0))
+    m.addBatch(Seq("bulk"), importance = 0.7, now = Some(T0))
+    val imp = m.store.memories.orderBy(col("id"))
+      .select(col("importance")).collect().map(_.getDouble(0)).toSeq
+    assert(imp == Seq(0.4, 0.7))
+    // importance disabled → column stays null regardless of the arg
+    val m2 = mkManager()
+    m2.add("plain", infer = false, importance = 0.4, now = Some(T0))
+    assert(m2.store.memories.select(col("importance")).collect().head.isNullAt(0))
+  }
+
   test("LEADS_TO session chain (J11) and temporal chain walk (J7)") {
     val m = mkManager()
     m.add("first", infer = false, runId = Some("r1"), now = Some(T0))
@@ -266,8 +279,14 @@ class ManagerSpec extends SparkSuite {
     val lt = m.store.edges.filter(col("edge_type") === EdgeTypes.LeadsTo)
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lt == Set((1L, 2L), (2L, 3L)))
-    assert(m.temporalChain("1", maxDepth = 5) == Seq("1", "2", "3"))
-    assert(m.temporalChain("2", maxDepth = 5, direction = "forward") == Seq("2", "3"))
+    // reference semantics: origin excluded, hydrated entries, forward
+    // default; "both" lists forward then backward (manager.py:1503-1556)
+    val fwd = m.temporalChain("1", maxDepth = 5)
+    assert(fwd.map(_.memoryId) == Seq("2", "3"))
+    assert(fwd.head.text == "second" && fwd.head.createdAt.contains(T0 + 1000))
+    assert(m.temporalChain("2", maxDepth = 5).map(_.memoryId) == Seq("3"))
+    assert(m.temporalChain("2", maxDepth = 5, direction = "both")
+      .map(_.memoryId) == Seq("3", "1"))
   }
 
   test("episodes mode (W11): PRODUCED + NEXT_EPISODE chains, no LEADS_TO") {
