@@ -296,7 +296,9 @@ object GraphAlgorithms {
     // instead — same argmax, one extra sort per round
     val numericIds = edges.schema("src").dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val dir = edges.select(col("src"), col("dst")).distinct()
+    // single distinct over the doubled table — a pre-distinct of `dir`
+    // would just add a shuffle the union's distinct repeats anyway
+    val dir = edges.select(col("src"), col("dst"))
     val und = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .filter(col("src") =!= col("dst"))
