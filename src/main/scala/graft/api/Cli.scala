@@ -42,43 +42,35 @@ object Cli {
     (-1, "help")
   }
 
-  def run(args: Seq[String], m: MemoryManager): String = {
-    def flag(name: String): Boolean = args.contains(name)
-    def opt(name: String): Option[String] = {
-      val i = args.indexOf(name)
-      if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
-    }
+  def run(args: Seq[String], m: MemoryManager): String = runChecked(args, m)._1
+
+  /** Like [[run]] but also reports whether the command SUCCEEDED — main()
+    * must not persist the store after a failed mutation (a swallowed
+    * exception mid-add would otherwise write partial state to disk).
+    * The whole parse+dispatch sits inside the error boundary, so a bad
+    * flag value (`-k abc`) gets the same {"error": ...} JSON as a bad
+    * positional (cli.py exits with a message; we return the contract
+    * the MCP surface uses).
+    */
+  def runChecked(args: Seq[String], m: MemoryManager): (String, Boolean) = {
     val (cmdIdx, cmd) = commandOf(args)
-    val positional = args.zipWithIndex.drop(cmdIdx + 1).collect {
-      case (a, i) if !a.startsWith("-") &&
-        !(i > 0 && FlagsTakingValue(args(i - 1))) => a
-    }
-    def pos(i: Int, what: String): String =
-      if (i < positional.length) positional(i)
-      else throw new IllegalArgumentException(s"missing argument: $what")
-    val k = opt("-k").map(_.toInt).getOrElse(10)
-    val memoryType = opt("--type").orElse(opt("-t"))
+    try {
+      def flag(name: String): Boolean = args.contains(name)
+      def opt(name: String): Option[String] = {
+        val i = args.indexOf(name)
+        if (i >= 0 && i + 1 < args.length) Some(args(i + 1)) else None
+      }
+      val positional = args.zipWithIndex.drop(cmdIdx + 1).collect {
+        case (a, i) if !a.startsWith("-") &&
+          !(i > 0 && FlagsTakingValue(args(i - 1))) => a
+      }
+      def pos(i: Int, what: String): String =
+        if (i < positional.length) positional(i)
+        else throw new IllegalArgumentException(s"missing argument: $what")
+      val k = opt("-k").map(_.toInt).getOrElse(10)
+      val memoryType = opt("--type").orElse(opt("-t"))
 
-    // bad arguments return the same {"error": ...} contract as the MCP
-    // surface instead of a stack trace (cli.py exits with a message)
-    try runCmd(cmd, m, positional, pos, flag, opt, k, memoryType)
-    catch {
-      case scala.util.control.NonFatal(e) =>
-        jobj("error" -> js(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
-    }
-  }
-
-  private def runCmd(
-      cmd: String,
-      m: MemoryManager,
-      positional: Seq[String],
-      pos: (Int, String) => String,
-      flag: String => Boolean,
-      opt: String => Option[String],
-      k: Int,
-      memoryType: Option[String]
-  ): String = {
-    cmd match {
+      val out = cmd match {
       case "add" =>
         val res = m.add(pos(0, "text"), infer = !flag("--no-infer"),
           memoryType = memoryType.getOrElse(MemoryTypes.Default))
@@ -139,6 +131,12 @@ object Cli {
         jobj("error" -> js(s"unknown command: $other"),
           "commands" -> jarr(Seq("add", "search", "list", "update", "delete",
             "history", "summarize", "stats", "episodes", "explain").map(js)))
+      }
+      (out, !cmd.isEmpty && out != null && !out.startsWith("{\"error\""))
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        (jobj("error" -> js(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))),
+          false)
     }
   }
 
@@ -170,8 +168,11 @@ object Cli {
         store, new MockEmbedder(dims), new HeuristicExtractor,
         new AddAllReconciler)
       val (_, cmd) = commandOf(args)
-      println(run(args, m))
-      if (isMutating(cmd)) storeDir.foreach(store.persist)
+      val (out, ok) = runChecked(args, m)
+      println(out)
+      // persist only SUCCESSFUL mutations — a failed add must not write
+      // partially-applied state over the on-disk store
+      if (ok && isMutating(cmd)) storeDir.foreach(store.persist)
     } finally spark.stop()
   }
 }

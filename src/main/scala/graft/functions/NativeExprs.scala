@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -56,35 +57,47 @@ private[functions] object NativeExprs {
       }
     }
 
-    override def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val nx = x.numElements()
-      val ny = y.numElements()
+    // NOT nullSafeEval: the 3-valued when(na === 0 || nb === 0, 0.0)
+    // returns 0.0 even when the OTHER side is a top-level NULL array
+    // (NULL OR TRUE = TRUE), so a null input must still inspect its
+    // partner's norm instead of short-circuiting to null.
+    override def eval(input: InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
       var sa = 0.0; var sb = 0.0; var dot = 0.0
-      var nullA = false; var nullB = false
-      var i = 0
-      while (i < nx) {
-        if (x.isNullAt(i)) nullA = true
-        else { val v = elemAt(left.dataType, x, i); sa += v * v }
-        i += 1
+      var nullA = a == null; var nullB = b == null
+      var nx = -1; var ny = -1
+      if (a != null) {
+        val x = a.asInstanceOf[ArrayData]
+        nx = x.numElements()
+        var i = 0
+        while (i < nx) {
+          if (x.isNullAt(i)) nullA = true
+          else { val v = elemAt(left.dataType, x, i); sa += v * v }
+          i += 1
+        }
       }
-      i = 0
-      while (i < ny) {
-        if (y.isNullAt(i)) nullB = true
-        else { val v = elemAt(right.dataType, y, i); sb += v * v }
-        i += 1
+      if (b != null) {
+        val y = b.asInstanceOf[ArrayData]
+        ny = y.numElements()
+        var i = 0
+        while (i < ny) {
+          if (y.isNullAt(i)) nullB = true
+          else { val v = elemAt(right.dataType, y, i); sb += v * v }
+          i += 1
+        }
       }
       if (!nullA && !nullB && nx == ny) {
-        i = 0
+        val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+        var i = 0
         while (i < nx) {
           dot += elemAt(left.dataType, x, i) * elemAt(right.dataType, y, i)
           i += 1
         }
       }
-      // 3-valued-logic mirror of when(na === 0 || nb === 0, 0.0): a null
-      // element makes that side's norm NULL, so its ===0 test is null,
-      // never true — only a null-free zero-norm side short-circuits to 0
+      // a null (array or element) makes that side's norm NULL, so its
+      // ===0 test can never be true — only a null-free zero-norm side
+      // short-circuits the whole expression to 0.0
       val naZero = !nullA && math.sqrt(sa) == 0.0
       val nbZero = !nullB && math.sqrt(sb) == 0.0
       if (naZero || nbZero) 0.0
@@ -92,34 +105,47 @@ private[functions] object NativeExprs {
       else dot / (math.sqrt(sa) * math.sqrt(sb))
     }
 
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => {
-        val gx = elemGetter(left.dataType, a, "i")
-        val gy = elemGetter(right.dataType, b, "i")
-        s"""
-        int nx = $a.numElements();
-        int ny = $b.numElements();
-        double sa = 0.0, sb = 0.0, dot = 0.0;
-        boolean nullA = false, nullB = false;
-        for (int i = 0; i < nx; i++) {
-          if ($a.isNullAt(i)) { nullA = true; }
-          else { double v = $gx; sa += v * v; }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val leftGen = left.genCode(ctx)
+      val rightGen = right.genCode(ctx)
+      val gx = elemGetter(left.dataType, leftGen.value.toString, "i")
+      val gy = elemGetter(right.dataType, rightGen.value.toString, "i")
+      val code =
+        code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = false;
+        double ${ev.value} = 0.0;
+        {
+          double sa = 0.0, sb = 0.0, dot = 0.0;
+          boolean nullA = ${leftGen.isNull}, nullB = ${rightGen.isNull};
+          int nx = -1, ny = -1;
+          if (!${leftGen.isNull}) {
+            nx = ${leftGen.value}.numElements();
+            for (int i = 0; i < nx; i++) {
+              if (${leftGen.value}.isNullAt(i)) { nullA = true; }
+              else { double v = $gx; sa += v * v; }
+            }
+          }
+          if (!${rightGen.isNull}) {
+            ny = ${rightGen.value}.numElements();
+            for (int i = 0; i < ny; i++) {
+              if (${rightGen.value}.isNullAt(i)) { nullB = true; }
+              else { double v = $gy; sb += v * v; }
+            }
+          }
+          if (!nullA && !nullB && nx == ny) {
+            for (int i = 0; i < nx; i++) { dot += ($gx) * ($gy); }
+          }
+          boolean naZero = !nullA && Math.sqrt(sa) == 0.0;
+          boolean nbZero = !nullB && Math.sqrt(sb) == 0.0;
+          if (naZero || nbZero) { ${ev.value} = 0.0; }
+          else if (nullA || nullB || nx != ny) { ${ev.isNull} = true; }
+          else { ${ev.value} = dot / (Math.sqrt(sa) * Math.sqrt(sb)); }
         }
-        for (int i = 0; i < ny; i++) {
-          if ($b.isNullAt(i)) { nullB = true; }
-          else { double v = $gy; sb += v * v; }
-        }
-        if (!nullA && !nullB && nx == ny) {
-          for (int i = 0; i < nx; i++) { dot += ($gx) * ($gy); }
-        }
-        // null element => that side's ===0 test is NULL, never true
-        boolean naZero = !nullA && Math.sqrt(sa) == 0.0;
-        boolean nbZero = !nullB && Math.sqrt(sb) == 0.0;
-        if (naZero || nbZero) { ${ev.value} = 0.0; }
-        else if (nullA || nullB || nx != ny) { ${ev.isNull} = true; }
-        else { ${ev.value} = dot / (Math.sqrt(sa) * Math.sqrt(sb)); }
         """
-      })
+      ev.copy(code = code)
+    }
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): CosineSim =

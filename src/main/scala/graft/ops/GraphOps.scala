@@ -63,7 +63,11 @@ object GraphOps {
     val bounded = e1.limit((broadcastEdgeLimit + 1).toInt).count()
     if (bounded <= broadcastEdgeLimit)
       varLengthPathsBroadcast(e1.distinct(), seeds, maxDepth)
-    else varLengthPathsWaves(e1, seeds, maxDepth)
+    else
+      // waves re-join the edge set once per depth level — dedup and
+      // materialize it ONCE so no wave re-derives the typed filter or
+      // joins duplicate edge rows
+      varLengthPathsWaves(e1.distinct().localCheckpoint(), seeds, maxDepth)
   }
 
   /** Root-parallel BFS over a broadcast adjacency (bounded graphs):
@@ -300,14 +304,19 @@ object GraphOps {
     */
   def samplePivots(nodes: DataFrame, stride: Long, maxRoots: Int): DataFrame = {
     val h = abs(xxhash64(col("node")))
+    // materialize the (≤ maxRoots-row) sample once: the emptiness probe,
+    // the caller's count, and the betweenness run all reuse it instead
+    // of re-executing the scan
     val strided = nodes
       .filter(pmod(h, lit(math.max(1L, stride))) === 0)
       .orderBy(h.asc, col("node").asc)
       .limit(maxRoots)
       .select(col("node").as("root"))
+      .localCheckpoint()
     if (strided.isEmpty)
       nodes.orderBy(h.asc, col("node").asc).limit(maxRoots)
         .select(col("node").as("root"))
+        .localCheckpoint()
     else strided
   }
 }

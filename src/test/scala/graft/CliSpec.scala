@@ -73,6 +73,12 @@ class CliSpec extends SparkSuite {
     assert(Cli.run(Seq("update", "1"), m).contains("missing argument: text"))
     assert(Cli.run(Seq("update", "zzz", "t"), m).contains("\"error\""))
     assert(Cli.run(Seq("history"), m).contains("missing argument: memory_id"))
+    // bad FLAG values are inside the error boundary too
+    assert(Cli.run(Seq("search", "x", "-k", "abc"), m).contains("\"error\""))
+    // the success flag main() gates persistence on
+    assert(!Cli.runChecked(Seq("add"), m)._2)
+    assert(Cli.runChecked(Seq("add", "good note", "--no-infer"), m)._2)
+    assert(!Cli.runChecked(Seq("bogus"), m)._2)
   }
 
   test("JSON escaping survives quotes and newlines") {

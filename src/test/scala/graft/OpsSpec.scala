@@ -49,7 +49,9 @@ class OpsSpec extends SparkSuite {
         | (array(1.0F, CAST(NULL AS FLOAT)), array(0.0F, 0.0F)),
         | (array(0.0F, 0.0F),      array(1.0F, 2.0F)),
         | (array(1.0F),            array(1.0F, 2.0F)),
-        | (CAST(NULL AS ARRAY<FLOAT>), array(1.0F, 2.0F))
+        | (CAST(NULL AS ARRAY<FLOAT>), array(1.0F, 2.0F)),
+        | (CAST(NULL AS ARRAY<FLOAT>), array(0.0F, 0.0F)),
+        | (array(0.0F), CAST(NULL AS ARRAY<FLOAT>))
         | AS t(a, b)""".stripMargin)
     def legacyCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
       def dd(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
