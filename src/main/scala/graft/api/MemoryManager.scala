@@ -58,16 +58,8 @@ final class MemoryManager(
   // scoped reads (F1/F3)
   // ------------------------------------------------------------------
 
-  private def scopeCol(df: DataFrame): DataFrame = {
-    val preds = config.scopeFilters.map {
-      case ("user_id", v) => col("user_id") === v
-      case ("agent_id", v) => col("agent_id") === v
-      case ("run_id", v) => col("run_id") === v
-      case ("graph_name", v) => col("graph_name") === v
-      case (k, v) => col(k) === v
-    }
-    preds.foldLeft(df)((d, p) => d.filter(p))
-  }
+  private def scopeCol(df: DataFrame): DataFrame =
+    df.filter(FilterOps.scopeFilter(config.scopeFilters))
 
   /** S1 — scoped label scan of memories. */
   def scopedMemories(includeExpired: Boolean = false): DataFrame = {
@@ -123,7 +115,7 @@ final class MemoryManager(
             extractor.annotateTemporal(extraction.facts).map(a => a.factIndex -> a).toMap
           else Map.empty
         val embeddings = embedder.embed(extraction.facts)
-        val candidates = candidateSearch(extraction.facts, embeddings)
+        val candidates = candidateSearch(extraction.facts, embeddings, memoryType)
         val decisions =
           if (candidates.isEmpty)
             // fast path: nothing to reconcile against → all ADD without a
@@ -134,12 +126,15 @@ final class MemoryManager(
           memoryType, sessionId, runId, actorId, role, metadata, importance)
         storeGraph(extraction, events.flatMap(_.memoryId).map(_.toLong))
         // session chains link only ADD events (manager.py:315 filters
-        // e.action == MemoryAction.ADD); episode creation additionally
-        // requires a non-empty event list (manager.py:316)
+        // e.action == MemoryAction.ADD), but the episode's PRODUCED
+        // edges cover EVERY event carrying a memory id — _create_episode
+        // receives the full events list (manager.py:316, 1252-1255);
+        // episode creation requires a non-empty event list
         linkSessionOrEpisode(
           events.filter(_.event == "ADD").flatMap(_.memoryId).map(_.toLong),
           extraction.entities, text, sessionId, runId, ts,
-          hasEvents = events.nonEmpty)
+          hasEvents = events.nonEmpty,
+          producedIds = events.flatMap(_.memoryId).map(_.toLong).distinct)
         AddResult(events)
       }
     }
@@ -215,10 +210,17 @@ final class MemoryManager(
     */
   private def candidateSearch(
       facts: Seq[String],
-      embeddings: Seq[Array[Float]]
+      embeddings: Seq[Array[Float]],
+      memoryType: String = MemoryTypes.Semantic
   ): Seq[(Long, String)] = tracer.span("memory.candidate_search",
       Map("facts" -> facts.size.toString)) {
-    val mem = scopedMemories()
+    // non-semantic adds reconcile only against their own type
+    // (manager.py:279-292 similar_filters) — a procedural fact must
+    // never expire a similar SEMANTIC memory
+    val mem0 = scopedMemories()
+    val mem =
+      if (memoryType == MemoryTypes.Semantic) mem0
+      else mem0.filter(FilterOps.memoryType(col("memory_type"), memoryType))
     if (mem.isEmpty) Nil
     else {
       import spark.implicits._
@@ -508,7 +510,8 @@ final class MemoryManager(
       sessionId: Option[String],
       runId: Option[String],
       ts: Long,
-      hasEvents: Boolean = true
+      hasEvents: Boolean = true,
+      producedIds: Seq[Long] = Nil
   ): Unit = {
     // chain key must match what newMemoryRow STORES in run_id
     // (runId.orElse(config.runId)) or the prev-link lookup silently never
@@ -524,7 +527,8 @@ final class MemoryManager(
       // NEXT_EPISODE linking silently never fires when config.runId set
       store.appendEpisodes(Seq(EpisodeRow(epId, content, "message",
         config.userId, ts, sessionId, runId.orElse(config.runId))))
-      store.appendEdges(newIds.map(m =>
+      val prodIds = if (producedIds.nonEmpty) producedIds else newIds
+      store.appendEdges(prodIds.map(m =>
         EdgeRow(store.nextEdgeId(), epId, m, EdgeTypes.Produced, Map.empty)))
       // one lookup for ALL mentioned entities (was a per-entity probe)
       val entNames = entities.map(_.name).distinct
@@ -937,10 +941,7 @@ final class MemoryManager(
     top.map(r => r.copy(relations = rels.getOrElse(r.id, Nil)).toSearchResult)
   }
 
-  private def scopeColExpr = {
-    config.scopeFilters.map { case (kk, v) => col(kk) === v }
-      .reduceOption(_ && _).getOrElse(lit(true))
-  }
+  private def scopeColExpr = FilterOps.scopeFilter(config.scopeFilters)
 
   /** J2-J4 — graph branch with the reference's exact fallback scores
     * (search/graph.py:89-199): exact-name lookup with lower() fallback;
@@ -1376,21 +1377,29 @@ final class MemoryManager(
       .map(r => r.getLong(0) -> r.getString(1)).toSeq
     val eligible = candidates.dropRight(config.consolidationPreserveRecent)
     eligible.grouped(config.consolidationBatchSize).flatMap { batch =>
-      val summaries = summarizer.summarize(batch.map(_._2))
-      summaries.map { s =>
+      // batch flow mirrors manager.py:1893-1916: ALL summaries created
+      // (with ADD history) first, then DERIVED_FROM from every summary
+      // to every original, then ONE delete-with-history pass per batch —
+      // a per-summary loop would duplicate DELETE history and delete
+      // calls whenever the summarizer returns more than one text
+      val summaries = summarizer.summarize(batch.map(_._2)).filter(_.nonEmpty)
+      val newIds = summaries.map { s =>
         val id = createMemory(s, Some(embedder.embedOne(s)), ts,
           MemoryTypes.Semantic, None, None, None, None, None, None)
         import spark.implicits._
         store.patchMemories(Seq((id, "summarize")).toDF("id", "source"), Seq("source"))
-        store.appendEdges(batch.map { case (orig, _) =>
-          EdgeRow(store.nextEdgeId(), id, orig, EdgeTypes.DerivedFrom, Map.empty)
-        })
-        batch.foreach { case (orig, t) =>
-          recordHistory("DELETE", orig, ts, Some(t), None, None, None)
-        }
-        store.deleteMemories(batch.map(_._1))
-        id.toString
+        recordHistory("ADD", id, ts, None, Some(s), None, None)
+        id
       }
+      store.appendEdges(for {
+        nid <- newIds
+        (orig, _) <- batch
+      } yield EdgeRow(store.nextEdgeId(), nid, orig, EdgeTypes.DerivedFrom, Map.empty))
+      batch.foreach { case (orig, t) =>
+        recordHistory("DELETE", orig, ts, Some(t), None, None, None)
+      }
+      store.deleteMemories(batch.map(_._1))
+      newIds.map(_.toString)
     }.toSeq
     }
   }

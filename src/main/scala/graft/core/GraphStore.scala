@@ -160,18 +160,24 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     if (ids.nonEmpty) {
       val d = ids.toDF("__did")
       memories = memories.join(d, memories("id") === col("__did"), "left_anti")
-      // cascade: edges touching the deleted nodes disappear with them
-      // (Memory endpoints appear in HAS_ENTITY src, SUPERSEDES/LEADS_TO
-      // both ends, PRODUCED dst, HAS_HISTORY src). DERIVED_FROM is
+      // cascade: edges whose MEMORY endpoint was deleted disappear with
+      // it. Ids are per-label sequences (they overlap across labels!),
+      // so each edge type must match ONLY the endpoint that is a Memory:
+      // HAS_ENTITY/HAS_HISTORY src, PRODUCED dst, SUPERSEDES/LEADS_TO
+      // both ends — a both-ends match on HAS_ENTITY would also delete
+      // entity-N's links whenever memory-N dies. DERIVED_FROM is
       // deliberately NOT cascaded: consolidation (W7) creates provenance
       // edges to originals it then hard-deletes (manager.py:1905-1912) —
       // the tombstone reference is the provenance record.
-      val memEdge = col("edge_type").isin(
-        EdgeTypes.HasEntity, EdgeTypes.Supersedes, EdgeTypes.LeadsTo,
-        EdgeTypes.Produced, EdgeTypes.HasHistory)
       val idSet = ids.toSet.toSeq
-      edges = edges.filter(
-        !(memEdge && (col("src").isin(idSet: _*) || col("dst").isin(idSet: _*))))
+      val srcDead = col("src").isin(idSet: _*)
+      val dstDead = col("dst").isin(idSet: _*)
+      val dead =
+        (col("edge_type").isin(EdgeTypes.HasEntity, EdgeTypes.HasHistory) && srcDead) ||
+        (col("edge_type") === EdgeTypes.Produced && dstDead) ||
+        (col("edge_type").isin(EdgeTypes.Supersedes, EdgeTypes.LeadsTo) &&
+          (srcDead || dstDead))
+      edges = edges.filter(!dead)
       tick(structural = true)
     }
   }

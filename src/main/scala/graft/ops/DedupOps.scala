@@ -51,11 +51,24 @@ object DedupOps {
     // as one partition and would otherwise hash single-threaded — and
     // the per-id min-agg then needs no further exchange
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    val exploded = df.select(col(idCol), col(textCol))
+    val sh = df.select(col(idCol), col(textCol))
       .repartition(p, col(idCol))
-      .select(
-        col(idCol),
-        explode(HashFunctions.wordShingles(col(textCol), shingleSize)).as("s"))
+      .select(col(idCol),
+        HashFunctions.wordShingles(col(textCol), shingleSize).as("__shingles"))
+    signaturesFromShingles(sh, idCol, "__shingles", numHashes)
+  }
+
+  /** Signature aggregation over an ALREADY-shingled table — lets callers
+    * that also need the raw shingle sets (LSH verification) compute
+    * shingles exactly once.
+    */
+  private def signaturesFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      shCol: String,
+      numHashes: Int
+  ): DataFrame = {
+    val exploded = sh.select(col(idCol), explode(col(shCol)).as("s"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh_$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -78,15 +91,19 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // the shingle table feeds BOTH the signature aggregation and the
+    // two sides of the verification join — checkpoint so the word
+    // shingling + md5 (the dominant cost) runs exactly once
     val shingled = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(p, col("doc"))
       .select(
         col("doc"),
         HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+      .localCheckpoint()
 
     // signatures via the explode+min-agg shape (see minhashSignatures)
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
-      .select(col(idCol).as("doc"),
+    val sigs = signaturesFromShingles(shingled, "doc", "shingles", numHashes)
+      .select(col("doc"),
         array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
       .withColumn("bandkeys", HashFunctions.lshBands(col("sig"), bands, rows))
 

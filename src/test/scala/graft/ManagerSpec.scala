@@ -375,6 +375,65 @@ class ManagerSpec extends SparkSuite {
     assert(hits.head.source == "both")
   }
 
+  test("hard delete cascades only MEMORY-endpoint edges (per-label ids overlap)") {
+    val m = mkManager(outputs = Seq(
+      Extraction(Seq("f1"), Seq(ExtractedEntity("e_a", "t"), ExtractedEntity("e_b", "t"),
+        ExtractedEntity("e_c", "t")), Nil),
+      Extraction(Seq("f2"), Seq(ExtractedEntity("e_c", "t")), Nil)))
+    m.add("one", now = Some(T0))   // memory 1 -> entities 1,2,3
+    m.add("two", now = Some(T0 + 1000)) // memory 2 -> entity 3
+    // delete memory 3? no — delete memory 2; entity 2 exists with the
+    // same id: memory-1→entity-2's HAS_ENTITY edge must SURVIVE
+    assert(m.delete("2"))
+    val he = m.store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(he == Set((1L, 1L), (1L, 2L), (1L, 3L))) // only memory 2's link died
+  }
+
+  test("episode PRODUCED edges cover UPDATE events, session chain only ADDs") {
+    val m = mkManager(
+      outputs = Seq(
+        Extraction(Seq("alice lives in paris"), Nil, Nil),
+        Extraction(Seq("alice lives in rome"), Nil, Nil)),
+      decisions = Seq(
+        Seq(Decision(DecisionAction.Add, "alice lives in paris", None)),
+        Seq(Decision(DecisionAction.Update, "alice lives in rome", Some(1L)))),
+      config = MemoryConfig(userId = "alice", enableEpisodes = true))
+    m.add("Alice lives in Paris", now = Some(T0))
+    m.add("Alice lives in Rome", now = Some(T0 + 1000))
+    // the UPDATE-created memory (id 2) must carry episode provenance
+    // (manager.py:1252-1255 links every event.memory_id)
+    val prov = m.getProvenance("2")
+    assert(prov.map(_.episodeId) == Seq("2"))
+    assert(prov.head.producedMemories == Seq("2"))
+  }
+
+  test("non-semantic adds reconcile only against their own memory type") {
+    // reconciler that UPDATEs whenever ANY candidate is offered — so the
+    // semantic twin survives only if type scoping kept it off the page
+    val updateIfCandidate = new Reconciler {
+      override def reconcile(facts: Seq[String],
+          candidates: Seq[(Long, String)]): Seq[Decision] =
+        facts.map { f =>
+          if (candidates.nonEmpty)
+            Decision(DecisionAction.Update, f, Some(candidates.head._1))
+          else Decision(DecisionAction.Add, f, None)
+        }
+    }
+    val m = new MemoryManager(spark, MemoryConfig(userId = "alice"),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("use tabs for indentation"), Nil, Nil),
+        Extraction(Seq("use tabs for indentation"), Nil, Nil))),
+      updateIfCandidate)
+    m.add("Use tabs", now = Some(T0)) // semantic
+    // identical fact text => cosine-1 candidate if types were NOT scoped
+    val r = m.add("Use tabs", memoryType = "procedural", now = Some(T0 + 1000))
+    assert(r.events.map(_.event) == Seq("ADD")) // no candidates → no UPDATE
+    val semantic = m.getAll().filter(_.memoryType == "semantic")
+    assert(semantic.size == 1) // the semantic twin was never expired
+  }
+
   test("summarize (W7) consolidates into a summary with DERIVED_FROM provenance") {
     val m = mkManager(config = MemoryConfig(userId = "alice",
       consolidationBatchSize = 3, consolidationPreserveRecent = 1))
@@ -387,6 +446,34 @@ class ManagerSpec extends SparkSuite {
     assert(remaining.contains("old fact 4"))
     assert(remaining.exists(_.startsWith("old fact 1; old fact 2; old fact 3")))
     assert(m.store.memories.filter(col("id") === 1).isEmpty) // hard-deleted
+  }
+
+  test("summarize with a multi-summary batch: one DELETE pass, full DERIVED_FROM fan-out") {
+    val twoSummaries = new Summarizer {
+      override def summarize(texts: Seq[String]): Seq[String] =
+        Seq(texts.mkString(" + "), s"${texts.length} memories condensed")
+    }
+    var tick = 0L
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", consolidationPreserveRecent = 0),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Nil), new AddAllReconciler,
+      summarizer = twoSummaries,
+      clock = () => { tick += 1; T0 + tick * 1000 })
+    m.add("a", infer = false, now = Some(T0))
+    m.add("b", infer = false, now = Some(T0 + 1000))
+    val ids = m.summarize(now = Some(T0 + 5000))
+    assert(ids.size == 2) // both summaries created
+    // each original: exactly ONE DELETE history row (was duplicated per
+    // summary before the batch-flow fix), plus its original ADD
+    Seq("1", "2").foreach { orig =>
+      assert(m.history(orig).map(_.event) == Seq("ADD", "DELETE"))
+    }
+    // every summary derives from every original (2×2 edges)
+    val df = m.store.edges.filter(col("edge_type") === EdgeTypes.DerivedFrom)
+    assert(df.count() == 4)
+    // summaries got ADD history (manager.py:1902)
+    ids.foreach(sid => assert(m.history(sid).map(_.event) == Seq("ADD")))
   }
 
   test("rerank (R4) applies trait scores and truncates") {
