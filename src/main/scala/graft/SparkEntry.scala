@@ -49,7 +49,7 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = Seq(
     "q_text_stats", "q_text_langid", "q_text_fingerprint",
-    "q_text_quality_rules", "q_betweenness",
+    "q_text_quality_rules", "q_text_repetition", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_ngram_jaccard",
     "q_emb_neardup_lsh",

@@ -63,6 +63,31 @@ object TextQueries {
         (wcOk && mlOk && symRatio < 0.1 && stopHits >= 2).as("passes")
       ).orderBy(col("doc_id"))
     },
+    "q_text_repetition" -> { (s, dir) =>
+      // Gopher repetition rules: top 2-gram occupancy + duplicate-token
+      // fraction per doc. Distributed shape: explode 2-grams (with
+      // multiplicity), (doc, gram)-keyed count, per-doc max/sum — both
+      // aggregations combine map-side, no per-doc collection
+      val p = s.sessionState.conf.numShufflePartitions
+      val docs = load(s, dir, "documents").repartition(p)
+      val grams = docs.select(col("doc_id"),
+        explode(HashFunctions.wordShinglesAll(col("text"), 2)).as("g"))
+      val stats = grams
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_c"), sum(col("c")).as("n_grams"))
+      val tokenStats = docs.select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("double").as("n_tok"),
+        TextFunctions.distinctTokenCount(col("text")).cast("double").as("n_dist"))
+      stats.join(tokenStats, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          col("n_grams").cast("long").as("n_grams"),
+          round(col("max_c").cast("double") / col("n_grams"), 6).as("top_gram_ratio"),
+          round(when(col("n_tok") === 0, 0.0)
+            .otherwise(lit(1.0) - col("n_dist") / col("n_tok")), 6).as("dup_token_ratio"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       val docs = load(s, dir, "documents")
       DedupOps.exactDuplicates(docs, "doc_id", "text")
@@ -254,8 +279,27 @@ object TextQueries {
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
 
+    // non-distinct 2-grams with the same <n guard the Spark side uses
+    val grams2 =
+      """CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        | ELSE [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+        | END""".stripMargin.replaceAll("\n", " ")
+    val repetition =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest($grams2) AS g FROM t),
+         |cnt AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g GROUP BY doc_id, g),
+         |s AS (SELECT doc_id, max(c) AS max_c, sum(c)::BIGINT AS n_grams FROM cnt GROUP BY doc_id),
+         |tok AS (SELECT doc_id, len(toks)::DOUBLE AS n_tok,
+         |        len(list_distinct(toks))::DOUBLE AS n_dist FROM t)
+         |SELECT s.doc_id, s.n_grams,
+         |  round(s.max_c::DOUBLE / s.n_grams, 6) AS top_gram_ratio,
+         |  round(CASE WHEN tok.n_tok = 0 THEN 0.0 ELSE 1.0 - tok.n_dist / tok.n_tok END, 6) AS dup_token_ratio
+         |FROM s JOIN tok ON s.doc_id = tok.doc_id
+         |ORDER BY s.doc_id""".stripMargin
+
     Map(
       "q_text_quality_rules" -> qualityRules,
+      "q_text_repetition" -> repetition,
       "q_dedup_simhash_pairs" -> simhashPairs,
       "q_text_stats" -> textStats,
       "q_text_langid" -> langid,

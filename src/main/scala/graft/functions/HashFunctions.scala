@@ -14,6 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object HashFunctions {
 
+  /** Word n-gram shingles WITH multiplicity (repetition analysis needs
+    * the raw occurrence counts that the distinct set form discards).
+    */
+  def wordShinglesAll(text: Column, n: Int): Column = {
+    val ts = TextFunctions.tokens(text)
+    val count = size(ts)
+    when(count < n, array(array_join(ts, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(1), count - lit(n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " ")
+        )
+      )
+  }
+
   /** Word n-gram shingles over the canonical token array. */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = TextFunctions.tokens(text)
