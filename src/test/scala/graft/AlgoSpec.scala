@@ -158,4 +158,36 @@ class AlgoSpec extends SparkSuite {
     assert(comms.head._3 >= 2) // member_count
     assert(m.store.edges.filter(col("edge_type") === EdgeTypes.HasMember).count() >= 2)
   }
+
+  test("manager: community lifecycle — unchanged reused, grown re-summarized") {
+    // reference tests/test_communities.py unchanged/changed/dissolved cases
+    val m = new MemoryManager(
+      spark,
+      MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        enableCommunitySummaries = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("alice and bob work together"),
+          Seq(ExtractedEntity("alice", "p"), ExtractedEntity("bob", "p")),
+          Seq(ExtractedRelation("alice", "bob", "works_with"))),
+        Extraction(Seq("carol joins the team"),
+          Seq(ExtractedEntity("alice", "p"), ExtractedEntity("carol", "p")),
+          Seq(ExtractedRelation("alice", "carol", "works_with"))))),
+      new AddAllReconciler)
+    m.add("Alice and Bob work together", now = Some(1700000000000L))
+    m.recomputeGraphMetricsIfDirty()
+    val first = m.getCommunities()
+    assert(first.nonEmpty)
+
+    // metrics not dirty → rerunning changes nothing (unchanged reuse)
+    m.recomputeGraphMetricsIfDirty()
+    assert(m.getCommunities() == first)
+
+    // growing the cluster re-materializes with a larger member count
+    m.add("Carol joins the team", now = Some(1700000001000L))
+    m.recomputeGraphMetricsIfDirty()
+    val second = m.getCommunities()
+    assert(second.nonEmpty)
+    assert(second.map(_._3).max > first.map(_._3).max)
+  }
 }

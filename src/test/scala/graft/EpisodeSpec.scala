@@ -55,6 +55,38 @@ class EpisodeSpec extends SparkSuite {
     assert(m.getEpisodes(limit = 1).map(_.episodeId) == Seq("1"))
   }
 
+  test("multiple facts from one add → ONE episode with multiple produced memories") {
+    // reference tests/test_episodes.py test_multiple_facts_multiple_produced
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableEpisodes = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(Extraction(
+        Seq("alice works at acme", "bob works at globex"), Nil, Nil))),
+      new AddAllReconciler)
+    val r = m.add("Alice works at Acme. Bob works at Globex.",
+      runId = Some("run1"), now = Some(T0))
+    assert(r.events.size == 2)
+    val eps = m.getEpisodes()
+    assert(eps.size == 1)
+    assert(eps.head.producedMemories == Seq("1", "2"))
+  }
+
+  test("episode nodes never surface in search results") {
+    // reference tests/test_episodes.py test_episode_nodes_not_in_search
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableEpisodes = true),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(Extraction(Seq("alice works at acme"), Nil, Nil))),
+      new AddAllReconciler)
+    m.add("Alice works at Acme", runId = Some("run1"), now = Some(T0))
+    val results = m.search("alice work", k = 10)
+    assert(results.nonEmpty)
+    results.foreach(r => assert(Set("vector", "graph", "both")(r.source)))
+    // no result id collides with an episode's content space: result
+    // texts come from the memories table only
+    results.foreach(r => assert(r.text == "alice works at acme"))
+  }
+
   test("episode chain links when the run id comes from CONFIG, not the call") {
     // regression: chainKey uses runId.orElse(config.runId); the stored
     // episode row must carry the same effective run id or the
