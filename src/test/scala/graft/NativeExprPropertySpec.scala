@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.{HashFunctions, VectorFunctions}
+
+/** Generated equivalence: the native codegen kernels vs the Spark HOF
+  * formulations they replaced, over random vectors (with occasional
+  * zeros/nulls/length mismatches) and random sorted long sets. The
+  * edge-case table in OpsSpec pins the tricky 3VL rows; this sweeps the
+  * bulk numeric space where a codegen bug (wrong accumulator, off-by-one
+  * bound) would actually live.
+  */
+class NativeExprPropertySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("CosineSim/DotProduct == HOF formulation over 300 random vector pairs") {
+    val vecGen: Gen[Seq[Float]] = for {
+      n <- Gen.frequency(8 -> Gen.const(16), 1 -> Gen.const(15), 1 -> Gen.const(0))
+      xs <- Gen.listOfN(n,
+        Gen.frequency(9 -> Gen.choose(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
+    } yield xs
+    val pairGen = for { a <- vecGen; b <- vecGen } yield (a, b)
+    val rows = sample(pairGen, 300, seed = 42L)
+    val df = rows.toDF("a", "b")
+
+    def legacyCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      def dd(c: org.apache.spark.sql.Column) = transform(c, x => x.cast("double"))
+      def norm(c: org.apache.spark.sql.Column) =
+        sqrt(aggregate(dd(c), lit(0.0), (acc, x) => acc + x * x))
+      val dot = aggregate(zip_with(dd(a), dd(b), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(norm(a) === 0.0 || norm(b) === 0.0, lit(0.0))
+        .otherwise(dot / (norm(a) * norm(b)))
+    }
+    def legacyDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(transform(a, _.cast("double")),
+        transform(b, _.cast("double")), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+    val got = df.select(
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("nc"),
+      legacyCosine(col("a"), col("b")).as("hc"),
+      VectorFunctions.dotProduct(col("a"), col("b")).as("nd"),
+      legacyDot(col("a"), col("b")).as("hd")).collect()
+    got.foreach { r =>
+      def v(i: Int): Any = if (r.isNullAt(i)) null else r.getDouble(i)
+      assert(v(0) == v(1), s"cosine: native=${v(0)} hof=${v(1)}")
+      assert(v(2) == v(3), s"dot: native=${v(2)} hof=${v(3)}")
+    }
+  }
+
+  test("SortedIntersectSize == array_intersect size over 300 random sorted sets") {
+    val setGen: Gen[Seq[Long]] =
+      Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    val pairGen = for { a <- setGen; b <- setGen } yield (a, b)
+    val df = sample(pairGen, 300, seed = 7L).toDF("a", "b")
+    val got = df.select(
+      HashFunctions.jaccardSortedLong(col("a"), col("b")).as("nj"),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        greatest(lit(1.0),
+          size(col("a")).cast("double") + size(col("b")).cast("double") -
+            size(array_intersect(col("a"), col("b"))).cast("double"))).as("hj"),
+      (size(col("a")) === 0 && size(col("b")) === 0).as("bothEmpty")).collect()
+    got.foreach { r =>
+      val expected = if (r.getBoolean(2)) 0.0 else r.getDouble(1)
+      assert(math.abs(r.getDouble(0) - expected) < 1e-12,
+        s"jaccard: native=${r.getDouble(0)} expected=$expected")
+    }
+  }
+}
