@@ -1292,10 +1292,15 @@ final class MemoryManager(
     * manager.py:1330-1350).
     */
   private def hydrateEpisodes(eps: DataFrame): Seq[EpisodeResult] = {
+    // semi-join the bounded episode page into the edge scans FIRST so
+    // the aggregations only touch that page's edges, not the store's
+    val pageIds = eps.select(col("id").as("src"))
     val prodAgg = store.edges.filter(col("edge_type") === EdgeTypes.Produced)
+      .join(pageIds, Seq("src"), "left_semi")
       .groupBy(col("src").as("id"))
       .agg(sort_array(collect_list(col("dst"))).as("produced"))
     val mentAgg = store.edges.filter(col("edge_type") === EdgeTypes.Mentions)
+      .join(pageIds, Seq("src"), "left_semi")
       .select(col("src").as("id"), col("dst").as("ent"))
       .join(store.entities.select(col("id").as("ent"), col("name")), Seq("ent"))
       .groupBy(col("id"))
@@ -1329,8 +1334,13 @@ final class MemoryManager(
     if (entityNames.isEmpty) Nil
     else {
       val nameSet = entityNames.map(_.toLowerCase).distinct
+      // restrict membership edges to THIS user's communities before
+      // aggregating — the HAS_MEMBER table spans every tenant
+      val myComms = store.communities.filter(col("user_id") === config.userId)
+        .select(col("id").as("cid"))
       val members = store.edges.filter(col("edge_type") === EdgeTypes.HasMember)
         .select(col("src").as("cid"), col("dst").as("ent"))
+        .join(myComms, Seq("cid"), "left_semi")
         .join(store.entities.select(col("id").as("ent"), col("name")), Seq("ent"))
       val agg = members.groupBy(col("cid")).agg(
         sort_array(collect_list(struct(col("ent"), col("name")))).as("ms"),
