@@ -107,18 +107,11 @@ object HashFunctions {
       toks,
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
     )
-    val bitCols = (0 until bits).map { i =>
-      // vote for bit i: +1 when set, -1 when clear, summed over tokens
-      val vote = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) =>
-          acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L))
-            .otherwise(lit(-1L))
-      )
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
+    // single-pass native vote accumulation — the per-bit aggregate()
+    // formulation ran `bits` interpreted passes over the hash array
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.SimHashVotes(
+      GraftSqlShim.expression(hashes), bits))
   }
 
   /** Hamming distance between two simhash longs. */

@@ -208,6 +208,81 @@ private[functions] object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** SimHash fingerprint from per-token 32-bit hash values (array<long>)
+    * in ONE pass: each token votes ±1 on every bit, fingerprint bit i is
+    * set when the vote sum is positive. The HOF formulation it replaces
+    * ran `bits` separate interpreted aggregate() passes over the hash
+    * array (32× the work, interpreted). Null element or null array → null
+    * (matches aggregate-over-transform propagation).
+    */
+  case class SimHashVotes(child: Expression, bits: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    require(bits >= 1 && bits <= 32, "simhash bits must be in [1,32]")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_simhash_votes"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be array<long>, got $other")
+      }
+    }
+
+    override def nullSafeEval(input: Any): Any = {
+      val xs = input.asInstanceOf[ArrayData]
+      val n = xs.numElements()
+      val votes = new Array[Int](bits)
+      var i = 0
+      while (i < n) {
+        if (xs.isNullAt(i)) return null
+        val h = xs.getLong(i)
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < bits) {
+        if (votes(b) > 0) fp |= (1L << b)
+        b += 1
+      }
+      fp
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, xs => {
+        val votes = ctx.freshName("votes")
+        val anyNull = ctx.freshName("anyNull")
+        s"""
+        int[] $votes = new int[$bits];
+        boolean $anyNull = false;
+        int n = $xs.numElements();
+        for (int i = 0; i < n && !$anyNull; i++) {
+          if ($xs.isNullAt(i)) { $anyNull = true; break; }
+          long h = $xs.getLong(i);
+          for (int b = 0; b < $bits; b++) {
+            if (((h >> b) & 1L) == 1L) { $votes[b]++; } else { $votes[b]--; }
+          }
+        }
+        if ($anyNull) { ${ev.isNull} = true; }
+        else {
+          long fp = 0L;
+          for (int b = 0; b < $bits; b++) { if ($votes[b] > 0) fp |= (1L << b); }
+          ${ev.value} = fp;
+        }
+        """
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashVotes =
+      copy(child = newChild)
+  }
+
   /** |A ∩ B| for two SORTED DISTINCT array<long> columns via a two-pointer
     * merge — O(|A|+|B|), zero allocation. The pair-join hot path of
     * n-gram Jaccard: callers sort once per document, then every candidate
