@@ -130,6 +130,16 @@ object TextQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_dedup_clusters" -> { (s, dir) =>
+      // connected components over the banded simhash pair graph — the
+      // cluster-then-keep-canonical step of a dedup pipeline
+      val docs = load(s, dir, "documents")
+      val pairs = DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
+        bits = 32, bands = 4, maxHamming = 3)
+      DedupOps.duplicateClusters(pairs)
+        .select(col("doc"), col("cluster"), col("is_canonical"))
+        .orderBy(col("doc"))
+    },
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       // exact all-pairs is contractually a BOUNDED-GROUP op — bucket by
       // (lang, n_chars % 8) so group sizes stay ~1/8 of a language slice
@@ -297,9 +307,31 @@ object TextQueries {
          |FROM s JOIN tok ON s.doc_id = tok.doc_id
          |ORDER BY s.doc_id""".stripMargin
 
+    // min-reachable-id per node over the undirected simhash pair graph
+    // == component-minimum labeling (mirror of DedupOps.duplicateClusters)
+    val clusters =
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |  list_transform($toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT)::BIGINT) AS hashes
+         |  FROM documents),
+         |fp AS (SELECT doc_id AS doc, ($voteTerms)::BIGINT AS sh FROM t),
+         |banded AS (SELECT doc, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+         |  FROM fp, (SELECT unnest([0,1,2,3]) AS band) b),
+         |p AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+         |  WHERE bit_count(xor(l.sh, r.sh)) <= 3),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |        UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS doc, src AS r FROM (SELECT DISTINCT src FROM und)
+         |  UNION
+         |  SELECT u.src AS doc, reach.r FROM und u JOIN reach ON u.dst = reach.doc)
+         |SELECT doc, min(r) AS cluster, (doc = min(r)) AS is_canonical
+         |FROM reach GROUP BY doc ORDER BY doc""".stripMargin
+
     Map(
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
+      "q_dedup_clusters" -> clusters,
       "q_dedup_simhash_pairs" -> simhashPairs,
       "q_text_stats" -> textStats,
       "q_text_langid" -> langid,

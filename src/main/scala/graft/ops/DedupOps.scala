@@ -182,6 +182,45 @@ object DedupOps {
       .distinct()
   }
 
+  /** Duplicate clustering: connected components over a near-dup pair
+    * graph (the output of any *Pairs op here), labeling every document
+    * with the MINIMUM doc id of its component — the canonical "cluster
+    * near-dups, keep one per cluster" step of a dedup pipeline. Output:
+    * (doc, cluster, is_canonical).
+    *
+    * Shape: min-label propagation to fixpoint — one dst-keyed
+    * aggregation per round, checkpointed labels, terminates in
+    * O(component diameter) rounds (near-dup components are shallow).
+    * Docs with no pairs are singletons and canonical by definition;
+    * callers union them back if they need the full corpus labeled.
+    */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val und = e
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = und.select(col("src").as("doc")).distinct()
+    var labels = nodes.withColumn("cluster", col("doc")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val next = und
+        .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc"))
+        .agg(min(col("cluster")).as("nbr_min"))
+        .join(labels, Seq("doc"))
+        .select(col("doc"), col("cluster"),
+          least(col("cluster"), col("nbr_min")).as("next_cluster"))
+        .localCheckpoint()
+      changed = next.filter(col("next_cluster") < col("cluster")).count()
+      val newLabels = next.select(col("doc"), col("next_cluster").as("cluster"))
+        .localCheckpoint()
+      labels.unpersist(blocking = false)
+      labels = newLabels
+    }
+    labels.withColumn("is_canonical", col("doc") === col("cluster"))
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set
     * (all pairs within a grouping key, e.g. same source bucket).
     * Shingles are md5-hashed to longs before the all-pairs join — the

@@ -39,6 +39,18 @@ class OpsSpec extends SparkSuite {
     assert(bcast((1L, 4L, 2)) || !bcast.contains((1L, 4L, 3))) // depth cap holds
   }
 
+  test("duplicateClusters: chained pairs collapse to the component minimum") {
+    // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; pair list
+    // never mentions 5 (singleton -> absent by contract)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = graft.ops.DedupOps.duplicateClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == Set(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 1L, false),
+      (10L, 10L, true), (11L, 10L, false)))
+  }
+
   test("native cosine matches the HOF formulation on null/zero/mismatch edge cases") {
     // the semantics contract: null element => null result UNLESS the
     // OTHER side is a null-free zero vector (3-valued when(na===0||nb===0))
