@@ -15,6 +15,19 @@ object TextQueries {
   private val punctClassScala = "[^.,;:!?'\"()\\[\\]{}-]"
   private val punctClassSql = """[^.,;:!?''"()\[\]{}-]""" // '' = SQL-escaped quote
 
+  /** Banded simhash pair graph, computed once per sf dir — shared by
+    * q_dedup_simhash_pairs and q_dedup_clusters (the cached-metrics
+    * pattern AlgoQueries uses for PageRank/LPA/betweenness).
+    */
+  private val pairMemo = scala.collection.mutable.Map[String, DataFrame]()
+  private def simhashPairsOf(s: SparkSession, dir: String): DataFrame =
+    pairMemo.synchronized {
+      pairMemo.getOrElseUpdate(dir,
+        DedupOps.simhashNearDupPairs(load(s, dir, "documents"), "doc_id", "text",
+            bits = 32, bands = 4, maxHamming = 3)
+          .localCheckpoint())
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) =>
       // per-row text metrics are CPU-bound; spread a single-partition
@@ -123,20 +136,15 @@ object TextQueries {
     },
     "q_dedup_simhash_pairs" -> { (s, dir) =>
       // banded simhash self-join: exact recall for Hamming <= 3 via the
-      // 4-slice pigeonhole, never all-pairs
-      val docs = load(s, dir, "documents")
-      DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
-          bits = 32, bands = 4, maxHamming = 3)
+      // 4-slice pigeonhole, never all-pairs (memoized; clusters reuse it)
+      simhashPairsOf(s, dir)
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
     "q_dedup_clusters" -> { (s, dir) =>
       // connected components over the banded simhash pair graph — the
       // cluster-then-keep-canonical step of a dedup pipeline
-      val docs = load(s, dir, "documents")
-      val pairs = DedupOps.simhashNearDupPairs(docs, "doc_id", "text",
-        bits = 32, bands = 4, maxHamming = 3)
-      DedupOps.duplicateClusters(pairs)
+      DedupOps.duplicateClusters(simhashPairsOf(s, dir))
         .select(col("doc"), col("cluster"), col("is_canonical"))
         .orderBy(col("doc"))
     },
