@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SQL registration for the native kernels — pathway (c) of the custom-
+  * operator ladder: the same Catalyst expressions the Column API uses,
+  * exposed to `spark.sql(...)` users.
+  *
+  *   - [[GraftFunctions.register]] installs them into a live session's
+  *     function registry (notebooks, tests);
+  *   - [[GraftSparkExtensions]] is the `spark.sql.extensions` hook for
+  *     cluster-wide deployment (`--conf spark.sql.extensions=
+  *     graft.functions.GraftSparkExtensions`).
+  */
+object GraftFunctions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(NativeExprs.getClass.getName, name, usage, "", "")
+
+  /** (name, usage, builder) for every SQL-exposed kernel. */
+  val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine",
+      "graft_cosine(a, b) - cosine similarity of two float/double arrays",
+      args => NativeExprs.CosineSim(args(0), args(1))),
+    ("graft_dot",
+      "graft_dot(a, b) - dot product of two float/double arrays",
+      args => NativeExprs.DotProduct(args(0), args(1))),
+    ("graft_sorted_intersect_size",
+      "graft_sorted_intersect_size(a, b) - |A∩B| of two sorted distinct bigint arrays",
+      args => NativeExprs.SortedIntersectSize(args(0), args(1))),
+    ("graft_simhash32",
+      "graft_simhash32(hashes) - 32-bit simhash from per-token hash values",
+      args => NativeExprs.SimHashVotes(args(0), 32))
+  )
+
+  /** Install into a live session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, usage, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(NativeExprs.getClass.getName, name, usage, "", ""),
+        builder))
+    }
+}

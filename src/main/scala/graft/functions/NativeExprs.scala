@@ -108,41 +108,48 @@ private[functions] object NativeExprs {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val leftGen = left.genCode(ctx)
       val rightGen = right.genCode(ctx)
-      val gx = elemGetter(left.dataType, leftGen.value.toString, "i")
-      val gy = elemGetter(right.dataType, rightGen.value.toString, "i")
+      // every local is freshName'd: with non-nullable children Spark
+      // inlines snippets at FUNCTION scope, so two instances of this
+      // expression in one projection would otherwise redeclare locals
+      val sa = ctx.freshName("sa"); val sb = ctx.freshName("sb")
+      val dot = ctx.freshName("dot")
+      val nullA = ctx.freshName("nullA"); val nullB = ctx.freshName("nullB")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val v = ctx.freshName("v")
+      val naZero = ctx.freshName("naZero"); val nbZero = ctx.freshName("nbZero")
+      val gx = elemGetter(left.dataType, leftGen.value.toString, i)
+      val gy = elemGetter(right.dataType, rightGen.value.toString, i)
       val code =
         code"""
         ${leftGen.code}
         ${rightGen.code}
         boolean ${ev.isNull} = false;
         double ${ev.value} = 0.0;
-        {
-          double sa = 0.0, sb = 0.0, dot = 0.0;
-          boolean nullA = ${leftGen.isNull}, nullB = ${rightGen.isNull};
-          int nx = -1, ny = -1;
-          if (!${leftGen.isNull}) {
-            nx = ${leftGen.value}.numElements();
-            for (int i = 0; i < nx; i++) {
-              if (${leftGen.value}.isNullAt(i)) { nullA = true; }
-              else { double v = $gx; sa += v * v; }
-            }
+        double $sa = 0.0, $sb = 0.0, $dot = 0.0;
+        boolean $nullA = ${leftGen.isNull}, $nullB = ${rightGen.isNull};
+        int $nx = -1, $ny = -1;
+        if (!${leftGen.isNull}) {
+          $nx = ${leftGen.value}.numElements();
+          for (int $i = 0; $i < $nx; $i++) {
+            if (${leftGen.value}.isNullAt($i)) { $nullA = true; }
+            else { double $v = $gx; $sa += $v * $v; }
           }
-          if (!${rightGen.isNull}) {
-            ny = ${rightGen.value}.numElements();
-            for (int i = 0; i < ny; i++) {
-              if (${rightGen.value}.isNullAt(i)) { nullB = true; }
-              else { double v = $gy; sb += v * v; }
-            }
-          }
-          if (!nullA && !nullB && nx == ny) {
-            for (int i = 0; i < nx; i++) { dot += ($gx) * ($gy); }
-          }
-          boolean naZero = !nullA && Math.sqrt(sa) == 0.0;
-          boolean nbZero = !nullB && Math.sqrt(sb) == 0.0;
-          if (naZero || nbZero) { ${ev.value} = 0.0; }
-          else if (nullA || nullB || nx != ny) { ${ev.isNull} = true; }
-          else { ${ev.value} = dot / (Math.sqrt(sa) * Math.sqrt(sb)); }
         }
+        if (!${rightGen.isNull}) {
+          $ny = ${rightGen.value}.numElements();
+          for (int $i = 0; $i < $ny; $i++) {
+            if (${rightGen.value}.isNullAt($i)) { $nullB = true; }
+            else { double $v = $gy; $sb += $v * $v; }
+          }
+        }
+        if (!$nullA && !$nullB && $nx == $ny) {
+          for (int $i = 0; $i < $nx; $i++) { $dot += ($gx) * ($gy); }
+        }
+        boolean $naZero = !$nullA && Math.sqrt($sa) == 0.0;
+        boolean $nbZero = !$nullB && Math.sqrt($sb) == 0.0;
+        if ($naZero || $nbZero) { ${ev.value} = 0.0; }
+        else if ($nullA || $nullB || $nx != $ny) { ${ev.isNull} = true; }
+        else { ${ev.value} = $dot / (Math.sqrt($sa) * Math.sqrt($sb)); }
         """
       ev.copy(code = code)
     }
@@ -186,19 +193,23 @@ private[functions] object NativeExprs {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
-        val gx = elemGetter(left.dataType, a, "i")
-        val gy = elemGetter(right.dataType, b, "i")
+        // freshName'd locals: non-nullable children inline this snippet
+        // at function scope, where fixed names would collide
+        val nx = ctx.freshName("nx"); val dot = ctx.freshName("dot")
+        val anyNull = ctx.freshName("anyNull"); val i = ctx.freshName("i")
+        val gx = elemGetter(left.dataType, a, i)
+        val gy = elemGetter(right.dataType, b, i)
         s"""
-        int nx = $a.numElements();
-        if (nx != $b.numElements()) { ${ev.isNull} = true; }
+        int $nx = $a.numElements();
+        if ($nx != $b.numElements()) { ${ev.isNull} = true; }
         else {
-          double dot = 0.0;
-          boolean anyNull = false;
-          for (int i = 0; i < nx; i++) {
-            if ($a.isNullAt(i) || $b.isNullAt(i)) { anyNull = true; break; }
-            dot += ($gx) * ($gy);
+          double $dot = 0.0;
+          boolean $anyNull = false;
+          for (int $i = 0; $i < $nx; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
+            $dot += ($gx) * ($gy);
           }
-          if (anyNull) { ${ev.isNull} = true; } else { ${ev.value} = dot; }
+          if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $dot; }
         }
         """
       })
@@ -259,22 +270,25 @@ private[functions] object NativeExprs {
       nullSafeCodeGen(ctx, ev, xs => {
         val votes = ctx.freshName("votes")
         val anyNull = ctx.freshName("anyNull")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val h = ctx.freshName("h"); val b = ctx.freshName("b")
+        val fp = ctx.freshName("fp")
         s"""
         int[] $votes = new int[$bits];
         boolean $anyNull = false;
-        int n = $xs.numElements();
-        for (int i = 0; i < n && !$anyNull; i++) {
-          if ($xs.isNullAt(i)) { $anyNull = true; break; }
-          long h = $xs.getLong(i);
-          for (int b = 0; b < $bits; b++) {
-            if (((h >> b) & 1L) == 1L) { $votes[b]++; } else { $votes[b]--; }
+        int $n = $xs.numElements();
+        for (int $i = 0; $i < $n && !$anyNull; $i++) {
+          if ($xs.isNullAt($i)) { $anyNull = true; break; }
+          long $h = $xs.getLong($i);
+          for (int $b = 0; $b < $bits; $b++) {
+            if ((($h >> $b) & 1L) == 1L) { $votes[$b]++; } else { $votes[$b]--; }
           }
         }
         if ($anyNull) { ${ev.isNull} = true; }
         else {
-          long fp = 0L;
-          for (int b = 0; b < $bits; b++) { if ($votes[b] > 0) fp |= (1L << b); }
-          ${ev.value} = fp;
+          long $fp = 0L;
+          for (int $b = 0; $b < $bits; $b++) { if ($votes[$b] > 0) $fp |= (1L << $b); }
+          ${ev.value} = $fp;
         }
         """
       })
@@ -319,17 +333,23 @@ private[functions] object NativeExprs {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        int nx = $a.numElements();
-        int ny = $b.numElements();
-        int i = 0, j = 0, c = 0;
-        while (i < nx && j < ny) {
-          long xv = $a.getLong(i); long yv = $b.getLong(j);
-          if (xv == yv) { c++; i++; j++; }
-          else if (xv < yv) { i++; } else { j++; }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+        int $nx = $a.numElements();
+        int $ny = $b.numElements();
+        int $i = 0, $j = 0, $c = 0;
+        while ($i < $nx && $j < $ny) {
+          long $xv = $a.getLong($i); long $yv = $b.getLong($j);
+          if ($xv == $yv) { $c++; $i++; $j++; }
+          else if ($xv < $yv) { $i++; } else { $j++; }
         }
-        ${ev.value} = c;
-        """)
+        ${ev.value} = $c;
+        """
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): SortedIntersectSize =

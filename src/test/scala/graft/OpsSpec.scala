@@ -39,6 +39,20 @@ class OpsSpec extends SparkSuite {
     assert(bcast((1L, 4L, 2)) || !bcast.contains((1L, 4L, 3))) // depth cap holds
   }
 
+  test("native kernels are SQL-callable after registry installation") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |  graft_dot(array(2.0D, 3.0D), array(4.0D, 5.0D)) AS d,
+        |  graft_sorted_intersect_size(array(1L, 2L, 5L), array(2L, 5L, 9L)) AS i,
+        |  graft_simhash32(array(5L)) AS s""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 23.0)
+    assert(r.getInt(2) == 2)
+    assert(r.getLong(3) == 5L) // one token: fingerprint == its hash bits
+  }
+
   test("duplicateClusters: chained pairs collapse to the component minimum") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; pair list
     // never mentions 5 (singleton -> absent by contract)
