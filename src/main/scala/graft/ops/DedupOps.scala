@@ -194,7 +194,51 @@ object DedupOps {
     * Docs with no pairs are singletons and canonical by definition;
     * callers union them back if they need the full corpus labeled.
     */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+  /** Pair-count bound under which clustering runs as driver union-find
+    * instead of distributed min-label rounds — each fixpoint round costs
+    * ~1 s of scheduling at local[32], which dwarfs a bounded pair list.
+    */
+  val ClusterUnionFindLimit = 1000000L
+
+  def duplicateClusters(
+      pairs: DataFrame,
+      unionFindLimit: Long = ClusterUnionFindLimit
+  ): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val bounded = p.limit((unionFindLimit + 1).toInt).count()
+    if (bounded <= unionFindLimit) clustersUnionFind(p)
+    else clustersMinLabel(p)
+  }
+
+  /** Bounded path: classic union-find over the collected pair list,
+    * roots normalized to each component's minimum id.
+    */
+  private def clustersUnionFind(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min root wins
+    }
+    val rows = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+    rows.toDF("doc", "cluster")
+      .withColumn("is_canonical", col("doc") === col("cluster"))
+  }
+
+  /** Distributed path: min-label propagation to fixpoint — one
+    * dst-keyed aggregation per round, checkpointed, O(diameter) rounds.
+    */
+  private def clustersMinLabel(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val und = e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))

@@ -58,11 +58,13 @@ class OpsSpec extends SparkSuite {
     // never mentions 5 (singleton -> absent by contract)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
       .toDF("doc_a", "doc_b")
-    val got = graft.ops.DedupOps.duplicateClusters(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    assert(got == Set(
+    val expected = Set(
       (1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (7L, 1L, false),
-      (10L, 10L, true), (11L, 10L, false)))
+      (10L, 10L, true), (11L, 10L, false))
+    def run(limit: Long) = graft.ops.DedupOps.duplicateClusters(pairs, limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(run(graft.ops.DedupOps.ClusterUnionFindLimit) == expected) // union-find
+    assert(run(0L) == expected) // distributed min-label path
   }
 
   test("native cosine matches the HOF formulation on null/zero/mismatch edge cases") {
