@@ -32,7 +32,7 @@ object AlgoQueries {
   private val prMemo = scala.collection.mutable.Map[String, DataFrame]()
   private def pagerankOf(s: SparkSession, dir: String): DataFrame =
     prMemo.synchronized {
-      prMemo.getOrElseUpdate(dir,
+      prMemo.getOrElseUpdate(s.sparkContext.applicationId + dir,
         GraphAlgorithms.pageRank(containsEdges(s, dir), PrIters, Damping)
           .localCheckpoint())
     }
@@ -40,14 +40,14 @@ object AlgoQueries {
   private val bcMemo = scala.collection.mutable.Map[String, DataFrame]()
   private def chainBetweennessOf(s: SparkSession, dir: String): DataFrame =
     bcMemo.synchronized {
-      bcMemo.getOrElseUpdate(dir,
+      bcMemo.getOrElseUpdate(s.sparkContext.applicationId + dir,
         GraphAlgorithms.betweenness(chainEdges(s, dir)).localCheckpoint())
     }
 
   private val lpaMemo = scala.collection.mutable.Map[String, DataFrame]()
   private def communitiesOf(s: SparkSession, dir: String): DataFrame =
     lpaMemo.synchronized {
-      lpaMemo.getOrElseUpdate(dir,
+      lpaMemo.getOrElseUpdate(s.sparkContext.applicationId + dir,
         GraphAlgorithms.labelPropagation(containsEdges(s, dir), LpaRounds)
           .localCheckpoint())
     }

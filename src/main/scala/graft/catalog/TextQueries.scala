@@ -22,7 +22,7 @@ object TextQueries {
   private val pairMemo = scala.collection.mutable.Map[String, DataFrame]()
   private def simhashPairsOf(s: SparkSession, dir: String): DataFrame =
     pairMemo.synchronized {
-      pairMemo.getOrElseUpdate(dir,
+      pairMemo.getOrElseUpdate(s.sparkContext.applicationId + dir,
         DedupOps.simhashNearDupPairs(load(s, dir, "documents"), "doc_id", "text",
             bits = 32, bands = 4, maxHamming = 3)
           .localCheckpoint())

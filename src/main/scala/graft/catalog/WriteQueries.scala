@@ -42,7 +42,7 @@ object WriteQueries {
   private[catalog] def scenario(
       s: SparkSession, dir: String): (GraphStore, DataFrame, DataFrame, DataFrame) =
     memo.synchronized {
-      memo.getOrElseUpdate(dir, {
+      memo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
         val docs = load(s, dir, "documents")
           .filter(col("doc_id") < N)
           .select(col("doc_id"), col("text"), col("lang"))

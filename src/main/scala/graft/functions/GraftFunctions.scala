@@ -17,23 +17,34 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
+  // 5-arg ExpressionInfo ctor is (className, db, name, usage, extended)
   private def info(name: String, usage: String) =
-    new ExpressionInfo(NativeExprs.getClass.getName, name, usage, "", "")
+    new ExpressionInfo(NativeExprs.getClass.getName, null, name, usage, "")
+
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.size != n)
+        throw new IllegalArgumentException(
+          s"$name expects $n argument(s), got ${args.size}")
+      build(args)
+    }
 
   /** (name, usage, builder) for every SQL-exposed kernel. */
   val functions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float/double arrays",
-      args => NativeExprs.CosineSim(args(0), args(1))),
+      arity("graft_cosine", 2)(args => NativeExprs.CosineSim(args(0), args(1)))),
     ("graft_dot",
       "graft_dot(a, b) - dot product of two float/double arrays",
-      args => NativeExprs.DotProduct(args(0), args(1))),
+      arity("graft_dot", 2)(args => NativeExprs.DotProduct(args(0), args(1)))),
     ("graft_sorted_intersect_size",
       "graft_sorted_intersect_size(a, b) - |A∩B| of two sorted distinct bigint arrays",
-      args => NativeExprs.SortedIntersectSize(args(0), args(1))),
+      arity("graft_sorted_intersect_size", 2)(
+        args => NativeExprs.SortedIntersectSize(args(0), args(1)))),
     ("graft_simhash32",
       "graft_simhash32(hashes) - 32-bit simhash from per-token hash values",
-      args => NativeExprs.SimHashVotes(args(0), 32))
+      arity("graft_simhash32", 1)(args => NativeExprs.SimHashVotes(args(0), 32)))
   )
 
   /** Install into a live session (idempotent). */
@@ -49,7 +60,7 @@ class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, usage, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(NativeExprs.getClass.getName, name, usage, "", ""),
+        new ExpressionInfo(NativeExprs.getClass.getName, null, name, usage, ""),
         builder))
     }
 }

@@ -223,8 +223,9 @@ private[functions] object NativeExprs {
     * in ONE pass: each token votes ±1 on every bit, fingerprint bit i is
     * set when the vote sum is positive. The HOF formulation it replaces
     * ran `bits` separate interpreted aggregate() passes over the hash
-    * array (32× the work, interpreted). Null element or null array → null
-    * (matches aggregate-over-transform propagation).
+    * array (32× the work, interpreted). Null array → null; a null
+    * ELEMENT votes -1 on every bit — the HOF's when(bit-test)
+    * .otherwise(-1) takes the otherwise branch on a null condition.
     */
   case class SimHashVotes(child: Expression, bits: Int)
       extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -248,8 +249,10 @@ private[functions] object NativeExprs {
       val votes = new Array[Int](bits)
       var i = 0
       while (i < n) {
-        if (xs.isNullAt(i)) return null
-        val h = xs.getLong(i)
+        // null hash mirrors the HOF's when(bit-test).otherwise(-1): the
+        // null condition takes the otherwise branch, i.e. a -1 vote on
+        // every bit — exactly what h = 0 produces
+        val h = if (xs.isNullAt(i)) 0L else xs.getLong(i)
         var b = 0
         while (b < bits) {
           if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -269,27 +272,21 @@ private[functions] object NativeExprs {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, xs => {
         val votes = ctx.freshName("votes")
-        val anyNull = ctx.freshName("anyNull")
         val n = ctx.freshName("n"); val i = ctx.freshName("i")
         val h = ctx.freshName("h"); val b = ctx.freshName("b")
         val fp = ctx.freshName("fp")
         s"""
         int[] $votes = new int[$bits];
-        boolean $anyNull = false;
         int $n = $xs.numElements();
-        for (int $i = 0; $i < $n && !$anyNull; $i++) {
-          if ($xs.isNullAt($i)) { $anyNull = true; break; }
-          long $h = $xs.getLong($i);
+        for (int $i = 0; $i < $n; $i++) {
+          long $h = $xs.isNullAt($i) ? 0L : $xs.getLong($i);
           for (int $b = 0; $b < $bits; $b++) {
             if ((($h >> $b) & 1L) == 1L) { $votes[$b]++; } else { $votes[$b]--; }
           }
         }
-        if ($anyNull) { ${ev.isNull} = true; }
-        else {
-          long $fp = 0L;
-          for (int $b = 0; $b < $bits; $b++) { if ($votes[$b] > 0) $fp |= (1L << $b); }
-          ${ev.value} = $fp;
-        }
+        long $fp = 0L;
+        for (int $b = 0; $b < $bits; $b++) { if ($votes[$b] > 0) $fp |= (1L << $b); }
+        ${ev.value} = $fp;
         """
       })
 

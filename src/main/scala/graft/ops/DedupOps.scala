@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,19 +204,30 @@ object DedupOps {
       pairs: DataFrame,
       unionFindLimit: Long = ClusterUnionFindLimit
   ): DataFrame = {
+    require(unionFindLimit >= 0, "unionFindLimit must be >= 0")
     val p = pairs.select(col("doc_a"), col("doc_b"))
-    val bounded = p.limit((unionFindLimit + 1).toInt).count()
-    if (bounded <= unionFindLimit) clustersUnionFind(p)
+    // the union-find path needs long ids; any other id type stays on the
+    // type-generic min-label dataflow regardless of size
+    val longIds = p.schema.fields.forall(
+      _.dataType == org.apache.spark.sql.types.LongType)
+    val probeN = math.min(unionFindLimit, Int.MaxValue - 2L).toInt + 1
+    // ONE bounded collect decides the path AND feeds union-find — the
+    // upstream pair plan (often an expensive banded self-join) is never
+    // executed twice for a size probe
+    val probe = if (longIds) p.limit(probeN).collect() else Array.empty[Row]
+    if (longIds && probe.length <= unionFindLimit) clustersUnionFind(p.sparkSession, probe)
     else clustersMinLabel(p)
   }
 
   /** Bounded path: classic union-find over the collected pair list,
     * roots normalized to each component's minimum id.
     */
-  private def clustersUnionFind(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  private def clustersUnionFind(
+      spark: org.apache.spark.sql.SparkSession,
+      rows: Array[Row]
+  ): DataFrame = {
     import spark.implicits._
-    val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x
@@ -230,8 +241,8 @@ object DedupOps {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min root wins
     }
-    val rows = parent.keys.toSeq.sorted.map(d => (d, find(d)))
-    rows.toDF("doc", "cluster")
+    val labeled = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+    labeled.toDF("doc", "cluster")
       .withColumn("is_canonical", col("doc") === col("cluster"))
   }
 
@@ -248,6 +259,9 @@ object DedupOps {
     var labels = nodes.withColumn("cluster", col("doc")).localCheckpoint()
     var changed = 1L
     while (changed > 0) {
+      // ONE checkpoint per round; the label view derives from it lazily
+      // (a second checkpoint of the same materialized data bought
+      // nothing and doubled the block-manager footprint per round)
       val next = und
         .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc"))
@@ -257,10 +271,8 @@ object DedupOps {
           least(col("cluster"), col("nbr_min")).as("next_cluster"))
         .localCheckpoint()
       changed = next.filter(col("next_cluster") < col("cluster")).count()
-      val newLabels = next.select(col("doc"), col("next_cluster").as("cluster"))
-        .localCheckpoint()
       labels.unpersist(blocking = false)
-      labels = newLabels
+      labels = next.select(col("doc"), col("next_cluster").as("cluster"))
     }
     labels.withColumn("is_canonical", col("doc") === col("cluster"))
   }
