@@ -58,7 +58,9 @@ object MultimodalQueries {
       // frame-sample plumbing: 4 equal byte slices; emit per-frame length
       // + frame digest so the fan-out shape is oracle-checked
       val m = media(s, dir).withColumn("frames", Multimodal.frameSample("data", 4))
-      m.select(col("media_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame")))
+      // outer: keeps InferFiltersFromGenerate from re-slicing the binary
+      // at the scan (frameSample always emits `n` frames)
+      m.select(col("media_id"), posexplode_outer(col("frames")).as(Seq("frame_idx", "frame")))
         .select(col("media_id"), col("frame_idx"),
           length(col("frame")).cast("long").as("frame_len"),
           lower(hex(col("frame"))).as("frame_hex"))

@@ -33,9 +33,23 @@ object Tables {
        | ELSE [array_to_string(($toks)[i:i+${n - 1}], ' ') for i in range(1, len($toks) - ${n - 2})]
        | END)""".stripMargin.replaceAll("\n", " ")
 
-  /** DuckDB: one minhash value (mirror of HashFunctions.minhash). */
-  def sqlMinhash(shingles: String, seed: Int): String =
-    s"list_aggregate(list_transform($shingles, s -> md5('$seed|' || s)), 'min')"
+  /** DuckDB: word shingles hashed once to 31-bit longs (mirror of
+    * HashFunctions.hashedWordShingles). Input is a distinct shingle
+    * list expression.
+    */
+  def sqlHashedShingles(shingles: String): String =
+    s"""list_distinct(list_transform($shingles,
+       | s -> ((('0x' || substr(md5(s), 1, 8))::UBIGINT) & 2147483647)::BIGINT))"""
+      .stripMargin.replaceAll("\n", " ")
+
+  /** DuckDB: one minhash value over ALREADY-HASHED shingles (mirror of
+    * HashFunctions.minhashMix min-aggregated) — same (a·x + b) mod P
+    * family, constants injected from the single Scala source of truth.
+    */
+  def sqlMinhash(hashed: String, seed: Int): String = {
+    import graft.functions.HashFunctions._
+    s"list_aggregate(list_transform($hashed, h -> (h * ${minhashA(seed)} + ${minhashB(seed)}) % $MinhashPrime), 'min')"
+  }
 
   /** DuckDB: jaccard of two distinct-element lists. */
   def sqlJaccard(a: String, b: String): String =

@@ -84,7 +84,9 @@ object TextQueries {
       val p = s.sessionState.conf.numShufflePartitions
       val docs = load(s, dir, "documents").repartition(p)
       val grams = docs.select(col("doc_id"),
-        explode(HashFunctions.wordShinglesAll(col("text"), 2)).as("g"))
+        // outer: keeps InferFiltersFromGenerate from re-evaluating the
+        // 2-gram subtree at the scan (arrays are never empty)
+        explode_outer(HashFunctions.wordShinglesAll(col("text"), 2)).as("g"))
       val stats = grams
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
@@ -219,24 +221,26 @@ object TextQueries {
          |FROM h ORDER BY doc_id""".stripMargin
 
     val shingles3 = sqlWordShingles(toks, 3)
+    val hashed3 = sqlHashedShingles(shingles3)
     val minhash4 =
-      s"""WITH sh AS (SELECT doc_id, $shingles3 AS shingles FROM documents)
-         |SELECT doc_id, ${(0 until 4).map(i => s"${sqlMinhash("shingles", i)} AS mh_$i").mkString(", ")}
+      s"""WITH sh AS (SELECT doc_id, $hashed3 AS hashed FROM documents)
+         |SELECT doc_id, ${(0 until 4).map(i => s"${sqlMinhash("hashed", i)} AS mh_$i").mkString(", ")}
          |FROM sh ORDER BY doc_id""".stripMargin
 
-    val sig32 = s"[${(0 until 32).map(i => sqlMinhash("shingles", i)).mkString(", ")}]"
+    val sig32 = s"[${(0 until 32).map(i => sqlMinhash("hashed", i)).mkString(", ")}]"
     val lshPairs =
-      s"""WITH sh AS (SELECT doc_id AS doc, $shingles3 AS shingles FROM documents),
-         |sg AS (SELECT doc, shingles, $sig32 AS sig FROM sh),
+      s"""WITH sh AS (SELECT doc_id AS doc, $hashed3 AS hashed FROM documents),
+         |sg AS (SELECT doc, hashed, $sig32 AS sig FROM sh),
          |banded AS (
-         |  SELECT doc, b.band, md5(array_to_string(sig[b.band*8+1:b.band*8+8], ',')) AS key
+         |  SELECT doc, b.band,
+         |    md5(array_to_string(list_transform(sig[b.band*8+1:b.band*8+8], x -> x::VARCHAR), ',')) AS key
          |  FROM sg, (SELECT unnest([0,1,2,3]) AS band) b),
          |pairs AS (
          |  SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
          |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc)
-         |SELECT p.doc_a, p.doc_b, round(${sqlJaccard("a.shingles", "b.shingles")}, 6) AS jaccard
+         |SELECT p.doc_a, p.doc_b, round(${sqlJaccard("a.hashed", "b.hashed")}, 6) AS jaccard
          |FROM pairs p JOIN sg a ON p.doc_a = a.doc JOIN sg b ON p.doc_b = b.doc
-         |WHERE ${sqlJaccard("a.shingles", "b.shingles")} >= 0.0
+         |WHERE ${sqlJaccard("a.hashed", "b.hashed")} >= 0.0
          |ORDER BY doc_a, doc_b""".stripMargin
 
     val voteTerms = (0 until 32).map { i =>

@@ -72,26 +72,45 @@ object HashFunctions {
         charShingles(text, n),
         s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
 
-  /** One MinHash value: min over shingles of md5(seed || '|' || shingle),
-    * as a 32-hex-char string. Lexicographic min == numeric min of the
-    * 128-bit digest.
+  /** Word shingles hashed ONCE to 31-bit longs. The MinHash family
+    * below derives every hash function from this single digest by
+    * universal mixing — md5 (the dominant cost of signature building)
+    * runs once per shingle instead of once per (shingle, hash).
+    * 31 bits keep every mixed product inside a signed 64-bit value in
+    * both Spark and DuckDB (no overflow-semantics divergence).
     */
-  def minhash(shingles: Column, seed: Int): Column =
-    array_min(transform(shingles, s => md5(concat(lit(seed + "|"), s))))
+  def hashedWordShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        wordShingles(text, n),
+        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+          .bitwiseAND(lit(0x7fffffffL))))
 
-  /** Full MinHash signature as an array of hex strings. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i => minhash(shingles, i)): _*)
+  /** Modulus of the MinHash mixing family: 2^31 − 1 (Mersenne prime). */
+  val MinhashPrime = 2147483647L
 
-  /** LSH band keys: hash `rows`-sized bands of the signature; docs
-    * sharing any band key are near-dup candidates. Returns
+  /** Deterministic per-hash mixing constants, mirrored literally into
+    * the DuckDB oracle SQL (Tables.sqlMinhash) so both engines compute
+    * the identical family h_i(x) = (a_i·x + b_i) mod P.
+    */
+  def minhashA(i: Int): Long = ((i + 1L) * 2654435761L) % MinhashPrime
+  def minhashB(i: Int): Long = (i * 40503L + 12345L) % MinhashPrime
+
+  /** One mixed MinHash term over an already-hashed shingle value. */
+  def minhashMix(hashed: Column, i: Int): Column =
+    pmod(hashed * lit(minhashA(i)) + lit(minhashB(i)), lit(MinhashPrime))
+
+  /** LSH band keys over an array<long> signature: hash `rows`-sized
+    * bands; docs sharing any band key are near-dup candidates. Returns
     * array<struct<band:int, key:string>>.
     */
   def lshBands(signature: Column, bands: Int, rows: Int): Column =
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        md5(array_join(slice(signature, b * rows + 1, rows), ",")).as("key")
+        md5(array_join(
+          transform(slice(signature, b * rows + 1, rows), _.cast("string")),
+          ",")).as("key")
       )
     }: _*)
 

@@ -29,15 +29,17 @@ object DedupOps {
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
   }
 
-  /** MinHash signatures: numHashes md5-derived min-hex values over word
-    * shingles. Output columns: idCol, mh_0 .. mh_{n-1}.
+  /** MinHash signatures: numHashes 31-bit min values over word shingles.
+    * Output columns: idCol, mh_0 .. mh_{n-1} (long).
     *
-    * Shape: explode shingles once, then numHashes `min` aggregations —
-    * each md5 is computed exactly once and the mins combine map-side.
-    * (The tempting nested-HOF form — an array of minhash expressions
-    * over a shingle column — collapses in Catalyst so the whole
-    * shingle-generation subtree is re-inlined into EVERY hash: 32×
-    * recompute, observed 3.5× slower at sf0.1 than this aggregation.)
+    * Shape: md5 each shingle ONCE to a 31-bit long, explode, then
+    * numHashes `min` aggregations over universal-mixed terms
+    * (a_i·h + b_i mod P) — the md5 (the dominant cost) is independent of
+    * numHashes and the mins combine map-side.
+    * (Two rejected shapes, measured at sf0.1: per-hash md5(seed||s) made
+    * signature cost linear in numHashes; and the nested-HOF form — an
+    * array of minhash expressions over a shingle column — collapses in
+    * Catalyst so the shingle subtree is re-inlined into EVERY hash.)
     */
   def minhashSignatures(
       df: DataFrame,
@@ -46,21 +48,23 @@ object DedupOps {
       numHashes: Int = 16,
       shingleSize: Int = 3
   ): DataFrame = {
-    // hash-heavy: repartition the (narrow) text rows by id FIRST so the
-    // shingle+md5 explode runs on every core — a small-file scan arrives
-    // as one partition and would otherwise hash single-threaded — and
-    // the per-id min-agg then needs no further exchange
+    // hash-heavy: round-robin repartition the (narrow) text rows FIRST
+    // so the shingle+md5 explode runs on every core — a small-file scan
+    // arrives as one partition and would otherwise hash single-threaded.
+    // Round-robin, not keyed: the min-agg's partial aggregate shrinks
+    // each partition to ≤ one row per id before the exchange, so a keyed
+    // pre-shuffle buys nothing and costs a hash-eval per row.
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val sh = df.select(col(idCol), col(textCol))
-      .repartition(p, col(idCol))
+      .repartition(p)
       .select(col(idCol),
-        HashFunctions.wordShingles(col(textCol), shingleSize).as("__shingles"))
+        HashFunctions.hashedWordShingles(col(textCol), shingleSize).as("__shingles"))
     signaturesFromShingles(sh, idCol, "__shingles", numHashes)
   }
 
-  /** Signature aggregation over an ALREADY-shingled table — lets callers
-    * that also need the raw shingle sets (LSH verification) compute
-    * shingles exactly once.
+  /** Signature aggregation over an ALREADY hashed-shingled table — lets
+    * callers that also need the raw shingle sets (LSH verification)
+    * compute and hash shingles exactly once.
     */
   private def signaturesFromShingles(
       sh: DataFrame,
@@ -68,9 +72,15 @@ object DedupOps {
       shCol: String,
       numHashes: Int
   ): DataFrame = {
-    val exploded = sh.select(col(idCol), explode(col(shCol)).as("s"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    // explode into `size(expr) > 0 AND isnotnull(expr)` and pushes that
+    // below the repartition to the SCAN — evaluating the interpreted-HOF
+    // shingle subtree twice more, single-threaded (measured 4.7 s vs
+    // 0.7 s at sf0.1). Shingle arrays are never empty, so outer explode
+    // is semantically identical and skips the rule.
+    val exploded = sh.select(col(idCol), explode_outer(col(shCol)).as("h"))
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("s")))).as(s"mh_$i"))
+      min(HashFunctions.minhashMix(col("h"), i)).as(s"mh_$i"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -91,14 +101,16 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
-    // the shingle table feeds BOTH the signature aggregation and the
-    // two sides of the verification join — checkpoint so the word
-    // shingling + md5 (the dominant cost) runs exactly once
+    // the hashed-shingle table feeds BOTH the signature aggregation and
+    // the two sides of the verification join — checkpoint so the word
+    // shingling + md5 (the dominant cost) runs exactly once; sorted so
+    // per-pair Jaccard runs as the native two-pointer long merge
     val shingled = df.select(col(idCol).as("doc"), col(textCol))
       .repartition(p, col("doc"))
       .select(
         col("doc"),
-        HashFunctions.wordShingles(col(textCol), shingleSize).as("shingles"))
+        sort_array(
+          HashFunctions.hashedWordShingles(col(textCol), shingleSize)).as("shingles"))
       .localCheckpoint()
 
     // signatures via the explode+min-agg shape (see minhashSignatures)
@@ -108,7 +120,7 @@ object DedupOps {
       .withColumn("bandkeys", HashFunctions.lshBands(col("sig"), bands, rows))
 
     val banded = sigs
-      .select(col("doc"), explode(col("bandkeys")).as("bk"))
+      .select(col("doc"), explode_outer(col("bandkeys")).as("bk")) // outer: see signaturesFromShingles
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     val pairs = banded
@@ -121,7 +133,7 @@ object DedupOps {
     val withSim = pairs
       .join(shingled.select(col("doc").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
-      .withColumn("jaccard", HashFunctions.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", HashFunctions.jaccardSortedLong(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     withSim
@@ -161,9 +173,14 @@ object DedupOps {
     val sliceBits = bits / bands
     val mask = (1L << sliceBits) - 1
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // checkpoint: the fingerprint feeds the doc column, all `bands`
+    // slice keys, and the Hamming verify — without materialization,
+    // CollapseProject re-inlines the simhash pipeline into each and
+    // InferFiltersFromGenerate re-evaluates it at the scan
     val fp = df.select(col(idCol).as("doc"), col(textCol).as("t"))
       .repartition(p, col("doc"))
       .select(col("doc"), HashFunctions.simhash(col("t"), bits).as("sh"))
+      .localCheckpoint()
     val banded = fp.select(
       col("doc"), col("sh"),
       explode(array((0 until bands).map(b =>
@@ -372,7 +389,9 @@ object DedupOps {
             .reduce(_ + _)
           struct(lit(b).as("band"), key.as("key"))
         }: _*)
-        val hashed = base.withColumn("bk", explode(bandKeys))
+        // outer explode: keeps InferFiltersFromGenerate from pushing a
+        // re-evaluation of all bands×rows dot products down to the scan
+        val hashed = base.withColumn("bk", explode_outer(bandKeys))
           .select(col("doc"), col("emb"), col("bk.band").as("band"), col("bk.key").as("key"))
         hashed
           .as("l")

@@ -68,7 +68,9 @@ object SearchOps {
 
     val terms = queryTerms.map(_.toLowerCase).distinct
     val tf = docTokens
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      // outer: keeps InferFiltersFromGenerate from re-tokenizing at the
+      // scan; null terms are dropped by the isin filter anyway
+      .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
