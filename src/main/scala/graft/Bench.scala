@@ -47,25 +47,63 @@ object Bench {
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
-    val results = names.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val sec =
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-          catch {
-            case e: Throwable =>
-              System.err.println(
-                s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-              -1.0
-          }
-        name -> sec
-      }
+    // main list from the oracle-verified registry, then the bench-only
+    // large-graph-path variants (wave Brandes, distributed min-label)
+    val runnable: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      names.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
+        SparkEntry.benchExtras.toSeq.sortBy(_._1)
+    val results = runnable.map { case (name, fn) =>
+      graft.trace.MemoLog.currentQuery = name
+      val t0 = System.nanoTime()
+      val sec =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            -1.0
+        }
+      name -> sec
+    }
+    // untimed: recall of the approximate scale paths vs their exact
+    // baselines — the knobs (bands, nProbe) an operator tunes at 100×
+    // need a measured starting point, not just a unit-test pass/fail
+    val recalls: Seq[(String, Double)] = {
+      import org.apache.spark.sql.{functions => F, DataFrame}
+      def recallOf(label: String, approx: String, exact: String, keys: Seq[String],
+          exactFilter: DataFrame => DataFrame = identity): Option[(String, Double)] =
+        try {
+          val e = exactFilter(SparkEntry.queries(exact)(spark, sfDir))
+            .select(keys.head, keys.tail: _*)
+          val a = SparkEntry.queries(approx)(spark, sfDir).select(keys.head, keys.tail: _*)
+          val n = e.count()
+          val hit = a.join(e, keys).count()
+          Some(label -> (if (n == 0) 1.0 else hit.toDouble / n))
+        } catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] recall $label failed: ${t.getMessage}"); None
+        }
+      // overall = recall at the registered threshold (0.3 — a stress
+      // setting: sign-LSH collision odds fall with cosine, so this is
+      // the worst case); hi = recall over cosine >= 0.6, the regime a
+      // near-dup pipeline actually targets
+      recallOf("q_emb_neardup_lsh", "q_emb_neardup_lsh", "q_emb_neardup_exact",
+        Seq("doc_a", "doc_b")).toSeq ++
+        recallOf("q_emb_neardup_lsh_hi", "q_emb_neardup_lsh", "q_emb_neardup_exact",
+          Seq("doc_a", "doc_b"), _.filter(F.col("cosine") >= 0.6)).toSeq ++
+        recallOf("q_ann_ivf", "q_ann_ivf", "q_ann_bruteforce",
+          Seq("query_id", "neighbor_id")).toSeq
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val memoJson = graft.trace.MemoLog.snapshot.toSeq.sortBy(_._1)
+      .map { case (m, q) => "\"" + m + "\":\"" + q + "\"" }.mkString("{", ",", "}")
+    val recallJson = recalls
+      .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 10000) / 10000 }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // bare line on stdout — the driver parses exactly this
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,6 +47,17 @@ object SparkEntry {
     * (the deliberate all-pairs oracle baseline; q_emb_neardup_lsh is the
     * scale path and IS measured).
     */
+  /** Bench-only variants with no oracle entry: they force the
+    * distributed large-graph code paths (wave Brandes, min-label
+    * clustering) that a 100× run would take, on graphs whose bounded-path
+    * results are oracle-verified; AlgoSpec/OpsSpec assert the two paths
+    * agree. Timed by [[Bench]] after the main list.
+    */
+  def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_betweenness_waves" -> (AlgoQueries.betweennessWavesBench _),
+    "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _)
+  )
+
   def benchQueries: Seq[String] = Seq(
     "q_text_stats", "q_text_langid", "q_text_fingerprint",
     "q_text_quality_rules", "q_text_repetition", "q_betweenness",

@@ -22,11 +22,24 @@ object TextQueries {
   private val pairMemo = scala.collection.mutable.Map[String, DataFrame]()
   private def simhashPairsOf(s: SparkSession, dir: String): DataFrame =
     pairMemo.synchronized {
-      pairMemo.getOrElseUpdate(s.sparkContext.applicationId + dir,
+      pairMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
+        graft.trace.MemoLog.record("simhash_pairs")
         DedupOps.simhashNearDupPairs(load(s, dir, "documents"), "doc_id", "text",
             bits = 32, bands = 4, maxHamming = 3)
-          .localCheckpoint())
+          .localCheckpoint()
+      })
     }
+
+  /** Bench-only: force the distributed min-label fixpoint (the path a
+    * >1M-pair graph takes) on the same pair graph the union-find path is
+    * oracle-verified on. OpsSpec asserts min-label == union-find; this
+    * entry exists so the distributed path has a recorded number at bench
+    * scale.
+    */
+  def clustersDistBench(s: SparkSession, dir: String): DataFrame =
+    DedupOps.duplicateClusters(simhashPairsOf(s, dir), unionFindLimit = 0L)
+      .select(col("doc"), col("cluster"), col("is_canonical"))
+      .orderBy(col("doc"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) =>
