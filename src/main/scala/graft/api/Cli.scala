@@ -128,11 +128,16 @@ object Cli {
             "count" -> st.count.toString))),
           "results" -> jarr(ex.results.map(resultJson)))
       case other =>
-        jobj("error" -> js(s"unknown command: $other"),
+        // the ONE in-band failure case: success is an explicit flag from
+        // this dispatch, never a sniff of the serialized payload (a
+        // future success shape starting with an error-like prefix must
+        // not flip the persist-on-success guarantee)
+        return (jobj("error" -> js(s"unknown command: $other"),
           "commands" -> jarr(Seq("add", "search", "list", "update", "delete",
-            "history", "summarize", "stats", "episodes", "explain").map(js)))
+            "history", "summarize", "stats", "episodes", "explain").map(js))),
+          false)
       }
-      (out, !cmd.isEmpty && out != null && !out.startsWith("{\"error\""))
+      (out, true)
     } catch {
       case scala.util.control.NonFatal(e) =>
         (jobj("error" -> js(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))),

@@ -1234,7 +1234,14 @@ final class MemoryManager(
         }.toSeq
     val fwd = if (direction == "forward" || direction == "both") leg(false) else Nil
     val bwd = if (direction == "backward" || direction == "both") leg(true) else Nil
-    fwd ++ bwd
+    // "both" dedups across legs (forward occurrence wins) and sorts the
+    // merged list by created_at (manager.py:1556-1568), with id as a
+    // deterministic tie-break
+    if (direction == "both") {
+      val seen = scala.collection.mutable.LinkedHashMap.empty[String, ChainEntry]
+      (fwd ++ bwd).foreach(e => if (!seen.contains(e.memoryId)) seen(e.memoryId) = e)
+      seen.values.toSeq.sortBy(e => (e.createdAt.getOrElse(0L), e.memoryId.toLong))
+    } else fwd ++ bwd
   }
 
   /** J8 — episode chain walk along NEXT_EPISODE for session replay

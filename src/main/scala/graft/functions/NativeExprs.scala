@@ -315,12 +315,17 @@ private[functions] object NativeExprs {
       }
     }
 
+    // a null ELEMENT reached by the merge yields null (mirroring
+    // CosineSim), never an undefined ArrayData slot read — the function
+    // is exposed to arbitrary SQL as graft_sorted_intersect_size, where
+    // array<long> inputs are containsNull by default
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
       val nx = x.numElements(); val ny = y.numElements()
       var i = 0; var j = 0; var c = 0
       while (i < nx && j < ny) {
+        if (x.isNullAt(i) || y.isNullAt(j)) return null
         val xv = x.getLong(i); val yv = y.getLong(j)
         if (xv == yv) { c += 1; i += 1; j += 1 }
         else if (xv < yv) i += 1
@@ -340,6 +345,7 @@ private[functions] object NativeExprs {
         int $ny = $b.numElements();
         int $i = 0, $j = 0, $c = 0;
         while ($i < $nx && $j < $ny) {
+          if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
           long $xv = $a.getLong($i); long $yv = $b.getLong($j);
           if ($xv == $yv) { $c++; $i++; $j++; }
           else if ($xv < $yv) { $i++; } else { $j++; }

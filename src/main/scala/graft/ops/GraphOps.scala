@@ -59,8 +59,13 @@ object GraphOps {
     val e1 = if (reverse) e0.select(col("dst").as("src"), col("src").as("dst")) else e0
     // dispatch on a BOUNDED count — limit(N+1).count() stops scanning
     // once the bound is exceeded, so the large-graph wave path never
-    // materializes or fully counts the edge table just to route
-    val bounded = e1.limit((broadcastEdgeLimit + 1).toInt).count()
+    // materializes or fully counts the edge table just to route.
+    // Clamped: a caller bound >= Int.MaxValue must saturate the probe,
+    // not overflow limit() into a negative runtime error
+    val probeN =
+      if (broadcastEdgeLimit >= Int.MaxValue - 1L) Int.MaxValue - 1
+      else (broadcastEdgeLimit + 1).toInt
+    val bounded = e1.limit(probeN).count()
     if (bounded <= broadcastEdgeLimit)
       varLengthPathsBroadcast(e1.distinct(), seeds, maxDepth)
     else

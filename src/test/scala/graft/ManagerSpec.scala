@@ -280,13 +280,14 @@ class ManagerSpec extends SparkSuite {
       .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lt == Set((1L, 2L), (2L, 3L)))
     // reference semantics: origin excluded, hydrated entries, forward
-    // default; "both" lists forward then backward (manager.py:1503-1556)
+    // default; "both" dedups across legs and sorts the merged list by
+    // created_at (manager.py:1556-1568)
     val fwd = m.temporalChain("1", maxDepth = 5)
     assert(fwd.map(_.memoryId) == Seq("2", "3"))
     assert(fwd.head.text == "second" && fwd.head.createdAt.contains(T0 + 1000))
     assert(m.temporalChain("2", maxDepth = 5).map(_.memoryId) == Seq("3"))
     assert(m.temporalChain("2", maxDepth = 5, direction = "both")
-      .map(_.memoryId) == Seq("3", "1"))
+      .map(_.memoryId) == Seq("1", "3"))
   }
 
   test("episodes mode (W11): PRODUCED + NEXT_EPISODE chains, no LEADS_TO") {

@@ -51,6 +51,14 @@ class OpsSpec extends SparkSuite {
     assert(r.getDouble(1) == 23.0)
     assert(r.getInt(2) == 2)
     assert(r.getLong(3) == 5L) // one token: fingerprint == its hash bits
+    // null ELEMENT reached by the merge -> null result, not an undefined
+    // slot read (SQL arrays are containsNull by default)
+    val n = spark.sql(
+      """SELECT
+        |  graft_sorted_intersect_size(array(1L, CAST(NULL AS LONG)), array(1L, 2L)) AS a,
+        |  graft_sorted_intersect_size(CAST(NULL AS ARRAY<LONG>), array(1L)) AS b""".stripMargin)
+      .head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
   test("duplicateClusters: chained pairs collapse to the component minimum") {
