@@ -666,41 +666,76 @@ final class MemoryManager(
   /** G4 — materialize entity communities (≥ 2 scoped members) as
     * Community nodes + HAS_MEMBER edges; unchanged membership is kept,
     * dissolved communities are deleted (communities.py:32-200).
+    *
+    * The changed-vs-unchanged diff is DISTRIBUTED — a join of this run's
+    * (community, member_count) aggregate against the stored communities —
+    * so only the changed clusters (the set that needs a summarizer call
+    * per cluster anyway) ever collect their members to the driver. A
+    * tenant with millions of entities in stable communities costs one
+    * aggregation, not a driver materialization. Returns the number of
+    * clusters re-summarized (0 == nothing reached the driver).
     */
-  private def materializeCommunities(lp: DataFrame): Unit = {
+  private[graft] def materializeCommunities(lp: DataFrame): Int = {
+    import org.apache.spark.sql.functions.broadcast
     val entComm = lp.filter(pmod(col("node"), lit(8L)) === EntC)
       .select(((col("node") - EntC) / 8L).cast("long").as("ent_id"),
         col("community"))
-    val members = entComm
+    // feeds both the count diff and the changed-member fetch: one compute
+    val memberTbl = entComm
       .join(scopeCol2(store.entities).select(col("id").as("ent_id"), col("name")), "ent_id")
-      .collect()
-      .map(r => (r.getLong(1), r.getLong(0), r.getString(2))) // (community, ent, name)
-      .groupBy(_._1)
-      .filter(_._2.length >= 2)
-    val existing = store.communities
+      .select(col("community"), col("ent_id"), col("name"))
+      .localCheckpoint()
+    val counts = memberTbl.groupBy(col("community"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val existingDf = store.communities
       .filter(col("user_id") === config.userId)
-      .select(col("id"), col("community_id"), col("member_count"))
+      .select(col("id").as("row_id"), col("community_id").as("community"),
+        col("member_count"))
+    // new or size-changed clusters only — the LLM-bound set
+    val changed = counts.join(existingDf, Seq("community"), "left")
+      .filter(col("row_id").isNull || col("member_count") =!= col("n"))
+      .select(col("community"), col("row_id"))
       .collect()
-      .map(r => r.getLong(1) -> (r.getLong(0), r.getLong(2)))
-      .toMap
     val ts = clock()
-    members.foreach { case (commId, ms) =>
-      existing.get(commId) match {
-        case Some((_, cnt)) if cnt == ms.length => () // unchanged → skip
-        case other =>
-          other.foreach { case (oldId, _) => store.deleteCommunities(Seq(oldId)) }
-          val names = ms.map(_._3).sorted
-          val (name, summary) = summarizer.describeCommunity(names.toSeq, Nil)
-          val cid = store.nextCommunityId()
-          store.appendCommunities(Seq(CommunityRow(cid, name, summary, commId,
-            ms.length.toLong, config.userId, ts, ts)))
-          store.appendEdges(ms.map { case (_, ent, _) =>
-            EdgeRow(store.nextEdgeId(), cid, ent, EdgeTypes.HasMember, Map.empty)
-          }.toSeq)
+    if (changed.nonEmpty) {
+      import spark.implicits._
+      val changedDf = changed.map(_.getLong(0)).toSeq.toDF("community")
+      val changedMembers = memberTbl
+        .join(broadcast(changedDf), Seq("community"), "left_semi")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1)
+      changed.foreach { row =>
+        val commId = row.getLong(0)
+        if (!row.isNullAt(1)) store.deleteCommunities(Seq(row.getLong(1)))
+        val ms = changedMembers.getOrElse(commId, Array.empty[(Long, Long, String)])
+        val names = ms.map(_._3).sorted
+        val (name, summary) = summarizer.describeCommunity(names.toSeq, Nil)
+        val cid = store.nextCommunityId()
+        store.appendCommunities(Seq(CommunityRow(cid, name, summary, commId,
+          ms.length.toLong, config.userId, ts, ts)))
+        store.appendEdges(ms.map { case (_, ent, _) =>
+          EdgeRow(store.nextEdgeId(), cid, ent, EdgeTypes.HasMember, Map.empty)
+        }.toSeq)
       }
     }
-    val dissolved = existing.filterNot { case (commId, _) => members.contains(commId) }
-    dissolved.values.foreach { case (oldId, _) => store.deleteCommunities(Seq(oldId)) }
+    // dissolved: stored communities whose id no longer has a >=2-member
+    // group — an anti-join; only ids reach the driver
+    val dissolved = existingDf.join(counts, Seq("community"), "left_anti")
+      .select(col("row_id")).collect().map(_.getLong(0))
+    if (dissolved.nonEmpty) store.deleteCommunities(dissolved.toSeq)
+    changed.length
+  }
+
+  /** Test hook: recompute LPA over the current graph and re-materialize
+    * communities, returning how many clusters were re-summarized — the
+    * observable that the unchanged-cluster path never collects members.
+    */
+  private[graft] def refreshCommunities(): Int = {
+    val ge = globalEdges.localCheckpoint()
+    if (ge.isEmpty) 0
+    else materializeCommunities(GraphAlgorithms.labelPropagation(ge))
   }
 
   /** Community read API (communities.py:203-238). */

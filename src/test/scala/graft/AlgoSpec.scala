@@ -183,6 +183,12 @@ class AlgoSpec extends SparkSuite {
     m.recomputeGraphMetricsIfDirty()
     assert(m.getCommunities() == first)
 
+    // unchanged membership through the FULL materialize path: the
+    // distributed (community_id, member_count) diff re-summarizes zero
+    // clusters, i.e. no member rows ever reach the driver
+    assert(m.refreshCommunities() == 0)
+    assert(m.getCommunities() == first)
+
     // growing the cluster re-materializes with a larger member count
     m.add("Carol joins the team", now = Some(1700000001000L))
     m.recomputeGraphMetricsIfDirty()
