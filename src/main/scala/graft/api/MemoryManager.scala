@@ -34,6 +34,16 @@ final class MemoryManager(
 
   import MemoryTypes.{Default => DefaultType}
 
+  /** Mirror of the reference's `str(manager._model)` for the MCP config
+    * resource (mcp/resources.py:20): the deterministic engine's analogue
+    * is which extractor/embedder implementations are plugged in.
+    */
+  def modelDescription: String =
+    s"${extractor.getClass.getSimpleName}+${embedder.getClass.getSimpleName}"
+
+  /** Whether span instrumentation is active (resources.py:27). */
+  def instrumented: Boolean = tracer != graft.trace.NoopTracer
+
   private val userLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(user: String): Object =

@@ -45,6 +45,107 @@ final class MemoryTools(m: MemoryManager) {
       Seq(("query", "string", true), ("k", "integer", false)))
   )
 
+  /** One resource's metadata (reference mcp/resources.py: memory://
+    * URIs exposing read-only engine state).
+    */
+  case class ResourceSpec(uri: String, description: String)
+
+  val resources: Seq[ResourceSpec] = Seq(
+    ResourceSpec("memory://config",
+      "Current configuration: model, scope ids, enabled features"),
+    ResourceSpec("memory://stats",
+      "Memory system statistics: node/edge counts scoped to memory data")
+  )
+
+  /** Read one resource (resources.py:13-48). Same error contract as
+    * tool dispatch: unknown URIs and failures become {"error": ...}.
+    */
+  def readResource(uri: String): String =
+    try {
+      uri match {
+        case "memory://config" =>
+          val c = m.config
+          jobj(
+            "model" -> js(m.modelDescription),
+            "graph_name" -> jopt(c.graphName),
+            "default_user_id" -> js(c.userId),
+            "agent_id" -> jopt(c.agentId),
+            "run_id" -> jopt(c.runId),
+            "enable_importance" -> c.enableImportance.toString,
+            "enable_vision" -> c.enableVision.toString,
+            "enable_topology_boost" -> c.enableTopologyBoost.toString,
+            "instrument" -> m.instrumented.toString)
+        case "memory://stats" =>
+          // the resource view is the 6-field subset resources.py:38-47
+          // publishes (the memory_stats TOOL carries the full set)
+          val s = m.stats()
+          jobj(
+            "total_memories" -> s.totalMemories.toString,
+            "semantic_count" -> s.semanticCount.toString,
+            "procedural_count" -> s.proceduralCount.toString,
+            "episodic_count" -> s.episodicCount.toString,
+            "entity_count" -> s.entityCount.toString,
+            "relation_count" -> s.relationCount.toString)
+        case other => jobj("error" -> js(s"unknown resource: $other"))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        jobj("error" -> js(Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+    }
+
+  /** One prompt template's metadata (reference mcp/prompts.py). */
+  case class PromptSpec(name: String, description: String,
+      params: Seq[(String, String, Boolean)])
+
+  val prompts: Seq[PromptSpec] = Seq(
+    PromptSpec("manage_memories",
+      "Guide an AI agent through managing memories for a user conversation",
+      Seq(("topic", "string", false))),
+    PromptSpec("knowledge_capture",
+      "Guide an AI agent through extracting and storing knowledge from a document or text",
+      Seq(("text", "string", false)))
+  )
+
+  /** Render one prompt template (prompts.py:8-59): a numbered workflow
+    * over the tool surface, with the optional argument appended as the
+    * focus/payload section.
+    */
+  def prompt(name: String, args: Map[String, String] = Map.empty): String =
+    name match {
+      case "manage_memories" =>
+        val base =
+          """You are managing a user's long-term memory system. Follow these steps:
+            |
+            |1. SEARCH FIRST: before adding anything, run memory_search on the topic
+            |   so existing memories are not duplicated.
+            |2. ADD NEW MEMORIES: store genuinely new information with memory_add,
+            |   choosing the memory_type: "semantic" for facts and biographical
+            |   details, "procedural" for instructions and preferences, "episodic"
+            |   for interaction events.
+            |3. UPDATE EXISTING: correct an outdated memory with memory_update,
+            |   passing its memory_id and the new text.
+            |4. REVIEW: list the stored state with memory_list to verify it.
+            |5. CONSOLIDATE: when many similar memories accumulate, group them into
+            |   concise topic summaries with memory_summarize.""".stripMargin
+        args.get("topic").filter(_.nonEmpty)
+          .map(t => s"$base\n\nFocus on the topic: $t").getOrElse(base)
+      case "knowledge_capture" =>
+        val base =
+          """You are capturing knowledge from text into the memory system. Follow these steps:
+            |
+            |1. READ the text and identify the key facts, entities, and relationships.
+            |2. SEARCH existing memories with memory_search on the key terms to see
+            |   what is already stored.
+            |3. ADD the new knowledge with memory_add — extraction and reconciliation
+            |   run automatically; long texts go through memory_add_batch in chunks.
+            |4. VERIFY by searching for the newly added information.
+            |5. ORGANIZE: if the store has grown large, consolidate older entries
+            |   with memory_summarize.""".stripMargin
+        args.get("text").filter(_.nonEmpty)
+          .map(t => s"$base\n\nText to capture:\n$t").getOrElse(base)
+      case other => s"unknown prompt: $other"
+    }
+
   /** Dispatch one tool call. Args are typed Scala values (the protocol
     * frontend owns deserialization): String, Boolean, Int/Long, Double,
     * Seq[String] where the spec says so.

@@ -92,4 +92,36 @@ class McpSpec extends SparkSuite {
     val rec: SpanRecord = t2.spans.find(_.name == "memory.update").get
     assert(rec.error.contains("NumberFormatException"))
   }
+
+  test("resources: memory://config and memory://stats mirror resources.py") {
+    val (tools, _) = mkTools()
+    assert(tools.resources.map(_.uri) == Seq("memory://config", "memory://stats"))
+    val cfg = tools.readResource("memory://config")
+    assert(cfg.contains("\"default_user_id\":\"alice\""))
+    assert(cfg.contains("\"model\":\"HeuristicExtractor+MockEmbedder\""))
+    assert(cfg.contains("\"enable_importance\":false"))
+    assert(cfg.contains("\"instrument\":false"))
+    tools.call("memory_add", Map("text" -> "Bob moved to Paris", "infer" -> false))
+    val st = tools.readResource("memory://stats")
+    assert(st.contains("\"total_memories\":1"))
+    assert(st.contains("\"semantic_count\":1"))
+    assert(st.contains("\"relation_count\":0"))
+    assert(tools.readResource("memory://nope").contains("unknown resource"))
+  }
+
+  test("prompts: manage_memories and knowledge_capture render with optional args") {
+    val (tools, _) = mkTools()
+    assert(tools.prompts.map(_.name) == Seq("manage_memories", "knowledge_capture"))
+    val manage = tools.prompt("manage_memories")
+    // the 5-step workflow over the tool surface (prompts.py:11-29)
+    Seq("SEARCH FIRST", "memory_search", "memory_add", "memory_update",
+      "memory_list", "memory_summarize").foreach(s => assert(manage.contains(s)))
+    assert(!manage.contains("Focus on the topic"))
+    assert(tools.prompt("manage_memories", Map("topic" -> "travel"))
+      .endsWith("Focus on the topic: travel"))
+    val capture = tools.prompt("knowledge_capture", Map("text" -> "Doc body"))
+    Seq("READ", "memory_add_batch", "VERIFY").foreach(s => assert(capture.contains(s)))
+    assert(capture.endsWith("Text to capture:\nDoc body"))
+    assert(tools.prompt("nope").contains("unknown prompt"))
+  }
 }
