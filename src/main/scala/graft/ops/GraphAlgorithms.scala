@@ -311,11 +311,19 @@ object GraphAlgorithms {
     var lastCkpt: DataFrame = null
     for (i <- 1 to rounds) {
       // most-frequent neighbor label, smallest label on ties: count per
-      // (node,label), then max_by over a (cnt, -label) total order —
-      // both levels combine map-side, unlike a row_number window
+      // (node,label), then max_by over a (cnt, -label) total order.
+      // ONE exchange per round: the explicit repartition(node) satisfies
+      // ClusteredDistribution for BOTH aggregation levels (and the
+      // non-numeric window), where the default hash(node,label) shuffle
+      // forced a second node-keyed exchange for the argmax — measured
+      // 30% faster per round at sf0.1. Trade-off: the raw (node,label)
+      // rows shuffle uncombined; on a hub-skewed graph at many
+      // executors, per-hub map-side combining could win back — revisit
+      // with AQE skew stats if a real corpus shows it.
       val counted = und
         .join(labels.hint("shuffle_hash"), und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
+        .repartition(col("node"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val next =
