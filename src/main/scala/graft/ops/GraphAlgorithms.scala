@@ -209,67 +209,75 @@ object GraphAlgorithms {
     val roots = rootsOpt.getOrElse(nodes.select(col("node").as("root")))
 
     // ---- forward BFS with path counting ----
-    // state: (root, node, dist, sigma)
-    var state = roots.select(col("root"), col("root").as("node"))
-      .withColumn("dist", lit(0)).withColumn("sigma", lit(1.0))
+    // per-LEVEL frontiers (root, node, sigma), each checkpointed once —
+    // the backward sweep consumes levels directly, so neither phase ever
+    // re-materializes the whole accumulated state (the previous
+    // all-state union/join per level made wave cost quadratic in depth).
+    // The visited set for the anti-join is a lazy union of the already-
+    // checkpointed frontiers, re-checkpointed only every few levels to
+    // bound plan depth.
+    val frontiers = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    frontiers += roots.select(col("root"), col("root").as("node"))
+      .withColumn("sigma", lit(1.0))
       .localCheckpoint()
-    var frontier = state
-    var d = 0
+    var visited = frontiers.head
+    var sinceCkpt = 0
     var done = false
     while (!done) {
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
+      val next = frontiers.last
+        .join(e, frontiers.last("node") === e("src"))
         .select(col("root"), e("dst").as("node"), col("sigma"))
         .groupBy(col("root"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(state.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
-        .withColumn("dist", lit(d + 1))
-        .select(col("root"), col("node"), col("dist"), col("sigma"))
+        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
         .localCheckpoint()
       if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
       else {
-        val newState = state.unionByName(next).localCheckpoint()
-        state.unpersist(blocking = false)
-        state = newState
-        frontier = next
-        d += 1
+        visited = visited.unionByName(next)
+        sinceCkpt += 1
+        if (sinceCkpt >= 4) { visited = visited.localCheckpoint(); sinceCkpt = 0 }
+        frontiers += next
       }
     }
-    val maxDist = d
+    val maxDist = frontiers.length - 1
 
     // ---- backward dependency accumulation ----
-    // delta keyed by (root, node); process distances deepest-first
-    var delta = state.select(col("root"), col("node"), col("dist"), col("sigma"))
-      .withColumn("delta", lit(0.0))
-      .localCheckpoint()
+    // deltas(dd): (root, node, sigma, delta) for distance dd; each step
+    // touches exactly two adjacent levels
+    val deltas = new Array[DataFrame](maxDist + 1)
+    if (maxDist >= 0)
+      deltas(maxDist) = frontiers(maxDist).withColumn("delta", lit(0.0))
     for (dd <- maxDist to 1 by -1) {
-      val succ = delta.filter(col("dist") === dd)
+      val succ = deltas(dd)
         .select(col("root"), col("node").as("w"), col("sigma").as("sigma_w"),
           col("delta").as("delta_w"))
       // predecessors v of w on shortest paths: dist(v) = dd-1 and (v,w) ∈ E
       val contrib = succ
         .join(e, succ("w") === e("dst"))
         .select(col("root"), e("src").as("node"), col("sigma_w"), col("delta_w"))
-        .join(delta.filter(col("dist") === (dd - 1))
-            .select(col("root"), col("node"), col("sigma").as("sigma_v")),
+        .join(frontiers(dd - 1).select(col("root"), col("node"), col("sigma").as("sigma_v")),
           Seq("root", "node"))
         .select(col("root"), col("node"),
           (col("sigma_v") / col("sigma_w") * (lit(1.0) + col("delta_w"))).as("c"))
         .groupBy(col("root"), col("node"))
         .agg(sum(col("c")).as("acc"))
-      val newDelta = delta
+      deltas(dd - 1) = frontiers(dd - 1)
         .join(contrib, Seq("root", "node"), "left")
-        .select(col("root"), col("node"), col("dist"), col("sigma"),
-          (col("delta") + coalesce(col("acc"), lit(0.0))).as("delta"))
+        .select(col("root"), col("node"), col("sigma"),
+          coalesce(col("acc"), lit(0.0)).as("delta"))
         .localCheckpoint()
-      delta.unpersist(blocking = false)
-      delta = newDelta
     }
 
     val norm = if (n > 2) (n - 1).toDouble * (n - 2).toDouble else 1.0
-    val bc = delta.filter(col("node") =!= col("root"))
-      .groupBy(col("node"))
-      .agg(sum(col("delta")).as("raw"))
+    val allDeltas =
+      if (maxDist < 1) Seq.empty[DataFrame]
+      else (0 until maxDist).map(deltas(_)) // level maxDist has delta 0: no contribution
+    val bc =
+      if (allDeltas.isEmpty) nodes.select(col("node"), lit(0.0).as("raw")).limit(0)
+      else allDeltas.reduce(_ unionByName _)
+        .filter(col("node") =!= col("root"))
+        .groupBy(col("node"))
+        .agg(sum(col("delta")).as("raw"))
     nodes.join(bc, Seq("node"), "left")
       .select(col("node"), (coalesce(col("raw"), lit(0.0)) / lit(norm)).as("betweenness"))
   }
