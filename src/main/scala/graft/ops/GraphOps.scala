@@ -141,40 +141,44 @@ object GraphOps {
       seeds: DataFrame,
       maxDepth: Int
   ): DataFrame = {
-    // Iterative joins grow lineage exponentially, so each accumulated
-    // `visited` snapshot is localCheckpoint'ed (eager, lineage-truncating)
-    // and the PREVIOUS snapshot's blocks are freed once the new one is
-    // materialized — a deep traversal holds at most two snapshots in
-    // executor storage, and the loop breaks early on an empty frontier
-    // (the round-1 version cached every wave and never unpersisted).
-    var visited = seeds
+    // Per-LEVEL frontiers, each localCheckpoint'ed once (eager,
+    // lineage-truncating); the visited set for the min-depth anti-join is
+    // a lazy union of the already-materialized frontiers, re-checkpointed
+    // only every few levels to bound plan depth. Earlier shapes
+    // re-materialized the whole accumulated state every wave (quadratic
+    // in depth) or cached every wave and never unpersisted (round 1).
+    val f0 = seeds
       .select(col("root"), col("root").as("node"))
       .withColumn("depth", lit(0))
       .localCheckpoint() // eager
-    var visitedCount = visited.count()
+    val frontiers = scala.collection.mutable.ArrayBuffer(f0)
+    var visited = f0.select(col("root"), col("node"))
+    var sinceCkpt = 0
     var depth = 1
     var exhausted = false
     while (depth <= maxDepth && !exhausted) {
-      val frontier = visited.filter(col("depth") === (depth - 1)).select(col("root"), col("node"))
-      val next = frontier
-        .join(e, frontier("node") === e("src"))
+      val prev = frontiers.last.select(col("root"), col("node"))
+      val next = prev
+        .join(e, prev("node") === e("src"))
         .select(col("root"), col("dst").as("node"))
         .distinct()
-        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+        .join(visited, Seq("root", "node"), "left_anti")
         .withColumn("depth", lit(depth))
-      val newVisited = visited.unionByName(next).localCheckpoint() // eager
-      val newCount = newVisited.count()
-      if (newCount == visitedCount) {
+        .localCheckpoint() // eager
+      if (next.isEmpty) {
         exhausted = true // empty frontier — no deeper paths exist
-        newVisited.unpersist(blocking = false)
+        next.unpersist(blocking = false)
       } else {
-        visited.unpersist(blocking = false) // safe: newVisited is self-contained
-        visited = newVisited
-        visitedCount = newCount
+        visited = visited.unionByName(next.select(col("root"), col("node")))
+        sinceCkpt += 1
+        if (sinceCkpt >= 4) { visited = visited.localCheckpoint(); sinceCkpt = 0 }
+        frontiers += next
       }
       depth += 1
     }
-    visited.filter(col("depth") > 0)
+    // depth-0 seed rows are internal state, not output
+    frontiers.drop(1).reduceOption(_ unionByName _)
+      .getOrElse(f0.filter(col("depth") > 0))
   }
 
   /** J11/A9 — as-of / latest-per-key join: most recent row per partition
