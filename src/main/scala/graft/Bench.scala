@@ -71,32 +71,41 @@ object Bench {
     val recalls: Seq[(String, Double)] = {
       import org.apache.spark.sql.{functions => F, DataFrame}
       // every recall ships with its support `<label>_n` — a recall over
-      // single-digit ground-truth pairs is noise, not signal
-      def recallOf(label: String, approx: String, exact: String, keys: Seq[String],
-          exactFilter: DataFrame => DataFrame = identity): Seq[(String, Double)] =
-        try {
-          val e = exactFilter(SparkEntry.queries(exact)(spark, sfDir))
-            .select(keys.head, keys.tail: _*)
-          val a = SparkEntry.queries(approx)(spark, sfDir).select(keys.head, keys.tail: _*)
-          val n = e.count()
-          val hit = a.join(e, keys).count()
-          Seq(label -> (if (n == 0) 1.0 else hit.toDouble / n),
-            s"${label}_n" -> n.toDouble)
-        } catch {
+      // single-digit ground-truth pairs is noise, not signal. Each query
+      // is computed ONCE and checkpointed (the exact all-pairs baseline
+      // is deliberately absent from the timed list for cost; re-running
+      // it per metric would dwarf the bench itself).
+      def ckpt(name: String, cols: Seq[String]): Option[DataFrame] =
+        try Some(SparkEntry.queries(name)(spark, sfDir)
+          .select(cols.head, cols.tail: _*).localCheckpoint())
+        catch {
           case t: Throwable =>
-            System.err.println(s"[bench] recall $label failed: ${t.getMessage}"); Nil
+            System.err.println(s"[bench] recall input $name failed: ${t.getMessage}"); None
         }
+      def rec(label: String, approx: DataFrame, exact: DataFrame,
+          keys: Seq[String]): Seq[(String, Double)] = {
+        val n = exact.count()
+        val hit = approx.select(keys.head, keys.tail: _*)
+          .join(exact.select(keys.head, keys.tail: _*), keys).count()
+        Seq(label -> (if (n == 0) 1.0 else hit.toDouble / n),
+          s"${label}_n" -> n.toDouble)
+      }
       // overall = recall at the registered threshold (0.3 — a stress
       // setting on this near-orthogonal synthetic corpus: sign-LSH band
       // collision odds fall with cosine, so this is the worst case);
       // hi = recall over cosine >= 0.5, the closest-to-near-dup regime
       // the corpus actually contains
-      recallOf("q_emb_neardup_lsh", "q_emb_neardup_lsh", "q_emb_neardup_exact",
-        Seq("doc_a", "doc_b")) ++
-        recallOf("q_emb_neardup_lsh_hi", "q_emb_neardup_lsh", "q_emb_neardup_exact",
-          Seq("doc_a", "doc_b"), _.filter(F.col("cosine") >= 0.5)) ++
-        recallOf("q_ann_ivf", "q_ann_ivf", "q_ann_bruteforce",
-          Seq("query_id", "neighbor_id"))
+      val emb = for {
+        exact <- ckpt("q_emb_neardup_exact", Seq("doc_a", "doc_b", "cosine"))
+        lsh <- ckpt("q_emb_neardup_lsh", Seq("doc_a", "doc_b"))
+      } yield rec("q_emb_neardup_lsh", lsh, exact, Seq("doc_a", "doc_b")) ++
+        rec("q_emb_neardup_lsh_hi", lsh, exact.filter(F.col("cosine") >= 0.5),
+          Seq("doc_a", "doc_b"))
+      val ivf = for {
+        brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
+        probe <- ckpt("q_ann_ivf", Seq("query_id", "neighbor_id"))
+      } yield rec("q_ann_ivf", probe, brute, Seq("query_id", "neighbor_id"))
+      emb.getOrElse(Nil) ++ ivf.getOrElse(Nil)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1255,9 +1255,10 @@ final class MemoryManager(
   /** J7 — temporal chain: LEADS_TO walk from a memory, default forward,
     * EXCLUDING the origin (manager.py:1475-1569: `[:LEADS_TO*1..d]`
     * matches paths of length >= 1), hydrated to (memory_id, text,
-    * created_at, session_id) entries; for "both", forward results come
-    * first then backward, each created_at-ordered — faithful to the
-    * reference's two sequential query blocks.
+    * created_at, session_id) entries. For "both", the two legs are
+    * deduplicated across each other (forward occurrence wins) and the
+    * merged list is sorted by created_at with id as tie-break — faithful
+    * to the reference's merge (manager.py:1556-1568).
     */
   def temporalChain(memoryId: String, maxDepth: Int = 5,
       direction: String = "forward"): Seq[ChainEntry] = {

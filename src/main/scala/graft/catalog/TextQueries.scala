@@ -95,7 +95,10 @@ object TextQueries {
       // multiplicity), (doc, gram)-keyed count, per-doc max/sum — both
       // aggregations combine map-side, no per-doc collection
       val p = s.sessionState.conf.numShufflePartitions
-      val docs = load(s, dir, "documents").repartition(p)
+      // null-text docs excluded (mirrors the oracle, where unnest(NULL)
+      // emits no rows)
+      val docs = load(s, dir, "documents")
+        .filter(col("text").isNotNull).repartition(p)
       val grams = docs.select(col("doc_id"),
         // outer: keeps InferFiltersFromGenerate from re-evaluating the
         // 2-gram subtree at the scan (arrays are never empty)

@@ -55,7 +55,10 @@ object DedupOps {
     // each partition to ≤ one row per id before the exchange, so a keyed
     // pre-shuffle buys nothing and costs a hash-eval per row.
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // null-text rows are excluded (a null shingle array would otherwise
+    // surface as an all-null signature row under the outer explode)
     val sh = df.select(col(idCol), col(textCol))
+      .filter(col(textCol).isNotNull)
       .repartition(p)
       .select(col(idCol),
         HashFunctions.hashedWordShingles(col(textCol), shingleSize).as("__shingles"))
@@ -105,7 +108,12 @@ object DedupOps {
     // the two sides of the verification join — checkpoint so the word
     // shingling + md5 (the dominant cost) runs exactly once; sorted so
     // per-pair Jaccard runs as the native two-pointer long merge
+    // null-text rows are excluded up front: their null signatures would
+    // band to md5("") (array_join skips nulls) and self-join all
+    // null-text docs into C(m,2) candidates that the jaccard filter then
+    // discards — quadratic work for zero output
     val shingled = df.select(col(idCol).as("doc"), col(textCol))
+      .filter(col(textCol).isNotNull)
       .repartition(p, col("doc"))
       .select(
         col("doc"),
@@ -178,6 +186,7 @@ object DedupOps {
     // CollapseProject re-inlines the simhash pipeline into each and
     // InferFiltersFromGenerate re-evaluates it at the scan
     val fp = df.select(col(idCol).as("doc"), col(textCol).as("t"))
+      .filter(col("t").isNotNull) // null text can't fingerprint
       .repartition(p, col("doc"))
       .select(col("doc"), HashFunctions.simhash(col("t"), bits).as("sh"))
       .localCheckpoint()
@@ -360,7 +369,12 @@ object DedupOps {
   ): DataFrame = {
     import graft.functions.{Projections, VectorFunctions}
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    // null embeddings are excluded: a null vector's sign bits all
+    // evaluate to the otherwise-branch, so every null-emb row would
+    // share band key 0 and self-join quadratically before the (null)
+    // cosine filter discarded the pairs
     val base = df.select(col(idCol).as("doc"), col(embCol).as("emb"))
+      .filter(col("emb").isNotNull)
       .repartition(p, col("doc")) // parallel banding on small-file scans
 
     val candidates =

@@ -221,6 +221,7 @@ object GraphAlgorithms {
       .withColumn("sigma", lit(1.0))
       .localCheckpoint()
     var visited = frontiers.head
+    var visitedCkpt: DataFrame = null // the re-checkpoint copy we own
     var sinceCkpt = 0
     var done = false
     while (!done) {
@@ -235,10 +236,20 @@ object GraphAlgorithms {
       else {
         visited = visited.unionByName(next)
         sinceCkpt += 1
-        if (sinceCkpt >= 4) { visited = visited.localCheckpoint(); sinceCkpt = 0 }
+        if (sinceCkpt >= 4) {
+          // free the SUPERSEDED visited copy once the new one is
+          // materialized (frontier checkpoints stay — the backward sweep
+          // and the final union consume them)
+          val ck = visited.localCheckpoint()
+          if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false)
+          visitedCkpt = ck
+          visited = ck
+          sinceCkpt = 0
+        }
         frontiers += next
       }
     }
+    if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false) // forward-only state
     val maxDist = frontiers.length - 1
 
     // ---- backward dependency accumulation ----

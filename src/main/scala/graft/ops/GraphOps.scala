@@ -153,6 +153,7 @@ object GraphOps {
       .localCheckpoint() // eager
     val frontiers = scala.collection.mutable.ArrayBuffer(f0)
     var visited = f0.select(col("root"), col("node"))
+    var visitedCkpt: DataFrame = null // the re-checkpoint copy we own
     var sinceCkpt = 0
     var depth = 1
     var exhausted = false
@@ -171,11 +172,20 @@ object GraphOps {
       } else {
         visited = visited.unionByName(next.select(col("root"), col("node")))
         sinceCkpt += 1
-        if (sinceCkpt >= 4) { visited = visited.localCheckpoint(); sinceCkpt = 0 }
+        if (sinceCkpt >= 4) {
+          // free the superseded visited copy once the new one is
+          // materialized (frontier checkpoints stay — they are the output)
+          val ck = visited.localCheckpoint()
+          if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false)
+          visitedCkpt = ck
+          visited = ck
+          sinceCkpt = 0
+        }
         frontiers += next
       }
       depth += 1
     }
+    if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false) // traversal-only state
     // depth-0 seed rows are internal state, not output
     frontiers.drop(1).reduceOption(_ unionByName _)
       .getOrElse(f0.filter(col("depth") > 0))
