@@ -166,6 +166,17 @@ object TextQueries {
         .select(col("doc"), col("cluster"), col("is_canonical"))
         .orderBy(col("doc"))
     },
+    "q_shard_pack" -> { (s, dir) =>
+      // pack the corpus into ~1000-token training shards in doc_id
+      // order — two-level distributed prefix sum (ShardOps), never a
+      // global single-partition window
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.ShardOps.packShards(docs, "doc_id", "n_tokens", targetWeight = 1000L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_ngram_jaccard" -> { (s, dir) =>
       // exact all-pairs is contractually a BOUNDED-GROUP op — bucket by
       // (lang, n_chars % 8) so group sizes stay ~1/8 of a language slice
@@ -356,7 +367,16 @@ object TextQueries {
          |SELECT doc, min(r) AS cluster, (doc = min(r)) AS is_canonical
          |FROM reach GROUP BY doc ORDER BY doc""".stripMargin
 
+    val shardPack =
+      s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(floor(coalesce(sum(n_tokens) OVER
+         |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    / 1000.0) AS BIGINT) AS shard_id
+         |FROM t ORDER BY doc_id""".stripMargin
+
     Map(
+      "q_shard_pack" -> shardPack,
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
       "q_dedup_clusters" -> clusters,

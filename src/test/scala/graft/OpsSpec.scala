@@ -61,6 +61,24 @@ class OpsSpec extends SparkSuite {
     assert(n.isNullAt(0) && n.isNullAt(1))
   }
 
+  test("packShards: exclusive-prefix packing, oversized doc spans, cross-partition offsets") {
+    // weights 400,400,400,1500,100,100 @ target 1000:
+    // exclusive prefixes 0,400,800,1200,2700,2800 -> shards 0,0,0,1,2,2
+    val docs = Seq((1L, 400L), (2L, 400L), (3L, 400L), (4L, 1500L),
+      (5L, 100L), (6L, 100L)).toDF("doc_id", "w")
+    val got = graft.ops.ShardOps.packShards(docs, "doc_id", "w", 1000L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L, 5L -> 2L, 6L -> 2L))
+    // determinism across input partitionings: a pre-shuffled input packs
+    // identically (range repartition + per-bucket offsets are exact)
+    val shuffled = docs.repartition(5)
+    val got2 = graft.ops.ShardOps.packShards(shuffled, "doc_id", "w", 1000L)
+      .select("doc_id", "shard_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
   test("duplicateClusters: chained pairs collapse to the component minimum") {
     // components: {1,2,3,7} via chain 1-2, 2-3, 3-7; {10,11}; pair list
     // never mentions 5 (singleton -> absent by contract)
