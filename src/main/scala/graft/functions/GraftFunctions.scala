@@ -44,7 +44,15 @@ object GraftFunctions {
         args => NativeExprs.SortedIntersectSize(args(0), args(1)))),
     ("graft_simhash32",
       "graft_simhash32(hashes) - 32-bit simhash from per-token hash values",
-      arity("graft_simhash32", 1)(args => NativeExprs.SimHashVotes(args(0), 32)))
+      arity("graft_simhash32", 1)(args => NativeExprs.SimHashVotes(args(0), 32))),
+    ("graft_word_shingles31",
+      "graft_word_shingles31(text, n) - distinct word n-gram shingles as 31-bit md5-prefix hashes",
+      arity("graft_word_shingles31", 2)(args => args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
+          NativeExprs.HashedWordShingles(args(0), n)
+        case other => throw new IllegalArgumentException(
+          s"graft_word_shingles31: n must be an integer literal, got $other")
+      }))
   )
 
   /** Install into a live session (idempotent). */

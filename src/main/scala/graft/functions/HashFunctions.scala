@@ -79,12 +79,15 @@ object HashFunctions {
     * 31 bits keep every mixed product inside a signed 64-bit value in
     * both Spark and DuckDB (no overflow-semantics divergence).
     */
-  def hashedWordShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        wordShingles(text, n),
-        s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
-          .bitwiseAND(lit(0x7fffffffL))))
+  def hashedWordShingles(text: Column, n: Int): Column = {
+    // native one-pass kernel — the HOF formulation
+    // array_distinct(transform(wordShingles(...), conv(md5...)&mask))
+    // walked four interpreted lambda trees per row; equivalence is
+    // generator-tested in NativeExprPropertySpec
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.HashedWordShingles(
+      GraftSqlShim.expression(text), n))
+  }
 
   /** Modulus of the MinHash mixing family: 2^31 − 1 (Mersenne prime). */
   val MinhashPrime = 2147483647L

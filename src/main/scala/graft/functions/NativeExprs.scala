@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -357,5 +357,40 @@ private[functions] object NativeExprs {
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): SortedIntersectSize =
       copy(left = newLeft, right = newRight)
+  }
+
+  /** One-pass hashed word shingles (tokenize → n-gram → md5-prefix-31 →
+    * first-occurrence distinct), the hot kernel of every MinHash/LSH
+    * query. The Column formulation it replaces walks FOUR interpreted
+    * HOF trees per row (filter, transform×2 with a re-evaluated
+    * lambda-bound token subtree, array_distinct); this is one fused
+    * kernel call inside whole-stage codegen ([[GraftHash]]).
+    */
+  case class HashedWordShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_word_shingles31"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.hashedWordShingles(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.hashedWordShingles($c, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+      copy(child = newChild)
   }
 }

@@ -73,4 +73,40 @@ class NativeExprPropertySpec extends SparkSuite {
         s"jaccard: native=${r.getDouble(0)} expected=$expected")
     }
   }
+
+  test("HashedWordShingles == HOF formulation over 300 random texts") {
+    // word chars, separators, digits, casing, unicode-ish noise, empty
+    // and separator-only strings — the tokenizer boundary space
+    val wordGen = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 2 -> Gen.numChar
+    )).map(_.mkString)
+    val sepGen = Gen.oneOf(" ", "  ", ", ", "! ", "\t", "\n", " -- ", "…", "§")
+    val textGen: Gen[String] = for {
+      k <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(k, wordGen)
+      ss <- Gen.listOfN(k + 1, sepGen)
+    } yield (ss.head +: ws.zip(ss.tail).flatMap { case (w, s) => Seq(w, s) }).mkString
+    for (n <- Seq(1, 2, 3)) {
+      val df = sample(textGen, 300, seed = 99L + n).toDF("t")
+      // the HOF formulation this kernel replaced, inlined verbatim
+      def hof(text: org.apache.spark.sql.Column) = {
+        val ts = filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+        val count = size(ts)
+        val shingles = array_distinct(
+          when(count < n, array(array_join(ts, " ")))
+            .otherwise(transform(sequence(lit(1), count - lit(n - 1)),
+              i => array_join(slice(ts, i, lit(n)), " "))))
+        array_distinct(transform(shingles,
+          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+            .bitwiseAND(lit(0x7fffffffL))))
+      }
+      val rows = df.select(
+        HashFunctions.hashedWordShingles(col("t"), n).as("native"),
+        hof(col("t")).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n native=${r.getSeq[Long](0)} hof=${r.getSeq[Long](1)}")
+      }
+    }
+  }
 }
