@@ -44,6 +44,60 @@ object GraftHash {
     v & 0x7fffffffL
   }
 
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** First 15 hex chars of md5(bytes) as a 60-bit value —
+    * `conv(substring(md5(s), 1, 15), 16, 10)`: bytes 0..6 in full plus
+    * the high nibble of byte 7.
+    */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  /** One-pass mirror of
+    * `array_distinct(transform(charShingles(text, n), s ->
+    *    conv(substring(md5(s),1,15),16,10)))`:
+    * normalize = trim(regexp_replace(lower(text), "\\s+", " ")) with
+    * trim stripping the SPACE character only (Spark's StringTrim, NOT
+    * Java's <=0x20 trim), shingles by CODE POINT (Spark substring/length
+    * count code points, not UTF-16 units), length<=n → one whole-string
+    * shingle.
+    */
+  def hashedCharShingles(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return null
+    val lower = text.toLowerCase.toString
+    val replaced = WsPattern.matcher(lower).replaceAll(" ")
+    var st = 0
+    var en = replaced.length
+    while (st < en && replaced.charAt(st) == ' ') st += 1
+    while (en > st && replaced.charAt(en - 1) == ' ') en -= 1
+    val norm = replaced.substring(st, en)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val cps = norm.codePoints().toArray
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (cps.length <= n) {
+      out.add(md5Prefix60(norm.getBytes(utf8)))
+    } else {
+      var s = 0
+      while (s <= cps.length - n) {
+        val sh = new String(cps, s, n)
+        out.add(md5Prefix60(sh.getBytes(utf8)))
+        s += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   def hashedWordShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return null
     val lower = text.toLowerCase.toString

@@ -66,11 +66,14 @@ object HashFunctions {
     * Collisions (~2^-60 per pair of shingles) are negligible and the
     * hash is engine-portable, so the oracle replays it exactly.
     */
-  def hashedCharShingles(text: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        charShingles(text, n),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+  def hashedCharShingles(text: Column, n: Int): Column = {
+    // native one-pass kernel; the HOF formulation
+    // array_distinct(transform(charShingles(...), conv(md5...))) is
+    // generator-tested against it in NativeExprPropertySpec
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.HashedCharShingles(
+      GraftSqlShim.expression(text), n))
+  }
 
   /** Word shingles hashed ONCE to 31-bit longs. The MinHash family
     * below derives every hash function from this single digest by

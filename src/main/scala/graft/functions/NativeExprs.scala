@@ -366,6 +366,38 @@ private[functions] object NativeExprs {
     * lambda-bound token subtree, array_distinct); this is one fused
     * kernel call inside whole-stage codegen ([[GraftHash]]).
     */
+  /** Sibling of [[HashedWordShingles]] for CHARACTER n-grams over
+    * normalized text with 60-bit hashes — the exact-Jaccard kernel
+    * ([[GraftHash.hashedCharShingles]]).
+    */
+  case class HashedCharShingles(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_char_shingles60"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.hashedCharShingles(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.hashedCharShingles($c, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): HashedCharShingles =
+      copy(child = newChild)
+  }
+
   case class HashedWordShingles(child: Expression, n: Int)
       extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")

@@ -109,4 +109,33 @@ class NativeExprPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("HashedCharShingles == HOF formulation over 300 random texts") {
+    val charGen = Gen.frequency(
+      5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 1 -> Gen.numChar,
+      1 -> Gen.oneOf(' ', '\t', '\n', ' ', ' '), // incl. double/trailing runs
+      1 -> Gen.oneOf('!', '.', '…', 'ß', 'É'))
+    val textGen: Gen[String] = Gen.listOf(charGen).map(_.mkString)
+    for (n <- Seq(1, 3, 5)) {
+      val df = sample(textGen, 300, seed = 1234L + n).toDF("t")
+      // the HOF formulation this kernel replaced, inlined verbatim
+      def hof(text: org.apache.spark.sql.Column) = {
+        val norm = trim(regexp_replace(lower(text), "\\s+", " "))
+        val len = length(norm)
+        val shingles = array_distinct(
+          when(len <= n, array(norm))
+            .otherwise(transform(sequence(lit(1), len - lit(n - 1)),
+              i => substring(norm, i, lit(n)))))
+        array_distinct(transform(shingles,
+          s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+      }
+      val rows = df.select(
+        HashFunctions.hashedCharShingles(col("t"), n).as("native"),
+        hof(col("t")).as("hof")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n native=${r.getSeq[Long](0)} hof=${r.getSeq[Long](1)}")
+      }
+    }
+  }
 }
