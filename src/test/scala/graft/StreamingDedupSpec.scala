@@ -43,4 +43,28 @@ class StreamingDedupSpec extends SparkSuite {
       assert(ids.contains(5L))
     } finally query.stop()
   }
+
+  test("dropFingerprintDuplicates collapses reordered/case variants, keeps distinct docs") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingDedup
+      .dropFingerprintDuplicates(docs, "doc_id", "text", "10 minutes")
+      .writeStream.format("memory").queryName("fp_dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      stream.addData(
+        (t(1), 1L, "the quick brown fox jumps"),
+        // word reorder + casing + punctuation: same token vote sum ->
+        // same fingerprint -> dropped as a near-dup
+        (t(2), 2L, "Jumps, the QUICK brown fox!"),
+        (t(3), 3L, "a completely unrelated document about spark"))
+      query.processAllAvailable()
+      val ids = spark.sql("select doc_id from fp_dedup_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids.contains(1L) ^ ids.contains(2L)) // exactly one of the variants
+      assert(ids.contains(3L))
+    } finally query.stop()
+  }
 }
