@@ -98,6 +98,46 @@ object GraftHash {
     new GenericArrayData(arr)
   }
 
+  private val StopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.EnglishStopwords.foreach(s.add)
+    s
+  }
+
+  /** One-pass token statistics behind [[NativeExprs.TokenStats]]:
+    * (n_tokens, n_distinct, sum_len, stop_hits, distinct_stop_hits,
+    * subword_units). Mirrors the Column formulations exactly:
+    * token length counts CODE POINTS (Spark's length), stop_hits counts
+    * occurrences, distinct_stop_hits counts distinct stopword tokens,
+    * subword_units = sum(ceil(len/4)).
+    */
+  def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null) return null
+    val lower = text.toLowerCase.toString
+    val raw = TokenPattern.split(lower, -1)
+    var n = 0
+    var sumLen = 0L
+    var stopHits = 0
+    var subwords = 0L
+    val distinct = new java.util.HashSet[String]()
+    val distinctStops = new java.util.HashSet[String]()
+    var i = 0
+    while (i < raw.length) {
+      val t = raw(i)
+      if (t.nonEmpty) {
+        n += 1
+        val cp = t.codePointCount(0, t.length)
+        sumLen += cp
+        subwords += (cp + 3) / 4
+        distinct.add(t)
+        if (StopSet.contains(t)) { stopHits += 1; distinctStops.add(t) }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct.size, sumLen, stopHits, distinctStops.size, subwords))
+  }
+
   def hashedWordShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return null
     val lower = text.toLowerCase.toString

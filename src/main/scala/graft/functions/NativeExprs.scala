@@ -398,6 +398,44 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** One-pass token statistics struct — the text-analysis battery
+    * (q_text_stats / quality rules / BM25 doc lengths) previously walked
+    * an interpreted filter(split(...)) tree PER METRIC; with this
+    * expression each metric is a field extraction, and Spark's
+    * subexpression elimination collapses the repeated TokenStats calls
+    * in one projection to a single kernel run per row.
+    */
+  case class TokenStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tokens", IntegerType, nullable = false),
+      StructField("n_distinct", IntegerType, nullable = false),
+      StructField("sum_len", LongType, nullable = false),
+      StructField("stop_hits", IntegerType, nullable = false),
+      StructField("distinct_stop_hits", IntegerType, nullable = false),
+      StructField("subword_units", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_token_stats"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.tokenStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.tokenStats($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): TokenStats =
+      copy(child = newChild)
+  }
+
   case class HashedWordShingles(child: Expression, n: Int)
       extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")

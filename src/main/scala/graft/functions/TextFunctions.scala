@@ -18,24 +18,29 @@ object TextFunctions {
   def tokens(text: Column): Column =
     filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
 
+  /** One-pass native token statistics (NativeExprs.TokenStats): every
+    * scalar token metric below is a field extraction, and repeated calls
+    * in one projection collapse to a single kernel run per row via
+    * Spark's subexpression elimination. Equivalence with the HOF
+    * formulations is generator-tested in NativeExprPropertySpec.
+    */
+  private def tokenStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.TokenStats(GraftSqlShim.expression(text)))
+  }
+
   /** Whitespace-ish token count. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = tokenStats(text).getField("n_tokens")
 
   /** Distinct-token count (vocabulary size of the doc). */
   def distinctTokenCount(text: Column): Column =
-    size(array_distinct(tokens(text)))
+    tokenStats(text).getField("n_distinct")
 
-  /** A BPE-ish subword count proxy: alnum runs + standalone symbols.
-    * Counts regex matches of word pieces of <=4 chars.
+  /** A BPE-ish subword count proxy: ceil(len(token)/4) summed over
+    * tokens — a cheap deterministic stand-in for a BPE piece count.
     */
-  def subwordCount(text: Column): Column = {
-    // ceil(len(token)/4) summed over tokens: cheap deterministic proxy
-    aggregate(
-      transform(tokens(text), t => ceil(length(t) / lit(4.0)).cast("long")),
-      lit(0L),
-      (acc, x) => acc + x
-    )
-  }
+  def subwordCount(text: Column): Column =
+    tokenStats(text).getField("subword_units")
 
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column = {
@@ -51,19 +56,18 @@ object TextFunctions {
   )
 
   def stopwordRatio(text: Column): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    val sw = size(filter(ts, t => t.isin(EnglishStopwords: _*)))
-    when(n === 0, lit(0.0)).otherwise(sw.cast("double") / n)
+    val st = tokenStats(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("stop_hits").cast("double") / n)
   }
 
   /** Mean token length — long tokens suggest noise/base64 blobs. */
   def meanTokenLength(text: Column): Column = {
-    val ts = tokens(text)
-    val n = size(ts)
-    when(n === 0, lit(0.0)).otherwise(
-      aggregate(transform(ts, length(_).cast("double")), lit(0.0), _ + _) / n
-    )
+    val st = tokenStats(text)
+    val n = st.getField("n_tokens")
+    when(n === 0, lit(0.0))
+      .otherwise(st.getField("sum_len").cast("double") / n)
   }
 
   /** Composite quality score in [0,1]:
@@ -102,7 +106,7 @@ object TextFunctions {
     when(n === 0, lit(0.0)).otherwise(sym / n.cast("double"))
   }
   def gopherStopHits(text: Column): Column =
-    size(filter(array_distinct(tokens(text)), t => t.isin(EnglishStopwords: _*)))
+    tokenStats(text).getField("distinct_stop_hits")
 
   val LangStopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),

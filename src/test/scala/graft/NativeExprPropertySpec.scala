@@ -110,6 +110,51 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("TokenStats fields == HOF formulations over 300 random texts") {
+    import graft.functions.TextFunctions
+    val wordGen = Gen.frequency(
+      6 -> Gen.listOf(Gen.frequency(5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar,
+        1 -> Gen.numChar)).map(_.mkString),
+      2 -> Gen.oneOf(TextFunctions.EnglishStopwords), // real stopword hits
+      1 -> Gen.oneOf("ÉLAN", "daß", "…x…"))
+    val textGen: Gen[String] = for {
+      k <- Gen.choose(0, 15)
+      ws <- Gen.listOfN(k, wordGen)
+      ss <- Gen.listOfN(k, Gen.oneOf(" ", ", ", "!  ", "\n"))
+    } yield ws.zip(ss).flatMap { case (w, s) => Seq(w, s) }.mkString
+    val df = sample(textGen, 300, seed = 4242L).toDF("t")
+    // the HOF formulations the TokenStats fields replaced, inlined
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    val stops = TextFunctions.EnglishStopwords
+    val rows = df.select(
+      TextFunctions.tokenCount(col("t")).as("nc"),
+      size(toks(col("t"))).as("hc"),
+      TextFunctions.distinctTokenCount(col("t")).as("ndc"),
+      size(array_distinct(toks(col("t")))).as("hdc"),
+      TextFunctions.meanTokenLength(col("t")).as("nml"),
+      when(size(toks(col("t"))) === 0, lit(0.0)).otherwise(
+        aggregate(transform(toks(col("t")), length(_).cast("double")),
+          lit(0.0), _ + _) / size(toks(col("t")))).as("hml"),
+      TextFunctions.stopwordRatio(col("t")).as("nsr"),
+      when(size(toks(col("t"))) === 0, lit(0.0)).otherwise(
+        size(filter(toks(col("t")), t => t.isin(stops: _*))).cast("double") /
+          size(toks(col("t")))).as("hsr"),
+      TextFunctions.gopherStopHits(col("t")).as("ngh"),
+      size(filter(array_distinct(toks(col("t"))), t => t.isin(stops: _*))).as("hgh"),
+      TextFunctions.subwordCount(col("t")).as("nsw"),
+      aggregate(transform(toks(col("t")), t => ceil(length(t) / lit(4.0)).cast("long")),
+        lit(0L), (acc, x) => acc + x).as("hsw")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), s"tokenCount ${r.getInt(0)} vs ${r.getInt(1)}")
+      assert(r.getInt(2) == r.getInt(3), "distinctTokenCount")
+      assert(r.getDouble(4) == r.getDouble(5), s"meanLen ${r.getDouble(4)} vs ${r.getDouble(5)}")
+      assert(r.getDouble(6) == r.getDouble(7), "stopwordRatio")
+      assert(r.getInt(8) == r.getInt(9), "gopherStopHits")
+      assert(r.getLong(10) == r.getLong(11), "subwordCount")
+    }
+  }
+
   test("HashedCharShingles == HOF formulation over 300 random texts") {
     val charGen = Gen.frequency(
       5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 1 -> Gen.numChar,
