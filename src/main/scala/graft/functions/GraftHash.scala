@@ -138,6 +138,79 @@ object GraftHash {
       Array[Any](n, distinct.size, sumLen, stopHits, distinctStops.size, subwords))
   }
 
+  /** First 8 hex chars of md5(bytes) as an unsigned 32-bit value —
+    * `conv(substring(md5(t), 1, 8), 16, 10)` with no mask.
+    */
+  private def md5Prefix32(bytes: Array[Byte]): Long = {
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(bytes)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** One-pass simhash: tokenize (WITH multiplicity), 32-bit md5-prefix
+    * hash per token occurrence, per-bit majority vote (votes > 0 sets
+    * the bit) — mirror of transform(tokens, md5-prefix) fed through
+    * [[NativeExprs.SimHashVotes]]; empty token list → fingerprint 0.
+    */
+  def simhashText(text: UTF8String, bits: Int): Long = {
+    // null input is guarded by the expression's nullSafeEval/codegen
+    val lower = text.toLowerCase.toString
+    val raw = TokenPattern.split(lower, -1)
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < raw.length) {
+      val t = raw(i)
+      if (t.nonEmpty) {
+        val h = md5Prefix32(t.getBytes(utf8))
+        var b = 0
+        while (b < bits) {
+          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  /** One-pass document fingerprint: md5 of the sorted distinct token
+    * set joined by spaces, as lowercase hex — mirror of
+    * `md5(array_join(array_sort(array_distinct(tokens(text))), " "))`.
+    * Tokens are pure ASCII post-split ([a-z0-9]+ only), so Java string
+    * order == Spark's UTF8String byte order.
+    */
+  def tokenFingerprint(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val lower = text.toLowerCase.toString
+    val raw = TokenPattern.split(lower, -1)
+    val sorted = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) sorted.add(raw(i)); i += 1 }
+    val joined = String.join(" ", sorted)
+    val md = tlMd5.get()
+    md.reset()
+    val d = md.digest(joined.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = HexChars((d(i) & 0xf0) >> 4)
+      hex(2 * i + 1) = HexChars(d(i) & 0x0f)
+      i += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
   def hashedWordShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return null
     val lower = text.toLowerCase.toString

@@ -127,16 +127,12 @@ object HashFunctions {
     */
   def simhash(text: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 32, "simhash bits must be in [1,32]")
-    val toks = TextFunctions.tokens(text)
-    val hashes = transform(
-      toks,
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
-    )
-    // single-pass native vote accumulation — the per-bit aggregate()
-    // formulation ran `bits` interpreted passes over the hash array
+    // fully fused tokenize + per-occurrence hash + vote kernel; the
+    // interpreted transform(tokens, md5) feeding SimHashVotes (itself
+    // still the SQL-facing array form) is generator-tested against it
     import org.apache.spark.sql.GraftSqlShim
-    GraftSqlShim.column(NativeExprs.SimHashVotes(
-      GraftSqlShim.expression(hashes), bits))
+    GraftSqlShim.column(NativeExprs.SimHashText(
+      GraftSqlShim.expression(text), bits))
   }
 
   /** Hamming distance between two simhash longs. */

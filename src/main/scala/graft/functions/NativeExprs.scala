@@ -436,6 +436,65 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** One-pass simhash from raw text (tokenize + per-occurrence 32-bit
+    * md5-prefix + majority vote) — [[GraftHash.simhashText]]; fuses the
+    * interpreted transform(tokens, md5) feeding [[SimHashVotes]].
+    */
+  case class SimHashText(child: Expression, bits: Int) extends UnaryExpression {
+    require(bits >= 1 && bits <= 32, "simhash bits must be in [1,32]")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_simhash_text"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.simhashText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], bits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.simhashText($c, $bits)")
+
+    override protected def withNewChildInternal(newChild: Expression): SimHashText =
+      copy(child = newChild)
+  }
+
+  /** One-pass document fingerprint (md5 hex of the sorted distinct token
+    * set) — [[GraftHash.tokenFingerprint]].
+    */
+  case class TokenFingerprint(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_token_fingerprint"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.tokenFingerprint(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.tokenFingerprint($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
+      copy(child = newChild)
+  }
+
   case class HashedWordShingles(child: Expression, n: Int)
       extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")

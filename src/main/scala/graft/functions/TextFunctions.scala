@@ -146,8 +146,14 @@ object TextFunctions {
     * content hash invariant to token order and repetition, portable to
     * the SQL oracle.
     */
-  def fingerprint(text: Column): Column =
-    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+  def fingerprint(text: Column): Column = {
+    // fused native kernel (tokens are pure ASCII post-split, so Java
+    // and UTF8String sort orders agree); HOF equivalence is
+    // generator-tested in NativeExprPropertySpec
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.TokenFingerprint(
+      GraftSqlShim.expression(text)))
+  }
 
   /** Normalized text for exact-dedup: collapse whitespace, lowercase. */
   def normalizedText(text: Column): Column =

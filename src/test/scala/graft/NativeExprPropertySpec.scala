@@ -155,6 +155,42 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("SimHashText / TokenFingerprint == HOF formulations over 300 random texts") {
+    import graft.functions.{HashFunctions, TextFunctions}
+    val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 1 -> Gen.numChar,
+      2 -> Gen.oneOf(' ', '.', '!', '\n', 'É', 'ß'))).map(_.mkString)
+    val df = sample(textGen, 300, seed = 777L).toDF("t")
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    // the per-bit HOF vote formulation (the pre-round-3 shape), as the
+    // fully independent reference
+    def hofSimhash(c: org.apache.spark.sql.Column, bits: Int) = {
+      val hashes = transform(toks(c),
+        t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+      (0 until bits).map { b =>
+        val votes = aggregate(hashes, lit(0L), (acc, h) =>
+          acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, lit(1L))
+            .otherwise(lit(-1L)))
+        when(votes > 0, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    def hofFingerprint(c: org.apache.spark.sql.Column) =
+      md5(array_join(array_sort(array_distinct(toks(c))), " "))
+    for (bits <- Seq(8, 32)) {
+      val rows = df.select(
+        HashFunctions.simhash(col("t"), bits).as("ns"),
+        hofSimhash(col("t"), bits).as("hs"),
+        TextFunctions.fingerprint(col("t")).as("nf"),
+        hofFingerprint(col("t")).as("hf")).collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) == r.getLong(1),
+          s"simhash bits=$bits ${r.getLong(0)} vs ${r.getLong(1)}")
+        assert(r.getString(2) == r.getString(3), "fingerprint")
+      }
+    }
+  }
+
   test("HashedCharShingles == HOF formulation over 300 random texts") {
     val charGen = Gen.frequency(
       5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 1 -> Gen.numChar,
