@@ -68,7 +68,7 @@ object Bench {
     // untimed: recall of the approximate scale paths vs their exact
     // baselines — the knobs (bands, nProbe) an operator tunes at 100×
     // need a measured starting point, not just a unit-test pass/fail
-    val recalls: Seq[(String, Double)] = {
+    val recalls: Seq[(String, Double)] = try {
       import org.apache.spark.sql.{functions => F, DataFrame}
       // every recall ships with its support `<label>_n` — a recall over
       // single-digit ground-truth pairs is noise, not signal. Each query
@@ -106,6 +106,13 @@ object Bench {
         probe <- ckpt("q_ann_ivf", Seq("query_id", "neighbor_id"))
       } yield rec("q_ann_ivf", probe, brute, Seq("query_id", "neighbor_id"))
       emb.getOrElse(Nil) ++ ivf.getOrElse(Nil)
+    } catch {
+      // recall is telemetry; a runtime failure here (OOM on the all-pairs
+      // baseline, checkpoint read error) must not swallow the timed
+      // results the driver parses from the one JSON line
+      case t: Throwable =>
+        System.err.println(s"[bench] recall computation failed: ${t.getMessage}")
+        Nil
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,14 +35,8 @@ object GraftHash {
   /** First 8 hex chars of md5(bytes) as an unsigned int, masked to 31
     * bits — `conv(substring(md5(s), 1, 8), 16, 10) & 0x7fffffff`.
     */
-  def md5Prefix31(bytes: Array[Byte]): Long = {
-    val md = tlMd5.get()
-    md.reset()
-    val d = md.digest(bytes)
-    val v = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-    v & 0x7fffffffL
-  }
+  def md5Prefix31(bytes: Array[Byte]): Long =
+    md5Prefix32(bytes) & 0x7fffffffL
 
   private val WsPattern = java.util.regex.Pattern.compile("\\s+")
 
@@ -141,7 +135,7 @@ object GraftHash {
   /** First 8 hex chars of md5(bytes) as an unsigned 32-bit value —
     * `conv(substring(md5(t), 1, 8), 16, 10)` with no mask.
     */
-  private def md5Prefix32(bytes: Array[Byte]): Long = {
+  def md5Prefix32(bytes: Array[Byte]): Long = {
     val md = tlMd5.get()
     md.reset()
     val d = md.digest(bytes)

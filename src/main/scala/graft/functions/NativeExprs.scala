@@ -359,13 +359,6 @@ private[functions] object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** One-pass hashed word shingles (tokenize → n-gram → md5-prefix-31 →
-    * first-occurrence distinct), the hot kernel of every MinHash/LSH
-    * query. The Column formulation it replaces walks FOUR interpreted
-    * HOF trees per row (filter, transform×2 with a re-evaluated
-    * lambda-bound token subtree, array_distinct); this is one fused
-    * kernel call inside whole-stage codegen ([[GraftHash]]).
-    */
   /** Sibling of [[HashedWordShingles]] for CHARACTER n-grams over
     * normalized text with 60-bit hashes — the exact-Jaccard kernel
     * ([[GraftHash.hashedCharShingles]]).
@@ -495,6 +488,13 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** One-pass hashed word shingles (tokenize → n-gram → md5-prefix-31 →
+    * first-occurrence distinct), the hot kernel of every MinHash/LSH
+    * query. The Column formulation it replaces walks FOUR interpreted
+    * HOF trees per row (filter, transform×2 with a re-evaluated
+    * lambda-bound token subtree, array_distinct); this is one fused
+    * kernel call inside whole-stage codegen ([[GraftHash]]).
+    */
   case class HashedWordShingles(child: Expression, n: Int)
       extends UnaryExpression {
     require(n >= 1, "shingle size must be >= 1")

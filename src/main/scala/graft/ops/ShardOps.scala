@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * PER-PARTITION window adds the broadcast offset. The classic
   * distributed scan pattern; a naive `sum over (order by key)` window
   * moves the whole corpus to ONE partition.
+  *
+  * Contract: `keyCol` must be UNIQUE per row (a document id) — the
+  * packing order is the key order, and duplicate keys would leave the
+  * intra-tie order (and thus boundary-straddling shard assignment)
+  * engine-dependent. A null weight packs as 0 (the row keeps its place
+  * and shard; mirrors SQL window sums ignoring NULLs).
   */
 object ShardOps {
 
@@ -32,14 +38,14 @@ object ShardOps {
     // checkpoint pins the bucket assignment: spark_partition_id() is a
     // property of the materialized partitioning, not of the row, and
     // must not silently change between the totals pass and the window
+    val w0 = coalesce(col(weightCol).cast("long"), lit(0L))
     val ranged = df
-      .filter(col(weightCol).isNotNull)
       .repartitionByRange(p, col(keyCol))
       .withColumn("__bucket", spark_partition_id())
       .localCheckpoint()
     // bounded collect: one row per range bucket
     val totals = ranged.groupBy(col("__bucket"))
-      .agg(sum(col(weightCol).cast("long")).as("w"))
+      .agg(sum(w0).as("w"))
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
@@ -49,11 +55,10 @@ object ShardOps {
     val offDf = offsets.toSeq.toDF("__bucket", "__offset")
     val w = Window.partitionBy(col("__bucket")).orderBy(col(keyCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inclusive: Column = sum(col(weightCol).cast("long")).over(w)
+    val inclusive: Column = sum(w0).over(w)
     ranged
       .join(broadcast(offDf), Seq("__bucket"))
-      .withColumn("__exclusive",
-        col("__offset") + inclusive - col(weightCol).cast("long"))
+      .withColumn("__exclusive", col("__offset") + inclusive - w0)
       .withColumn("shard_id",
         floor(col("__exclusive").cast("double") / targetWeight.toDouble).cast("long"))
       .drop("__bucket", "__offset", "__exclusive")

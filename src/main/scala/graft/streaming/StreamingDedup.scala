@@ -21,6 +21,8 @@ object StreamingDedup {
 
   /** Input: streaming DataFrame with (`ts` timestamp, `idCol`, `textCol`).
     * Output: first-seen rows only, with the content hash attached.
+    * `idCol` documents the caller's id column (it passes through
+    * untouched); dedup keys on CONTENT only, never on the id.
     */
   def dropExactDuplicates(
       docs: DataFrame,
