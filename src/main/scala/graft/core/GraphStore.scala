@@ -30,12 +30,12 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   // @volatile: mutators run store-synchronized, but readers (search,
   // candidate scans) read these refs lock-free from other threads — the
   // volatile store gives them the happens-before edge to see fresh state
-  @volatile var memories: DataFrame = spark.emptyDataset[MemoryRow].toDF
-  @volatile var entities: DataFrame = spark.emptyDataset[EntityRow].toDF
-  @volatile var episodes: DataFrame = spark.emptyDataset[EpisodeRow].toDF
-  @volatile var communities: DataFrame = spark.emptyDataset[CommunityRow].toDF
-  @volatile var history: DataFrame = spark.emptyDataset[HistoryRow].toDF
-  @volatile var edges: DataFrame = spark.emptyDataset[EdgeRow].toDF
+  @volatile var memories: DataFrame = spark.emptyDataset[MemoryRow].toDF()
+  @volatile var entities: DataFrame = spark.emptyDataset[EntityRow].toDF()
+  @volatile var episodes: DataFrame = spark.emptyDataset[EpisodeRow].toDF()
+  @volatile var communities: DataFrame = spark.emptyDataset[CommunityRow].toDF()
+  @volatile var history: DataFrame = spark.emptyDataset[HistoryRow].toDF()
+  @volatile var edges: DataFrame = spark.emptyDataset[EdgeRow].toDF()
 
   private val memoryIds = new AtomicLong(0)
   private val entityIds = new AtomicLong(0)
@@ -80,37 +80,37 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
 
   def appendMemories(rows: Seq[MemoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      memories = memories.unionByName(spark.createDataset(rows).toDF)
+      memories = memories.unionByName(spark.createDataset(rows).toDF())
       tick()
     }
   }
   def appendEntities(rows: Seq[EntityRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      entities = entities.unionByName(spark.createDataset(rows).toDF)
+      entities = entities.unionByName(spark.createDataset(rows).toDF())
       tick()
     }
   }
   def appendEpisodes(rows: Seq[EpisodeRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      episodes = episodes.unionByName(spark.createDataset(rows).toDF)
+      episodes = episodes.unionByName(spark.createDataset(rows).toDF())
       tick()
     }
   }
   def appendCommunities(rows: Seq[CommunityRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      communities = communities.unionByName(spark.createDataset(rows).toDF)
+      communities = communities.unionByName(spark.createDataset(rows).toDF())
       tick()
     }
   }
   def appendHistory(rows: Seq[HistoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      history = history.unionByName(spark.createDataset(rows).toDF)
+      history = history.unionByName(spark.createDataset(rows).toDF())
       tick()
     }
   }
   def appendEdges(rows: Seq[EdgeRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      edges = edges.unionByName(spark.createDataset(rows).toDF)
+      edges = edges.unionByName(spark.createDataset(rows).toDF())
       tick(structural = true)
     }
   }
