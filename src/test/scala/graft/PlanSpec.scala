@@ -37,6 +37,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("zip_with"), p.take(500))
   }
 
+  test("minhash plan evaluates the shingle kernel exactly once (no inferred-filter re-eval)") {
+    // regression guard for the InferFiltersFromGenerate trap: a plain
+    // explode of the shingle expression synthesized size(expr)>0 AND
+    // isnotnull(expr) and pushed BOTH below the repartition to the scan,
+    // re-evaluating the kernel twice single-threaded (9× on this query
+    // at sf0.1). The kernel must appear exactly once in the optimized
+    // plan — in the projection feeding the generate, never in a Filter.
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = graft.ops.DedupOps.minhashSignatures(docs, "doc_id", "text", 4, 3)
+    val opt = q.queryExecution.optimizedPlan.toString
+    val hits = "graft_word_shingles31".r.findAllIn(opt).length
+    assert(hits == 1, s"shingle kernel appears $hits times in:\n${opt.take(1500)}")
+  }
+
   test("IVF probe joins centroids via broadcast, not shuffle") {
     assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
