@@ -176,6 +176,48 @@ object GraftHash {
     fp
   }
 
+  private val LangCodes: Array[String] = TextFunctions.LangStopwords.keys.toArray.sorted
+  private val LangSets: Array[java.util.HashSet[String]] = LangCodes.map { c =>
+    val s = new java.util.HashSet[String]()
+    TextFunctions.LangStopwords(c).foreach(s.add)
+    s
+  }
+
+  /** One-pass language ID: distinct-token stopword hits per language,
+    * first-wins alphabetical argmax, "und" when nothing matches —
+    * mirror of TextFunctions.langId's CASE chain (code c wins when its
+    * hits >= every later code's hits == the alphabetically first code
+    * achieving the maximum).
+    */
+  def langId(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    val lower = text.toLowerCase.toString
+    val raw = TokenPattern.split(lower, -1)
+    val seen = new java.util.HashSet[String]()
+    val hits = new Array[Int](LangCodes.length)
+    var any = false
+    var i = 0
+    while (i < raw.length) {
+      val t = raw(i)
+      if (t.nonEmpty && seen.add(t)) {
+        var c = 0
+        while (c < LangCodes.length) {
+          if (LangSets(c).contains(t)) { hits(c) += 1; any = true }
+          c += 1
+        }
+      }
+      i += 1
+    }
+    if (!any) return UTF8String.fromString("und")
+    var best = 0
+    var c = 1
+    while (c < LangCodes.length) {
+      if (hits(c) > hits(best)) best = c
+      c += 1
+    }
+    UTF8String.fromString(LangCodes(best))
+  }
+
   private val HexChars = "0123456789abcdef".toCharArray
 
   /** One-pass document fingerprint: md5 of the sorted distinct token

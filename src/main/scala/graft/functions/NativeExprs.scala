@@ -460,6 +460,34 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** One-pass language ID (distinct-token stopword hits + alphabetical
+    * first-max argmax) — [[GraftHash.langId]].
+    */
+  case class LangId(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_langid"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.langId(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.langId($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): LangId =
+      copy(child = newChild)
+  }
+
   /** One-pass document fingerprint (md5 hex of the sorted distinct token
     * set) — [[GraftHash.tokenFingerprint]].
     */

@@ -122,24 +122,11 @@ object TextFunctions {
     * explicit CASE chain so the SQL oracle can replay it verbatim.
     */
   def langId(text: Column): Column = {
-    val ts = array_distinct(tokens(text))
-    val codes = LangStopwords.keys.toSeq.sorted
-    val hits: Map[String, Column] = codes.map { c =>
-      c -> size(filter(ts, t => t.isin(LangStopwords(c): _*)))
-    }.toMap
-    val anyHit = codes.map(hits).reduce(_ + _) > 0
-    // first-wins alphabetical argmax: code c wins if >= all later codes
-    val argmax = codes.zipWithIndex.foldRight(lit(codes.last)) {
-      case ((c, i), elseCol) =>
-        val laterCodes = codes.drop(i + 1)
-        if (laterCodes.isEmpty) elseCol
-        else {
-          val geAllLater =
-            laterCodes.map(l => hits(c) >= hits(l)).reduce(_ && _)
-          when(geAllLater, lit(c)).otherwise(elseCol)
-        }
-    }
-    when(!anyHit, lit("und")).otherwise(argmax)
+    // fused native kernel; the CASE-chain HOF formulation (which the
+    // DuckDB oracle still replays verbatim) is generator-tested against
+    // it in NativeExprPropertySpec
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.LangId(GraftSqlShim.expression(text)))
   }
 
   /** Document fingerprint: md5 of the sorted distinct token set — a

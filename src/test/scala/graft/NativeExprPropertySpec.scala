@@ -191,6 +191,46 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("LangId == CASE-chain HOF formulation over 300 random texts") {
+    import graft.functions.TextFunctions
+    // bias towards real stopwords from the five language lists so the
+    // argmax and tie paths are actually exercised
+    val allStops = TextFunctions.LangStopwords.values.flatten.toSeq
+    val wordGen = Gen.frequency(
+      5 -> Gen.oneOf(allStops),
+      3 -> Gen.listOf(Gen.alphaLowerChar).map(_.mkString),
+      1 -> Gen.const(""))
+    val textGen: Gen[String] = Gen.listOf(wordGen).map(_.mkString(" "))
+    val df = sample(textGen, 300, seed = 31337L).toDF("t")
+    def toks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    // the CASE-chain formulation the kernel replaced, inlined verbatim
+    def hofLangId(text: org.apache.spark.sql.Column) = {
+      val ts = array_distinct(toks(text))
+      val codes = TextFunctions.LangStopwords.keys.toSeq.sorted
+      val hits: Map[String, org.apache.spark.sql.Column] = codes.map { c =>
+        c -> size(filter(ts, t => t.isin(TextFunctions.LangStopwords(c): _*)))
+      }.toMap
+      val anyHit = codes.map(hits).reduce(_ + _) > 0
+      val argmax = codes.zipWithIndex.foldRight(lit(codes.last)) {
+        case ((c, i), elseCol) =>
+          val laterCodes = codes.drop(i + 1)
+          if (laterCodes.isEmpty) elseCol
+          else {
+            val geAllLater =
+              laterCodes.map(l => hits(c) >= hits(l)).reduce(_ && _)
+            when(geAllLater, lit(c)).otherwise(elseCol)
+          }
+      }
+      when(!anyHit, lit("und")).otherwise(argmax)
+    }
+    val rows = df.select(
+      TextFunctions.langId(col("t")).as("n"),
+      hofLangId(col("t")).as("h")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"native=${r.getString(0)} hof=${r.getString(1)}"))
+  }
+
   test("HashedCharShingles == HOF formulation over 300 random texts") {
     val charGen = Gen.frequency(
       5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 1 -> Gen.numChar,
