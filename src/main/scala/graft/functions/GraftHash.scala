@@ -40,6 +40,61 @@ object GraftHash {
 
   private val WsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** Shared tokenizer: lowercase (UTF8String semantics, matching Spark's
+    * `lower`) + split on non-alphanumeric runs + drop empties — the
+    * exact row-level mirror of
+    * `filter(split(lower(text), "[^a-z0-9]+"), _ =!= "")`.
+    */
+  private def tokenize(text: UTF8String): Array[String] = {
+    val raw = TokenPattern.split(text.toLowerCase.toString, -1)
+    var count = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) count += 1; i += 1 }
+    if (count == raw.length) raw
+    else {
+      val toks = new Array[String](count)
+      i = 0; var j = 0
+      while (i < raw.length) {
+        if (raw(i).nonEmpty) { toks(j) = raw(i); j += 1 }
+        i += 1
+      }
+      toks
+    }
+  }
+
+  /** Canonical token array as Spark strings ([[NativeExprs.Tokens]]). */
+  def tokens(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      tokenize(text).map(t => UTF8String.fromString(t): AnyRef))
+
+  /** Word n-gram shingles WITH multiplicity
+    * ([[NativeExprs.WordShinglesAllExpr]]); count < n → one shingle of
+    * all tokens space-joined (possibly the empty string).
+    */
+  def wordShinglesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text)
+    if (toks.length < n)
+      new GenericArrayData(
+        Array[AnyRef](UTF8String.fromString(toks.mkString(" "))))
+    else {
+      val out = new Array[AnyRef](toks.length - n + 1)
+      val sb = new java.lang.StringBuilder()
+      var s = 0
+      while (s <= toks.length - n) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(s + k))
+          k += 1
+        }
+        out(s) = UTF8String.fromString(sb.toString)
+        s += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** First 15 hex chars of md5(bytes) as a 60-bit value —
     * `conv(substring(md5(s), 1, 15), 16, 10)`: bytes 0..6 in full plus
     * the high nibble of byte 7.
@@ -249,17 +304,8 @@ object GraftHash {
 
   def hashedWordShingles(text: UTF8String, n: Int): ArrayData = {
     if (text == null) return null
-    val lower = text.toLowerCase.toString
-    val raw = TokenPattern.split(lower, -1)
-    var count = 0
-    var i = 0
-    while (i < raw.length) { if (raw(i).nonEmpty) count += 1; i += 1 }
-    val toks = new Array[String](count)
-    i = 0; var j = 0
-    while (i < raw.length) {
-      if (raw(i).nonEmpty) { toks(j) = raw(i); j += 1 }
-      i += 1
-    }
+    val toks = tokenize(text)
+    val count = toks.length
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val out = new java.util.LinkedHashSet[java.lang.Long]()
     if (count < n) {
@@ -281,7 +327,7 @@ object GraftHash {
     }
     val arr = new Array[Long](out.size)
     val it = out.iterator()
-    i = 0
+    var i = 0
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }

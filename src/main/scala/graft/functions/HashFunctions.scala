@@ -16,17 +16,13 @@ object HashFunctions {
 
   /** Word n-gram shingles WITH multiplicity (repetition analysis needs
     * the raw occurrence counts that the distinct set form discards).
+    * Native kernel; the HOF window formulation is generator-tested
+    * against it in NativeExprPropertySpec.
     */
   def wordShinglesAll(text: Column, n: Int): Column = {
-    val ts = TextFunctions.tokens(text)
-    val count = size(ts)
-    when(count < n, array(array_join(ts, " ")))
-      .otherwise(
-        transform(
-          sequence(lit(1), count - lit(n - 1)),
-          i => array_join(slice(ts, i, lit(n)), " ")
-        )
-      )
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.WordShinglesAllExpr(
+      GraftSqlShim.expression(text), n))
   }
 
   /** Word n-gram shingles over the canonical token array. */

@@ -460,6 +460,66 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** Canonical token array, natively tokenized — [[GraftHash.tokens]];
+    * replaces the interpreted filter(split(lower)) HOF pair.
+    */
+  case class Tokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_tokens"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.tokens(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.tokens($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Tokens =
+      copy(child = newChild)
+  }
+
+  /** Word n-gram shingles WITH multiplicity, natively tokenized —
+    * [[GraftHash.wordShinglesAll]] (the repetition-analysis gram
+    * generator).
+    */
+  case class WordShinglesAllExpr(child: Expression, n: Int)
+      extends UnaryExpression {
+    require(n >= 1, "shingle size must be >= 1")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_word_shingles_all"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.wordShinglesAll(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.wordShinglesAll($c, $n)")
+
+    override protected def withNewChildInternal(newChild: Expression): WordShinglesAllExpr =
+      copy(child = newChild)
+  }
+
   /** One-pass language ID (distinct-token stopword hits + alphabetical
     * first-max argmax) — [[GraftHash.langId]].
     */

@@ -15,8 +15,12 @@ object TextFunctions {
     * drop empties. Matches the oracle SQL
     * `regexp_split_to_array(lower(t), '[^a-z0-9]+')` + filter.
     */
-  def tokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z0-9]+"), t => t =!= "")
+  def tokens(text: Column): Column = {
+    // native kernel; the filter(split(lower)) HOF pair it replaces is
+    // generator-tested against it in NativeExprPropertySpec
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.Tokens(GraftSqlShim.expression(text)))
+  }
 
   /** One-pass native token statistics (NativeExprs.TokenStats): every
     * scalar token metric below is a field extraction, and repeated calls

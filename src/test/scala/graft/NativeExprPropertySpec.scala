@@ -191,6 +191,36 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("Tokens / WordShinglesAll == HOF formulations over 300 random texts") {
+    import graft.functions.{HashFunctions, TextFunctions}
+    val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+      5 -> Gen.alphaLowerChar, 2 -> Gen.alphaUpperChar, 1 -> Gen.numChar,
+      2 -> Gen.oneOf(' ', '.', '!', '\n', '\t', 'É', '§'))).map(_.mkString)
+    val df = sample(textGen, 300, seed = 5150L).toDF("t")
+    def hofToks(c: org.apache.spark.sql.Column) =
+      filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+    def hofShinglesAll(c: org.apache.spark.sql.Column, n: Int) = {
+      val ts = hofToks(c)
+      val count = size(ts)
+      when(count < n, array(array_join(ts, " ")))
+        .otherwise(transform(sequence(lit(1), count - lit(n - 1)),
+          i => array_join(slice(ts, i, lit(n)), " ")))
+    }
+    for (n <- Seq(1, 2, 4)) {
+      val rows = df.select(
+        TextFunctions.tokens(col("t")).as("nt"),
+        hofToks(col("t")).as("ht"),
+        HashFunctions.wordShinglesAll(col("t"), n).as("ns"),
+        hofShinglesAll(col("t"), n).as("hs")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"tokens ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+        assert(r.getSeq[String](2) == r.getSeq[String](3),
+          s"shinglesAll n=$n ${r.getSeq[String](2)} vs ${r.getSeq[String](3)}")
+      }
+    }
+  }
+
   test("LangId == CASE-chain HOF formulation over 300 random texts") {
     import graft.functions.TextFunctions
     // bias towards real stopwords from the five language lists so the
