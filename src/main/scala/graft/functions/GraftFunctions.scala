@@ -47,13 +47,38 @@ object GraftFunctions {
       arity("graft_simhash32", 1)(args => NativeExprs.SimHashVotes(args(0), 32))),
     ("graft_word_shingles31",
       "graft_word_shingles31(text, n) - distinct word n-gram shingles as 31-bit md5-prefix hashes",
-      arity("graft_word_shingles31", 2)(args => args(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) =>
-          NativeExprs.HashedWordShingles(args(0), n)
-        case other => throw new IllegalArgumentException(
-          s"graft_word_shingles31: n must be an integer literal, got $other")
-      }))
+      arity("graft_word_shingles31", 2)(args =>
+        NativeExprs.HashedWordShingles(args(0), litInt("graft_word_shingles31", args(1))))),
+    ("graft_char_shingles60",
+      "graft_char_shingles60(text, n) - distinct char n-gram shingles over normalized text as 60-bit md5-prefix hashes",
+      arity("graft_char_shingles60", 2)(args =>
+        NativeExprs.HashedCharShingles(args(0), litInt("graft_char_shingles60", args(1))))),
+    ("graft_word_shingles_all",
+      "graft_word_shingles_all(text, n) - word n-gram shingles with multiplicity",
+      arity("graft_word_shingles_all", 2)(args =>
+        NativeExprs.WordShinglesAllExpr(args(0), litInt("graft_word_shingles_all", args(1))))),
+    ("graft_tokens",
+      "graft_tokens(text) - canonical lowercase alphanumeric token array",
+      arity("graft_tokens", 1)(args => NativeExprs.Tokens(args(0)))),
+    ("graft_token_stats",
+      "graft_token_stats(text) - struct of one-pass token statistics",
+      arity("graft_token_stats", 1)(args => NativeExprs.TokenStats(args(0)))),
+    ("graft_langid",
+      "graft_langid(text) - stopword-hit language id (en/de/fr/es/zh or und)",
+      arity("graft_langid", 1)(args => NativeExprs.LangId(args(0)))),
+    ("graft_fingerprint",
+      "graft_fingerprint(text) - md5 of the sorted distinct token set",
+      arity("graft_fingerprint", 1)(args => NativeExprs.TokenFingerprint(args(0)))),
+    ("graft_simhash_text",
+      "graft_simhash_text(text) - 32-bit simhash fingerprint from raw text",
+      arity("graft_simhash_text", 1)(args => NativeExprs.SimHashText(args(0), 32)))
   )
+
+  private def litInt(name: String, e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(n: Int, _) => n
+    case other => throw new IllegalArgumentException(
+      s"$name: n must be an integer literal, got $other")
+  }
 
   /** Install into a live session (idempotent). */
   def register(spark: SparkSession): Unit =

@@ -59,6 +59,27 @@ class OpsSpec extends SparkSuite {
         |  graft_sorted_intersect_size(CAST(NULL AS ARRAY<LONG>), array(1L)) AS b""".stripMargin)
       .head()
     assert(n.isNullAt(0) && n.isNullAt(1))
+    // the text kernels are SQL-callable too
+    val t = spark.sql(
+      """SELECT
+        |  graft_tokens('The quick FOX!') AS toks,
+        |  size(graft_word_shingles31('a b c d', 3)) AS ws,
+        |  size(graft_char_shingles60('abcd', 3)) AS cs,
+        |  size(graft_word_shingles_all('a b a b', 2)) AS wa,
+        |  graft_token_stats('the the fox').n_tokens AS nt,
+        |  graft_token_stats('the the fox').stop_hits AS sh,
+        |  graft_langid('der und das ist') AS lang,
+        |  length(graft_fingerprint('b a')) AS fp_len,
+        |  graft_simhash_text('x') AS s1""".stripMargin).head()
+    assert(t.getSeq[String](0) == Seq("the", "quick", "fox"))
+    assert(t.getInt(1) == 2 && t.getInt(2) == 2 && t.getInt(3) == 3)
+    assert(t.getInt(4) == 3 && t.getInt(5) == 2)
+    assert(t.getString(6) == "de")
+    assert(t.getInt(7) == 32)
+    // one token: fingerprint bits == that token's 32-bit hash
+    assert(t.getLong(8) ==
+      spark.sql("SELECT conv(substring(md5('x'), 1, 8), 16, 10)").head()
+        .getString(0).toLong)
   }
 
   test("packShards: exclusive-prefix packing, oversized doc spans, cross-partition offsets") {
