@@ -162,29 +162,25 @@ object GraftHash {
     */
   def tokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     if (text == null) return null
-    val lower = text.toLowerCase.toString
-    val raw = TokenPattern.split(lower, -1)
-    var n = 0
+    val toks = tokenize(text)
     var sumLen = 0L
     var stopHits = 0
     var subwords = 0L
     val distinct = new java.util.HashSet[String]()
     val distinctStops = new java.util.HashSet[String]()
     var i = 0
-    while (i < raw.length) {
-      val t = raw(i)
-      if (t.nonEmpty) {
-        n += 1
-        val cp = t.codePointCount(0, t.length)
-        sumLen += cp
-        subwords += (cp + 3) / 4
-        distinct.add(t)
-        if (StopSet.contains(t)) { stopHits += 1; distinctStops.add(t) }
-      }
+    while (i < toks.length) {
+      val t = toks(i)
+      val cp = t.codePointCount(0, t.length)
+      sumLen += cp
+      subwords += (cp + 3) / 4
+      distinct.add(t)
+      if (StopSet.contains(t)) { stopHits += 1; distinctStops.add(t) }
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](n, distinct.size, sumLen, stopHits, distinctStops.size, subwords))
+      Array[Any](toks.length, distinct.size, sumLen, stopHits,
+        distinctStops.size, subwords))
   }
 
   /** First 8 hex chars of md5(bytes) as an unsigned 32-bit value —
@@ -205,20 +201,16 @@ object GraftHash {
     */
   def simhashText(text: UTF8String, bits: Int): Long = {
     // null input is guarded by the expression's nullSafeEval/codegen
-    val lower = text.toLowerCase.toString
-    val raw = TokenPattern.split(lower, -1)
+    val toks = tokenize(text)
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val votes = new Array[Int](bits)
     var i = 0
-    while (i < raw.length) {
-      val t = raw(i)
-      if (t.nonEmpty) {
-        val h = md5Prefix32(t.getBytes(utf8))
-        var b = 0
-        while (b < bits) {
-          if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
+    while (i < toks.length) {
+      val h = md5Prefix32(toks(i).getBytes(utf8))
+      var b = 0
+      while (b < bits) {
+        if (((h >> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
       }
       i += 1
     }
@@ -246,15 +238,14 @@ object GraftHash {
     */
   def langId(text: UTF8String): UTF8String = {
     if (text == null) return null
-    val lower = text.toLowerCase.toString
-    val raw = TokenPattern.split(lower, -1)
+    val toks = tokenize(text)
     val seen = new java.util.HashSet[String]()
     val hits = new Array[Int](LangCodes.length)
     var any = false
     var i = 0
-    while (i < raw.length) {
-      val t = raw(i)
-      if (t.nonEmpty && seen.add(t)) {
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
         var c = 0
         while (c < LangCodes.length) {
           if (LangSets(c).contains(t)) { hits(c) += 1; any = true }
@@ -283,11 +274,10 @@ object GraftHash {
     */
   def tokenFingerprint(text: UTF8String): UTF8String = {
     if (text == null) return null
-    val lower = text.toLowerCase.toString
-    val raw = TokenPattern.split(lower, -1)
+    val toks = tokenize(text)
     val sorted = new java.util.TreeSet[String]()
     var i = 0
-    while (i < raw.length) { if (raw(i).nonEmpty) sorted.add(raw(i)); i += 1 }
+    while (i < toks.length) { sorted.add(toks(i)); i += 1 }
     val joined = String.join(" ", sorted)
     val md = tlMd5.get()
     md.reset()
