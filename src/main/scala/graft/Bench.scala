@@ -76,7 +76,7 @@ object Bench {
       // is deliberately absent from the timed list for cost; re-running
       // it per metric would dwarf the bench itself).
       def ckpt(name: String, cols: Seq[String]): Option[DataFrame] =
-        try Some(SparkEntry.queries(name)(spark, sfDir)
+        try Some((SparkEntry.queries ++ SparkEntry.benchExtras)(name)(spark, sfDir)
           .select(cols.head, cols.tail: _*).localCheckpoint())
         catch {
           case t: Throwable =>
@@ -105,7 +105,23 @@ object Bench {
         brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
         probe <- ckpt("q_ann_ivf", Seq("query_id", "neighbor_id"))
       } yield rec("q_ann_ivf", probe, brute, Seq("query_id", "neighbor_id"))
-      emb.getOrElse(Nil) ++ ivf.getOrElse(Nil)
+      // k-means-refined index, same cells/probes — the strided-vs-Lloyd
+      // comparison lives in one apples-to-apples series (BASELINE §6)
+      val ivfKm = for {
+        brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
+        probe <- ckpt("q_ann_ivf_kmeans", Seq("query_id", "neighbor_id"))
+      } yield rec("q_ann_ivf_kmeans", probe, brute, Seq("query_id", "neighbor_id"))
+      // θ=0.9 design point over planted twins (the near-dup regime the
+      // corpus itself lacks; truth = exact cosine on the planted pairs)
+      val design = for {
+        lsh <- ckpt("q_emb_neardup_lsh_design", Seq("doc_a", "doc_b"))
+        truth <- try Some(graft.catalog.SimilarityQueries.designTruth(spark, sfDir)
+            .localCheckpoint())
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] design truth failed: ${t.getMessage}"); None }
+      } yield rec("q_emb_neardup_lsh_design", lsh, truth, Seq("doc_a", "doc_b"))
+      emb.getOrElse(Nil) ++ ivf.getOrElse(Nil) ++ ivfKm.getOrElse(Nil) ++
+        design.getOrElse(Nil)
     } catch {
       // recall is telemetry; a runtime failure here (OOM on the all-pairs
       // baseline, checkpoint read error) must not swallow the timed

@@ -55,7 +55,9 @@ object SparkEntry {
     */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_betweenness_waves" -> (AlgoQueries.betweennessWavesBench _),
-    "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _)
+    "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
+    "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _),
+    "q_emb_neardup_lsh_design" -> (SimilarityQueries.nearDupDesignBench _)
   )
 
   def benchQueries: Seq[String] = Seq(

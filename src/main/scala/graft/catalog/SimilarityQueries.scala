@@ -21,6 +21,15 @@ object SimilarityQueries {
   // accidental half-cartesian at sf0.1)
   private val LshRows = 8
   private val Dims = 64
+  // IVF operating point (C=8 cells, probe 6): recall@10 = 0.94 vs brute
+  // force at sf0.1. This corpus is isotropic (label column carries no
+  // geometric signal; within-label mean cosine ~= cross-label ~= 0), so
+  // recall tracks the scanned fraction almost linearly and NO centroid
+  // choice beats strided seeding — measured series in BASELINE.md §6.
+  // On a clustered real-embedding corpus the same code at nProbe=2
+  // recovers the usual IVF advantage; the knob is the deploy-time tune.
+  private val IvfCells = 8
+  private val IvfProbes = 6
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -33,9 +42,10 @@ object SimilarityQueries {
     },
     "q_ann_ivf" -> { (s, dir) =>
       val emb = load(s, dir, "embeddings")
-      val (assigned, centroids) = SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = 8)
+      val (assigned, centroids) =
+        SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = IvfCells)
       SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", centroids,
-          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = 2)
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = IvfProbes)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -91,6 +101,90 @@ object SimilarityQueries {
     }
   )
 
+  /** Bench-only variant of q_ann_ivf on the Lloyd-refined index
+    * (VERDICT r4 #1): same cells/probes operating point, recall measured
+    * against q_ann_bruteforce by [[graft.Bench]]. No oracle — the
+    * iterative recentering is not worth a 5-iteration SQL replay; recall
+    * parity with the strided index is the assertion that matters
+    * (IvfSpec + bench telemetry).
+    */
+  def ivfKMeansBench(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val (assigned, centroids) =
+      SimilarityOps.ivfIndexKMeans(emb, "vec_id", "embedding", numCells = IvfCells)
+    SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = IvfProbes)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- design-point near-dup bench (VERDICT r4 #4) -------------------
+  // The synthetic corpus is isotropic: its maximum off-diagonal cosine
+  // is 0.60, so the θ=0.9 near-dup regime (the regime the reference's
+  // vector search is designed for, search/vector.py) has NO naturally
+  // occurring pairs to measure recall on. Plant them: every vector gets
+  // one perturbed twin at vec_id + DesignDupOffset with deterministic
+  // hash-noise of relative L2 0.4 → cosine(v, v') ≈ 0.93 ± 0.01. With
+  // 8 bands × 8 hyperplanes, band-collision odds at cosine 0.93 are
+  // (1 − θ/π)^8 ≈ 0.36 per band → expected recall 1 − 0.64^8 ≈ 0.97.
+  private val DesignDupOffset = 1000000L
+  private val DesignNoiseRel = 0.4
+  private val DesignThreshold = 0.9
+
+  /** Original corpus ∪ planted perturbed twins, embeddings as double. */
+  private def designCorpus(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = load(s, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    // per-(row, pos) noise in [-1, 1] from xxhash64 — reproducible across
+    // runs and engines, no RNG state
+    val noise = transform(col("embedding"),
+      (_, i) => (pmod(xxhash64(col("vec_id"), i), lit(2001L)) - lit(1000L))
+        .cast("double") / 1000.0)
+    val twins = emb
+      .withColumn("g", noise)
+      .withColumn("nv", VectorFunctions.l2Norm(col("embedding")))
+      .withColumn("ng", VectorFunctions.l2Norm(col("g")))
+      .select(
+        (col("vec_id") + DesignDupOffset).as("vec_id"),
+        zip_with(col("embedding"), col("g"),
+          (x, n) => x + lit(DesignNoiseRel) * col("nv") * n / col("ng")).as("embedding"))
+    emb.unionByName(twins)
+  }
+
+  /** Bench-only: banded sign-LSH near-dup pairs at the θ=0.9 design
+    * point over the planted corpus. Recall vs [[designTruth]] is the
+    * telemetry [[graft.Bench]] records as q_emb_neardup_lsh_design.
+    */
+  def nearDupDesignBench(s: SparkSession, dir: String): DataFrame =
+    DedupOps.embeddingNearDupPairs(designCorpus(s, dir), "vec_id", "embedding",
+        threshold = DesignThreshold, dims = Dims, bands = LshBands, rowsPerBand = LshRows)
+      .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Exact ground truth at the design point: the planted (v, twin) pairs
+    * whose true cosine clears the threshold (all of them, by
+    * construction — asserted ≥ θ in the join below, not assumed). The
+    * original corpus contributes no ≥0.9 pairs (max 0.60) and
+    * twin–other-twin cosines inherit the originals' isotropy, so the
+    * planted pairs ARE the complete truth set.
+    */
+  def designTruth(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val corpus = designCorpus(s, dir)
+    val orig = corpus.filter(col("vec_id") < DesignDupOffset)
+      .select(col("vec_id").as("doc_a"), col("embedding").as("ea"))
+    val twin = corpus.filter(col("vec_id") >= DesignDupOffset)
+      .select((col("vec_id") - DesignDupOffset).as("doc_a"),
+        col("vec_id").as("doc_b"), col("embedding").as("eb"))
+    orig.join(twin, "doc_a")
+      .filter(VectorFunctions.cosineSimilarity(col("ea"), col("eb")) >= DesignThreshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** DuckDB cosine of two DOUBLE[] expressions (mirror of
     * VectorFunctions.cosineSimilarity incl. the zero-norm guard). */
   private def cos(a: String, b: String): String =
@@ -113,9 +207,9 @@ object SimilarityQueries {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
          |         FROM (SELECT e.vec_id, e.v
-         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // 8) AS stride FROM e) s
+         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // $IvfCells) AS stride FROM e) s
          |               WHERE e.vec_id % s.stride = 0
-         |               ORDER BY e.vec_id LIMIT 8)),
+         |               ORDER BY e.vec_id LIMIT $IvfCells)),
          |assigned AS (
          |  SELECT vec_id, v, cell FROM (
          |    SELECT e.vec_id, e.v, cent.cell,
@@ -125,7 +219,7 @@ object SimilarityQueries {
          |  SELECT query_id, qv, cell FROM (
          |    SELECT e.vec_id AS query_id, e.v AS qv, cent.cell,
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
-         |    FROM e CROSS JOIN cent WHERE e.vec_id < 5) WHERE rn <= 2),
+         |    FROM e CROSS JOIN cent WHERE e.vec_id < 5) WHERE rn <= $IvfProbes),
          |scored AS (
          |  SELECT routed.query_id, a.vec_id AS neighbor_id, ${cos("routed.qv", "a.v")} AS c
          |  FROM routed JOIN assigned a ON routed.cell = a.cell AND routed.query_id <> a.vec_id),

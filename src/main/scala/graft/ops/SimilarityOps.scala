@@ -129,7 +129,11 @@ object SimilarityOps {
         .agg(
           transform(
             array_sort(collect_list(struct(col("pos"), col("m")))),
-            s => s.getField("m")
+            // 6-dp quantization makes the recentered value independent of
+            // float-sum partition order (~1e-13 noise vs a 5e-7 rounding
+            // step), so the index is reproducible run-to-run and, in
+            // principle, replayable by an external oracle
+            s => round(s.getField("m"), 6)
           ).as("cent_emb"))
         .localCheckpoint()
       assigned = assignToCells(corpus, corpusId, corpusEmb, centroids)

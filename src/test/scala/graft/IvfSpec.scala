@@ -27,9 +27,9 @@ class IvfSpec extends SparkSuite {
       emb, "vec_id", "embedding", queries, "vec_id", "embedding", k))
 
     def recallOf(assigned: org.apache.spark.sql.DataFrame,
-        centroids: org.apache.spark.sql.DataFrame): Double = {
+        centroids: org.apache.spark.sql.DataFrame, nProbe: Int): Double = {
       val got = topkSets(SimilarityOps.ivfTopK(assigned, "vec_id", "embedding",
-        centroids, queries, "vec_id", "embedding", k, nProbe = 2))
+        centroids, queries, "vec_id", "embedding", k, nProbe))
       val recalls = truth.map { case (q, t) =>
         got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
       }
@@ -37,14 +37,23 @@ class IvfSpec extends SparkSuite {
     }
 
     val (aStr, cStr) = SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = 8)
-    val strided = recallOf(aStr, cStr)
+    val strided = recallOf(aStr, cStr, nProbe = 2)
     val (aKm, cKm) = SimilarityOps.ivfIndexKMeans(emb, "vec_id", "embedding",
       numCells = 8, lloydIters = 5)
-    val kmeans = recallOf(aKm, cKm)
+    val kmeans = recallOf(aKm, cKm, nProbe = 2)
 
     info(f"recall@10 nProbe=2/8: strided=$strided%.3f kmeans=$kmeans%.3f")
     assert(kmeans >= 0.5, s"kmeans recall too low: $kmeans")
     assert(kmeans >= strided - 0.05,
       s"Lloyd refinement lost recall: strided=$strided kmeans=$kmeans")
+
+    // the registered q_ann_ivf operating point (6-of-8 probes): the
+    // isotropic corpus pins recall to the scanned fraction (BASELINE §6),
+    // so the deployable-recall bar needs the wide probe
+    val stridedOp = recallOf(aStr, cStr, nProbe = 6)
+    val kmeansOp = recallOf(aKm, cKm, nProbe = 6)
+    info(f"recall@10 nProbe=6/8: strided=$stridedOp%.3f kmeans=$kmeansOp%.3f")
+    assert(stridedOp >= 0.9, s"operating-point recall below target: $stridedOp")
+    assert(kmeansOp >= 0.9, s"kmeans operating-point recall below target: $kmeansOp")
   }
 }
