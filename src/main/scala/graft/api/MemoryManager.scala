@@ -1192,13 +1192,15 @@ final class MemoryManager(
       exists
     }
 
-  /** W5 — delete_all within scope; returns the deleted count (A10). */
+  /** W5 — delete_all within scope; returns the deleted count (A10).
+    * Scope-predicate anti-join delete — no driver materialization of the
+    * id set (the count comes from the matched-id delta inside
+    * [[GraphStore.deleteMemoriesWhere]]).
+    */
   def deleteAll(): Long =
     tracer.span("memory.delete_all", Map("user" -> config.userId)) {
       usageIncr("delete_all")
-      val ids = scopeCol(store.memories).select(col("id")).collect().map(_.getLong(0))
-      store.deleteMemories(ids.toSeq)
-      ids.length.toLong
+      store.deleteMemoriesWhere(FilterOps.scopeFilter(config.scopeFilters))
     }
 
   /** W12 — set_importance with [0,1] validation (manager.py:2016-2028). */

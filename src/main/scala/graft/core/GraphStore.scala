@@ -182,6 +182,42 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     }
   }
 
+  /** Deletes every memory matching `pred` WITHOUT materializing ids on
+    * the driver (A10 delete_all — the reference loops get-all→delete,
+    * manager.py:2200-2207; SURVEY §4 says don't copy that). The matched
+    * id set stays a DataFrame: one localCheckpoint + one count() for the
+    * returned delta, then the same anti-join delete + endpoint-typed edge
+    * cascade as [[deleteMemories]] via joins against the id frame — no
+    * `isin` literal list, so a tenant with 10^9 scoped rows deletes in
+    * one distributed pass.
+    */
+  def deleteMemoriesWhere(pred: org.apache.spark.sql.Column): Long =
+    this.synchronized {
+      val doomed = memories.filter(pred).select(col("id").as("__did"))
+        .localCheckpoint()
+      val n = doomed.count()
+      if (n > 0) {
+        memories = memories.join(doomed, memories("id") === col("__did"), "left_anti")
+        // cascade with the same endpoint-type discipline as deleteMemories
+        // (ids are per-label sequences — only Memory endpoints may match)
+        val dSrc = doomed.withColumnRenamed("__did", "__dsrc")
+        val dDst = doomed.withColumnRenamed("__did", "__ddst")
+        val marked = edges
+          .join(dSrc, edges("src") === col("__dsrc"), "left")
+          .join(dDst, edges("dst") === col("__ddst"), "left")
+        val srcDead = col("__dsrc").isNotNull
+        val dstDead = col("__ddst").isNotNull
+        val dead =
+          (col("edge_type").isin(EdgeTypes.HasEntity, EdgeTypes.HasHistory) && srcDead) ||
+          (col("edge_type") === EdgeTypes.Produced && dstDead) ||
+          (col("edge_type").isin(EdgeTypes.Supersedes, EdgeTypes.LeadsTo) &&
+            (srcDead || dstDead))
+        edges = marked.filter(!dead).drop("__dsrc", "__ddst")
+        tick(structural = true)
+      }
+      n
+    }
+
   def deleteEdgesById(ids: Seq[Long]): Unit = this.synchronized {
     if (ids.nonEmpty) {
       edges = edges.filter(!col("edge_id").isin(ids.toSet.toSeq: _*))
