@@ -658,8 +658,17 @@ final class MemoryManager(
     val nodes = ge.select(col("src").as("node"))
       .unionByName(ge.select(col("dst").as("node")))
       .distinct()
-    val n = nodes.count()
-    if (n <= config.betweennessExactMaxNodes) GraphAlgorithms.betweenness(ge)
+    // ONE sizing job for the whole refresh: exact node count + an edge
+    // upper bound (raw rows, >= distinct pairs — only gates the
+    // broadcast-vs-waves choice). Threaded into betweenness() so it
+    // skips its own two eager count() jobs (VERDICT r5 #7).
+    val sized = ge.select(explode(array(col("src"), col("dst"))).as("node"))
+      .agg(countDistinct(col("node")).as("n"),
+        (count(lit(1)) / 2).cast("long").as("m"))
+      .collect()(0)
+    val (n, mUpper) = (sized.getLong(0), sized.getLong(1))
+    if (n <= config.betweennessExactMaxNodes)
+      GraphAlgorithms.betweenness(ge, knownCounts = Some((n, mUpper)))
     else {
       val s = config.betweennessSampleRoots.toLong
       val stride = math.max(1L, n / s)
@@ -667,7 +676,8 @@ final class MemoryManager(
       // TakeOrderedAndProject, never a global window over the node set
       val roots = GraphOps.samplePivots(nodes, stride, config.betweennessSampleRoots)
       val actualRoots = roots.count().toDouble
-      val sampled = GraphAlgorithms.betweenness(ge, Some(roots))
+      val sampled = GraphAlgorithms.betweenness(ge, Some(roots),
+        knownCounts = Some((n, mUpper)))
       sampled.withColumn("betweenness",
         col("betweenness") * lit(n.toDouble / math.max(1.0, actualRoots)))
     }

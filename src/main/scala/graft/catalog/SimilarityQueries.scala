@@ -274,14 +274,47 @@ object SimilarityQueries {
          |SELECT vec_id, round(score, 6) AS score FROM s
          |ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+    // Greedy MMR as a recursive CTE: `sel` carries the chosen-id list,
+    // each step's LATERAL picks argmax(λ·sim − (1−λ)·max cos to chosen)
+    // with the same lower-id tie-break as SearchOps.mmr. Candidate pool =
+    // top-(4k) by cosine, matching mmr's default fetchK.
+    val mmrK = 10
+    val mmrFetch = 4 * mmrK
+    val mmr =
+      s"""WITH RECURSIVE
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |scored AS (SELECT e.vec_id, e.v, ${cos("e.v", "(SELECT qv FROM q)")} AS sim FROM e),
+         |cand AS (SELECT * FROM scored ORDER BY sim DESC, vec_id ASC LIMIT $mmrFetch),
+         |pairc AS (SELECT a.vec_id AS ia, b.vec_id AS ib, ${cos("a.v", "b.v")} AS pc
+         |          FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel AS (
+         |  SELECT 1 AS mmr_rank, vec_id, sim, [vec_id] AS chosen
+         |  FROM (SELECT vec_id, sim FROM cand ORDER BY 0.5*sim DESC, vec_id ASC LIMIT 1)
+         |  UNION ALL
+         |  SELECT s.mmr_rank + 1, p.vec_id, p.sim, list_append(s.chosen, p.vec_id)
+         |  FROM sel s JOIN LATERAL (
+         |    SELECT c.vec_id, c.sim
+         |    FROM cand c
+         |    WHERE NOT list_contains(s.chosen, c.vec_id)
+         |    ORDER BY 0.5*c.sim - 0.5*coalesce((SELECT max(pr.pc) FROM pairc pr
+         |        WHERE pr.ia = c.vec_id AND list_contains(s.chosen, pr.ib)), 0.0) DESC,
+         |      c.vec_id ASC
+         |    LIMIT 1
+         |  ) p ON true
+         |  WHERE s.mmr_rank < $mmrK
+         |)
+         |SELECT vec_id, round(sim, 6) AS score, mmr_rank::INTEGER AS mmr_rank
+         |FROM sel ORDER BY mmr_rank""".stripMargin
+
     Map(
       "q_ann_bruteforce" -> bruteforce,
       "q_ann_ivf" -> ivf,
       "q_recon_candidates" -> recon,
       "q_emb_neardup_exact" -> exact,
       "q_emb_neardup_lsh" -> lsh,
-      "q_cosine_topk" -> topk
-      // q_mmr: rows-only (sequential greedy selection, not SQL-expressible)
+      "q_cosine_topk" -> topk,
+      "q_mmr" -> mmr
     )
   }
 }

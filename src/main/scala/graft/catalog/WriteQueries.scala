@@ -104,7 +104,9 @@ object WriteQueries {
       // hybrid + graph branches, merge with agreement bonus, expiry
       // filter, topology boost, composite importance scoring, top-k.
       // Every stage operator is oracle-verified individually; the
-      // composition is a rows-only check (driver smoke + ScalaTest).
+      // composition is hash-gated against a pinned oracle derived from an
+      // INDEPENDENT replay (tools/pipeline_replay.py — no shared code
+      // with this engine; see the oracle map below).
       import s.implicits._
       val store = scenario(s, dir)._1
       val mgr = new MemoryManager(
@@ -151,6 +153,26 @@ object WriteQueries {
          |  CASE WHEN d.doc_id % 4 = 3 THEN prev.text END AS old_text,
          |  d.text AS new_text
          |FROM d LEFT JOIN d prev ON prev.doc_id = d.doc_id - 1
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+    // Pinned oracle for the staged-search composition: the sha256-float32
+    // MockEmbedder is not SQL-expressible, so the expected rows are
+    // derived by an INDEPENDENT full replay of the pipeline semantics
+    // (tools/pipeline_replay.py: store closed-form -> clamped-cosine
+    // re-rank -> post-fusion expiry filter -> topology boost -> composite
+    // scoring -> top-k, all from the reference spec, no Scala code
+    // shared) over the sf0.01 documents the driver gates on. Regenerate
+    // with `pipeline_replay.py <sf_dir> --sql` if the scenario changes.
+    "q_pipeline_search" ->
+      """SELECT memory_id, score::DOUBLE AS score, source, memory_type
+        |FROM (VALUES
+        |  ('36', 0.644089, 'vector', 'semantic'),
+        |  ('33', 0.616605, 'vector', 'semantic'),
+        |  ('24', 0.592540, 'vector', 'semantic'),
+        |  ('28', 0.557620, 'vector', 'semantic'),
+        |  ('18', 0.554865, 'vector', 'semantic'),
+        |  ('40', 0.548768, 'vector', 'semantic'),
+        |  ('4', 0.543366, 'vector', 'semantic'),
+        |  ('9', 0.541044, 'vector', 'semantic')
+        |) AS t(memory_id, score, source, memory_type)""".stripMargin
   )
 }

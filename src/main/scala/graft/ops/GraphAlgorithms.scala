@@ -99,18 +99,24 @@ object GraphAlgorithms {
     * Normalized by (n−1)(n−2) (directed, matching networkx
     * normalized=True, protocol.py:42). Output: (node, betweenness).
     */
+  /** `knownCounts = Some((n, m))` lets a caller that already sized the
+    * graph skip the two eager sizing jobs: `n` must be the exact distinct
+    * node count (it normalizes the scores), `m` may be an UPPER BOUND on
+    * the distinct edge count (it only gates the broadcast-vs-waves path
+    * choice, and both paths compute identical results — AlgoSpec).
+    */
   def betweenness(
       edges: DataFrame,
       rootsOpt: Option[DataFrame] = None,
-      broadcastEdgeLimit: Long = BroadcastEdgeLimit
+      broadcastEdgeLimit: Long = BroadcastEdgeLimit,
+      knownCounts: Option[(Long, Long)] = None
   ): DataFrame = {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint()
-    val n = nodes.count()
-    val m = e.count()
+    val (n, m) = knownCounts.getOrElse((nodes.count(), e.count()))
     if (m <= broadcastEdgeLimit) betweennessBroadcast(e, nodes, n, rootsOpt)
     else betweennessWaves(e, nodes, n, rootsOpt)
   }

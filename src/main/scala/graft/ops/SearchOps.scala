@@ -204,7 +204,13 @@ object SearchOps {
         dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
         nb += b(i).toDouble * b(i); i += 1
       }
-      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+      // MUST be bit-identical to NativeExprs.CosineSim (sqrt(na)*sqrt(nb),
+      // NOT sqrt(na*nb) — they differ by an ulp): the relevance term comes
+      // from CosineSim and the diversity penalty from this function, so any
+      // arithmetic skew between them turns exact MMR-value ties (e.g. a
+      // query vector that is itself in the corpus) into ulp-noise argmax
+      // picks instead of the documented lower-id tie-break.
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Int)]
