@@ -109,6 +109,66 @@ class McpSpec extends SparkSuite {
     assert(tools.readResource("memory://nope").contains("unknown resource"))
   }
 
+  test("stdio transport: full JSON-RPC session end-to-end over a real pipe") {
+    import java.io.{PipedInputStream, PipedOutputStream}
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val (tools, _) = mkTools()
+    val server = new graft.mcp.McpStdioServer(tools)
+    val clientOut = new PipedOutputStream() // client -> server
+    val serverIn = new PipedInputStream(clientOut, 1 << 16)
+    val serverOut = new PipedOutputStream() // server -> client
+    val clientIn = new PipedInputStream(serverOut, 1 << 16)
+    val t = new Thread(() => server.serve(serverIn, serverOut), "mcp-stdio")
+    t.setDaemon(true)
+    t.start()
+    val w = new java.io.PrintWriter(clientOut, true)
+    val r = new java.io.BufferedReader(new java.io.InputStreamReader(clientIn))
+    val mapper = new ObjectMapper()
+    def rpc(line: String): com.fasterxml.jackson.databind.JsonNode = {
+      w.println(line); mapper.readTree(r.readLine())
+    }
+
+    val init = rpc("""{"jsonrpc":"2.0","id":1,"method":"initialize","params":{"protocolVersion":"2024-11-05","capabilities":{},"clientInfo":{"name":"test","version":"0"}}}""")
+    assert(init.at("/result/serverInfo/name").asText() == "graft-memory")
+    assert(init.at("/result/capabilities/tools").isObject)
+    w.println("""{"jsonrpc":"2.0","method":"notifications/initialized"}""") // no reply
+
+    val list = rpc("""{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+    val toolNames = (0 until list.at("/result/tools").size())
+      .map(i => list.at(s"/result/tools/$i/name").asText())
+    assert(toolNames.contains("memory_add") && toolNames.size == 11)
+    assert(list.at("/result/tools/0/inputSchema/type").asText() == "object")
+    assert(list.at("/result/tools/0/inputSchema/required/0").asText() == "text")
+
+    val add = rpc("""{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{"name":"memory_add","arguments":{"text":"Bob moved to Paris","infer":false}}}""")
+    assert(!add.at("/result/isError").asBoolean())
+    assert(add.at("/result/content/0/text").asText().contains("\"ADD\""))
+
+    val found = rpc("""{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{"name":"memory_search","arguments":{"query":"Bob moved to Paris","k":3}}}""")
+    assert(found.at("/result/content/0/text").asText().contains("Bob moved to Paris"))
+
+    val res = rpc("""{"jsonrpc":"2.0","id":5,"method":"resources/read","params":{"uri":"memory://stats"}}""")
+    assert(res.at("/result/contents/0/text").asText().contains("\"total_memories\":1"))
+
+    val prompt = rpc("""{"jsonrpc":"2.0","id":6,"method":"prompts/get","params":{"name":"manage_memories","arguments":{"topic":"travel"}}}""")
+    assert(prompt.at("/result/messages/0/content/text").asText()
+      .endsWith("Focus on the topic: travel"))
+
+    // error contract: bad tool args -> isError content, not a crash;
+    // unknown method -> -32601; parse error -> -32700
+    val bad = rpc("""{"jsonrpc":"2.0","id":7,"method":"tools/call","params":{"name":"memory_add","arguments":{}}}""")
+    assert(bad.at("/result/isError").asBoolean())
+    val unknown = rpc("""{"jsonrpc":"2.0","id":8,"method":"no/such"}""")
+    assert(unknown.at("/error/code").asInt() == -32601)
+    val garbled = rpc("""{nope""")
+    assert(garbled.at("/error/code").asInt() == -32700)
+
+    // EOF shuts the loop down cleanly
+    w.close()
+    t.join(10000)
+    assert(!t.isAlive)
+  }
+
   test("prompts: manage_memories and knowledge_capture render with optional args") {
     val (tools, _) = mkTools()
     assert(tools.prompts.map(_.name) == Seq("manage_memories", "knowledge_capture"))
