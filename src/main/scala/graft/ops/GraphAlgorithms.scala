@@ -314,7 +314,22 @@ object GraphAlgorithms {
     * ((node,label) count → max_by) that partially aggregates map-side —
     * no per-round sort-window and no re-shuffle of the edge table.
     */
-  def labelPropagation(edges: DataFrame, rounds: Int = 5): DataFrame = {
+  /** `combineAggregation`: false (default, the measured winner at both
+    * uniform and 10%-hub skew — LpaSkewBench series in BASELINE) =
+    * single-exchange rounds via the repartition(node) layout below;
+    * true = two-exchange rounds whose first aggregation hash-partitions
+    * on (node,label) and so map-side combines a hub's repeated incoming
+    * labels before the shuffle. The combine layout lost 5-24% on
+    * local[32]'s in-memory shuffle, but caps the hub reducer's input at
+    * (#maps × #distinct labels) instead of the hub degree — on a
+    * network-shuffle cluster where one reducer streaming a 10^8-degree
+    * hub is the bottleneck, pass true.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      rounds: Int = 5,
+      combineAggregation: Boolean = false
+  ): DataFrame = {
     val p = edges.sparkSession.sessionState.conf.numShufflePartitions
     // max_by over (cnt, -label) needs numeric negation; non-numeric node
     // ids (the API accepts any orderable type) use the row_number window
@@ -332,23 +347,31 @@ object GraphAlgorithms {
     val nodes = und.select(col("src").as("node")).distinct()
       .repartition(col("node"))
       .localCheckpoint()
+    val combine = combineAggregation
     var labels = nodes.withColumn("label", col("node"))
     var lastCkpt: DataFrame = null
     for (i <- 1 to rounds) {
       // most-frequent neighbor label, smallest label on ties: count per
       // (node,label), then max_by over a (cnt, -label) total order.
-      // ONE exchange per round: the explicit repartition(node) satisfies
-      // ClusteredDistribution for BOTH aggregation levels (and the
-      // non-numeric window), where the default hash(node,label) shuffle
-      // forced a second node-keyed exchange for the argmax — measured
-      // 30% faster per round at sf0.1. Trade-off: the raw (node,label)
-      // rows shuffle uncombined; on a hub-skewed graph at many
-      // executors, per-hub map-side combining could win back — revisit
-      // with AQE skew stats if a real corpus shows it.
-      val counted = und
+      // Two layouts for the count (identical results, AlgoSpec):
+      //  - single-exchange (uniform graphs): the explicit
+      //    repartition(node) satisfies ClusteredDistribution for BOTH
+      //    aggregation levels (and the non-numeric window), where the
+      //    default hash(node,label) shuffle forced a second node-keyed
+      //    exchange for the argmax — measured 30% faster per round at
+      //    sf0.1. Trade-off: the raw (node,label) rows shuffle
+      //    uncombined.
+      //  - combine (opt-in): hash(node,label) partial aggregation
+      //    map-side combines a hub's repeated labels before the shuffle,
+      //    then a second node-keyed exchange runs the argmax. Measured
+      //    5-24% SLOWER here even with a 10%-of-edges hub (local[32]
+      //    shuffles are in-memory, so the hub reducer is not the
+      //    bottleneck it becomes on a network-shuffle cluster); see
+      //    BASELINE's LpaSkewBench series.
+      val gathered = und
         .join(labels.hint("shuffle_hash"), und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
-        .repartition(col("node"))
+      val counted = (if (combine) gathered else gathered.repartition(col("node")))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("cnt"))
       val next =

@@ -120,6 +120,21 @@ class AlgoSpec extends SparkSuite {
     assert(m > 0.2) // clearly-clustered graph has positive modularity
   }
 
+  test("labelPropagation: combine and single-exchange layouts agree") {
+    // hub-ish fixture: two cliques + a node 0 linked to everything, so
+    // the two count layouts see real label multiplicity
+    val base = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L)
+    val hub = (1L to 6L).map(0L -> _)
+    val e = edges((base ++ hub): _*)
+    val single = GraphAlgorithms.labelPropagation(e, rounds = 4,
+      combineAggregation = false).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val combine = GraphAlgorithms.labelPropagation(e, rounds = 4,
+      combineAggregation = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(single == combine)
+  }
+
   test("manager: lazy metric recompute patches memory columns; R3 live") {
     val m = new MemoryManager(
       spark,
