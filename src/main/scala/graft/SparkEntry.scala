@@ -81,6 +81,7 @@ object SparkEntry {
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
     "q_score_boost", "q_score_composite",
-    "q_pagerank", "q_communities", "q_modularity", "q_score_crosssession"
+    "q_pagerank", "q_communities", "q_modularity",
+    "q_communities_refined", "q_modularity_refined", "q_score_crosssession"
   )
 }

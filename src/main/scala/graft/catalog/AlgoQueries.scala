@@ -17,6 +17,7 @@ object AlgoQueries {
   private val PrIters = 20
   private val Damping = 0.85
   private val LpaRounds = 5
+  private val RefineRounds = 12
 
   /** order→part "contains" edges (the dense graph). */
   private def containsEdges(s: SparkSession, dir: String): DataFrame =
@@ -54,6 +55,17 @@ object AlgoQueries {
       lpaMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
         graft.trace.MemoLog.record("lpa")
         GraphAlgorithms.labelPropagation(containsEdges(s, dir), LpaRounds)
+          .localCheckpoint()
+      })
+    }
+
+  private val refineMemo = scala.collection.mutable.Map[String, DataFrame]()
+  private def refinedOf(s: SparkSession, dir: String): DataFrame =
+    refineMemo.synchronized {
+      refineMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
+        graft.trace.MemoLog.record("refine")
+        GraphAlgorithms.refineCommunities(containsEdges(s, dir),
+          communitiesOf(s, dir), RefineRounds)
           .localCheckpoint()
       })
     }
@@ -97,6 +109,12 @@ object AlgoQueries {
     },
     "q_modularity" -> { (s, dir) =>
       GraphAlgorithms.modularity(containsEdges(s, dir), communitiesOf(s, dir))
+    },
+    "q_communities_refined" -> { (s, dir) =>
+      refinedOf(s, dir).orderBy(col("node"))
+    },
+    "q_modularity_refined" -> { (s, dir) =>
+      GraphAlgorithms.modularity(containsEdges(s, dir), refinedOf(s, dir))
     },
     "q_score_crosssession" -> { (s, dir) =>
       // R3 — cross-session boost from cached metric columns: pagerank of
@@ -203,6 +221,81 @@ object AlgoQueries {
          |  - pow(dc.deg_c::DOUBLE / (2.0 * m.m), 2.0)), 6) AS modularity
          |FROM degc dc LEFT JOIN intra i ON dc.community = i.community CROSS JOIN m""".stripMargin
 
+    // Refinement oracle: the parity-scheduled local-moving rounds are a
+    // FIXED small count, so they unroll to chained CTE blocks (one
+    // sigma/wto/stay/mv/comm block per round) instead of a recursive CTE
+    // — the per-round state needs two references to the previous
+    // partition (the σ aggregate and the neighbor gather), which SQL
+    // recursion can't express. All gain arithmetic is BIGINT (counts ×
+    // counts), so DuckDB and Spark order candidates identically.
+    val refineCtes = {
+      val header =
+        s"""WITH RECURSIVE
+           |dir AS MATERIALIZED (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+           |und AS MATERIALIZED (SELECT src, dst FROM (
+           |  SELECT src, dst FROM dir UNION SELECT dst AS src, src AS dst FROM dir)
+           |  WHERE src <> dst),
+           |lp AS (
+           |  SELECT src AS node, src AS label, 0 AS it FROM (SELECT DISTINCT src FROM und)
+           |  UNION ALL
+           |  SELECT node, label, it FROM (
+           |    SELECT u.src AS node, lp.label AS label, max(lp.it) + 1 AS it,
+           |      row_number() OVER (PARTITION BY u.src ORDER BY count(*) DESC, lp.label ASC) AS rn
+           |    FROM und u JOIN lp ON u.dst = lp.node
+           |    GROUP BY u.src, lp.label)
+           |  WHERE rn = 1 AND it <= $LpaRounds),
+           |comm0 AS MATERIALIZED (SELECT node, label AS community FROM lp WHERE it = $LpaRounds),
+           |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+           |tm AS MATERIALIZED (SELECT count(*) AS two_m FROM und)""".stripMargin
+      val roundBlocks = (1 to RefineRounds).map { r =>
+        val p = (r - 1) % 2
+        s"""sig$r AS MATERIALIZED (SELECT c.community, sum(d.deg) AS sigma
+           |  FROM comm${r - 1} c JOIN deg d ON c.node = d.node GROUP BY 1),
+           |wto$r AS MATERIALIZED (SELECT u.src AS node, c.community, count(*) AS w
+           |  FROM und u JOIN comm${r - 1} c ON u.dst = c.node GROUP BY 1, 2),
+           |stay$r AS MATERIALIZED (SELECT c.node, c.community AS cn, d.deg,
+           |    tm.two_m * coalesce(w.w, 0) - d.deg * (s.sigma - d.deg) AS g_stay
+           |  FROM comm${r - 1} c JOIN deg d ON c.node = d.node
+           |  JOIN sig$r s ON s.community = c.community CROSS JOIN tm
+           |  LEFT JOIN wto$r w ON w.node = c.node AND w.community = c.community),
+           |mv$r AS MATERIALIZED (SELECT w.node, w.community, tm.two_m * w.w - st.deg * s.sigma AS gain,
+           |    row_number() OVER (PARTITION BY w.node
+           |      ORDER BY tm.two_m * w.w - st.deg * s.sigma DESC, w.community ASC) AS rn
+           |  FROM wto$r w JOIN sig$r s ON s.community = w.community
+           |  JOIN stay$r st ON st.node = w.node CROSS JOIN tm
+           |  WHERE w.community <> st.cn),
+           |comm$r AS MATERIALIZED (SELECT st.node,
+           |    CASE WHEN st.node % 2 = $p AND m.gain > st.g_stay
+           |      THEN m.community ELSE st.cn END AS community
+           |  FROM stay$r st
+           |  LEFT JOIN (SELECT node, community, gain FROM mv$r WHERE rn = 1) m
+           |    ON m.node = st.node)""".stripMargin
+      }.mkString(",\n", ",\n", "")
+      header + roundBlocks
+    }
+
+    val communitiesRefined =
+      s"""$refineCtes
+         |SELECT node, community FROM comm$RefineRounds ORDER BY node""".stripMargin
+
+    val modularityRefined =
+      s"""$refineCtes,
+         |undm AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |         FROM dir WHERE src <> dst GROUP BY 1, 2),
+         |mm AS (SELECT count(*)::DOUBLE AS m FROM undm),
+         |withc AS (SELECT u.a, u.b, ca.community AS ca, cb.community AS cb
+         |  FROM undm u JOIN comm$RefineRounds ca ON u.a = ca.node
+         |  JOIN comm$RefineRounds cb ON u.b = cb.node),
+         |intra AS (SELECT ca AS community, count(*)::BIGINT AS e_c
+         |  FROM withc WHERE ca = cb GROUP BY ca),
+         |degm AS (SELECT node, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS node FROM undm UNION ALL SELECT b AS node FROM undm) GROUP BY node),
+         |degc AS (SELECT c.community, sum(d.deg)::BIGINT AS deg_c
+         |  FROM degm d JOIN comm$RefineRounds c ON d.node = c.node GROUP BY c.community)
+         |SELECT round(sum(coalesce(i.e_c, 0)::DOUBLE / mm.m
+         |  - pow(dc.deg_c::DOUBLE / (2.0 * mm.m), 2.0)), 6) AS modularity
+         |FROM degc dc LEFT JOIN intra i ON dc.community = i.community CROSS JOIN mm""".stripMargin
+
     val crossSession =
       s"""WITH RECURSIVE
          |e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
@@ -237,6 +330,8 @@ object AlgoQueries {
       "q_betweenness" -> betweenness,
       "q_communities" -> lpa,
       "q_modularity" -> modularity,
+      "q_communities_refined" -> communitiesRefined,
+      "q_modularity_refined" -> modularityRefined,
       "q_score_crosssession" -> crossSession
     )
   }

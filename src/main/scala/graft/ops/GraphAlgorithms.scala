@@ -395,6 +395,122 @@ object GraphAlgorithms {
     labels.select(col("node"), col("label").as("community"))
   }
 
+  /** G3b — modularity refinement of a community partition by
+    * parity-scheduled synchronous local moving (the Louvain phase-1
+    * sweep, distributed). Seeded by [[labelPropagation]]'s partition;
+    * each round, nodes of one id-parity class simultaneously evaluate
+    * moving to a neighboring community and move iff the modularity gain
+    * is STRICTLY positive vs staying (ties below that go to stay; ties
+    * between targets go to the smallest community id).
+    *
+    * Why this shape: the reference runs sequential Louvain
+    * (protocol.py:44, resolution 1.0), whose node-order-dependent sweeps
+    * are not reproducible across engines. Fully-synchronous local moving
+    * is reproducible but oscillates (measured: modularity stays ≈ 0 on
+    * the sf0.01 contains-graph, BASELINE §7). Restricting each round's
+    * movers to one parity class breaks the oscillation the standard
+    * distributed-Louvain way (alternating independent-ish sets): on the
+    * sf0.01 contains-graph this recovers modularity 0.2698 of sequential
+    * Louvain's 0.2908 from an LPA seed at −0.0131 (tools/
+    * louvain_quality.py records the comparison).
+    *
+    * Determinism across engines: every gain comparison is exact INTEGER
+    * arithmetic — gain(n→c) ∝ 2m·w(n,c) − k(n)·σ(c), and with
+    * resolution 1 both terms are products of counts, so DuckDB and Spark
+    * order candidates identically with no floating-point tie risk.
+    * Overflow bound: |gain| ≤ 4·m·k(n), safe in a signed 64-bit long
+    * while m·k < 2⁶¹ (e.g. 10¹² edges × 10⁶ max-degree).
+    *
+    * Scale shape (per round): one (node,community) count aggregation
+    * over the dst-partitioned edge table (the same single-exchange
+    * layout LPA uses), one tiny per-community degree sum σ joined back
+    * (AQE broadcasts it while #communities is small), one argmax
+    * aggregation. Fixed round count, lineage cut every 3 rounds.
+    * Requires numeric node ids (the parity schedule is id-arithmetic so
+    * the oracle can replay it); seed must cover every node of the graph,
+    * which [[labelPropagation]] output does.
+    *
+    * Output: (node, community).
+    */
+  def refineCommunities(edges: DataFrame, seed: DataFrame, rounds: Int = 12): DataFrame = {
+    require(edges.schema("src").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "refineCommunities needs numeric node ids (parity schedule)")
+    val dir = edges.select(col("src"), col("dst"))
+    val und0 = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .filter(col("src") =!= col("dst"))
+    // symmetric-distinct row count IS 2m; degree = out-count per src.
+    // The edge table carries the SOURCE's degree so per-round candidate
+    // rows need no join back to a node table for k(n).
+    val deg = und0.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val und = und0
+      .join(deg.select(col("node").as("src"), col("deg").as("deg_src")), Seq("src"))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    val twoM = und.count()
+
+    // comm carries (node, community=cn, deg) node-partitioned; cn and
+    // deg travel through the union below, so a round never re-joins it
+    var comm = seed.select(col("node"), col("community"))
+      .join(deg, Seq("node")) // graph nodes only
+      .repartition(col("node"))
+      .localCheckpoint()
+    var lastCkpt: DataFrame = comm
+    for (r <- 0 until rounds) {
+      // σ(c): total degree of c's members — one row per community,
+      // explicitly broadcast (shrinks fast from the seed's count; for a
+      // community census too large to broadcast, drop the hint and AQE
+      // plans the shuffled join)
+      val sigma = comm.groupBy(col("community")).agg(sum(col("deg")).as("sigma"))
+      // Candidate set per node = neighbor communities (w = edge count
+      // into c) ∪ the marked stay row (w contributes 0): one union, ONE
+      // node-keyed exchange, and the repartition satisfies
+      // ClusteredDistribution for both aggregation levels — the same
+      // single-exchange round layout LPA uses.
+      val gathered = und
+        .join(comm.select(col("node"), col("community")).hint("shuffle_hash"),
+          und("dst") === comm("node"))
+        .select(und("src").as("node"), col("community"), lit(1L).as("one"),
+          col("deg_src").as("deg"), lit(0L).as("stay"))
+        .unionByName(comm.select(col("node"), col("community"), lit(0L).as("one"),
+          col("deg"), lit(1L).as("stay")))
+      val cand = gathered.repartition(col("node"))
+        .groupBy(col("node"), col("community"))
+        .agg(sum(col("one")).as("w"), max(col("deg")).as("deg"),
+          max(col("stay")).as("is_stay"))
+        .join(broadcast(sigma), Seq("community"))
+      // gain(n→c) = 2m·w − k·σ(c); staying credits k back out of σ(cn).
+      // Argmax order (gain, stay-wins-ties, smallest c) IS the move
+      // rule: a move happens only on strict improvement over stay. All
+      // keys are exact longs; cn rides along as max_by over the unique
+      // stay marker.
+      val next = cand
+        .withColumn("gain", lit(twoM) * col("w") -
+          col("deg") * (col("sigma") - col("is_stay") * col("deg")))
+        .groupBy(col("node"))
+        .agg(
+          max_by(col("community"),
+            struct(col("gain"), col("is_stay"), -col("community"))).as("chosen"),
+          max_by(col("community"), col("is_stay")).as("cn"),
+          max(col("deg")).as("deg"))
+        .select(col("node"),
+          when(pmod(col("node"), lit(2)) === lit(r % 2), col("chosen"))
+            .otherwise(col("cn")).as("community"),
+          col("deg"))
+      // checkpoint EVERY round: a round references comm three times
+      // (σ, gather, stay rows), so carrying lazy lineage would
+      // re-evaluate each prior round ~3× per level — the opposite of
+      // LPA, whose single state reference makes sparse checkpoints a win
+      val ck = next.localCheckpoint()
+      if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
+      lastCkpt = ck
+      comm = ck
+    }
+    comm.select(col("node"), col("community"))
+  }
+
   /** Newman modularity of a partition over the undirected simple graph:
     * Q = Σ_c (e_c/m − (deg_c/2m)²), with e_c = intra-community edges,
     * deg_c = total degree of c's nodes, m = |edges|.

@@ -135,6 +135,47 @@ class AlgoSpec extends SparkSuite {
     assert(single == combine)
   }
 
+  test("refineCommunities: singleton seed resolves the two triangles") {
+    // pinned against an independent sequential replay of the parity-
+    // scheduled integer-gain semantics (tools + /tmp prototype): the
+    // bridge graph's optimal partition, labels = smallest mover target
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val seed = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 5L), (6L, 6L))
+      .toDF("node", "community")
+    val got = GraphAlgorithms.refineCommunities(e, seed, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
+    val q = GraphAlgorithms.modularity(e,
+      GraphAlgorithms.refineCommunities(e, seed, rounds = 8))
+      .collect().head.getDouble(0)
+    assert(math.abs(q - 0.357143) < 1e-6) // 5/14 − sum(deg_c/2m)² exactly
+  }
+
+  test("refineCommunities: ring of cliques recovered from singletons; improves seed") {
+    // 4 cliques of 4, ring-bridged — the canonical modularity fixture
+    val cliquePairs = for {
+      c <- 0 until 4; i <- 0 until 4; j <- i + 1 until 4
+    } yield (c * 4 + i).toLong -> (c * 4 + j).toLong
+    val bridges = (0 until 4).map(c => (c * 4 + 3).toLong -> (((c + 1) % 4) * 4).toLong)
+    val e = edges((cliquePairs ++ bridges): _*)
+    val seed = (0L until 16L).map(n => n -> n).toDF("node", "community")
+    val refined = GraphAlgorithms.refineCommunities(e, seed, rounds = 8)
+    val got = refined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique one community, cliques distinct
+    (0 until 4).foreach { c =>
+      val labels = (0 until 4).map(i => got((c * 4 + i).toLong)).toSet
+      assert(labels.size == 1, s"clique $c split: $labels")
+    }
+    assert((0 until 4).map(c => got((c * 4).toLong)).toSet.size == 4)
+    val qSeed = GraphAlgorithms.modularity(e, seed).collect().head.getDouble(0)
+    val qRef = GraphAlgorithms.modularity(e, refined).collect().head.getDouble(0)
+    assert(qSeed < 0.0 && math.abs(qRef - 0.607143) < 1e-6)
+    // determinism: a second run is bit-identical
+    val again = GraphAlgorithms.refineCommunities(e, seed, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
   test("manager: lazy metric recompute patches memory columns; R3 live") {
     val m = new MemoryManager(
       spark,
