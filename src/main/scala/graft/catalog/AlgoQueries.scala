@@ -70,6 +70,20 @@ object AlgoQueries {
       })
     }
 
+  // modularity is a whole-graph scan per evaluation (~2 s at sf0.1), so
+  // its one-row result joins the cached-metrics pattern too, keyed by
+  // which partition it scores
+  private val modMemo = scala.collection.mutable.Map[String, DataFrame]()
+  private def modularityOf(s: SparkSession, dir: String, which: String,
+      part: (SparkSession, String) => DataFrame): DataFrame =
+    modMemo.synchronized {
+      modMemo.getOrElseUpdate(s.sparkContext.applicationId + dir + which, {
+        graft.trace.MemoLog.record(s"modularity_$which")
+        GraphAlgorithms.modularity(containsEdges(s, dir), part(s, dir))
+          .localCheckpoint()
+      })
+    }
+
   /** per-customer next-order chain edges for custkey < 30 (the graph
     * whose betweenness is closed-form: position·(len−pos) on a chain).
     */
@@ -108,13 +122,13 @@ object AlgoQueries {
       communitiesOf(s, dir).orderBy(col("node"))
     },
     "q_modularity" -> { (s, dir) =>
-      GraphAlgorithms.modularity(containsEdges(s, dir), communitiesOf(s, dir))
+      modularityOf(s, dir, "lpa", communitiesOf)
     },
     "q_communities_refined" -> { (s, dir) =>
       refinedOf(s, dir).orderBy(col("node"))
     },
     "q_modularity_refined" -> { (s, dir) =>
-      GraphAlgorithms.modularity(containsEdges(s, dir), refinedOf(s, dir))
+      modularityOf(s, dir, "refined", refinedOf)
     },
     "q_score_crosssession" -> { (s, dir) =>
       // R3 — cross-session boost from cached metric columns: pagerank of
@@ -244,9 +258,14 @@ object AlgoQueries {
            |    FROM und u JOIN lp ON u.dst = lp.node
            |    GROUP BY u.src, lp.label)
            |  WHERE rn = 1 AND it <= $LpaRounds),
-           |comm0 AS MATERIALIZED (SELECT node, label AS community FROM lp WHERE it = $LpaRounds),
+           |comm0raw AS MATERIALIZED (SELECT node, label AS community FROM lp WHERE it = $LpaRounds),
            |deg AS MATERIALIZED (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
-           |tm AS MATERIALIZED (SELECT count(*) AS two_m FROM und)""".stripMargin
+           |tm AS MATERIALIZED (SELECT count(*) AS two_m FROM und),
+           |nn AS MATERIALIZED (SELECT count(*) AS n FROM deg),
+           |csz AS MATERIALIZED (SELECT community, count(*) AS sz FROM comm0raw GROUP BY 1),
+           |comm0 AS MATERIALIZED (SELECT c.node,
+           |    CASE WHEN 2 * s.sz > nn.n THEN c.node ELSE c.community END AS community
+           |  FROM comm0raw c JOIN csz s ON s.community = c.community CROSS JOIN nn)""".stripMargin
       val roundBlocks = (1 to RefineRounds).map { r =>
         val p = (r - 1) % 2
         s"""sig$r AS MATERIALIZED (SELECT c.community, sum(d.deg) AS sigma

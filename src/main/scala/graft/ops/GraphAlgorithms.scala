@@ -428,7 +428,10 @@ object GraphAlgorithms {
     * aggregation. Fixed round count, lineage cut every 3 rounds.
     * Requires numeric node ids (the parity schedule is id-arithmetic so
     * the oracle can replay it); seed must cover every node of the graph,
-    * which [[labelPropagation]] output does.
+    * which [[labelPropagation]] output does. A seed community holding a
+    * strict majority of nodes is burst to singletons first — see the
+    * inline note (local moving cannot split, so a label-flooded seed
+    * would be a Q=0 fixpoint).
     *
     * Output: (node, community).
     */
@@ -451,10 +454,27 @@ object GraphAlgorithms {
       .localCheckpoint()
     val twoM = und.count()
 
+    // Giant-seed burst: local moving can JOIN communities but never
+    // SPLIT one, so a seed community spanning most of the graph (LPA on
+    // a hub graph floods one label everywhere) would be a fixpoint at
+    // Q = 0. A seed community holding a strict majority of nodes
+    // (2·size > n, exact integers) is burst back to singletons; smaller
+    // coarse communities are kept — measured on the sf0.01
+    // contains-graph, bursting anything below a majority LOSES quality
+    // (0.24–0.26 vs 0.27; BASELINE §7), while the majority burst turns
+    // the hub graph's 0.0 into the singleton-grade 0.22.
+    val seeded = seed.select(col("node"), col("community"))
+      .join(deg, Seq("node")) // graph nodes only
+    val nNodes = deg.count()
+    val csize = seeded.groupBy(col("community")).agg(count(lit(1)).as("sz"))
     // comm carries (node, community=cn, deg) node-partitioned; cn and
     // deg travel through the union below, so a round never re-joins it
-    var comm = seed.select(col("node"), col("community"))
-      .join(deg, Seq("node")) // graph nodes only
+    var comm = seeded
+      .join(csize, Seq("community")) // one-time; AQE broadcasts when small
+      .select(col("node"),
+        when(lit(2L) * col("sz") > lit(nNodes), col("node"))
+          .otherwise(col("community")).as("community"),
+        col("deg"))
       .repartition(col("node"))
       .localCheckpoint()
     var lastCkpt: DataFrame = comm

@@ -176,6 +176,25 @@ class AlgoSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("refineCommunities: majority-seed burst rescues a collapsed seed") {
+    // all-one seed is a local-moving fixpoint (no foreign neighbor
+    // communities to join); the majority burst turns it into the
+    // singleton seed, which resolves the triangles — same pinned
+    // partition as the singleton-seed test
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val collapsed = (1L to 6L).map(n => n -> 1L).toDF("node", "community")
+    val got = GraphAlgorithms.refineCommunities(e, collapsed, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
+    // a non-majority coarse seed is NOT burst: the two-community seed
+    // is already the fixpoint partition and survives unchanged
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L), (6L, 5L))
+      .toDF("node", "community")
+    val kept = GraphAlgorithms.refineCommunities(e, good, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == got)
+  }
+
   test("manager: lazy metric recompute patches memory columns; R3 live") {
     val m = new MemoryManager(
       spark,
