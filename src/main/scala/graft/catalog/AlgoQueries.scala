@@ -17,7 +17,8 @@ object AlgoQueries {
   private val PrIters = 20
   private val Damping = 0.85
   private val LpaRounds = 5
-  private val RefineRounds = 12
+  private val RefineRounds = 16
+  private val RefineClasses = 4
 
   /** order→part "contains" edges (the dense graph). */
   private def containsEdges(s: SparkSession, dir: String): DataFrame =
@@ -65,7 +66,7 @@ object AlgoQueries {
       refineMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
         graft.trace.MemoLog.record("refine")
         GraphAlgorithms.refineCommunities(containsEdges(s, dir),
-          communitiesOf(s, dir), RefineRounds)
+          communitiesOf(s, dir), RefineRounds, RefineClasses)
           .localCheckpoint()
       })
     }
@@ -235,7 +236,7 @@ object AlgoQueries {
          |  - pow(dc.deg_c::DOUBLE / (2.0 * m.m), 2.0)), 6) AS modularity
          |FROM degc dc LEFT JOIN intra i ON dc.community = i.community CROSS JOIN m""".stripMargin
 
-    // Refinement oracle: the parity-scheduled local-moving rounds are a
+    // Refinement oracle: the residue-scheduled local-moving rounds are a
     // FIXED small count, so they unroll to chained CTE blocks (one
     // sigma/wto/stay/mv/comm block per round) instead of a recursive CTE
     // — the per-round state needs two references to the previous
@@ -267,7 +268,7 @@ object AlgoQueries {
            |    CASE WHEN 2 * s.sz > nn.n THEN c.node ELSE c.community END AS community
            |  FROM comm0raw c JOIN csz s ON s.community = c.community CROSS JOIN nn)""".stripMargin
       val roundBlocks = (1 to RefineRounds).map { r =>
-        val p = (r - 1) % 2
+        val p = (r - 1) % RefineClasses
         s"""sig$r AS MATERIALIZED (SELECT c.community, sum(d.deg) AS sigma
            |  FROM comm${r - 1} c JOIN deg d ON c.node = d.node GROUP BY 1),
            |wto$r AS MATERIALIZED (SELECT u.src AS node, c.community, count(*) AS w
@@ -284,7 +285,7 @@ object AlgoQueries {
            |  JOIN stay$r st ON st.node = w.node CROSS JOIN tm
            |  WHERE w.community <> st.cn),
            |comm$r AS MATERIALIZED (SELECT st.node,
-           |    CASE WHEN st.node % 2 = $p AND m.gain > st.g_stay
+           |    CASE WHEN st.node % $RefineClasses = $p AND m.gain > st.g_stay
            |      THEN m.community ELSE st.cn END AS community
            |  FROM stay$r st
            |  LEFT JOIN (SELECT node, community, gain FROM mv$r WHERE rn = 1) m

@@ -408,10 +408,13 @@ object GraphAlgorithms {
     * are not reproducible across engines. Fully-synchronous local moving
     * is reproducible but oscillates (measured: modularity stays ≈ 0 on
     * the sf0.01 contains-graph, BASELINE §7). Restricting each round's
-    * movers to one parity class breaks the oscillation the standard
-    * distributed-Louvain way (alternating independent-ish sets): on the
-    * sf0.01 contains-graph this recovers modularity 0.2698 of sequential
-    * Louvain's 0.2908 from an LPA seed at −0.0131 (tools/
+    * movers to one node-id residue class mod `moverClasses` breaks the
+    * oscillation the standard distributed-Louvain way (alternating
+    * independent-ish sets); SMALLER classes behave closer to the
+    * sequential sweep at the same per-round cost — the measured schedule
+    * study (BASELINE §7) picks mod-4 × 16 rounds: modularity 0.2878 of
+    * sequential Louvain's 0.2908 on the sf0.01 contains-graph, from an
+    * LPA seed at −0.0131 (mod-2 × 12 reached 0.2698; tools/
     * louvain_quality.py records the comparison).
     *
     * Determinism across engines: every gain comparison is exact INTEGER
@@ -425,7 +428,7 @@ object GraphAlgorithms {
     * over the dst-partitioned edge table (the same single-exchange
     * layout LPA uses), one tiny per-community degree sum σ joined back
     * (AQE broadcasts it while #communities is small), one argmax
-    * aggregation. Fixed round count, lineage cut every 3 rounds.
+    * aggregation. Fixed round count.
     * Requires numeric node ids (the parity schedule is id-arithmetic so
     * the oracle can replay it); seed must cover every node of the graph,
     * which [[labelPropagation]] output does. A seed community holding a
@@ -435,7 +438,8 @@ object GraphAlgorithms {
     *
     * Output: (node, community).
     */
-  def refineCommunities(edges: DataFrame, seed: DataFrame, rounds: Int = 12): DataFrame = {
+  def refineCommunities(edges: DataFrame, seed: DataFrame, rounds: Int = 16,
+      moverClasses: Int = 4): DataFrame = {
     require(edges.schema("src").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       "refineCommunities needs numeric node ids (parity schedule)")
@@ -516,7 +520,8 @@ object GraphAlgorithms {
           max_by(col("community"), col("is_stay")).as("cn"),
           max(col("deg")).as("deg"))
         .select(col("node"),
-          when(pmod(col("node"), lit(2)) === lit(r % 2), col("chosen"))
+          when(pmod(col("node"), lit(moverClasses)) === lit(r % moverClasses),
+            col("chosen"))
             .otherwise(col("cn")).as("community"),
           col("deg"))
       // checkpoint EVERY round: a round references comm three times

@@ -144,7 +144,7 @@ class AlgoSpec extends SparkSuite {
       .toDF("node", "community")
     val got = GraphAlgorithms.refineCommunities(e, seed, rounds = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L))
     val q = GraphAlgorithms.modularity(e,
       GraphAlgorithms.refineCommunities(e, seed, rounds = 8))
       .collect().head.getDouble(0)
@@ -185,14 +185,14 @@ class AlgoSpec extends SparkSuite {
     val collapsed = (1L to 6L).map(n => n -> 1L).toDF("node", "community")
     val got = GraphAlgorithms.refineCommunities(e, collapsed, rounds = 8)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 6L, 5L -> 6L, 6L -> 6L))
     // a non-majority coarse seed is NOT burst: the two-community seed
-    // is already the fixpoint partition and survives unchanged
+    // is already the fixpoint partition and survives with its labels
     val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L), (6L, 5L))
       .toDF("node", "community")
     val kept = GraphAlgorithms.refineCommunities(e, good, rounds = 4)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(kept == got)
+    assert(kept == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
   }
 
   test("manager: lazy metric recompute patches memory columns; R3 live") {
