@@ -195,6 +195,74 @@ class AlgoSpec extends SparkSuite {
     assert(kept == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("refineCommunities == sequential replay over 20 random graphs/seeds") {
+    // Independent reimplementation of the documented semantics (burst,
+    // residue schedule, integer gains, strict improvement, smallest-c
+    // ties) as straight-line Scala; the DataFrame version must agree
+    // exactly on messy inputs (dup edges, self-loops, partial oddity)
+    def replay(
+        rawEdges: Seq[(Long, Long)], seed: Map[Long, Long],
+        rounds: Int, classes: Int): Map[Long, Long] = {
+      val und = rawEdges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+        .distinct.filter { case (a, b) => a != b }
+      val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val deg = adj.view.mapValues(_.size.toLong).toMap
+      val twoM = und.size.toLong
+      val nodes = adj.keySet
+      val n = nodes.size.toLong
+      val sizes = seed.filter(kv => nodes(kv._1)).groupBy(_._2).view
+        .mapValues(_.size.toLong).toMap
+      var part: Map[Long, Long] = nodes.map(nd =>
+        nd -> (if (2L * sizes(seed(nd)) > n) nd else seed(nd))).toMap
+      for (r <- 0 until rounds) {
+        val sigma = part.toSeq.groupBy(_._2).view
+          .mapValues(_.map(kv => deg(kv._1)).sum).toMap
+        part = part.map { case (nd, cn) =>
+          if (nd % classes != r % classes) nd -> cn
+          else {
+            val w = adj(nd).groupBy(part).view.mapValues(_.size.toLong).toMap
+            val k = deg(nd)
+            val gStay = twoM * w.getOrElse(cn, 0L) - k * (sigma(cn) - k)
+            val moves = w.keys.filter(_ != cn)
+              .map(c => (twoM * w(c) - k * sigma(c), c))
+            if (moves.isEmpty) nd -> cn
+            else {
+              val (bg, bc) = moves.maxBy { case (g, c) => (g, -c) }
+              nd -> (if (bg > gStay) bc else cn)
+            }
+          }
+        }
+      }
+      part
+    }
+    val rng = new scala.util.Random(20260813L)
+    for (case_ <- 1 to 20) {
+      val n = 8 + rng.nextInt(16)
+      val m = n + rng.nextInt(3 * n)
+      val rawEdges = Seq.fill(m)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val nodes = rawEdges.flatMap(e => Seq(e._1, e._2)).distinct
+      // seed labels: sometimes collapsed (exercises the burst), else a
+      // random coarse assignment over a few labels
+      val labels = if (case_ % 4 == 0) Seq(nodes.head)
+        else nodes.take(1 + rng.nextInt(5))
+      val seed = nodes.map(nd => nd -> labels(rng.nextInt(labels.size))).toMap
+      val rounds = 4 + rng.nextInt(6)
+      val undirected = rawEdges.filter { case (a, b) => a != b }
+      if (undirected.nonEmpty) {
+        val graphNodes = undirected.flatMap(e => Seq(e._1, e._2)).toSet
+        val expected = replay(undirected, seed, rounds, classes = 4)
+        val got = GraphAlgorithms.refineCommunities(
+          undirected.toDF("src", "dst"),
+          seed.toSeq.toDF("node", "community"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.keySet == graphNodes, s"case $case_: node set mismatch")
+        assert(got == expected,
+          s"case $case_ (n=$n m=$m rounds=$rounds): $got vs $expected")
+      }
+    }
+  }
+
   test("manager: lazy metric recompute patches memory columns; R3 live") {
     val m = new MemoryManager(
       spark,

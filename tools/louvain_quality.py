@@ -153,6 +153,50 @@ def louvain(edges, resolution=1.0, max_levels=20):
     return part
 
 
+def refined_partition(edges, seed, rounds=16, classes=4):
+    """Sequential replay of the SHIPPED GraphAlgorithms.refineCommunities
+    semantics: majority-seed burst, mod-`classes` residue schedule,
+    exact integer gains, strict-improvement moves, smallest-c ties."""
+    m = len(edges)
+    deg = defaultdict(int)
+    adj = defaultdict(list)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+        adj[a].append(b)
+        adj[b].append(a)
+    nodes = set(deg)
+    n = len(nodes)
+    sizes = defaultdict(int)
+    for nd in nodes:
+        sizes[seed[nd]] += 1
+    part = {nd: (nd if 2 * sizes[seed[nd]] > n else seed[nd]) for nd in nodes}
+    for r in range(rounds):
+        sigma = defaultdict(int)
+        for nd, c in part.items():
+            sigma[c] += deg[nd]
+        new = dict(part)
+        for nd in nodes:
+            if nd % classes != r % classes:
+                continue
+            cn = part[nd]
+            w = defaultdict(int)
+            for nb in adj[nd]:
+                w[part[nb]] += 1
+            g_stay = 2 * m * w.get(cn, 0) - deg[nd] * (sigma[cn] - deg[nd])
+            bc, bg = cn, g_stay
+            for c in sorted(w):
+                if c == cn:
+                    continue
+                g = 2 * m * w[c] - deg[nd] * sigma[c]
+                if g > bg or (g == bg and bc != cn and c < bc):
+                    bc, bg = c, g
+            if bg > g_stay:
+                new[nd] = bc
+        part = new
+    return part
+
+
 def main():
     con = duckdb.connect()
     edges = load_graph(con)
@@ -166,13 +210,18 @@ def main():
     print(f"LPA({LPA_ROUNDS} rounds, shipped): modularity={q_lpa:.6f} "
           f"communities={n_lpa}")
 
+    ref = refined_partition(edges, lpa)
+    q_ref = modularity(edges, ref, RESOLUTION)
+    print(f"refined (shipped mod-4 x 16 replay): modularity={q_ref:.6f} "
+          f"communities={len(set(ref.values()))}")
+
     lv = louvain(edges, RESOLUTION)
     q_lv = modularity(edges, lv, RESOLUTION)
     n_lv = len(set(lv.values()))
     print(f"Louvain(res={RESOLUTION}, reference-style): "
           f"modularity={q_lv:.6f} communities={n_lv}")
-    print(f"delta: Louvain - LPA = {q_lv - q_lpa:+.6f} "
-          f"({(q_lv - q_lpa) / max(q_lv, 1e-12) * 100:+.2f}% of Louvain)")
+    print(f"delta: refined - Louvain = {q_ref - q_lv:+.6f} "
+          f"({q_ref / max(q_lv, 1e-12) * 100:.1f}% of Louvain)")
 
 
 if __name__ == "__main__":
