@@ -72,7 +72,7 @@ object SparkEntry {
     "q_text_quality_rules", "q_text_repetition", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
-    "q_dedup_ngram_jaccard", "q_shard_pack",
+    "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
     "q_emb_neardup_lsh",
     "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",

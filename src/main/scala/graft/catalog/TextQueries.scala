@@ -186,6 +186,36 @@ object TextQueries {
       DedupOps.ngramJaccardPairs(docs, "doc_id", "text", "grp_b", n = 3, minJaccard = 0.5)
         .select(col("grp"), col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("grp"), col("doc_a"), col("doc_b"))
+    },
+    "q_prep_pipeline" -> { (s, dir) =>
+      // The composed training-data prep pipeline — the flow a 100 TB
+      // corpus actually runs, as ONE DataFrame chain: language filter →
+      // Gopher quality gate → exact dedup (keep canonical) → pack
+      // survivors into ~1000-token shards. Every stage is the
+      // individually-oracle-verified operator; this query verifies the
+      // COMPOSITION (filters fused into one scan pass, dedup's window
+      // keyed on content hash over survivors only, then the distributed
+      // prefix-sum pack).
+      val p = s.sessionState.conf.numShufflePartitions
+      val docs = load(s, dir, "documents").repartition(p)
+      val t = col("text")
+      val kept = docs
+        .withColumn("lang_pred", TextFunctions.langId(t))
+        .filter(col("lang_pred") === lit("en"))
+        .filter(TextFunctions.gopherWordCountOk(t, lo = 20) &&
+          TextFunctions.gopherMeanLenOk(t) &&
+          TextFunctions.gopherSymbolRatio(t) < 0.1 &&
+          TextFunctions.gopherStopHits(t) >= 2)
+      val canon = DedupOps.exactDuplicates(kept, "doc_id", "text")
+        .filter(!col("is_duplicate"))
+        .select(col("doc_id"))
+      val survivors = kept.join(canon, Seq("doc_id"))
+        .select(col("doc_id"), col("lang_pred"),
+          TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+      graft.ops.ShardOps.packShards(survivors, "doc_id", "n_tokens",
+          targetWeight = 1000L)
+        .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -375,7 +405,48 @@ object TextQueries {
          |    / 1000.0) AS BIGINT) AS shard_id
          |FROM t ORDER BY doc_id""".stripMargin
 
+    // the composed pipeline reuses the langid CASE chain and the
+    // quality-rule metrics verbatim, then dedups and packs survivors —
+    // any drift between a stage and its standalone oracle shows up here
+    val prepPipeline =
+      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |h AS (SELECT doc_id,
+         |  ${codes.map { c =>
+              val ws = graft.functions.TextFunctions.LangStopwords(c)
+                .map(w => s"'$w'").mkString(", ")
+              s"len(list_filter(list_distinct(toks), x -> x IN ($ws))) AS h_$c"
+            }.mkString(", ")}
+         |  FROM t),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN ${codes.map(c => s"h_$c").mkString(" + ")} = 0 THEN 'und'
+         |  $caseChain ELSE '${codes.last}' END AS lang_pred FROM h),
+         |m AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_words,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') / len(toks) END AS mean_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE (length(text) - length(translate(text, '#@~', '')))::DOUBLE / len(toks) END AS symbol_ratio,
+         |  len(list_filter(list_distinct(toks), x -> x IN ($stopIn)))::BIGINT AS stop_hits
+         |  FROM t),
+         |kept AS (SELECT t.doc_id, t.text, lang.lang_pred, len(t.toks)::BIGINT AS n_tokens
+         |  FROM t JOIN lang ON t.doc_id = lang.doc_id JOIN m ON t.doc_id = m.doc_id
+         |  WHERE lang.lang_pred = 'en'
+         |    AND m.n_words >= 20 AND m.n_words <= 100000
+         |    AND m.mean_len >= 3.0 AND m.mean_len <= 10.0
+         |    AND m.symbol_ratio < 0.1 AND m.stop_hits >= 2),
+         |ch AS (SELECT doc_id, lang_pred, n_tokens,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash FROM kept),
+         |surv AS (SELECT doc_id, lang_pred, n_tokens FROM
+         |  (SELECT ch.*, min(doc_id) OVER (PARTITION BY content_hash) AS keep_id FROM ch)
+         |  WHERE doc_id = keep_id)
+         |SELECT doc_id, lang_pred, n_tokens,
+         |  CAST(floor(coalesce(sum(n_tokens) OVER
+         |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    / 1000.0) AS BIGINT) AS shard_id
+         |FROM surv ORDER BY doc_id""".stripMargin
+
     Map(
+      "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
