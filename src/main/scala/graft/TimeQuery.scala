@@ -24,6 +24,8 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     val fn = (SparkEntry.queries ++ SparkEntry.benchExtras ++
       SparkEntry.benchUntimed)(name)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      println(fn(spark, sfDir).queryExecution.optimizedPlan.toString)
     val times = (1 to repeats).map { i =>
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()

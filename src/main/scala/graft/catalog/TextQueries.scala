@@ -206,11 +206,14 @@ object TextQueries {
           TextFunctions.gopherMeanLenOk(t) &&
           TextFunctions.gopherSymbolRatio(t) < 0.1 &&
           TextFunctions.gopherStopHits(t) >= 2)
-      val canon = DedupOps.exactDuplicates(kept, "doc_id", "text")
+      // exactDuplicates retains input columns, so the pipeline continues
+      // on the survivor rows directly — no join back to `kept` (which
+      // would re-evaluate the text kernels once per join side).
+      // lang_pred is the filter constant, so emit it as a literal rather
+      // than re-running the kernel for the output column.
+      val survivors = DedupOps.exactDuplicates(kept, "doc_id", "text")
         .filter(!col("is_duplicate"))
-        .select(col("doc_id"))
-      val survivors = kept.join(canon, Seq("doc_id"))
-        .select(col("doc_id"), col("lang_pred"),
+        .select(col("doc_id"), lit("en").as("lang_pred"),
           TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
       graft.ops.ShardOps.packShards(survivors, "doc_id", "n_tokens",
           targetWeight = 1000L)

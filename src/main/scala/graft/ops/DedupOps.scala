@@ -15,15 +15,16 @@ object DedupOps {
 
   /** Exact dedup on normalized text: every doc keyed by md5(normalized),
     * keep the lowest-id doc per group, mark the rest as duplicates.
-    * Output: (id, content_hash, group_size, is_duplicate, keep_id).
+    * INPUT COLUMNS ARE RETAINED (so a pipeline can filter
+    * !is_duplicate and continue without a join back to the source —
+    * the join-back shape re-evaluated every upstream computed column
+    * once per join side, PlanSpec), plus: (content_hash, group_size,
+    * keep_id, is_duplicate).
     */
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(
-      col(idCol),
-      md5(TextFunctions.normalizedText(col(textCol))).as("content_hash")
-    )
     val w = Window.partitionBy(col("content_hash"))
-    hashed
+    df
+      .withColumn("content_hash", md5(TextFunctions.normalizedText(col(textCol))))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("keep_id", min(col(idCol)).over(w))
       .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))

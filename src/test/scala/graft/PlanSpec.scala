@@ -78,6 +78,36 @@ class PlanSpec extends SparkSuite {
       .map(_.getInt(0)).toSet == Set(1, 2))
   }
 
+  test("prep pipeline stages: langid kernel evaluated once, dedup window on content hash") {
+    // the filter→dedup portion of q_prep_pipeline (the final pack
+    // checkpoints, so its plan starts at a LogicalRDD): the language +
+    // quality gates must evaluate their text kernels ONCE in a single
+    // filter pass, and the dedup window partitions by the content hash
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val t = col("text")
+    val kept = docs
+      .withColumn("lang_pred", TextFunctions.langId(t))
+      .filter(col("lang_pred") === lit("en"))
+      .filter(TextFunctions.gopherWordCountOk(t, lo = 20) &&
+        TextFunctions.gopherMeanLenOk(t) &&
+        TextFunctions.gopherSymbolRatio(t) < 0.1 &&
+        TextFunctions.gopherStopHits(t) >= 2)
+    val survivors = graft.ops.DedupOps.exactDuplicates(kept, "doc_id", "text")
+      .filter(!col("is_duplicate"))
+      .select(col("doc_id"), lit("en").as("lang_pred"),
+        TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
+    val opt = survivors.queryExecution.optimizedPlan.toString
+    // single-branch pipeline (exactDuplicates retains input columns, the
+    // output lang_pred is the filter constant): the langid kernel must
+    // appear exactly once — in the filter pass
+    val langidHits = "graft_langid".r.findAllIn(opt).length
+    assert(langidHits == 1, s"graft_langid appears $langidHits times:\n${opt.take(2000)}")
+    assert(opt.contains("content_hash"), opt.take(2000))
+    assert(survivors.count() > 0)
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
