@@ -148,6 +148,27 @@ object SimilarityOps {
   def writeIvfPartitioned(assigned: DataFrame, path: String): Unit =
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Incremental maintenance for the partitioned layout: assign NEW
+    * vectors to the EXISTING centroids and append them into the
+    * cell-partitioned directory — no rebuild, no rewrite of existing
+    * files (append drops new parquet files into the touched cell=…
+    * directories only). Routing is the same broadcast assign the
+    * initial build uses, so probing the grown index is identical to
+    * probing a fresh build of the full corpus against the same
+    * centroids (IvfSpec asserts this). Centroid drift under sustained
+    * appends is the caller's policy knob — re-run [[ivfIndexKMeans]]
+    * and rewrite when recall telemetry (Bench's untimed section) sags.
+    */
+  def appendIvfPartitioned(
+      newVectors: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      centroids: DataFrame,
+      path: String
+  ): Unit =
+    assignToCells(newVectors, corpusId, corpusEmb, centroids)
+      .write.partitionBy("cell").mode("append").parquet(path)
+
   /** Read back only the probed cells; the cell predicate is a partition
     * filter, never a row filter.
     */
