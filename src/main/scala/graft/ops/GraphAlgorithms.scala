@@ -483,10 +483,11 @@ object GraphAlgorithms {
       .localCheckpoint()
     var lastCkpt: DataFrame = comm
     for (r <- 0 until rounds) {
-      // σ(c): total degree of c's members — one row per community,
-      // explicitly broadcast (shrinks fast from the seed's count; for a
-      // community census too large to broadcast, drop the hint and AQE
-      // plans the shuffled join)
+      // σ(c): total degree of c's members — one row per community. NO
+      // broadcast hint: AQE broadcasts it while it is small (measured
+      // identical cost at sf0.1), but after a singleton burst on a huge
+      // graph σ starts at ~n rows, where a forced broadcast would OOM —
+      // AQE falls back to a shuffled join exactly there
       val sigma = comm.groupBy(col("community")).agg(sum(col("deg")).as("sigma"))
       // Candidate set per node = neighbor communities (w = edge count
       // into c) ∪ the marked stay row (w contributes 0): one union, ONE
@@ -504,7 +505,7 @@ object GraphAlgorithms {
         .groupBy(col("node"), col("community"))
         .agg(sum(col("one")).as("w"), max(col("deg")).as("deg"),
           max(col("stay")).as("is_stay"))
-        .join(broadcast(sigma), Seq("community"))
+        .join(sigma, Seq("community"))
       // gain(n→c) = 2m·w − k·σ(c); staying credits k back out of σ(cn).
       // Argmax order (gain, stay-wins-ties, smallest c) IS the move
       // rule: a move happens only on strict improvement over stay. All
