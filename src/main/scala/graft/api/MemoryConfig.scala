@@ -41,6 +41,16 @@ final case class MemoryConfig(
     // (Brandes–Pich estimator), keeping the write path bounded at scale
     betweennessExactMaxNodes: Long = 4096L,
     betweennessSampleRoots: Int = 256,
+    // modularity refinement over the LPA partition (the reference runs
+    // Louvain here, manager.py:1633-1642; refineCommunities recovers
+    // 99% of its modularity deterministically — BASELINE §7). DEFAULT
+    // OFF (0 = raw LPA): on the manager's small heterogeneous graphs,
+    // modularity-optimal boundaries can split a legitimately-connected
+    // entity cluster (memory/session star nodes reshape the null
+    // model), changing the reference-pinned community lifecycle
+    // behavior; opt in on corpus-scale entity graphs where partition
+    // quality, not cluster stability, is the goal
+    communityRefineRounds: Int = 0,
     // push the tenant scope into BOTH hybrid candidate legs instead of
     // the reference's post-hoc filter (search/vector.py:96-97,159-160):
     // faithful mode can return zero in-scope rows on a crowded shared

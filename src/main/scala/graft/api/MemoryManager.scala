@@ -636,7 +636,7 @@ final class MemoryManager(
       if (!ge.isEmpty) {
         val pr = GraphAlgorithms.pageRank(ge)
         val bc = scaledBetweenness(ge)
-        val lp = GraphAlgorithms.labelPropagation(ge)
+        val lp = communityPartition(ge)
         val memMetrics = pr
           .join(bc, Seq("node"), "full_outer")
           .join(lp, Seq("node"), "full_outer")
@@ -755,7 +755,23 @@ final class MemoryManager(
   private[graft] def refreshCommunities(): Int = {
     val ge = globalEdges.localCheckpoint()
     if (ge.isEmpty) 0
-    else materializeCommunities(GraphAlgorithms.labelPropagation(ge))
+    else materializeCommunities(communityPartition(ge))
+  }
+
+  /** G3 partition for the manager graph: LPA, refined by the Louvain
+    * phase-1 local-moving pass when configured (the reference runs
+    * Louvain at this exact point, manager.py:1633-1642). The majority
+    * burst stays OFF here: a small connected add-graph legitimately IS
+    * one community, and bursting it to singletons would leave
+    * strict-improvement moving unable to rebuild the ≥2-entity clusters
+    * community materialization needs.
+    */
+  private def communityPartition(ge: DataFrame): DataFrame = {
+    val lp = GraphAlgorithms.labelPropagation(ge)
+    if (config.communityRefineRounds > 0)
+      GraphAlgorithms.refineCommunities(ge, lp, config.communityRefineRounds,
+        burstMajoritySeed = false)
+    else lp
   }
 
   /** Community read API (communities.py:203-238). */

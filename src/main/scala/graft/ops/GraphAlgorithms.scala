@@ -431,15 +431,19 @@ object GraphAlgorithms {
     * aggregation. Fixed round count.
     * Requires numeric node ids (the parity schedule is id-arithmetic so
     * the oracle can replay it); seed must cover every node of the graph,
-    * which [[labelPropagation]] output does. A seed community holding a
-    * strict majority of nodes is burst to singletons first — see the
-    * inline note (local moving cannot split, so a label-flooded seed
-    * would be a Q=0 fixpoint).
+    * which [[labelPropagation]] output does. With `burstMajoritySeed`
+    * (the corpus-scale default), a seed community holding a strict
+    * majority of nodes is burst to singletons first — local moving
+    * cannot split, so a label-flooded seed (LPA on a hub graph) would
+    * be a Q=0 fixpoint. Pass false on SMALL graphs whose one-cluster
+    * LPA seed is semantically meaningful (the manager's entity graphs:
+    * there, bursting shatters a legitimate whole-graph community and
+    * strict-improvement moving cannot rebuild it from singletons).
     *
     * Output: (node, community).
     */
   def refineCommunities(edges: DataFrame, seed: DataFrame, rounds: Int = 16,
-      moverClasses: Int = 4): DataFrame = {
+      moverClasses: Int = 4, burstMajoritySeed: Boolean = true): DataFrame = {
     require(edges.schema("src").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       "refineCommunities needs numeric node ids (parity schedule)")
@@ -469,16 +473,21 @@ object GraphAlgorithms {
     // the hub graph's 0.0 into the singleton-grade 0.22.
     val seeded = seed.select(col("node"), col("community"))
       .join(deg, Seq("node")) // graph nodes only
-    val nNodes = deg.count()
-    val csize = seeded.groupBy(col("community")).agg(count(lit(1)).as("sz"))
+    val burst: DataFrame =
+      if (!burstMajoritySeed) seeded
+      else {
+        val nNodes = deg.count()
+        val csize = seeded.groupBy(col("community")).agg(count(lit(1)).as("sz"))
+        seeded
+          .join(csize, Seq("community")) // one-time; AQE broadcasts when small
+          .select(col("node"),
+            when(lit(2L) * col("sz") > lit(nNodes), col("node"))
+              .otherwise(col("community")).as("community"),
+            col("deg"))
+      }
     // comm carries (node, community=cn, deg) node-partitioned; cn and
     // deg travel through the union below, so a round never re-joins it
-    var comm = seeded
-      .join(csize, Seq("community")) // one-time; AQE broadcasts when small
-      .select(col("node"),
-        when(lit(2L) * col("sz") > lit(nNodes), col("node"))
-          .otherwise(col("community")).as("community"),
-        col("deg"))
+    var comm = burst
       .repartition(col("node"))
       .localCheckpoint()
     var lastCkpt: DataFrame = comm

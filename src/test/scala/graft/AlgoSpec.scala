@@ -302,6 +302,27 @@ class AlgoSpec extends SparkSuite {
     assert(m.store.edges.filter(col("edge_type") === EdgeTypes.HasMember).count() >= 2)
   }
 
+  test("manager: opt-in refinement path wires through metric recompute") {
+    // default is raw LPA (reference-pinned lifecycle semantics); with
+    // communityRefineRounds > 0 the recompute runs LPA + refinement —
+    // this asserts the wiring produces a community column, not any
+    // particular clustering (modularity boundaries on the heterogeneous
+    // manager graph are allowed to differ from LPA's)
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
+        communityRefineRounds = 4),
+      new GraphStore(spark), new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("alice works at acme"),
+          Seq(ExtractedEntity("alice", "person"), ExtractedEntity("acme", "org")),
+          Seq(ExtractedRelation("alice", "acme", "works_at"))))),
+      new AddAllReconciler)
+    m.add("Alice works at Acme", now = Some(1700000000000L))
+    m.recomputeGraphMetricsIfDirty()
+    val mem = m.store.memories.filter(col("id") === 1).collect().head
+    assert(!mem.isNullAt(mem.fieldIndex("community")))
+  }
+
   test("manager: community lifecycle — unchanged reused, grown re-summarized") {
     // reference tests/test_communities.py unchanged/changed/dissolved cases
     val m = new MemoryManager(
