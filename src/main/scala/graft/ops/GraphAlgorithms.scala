@@ -490,14 +490,20 @@ object GraphAlgorithms {
     var comm = burst
       .repartition(col("node"))
       .localCheckpoint()
+    // σ-join strategy, decided ONCE: local moving never creates a new
+    // community label, so the seed's community count bounds σ's row
+    // count for every round. Broadcast below the bound (measured 2×
+    // faster per round at 1M nodes than the shuffled join AQE picks
+    // once σ outgrows its 10 MB threshold); above it — a burst seed
+    // starts at ~n singleton rows — the forced broadcast would OOM, so
+    // take the shuffled join.
+    val broadcastSigma =
+      comm.select(col("community")).distinct().count() <= 2000000L
     var lastCkpt: DataFrame = comm
     for (r <- 0 until rounds) {
-      // σ(c): total degree of c's members — one row per community. NO
-      // broadcast hint: AQE broadcasts it while it is small (measured
-      // identical cost at sf0.1), but after a singleton burst on a huge
-      // graph σ starts at ~n rows, where a forced broadcast would OOM —
-      // AQE falls back to a shuffled join exactly there
-      val sigma = comm.groupBy(col("community")).agg(sum(col("deg")).as("sigma"))
+      // σ(c): total degree of c's members — one row per community
+      val sigma0 = comm.groupBy(col("community")).agg(sum(col("deg")).as("sigma"))
+      val sigma = if (broadcastSigma) broadcast(sigma0) else sigma0
       // Candidate set per node = neighbor communities (w = edge count
       // into c) ∪ the marked stay row (w contributes 0): one union, ONE
       // node-keyed exchange, and the repartition satisfies
