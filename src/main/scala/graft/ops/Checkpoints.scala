@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Eager localCheckpoint with an RDD-level release handle.
+  *
+  * `Dataset.unpersist` routes through the CacheManager, which does not
+  * know about checkpoint blocks — `localCheckpoint` persists the
+  * underlying RDD directly — so an iterative algorithm that
+  * re-checkpoints per round and "unpersists" the superseded Dataset
+  * actually leaves every round's blocks to the GC-driven
+  * ContextCleaner. The handle returned here unpersists the exact RDD
+  * the checkpoint registered (extracted from the checkpoint Dataset's
+  * `LogicalRDD` plan), so a loop frees round r−1 the moment round r is
+  * materialized.
+  *
+  * Safety contract: release ONLY state that nothing will read again —
+  * local-checkpoint blocks are not recomputable, so an early release
+  * of a still-referenced checkpoint fails the reader ("checkpoint
+  * block not found") rather than silently recomputing.
+  */
+private[graft] object Checkpoints {
+
+  /** Checkpoint `df` eagerly; returns the checkpoint and a handle that
+    * frees its storage. A no-op handle is returned in the (unexpected)
+    * case the plan shape is not the LogicalRDD a local checkpoint
+    * produces — cleanup then degrades to the old ContextCleaner path
+    * instead of failing the query.
+    */
+  def withRelease(df: DataFrame): (DataFrame, () => Unit) = {
+    val ck = df.localCheckpoint()
+    val release: () => Unit = ck.queryExecution.analyzed match {
+      case lr: LogicalRDD => () => { lr.rdd.unpersist(blocking = false); () }
+      case _              => () => ()
+    }
+    (ck, release)
+  }
+}

@@ -47,16 +47,15 @@ object GraphAlgorithms {
     val p = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e0 = edges.select(col("src"), col("dst")).distinct()
     val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val e = e0.join(outdeg, "src")
-      .repartition(col("src"))
-      .localCheckpoint()
-    val nodes = e0.select(col("src").as("node"))
-      .unionByName(e0.select(col("dst").as("node")))
-      .distinct()
-      .repartition(col("node"))
-      .localCheckpoint()
+    val (e, releaseE) = Checkpoints.withRelease(
+      e0.join(outdeg, "src").repartition(col("src")))
+    val (nodes, releaseNodes) = Checkpoints.withRelease(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .distinct()
+        .repartition(col("node")))
     var ranks = nodes.withColumn("rank", lit(1.0))
-    var lastCkpt: DataFrame = null
+    var releaseLast: () => Unit = null
     for (i <- 1 to iters) {
       // shuffle_hash: both sides are already hash-partitioned on the key,
       // so SMJ's only extra work would be the per-iteration re-sort —
@@ -71,12 +70,15 @@ object GraphAlgorithms {
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
       if (i % 2 == 0 || i == iters) {
-        val ck = next.localCheckpoint()
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = ck
+        val (ck, rel) = Checkpoints.withRelease(next)
+        if (releaseLast != null) releaseLast()
+        releaseLast = rel
         ranks = ck
       } else ranks = next
     }
+    // the final iteration checkpointed `ranks`, so the static tables'
+    // blocks are no longer reachable from the returned plan
+    if (iters >= 1) { releaseE(); releaseNodes() }
     ranks.select(col("node"), col("rank").as("pagerank"))
   }
 
@@ -227,18 +229,17 @@ object GraphAlgorithms {
       .withColumn("sigma", lit(1.0))
       .localCheckpoint()
     var visited = frontiers.head
-    var visitedCkpt: DataFrame = null // the re-checkpoint copy we own
+    var releaseVisited: () => Unit = null // the re-checkpoint copy we own
     var sinceCkpt = 0
     var done = false
     while (!done) {
-      val next = frontiers.last
+      val (next, releaseNext) = Checkpoints.withRelease(frontiers.last
         .join(e, frontiers.last("node") === e("src"))
         .select(col("root"), e("dst").as("node"), col("sigma"))
         .groupBy(col("root"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) { done = true; next.unpersist(blocking = false) }
+        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti"))
+      if (next.isEmpty) { done = true; releaseNext() }
       else {
         visited = visited.unionByName(next)
         sinceCkpt += 1
@@ -246,16 +247,16 @@ object GraphAlgorithms {
           // free the SUPERSEDED visited copy once the new one is
           // materialized (frontier checkpoints stay — the backward sweep
           // and the final union consume them)
-          val ck = visited.localCheckpoint()
-          if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false)
-          visitedCkpt = ck
+          val (ck, rel) = Checkpoints.withRelease(visited)
+          if (releaseVisited != null) releaseVisited()
+          releaseVisited = rel
           visited = ck
           sinceCkpt = 0
         }
         frontiers += next
       }
     }
-    if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false) // forward-only state
+    if (releaseVisited != null) releaseVisited() // forward-only state
     val maxDist = frontiers.length - 1
 
     // ---- backward dependency accumulation ----
@@ -339,17 +340,17 @@ object GraphAlgorithms {
     // single distinct over the doubled table — a pre-distinct of `dir`
     // would just add a shuffle the union's distinct repeats anyway
     val dir = edges.select(col("src"), col("dst"))
-    val und = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .filter(col("src") =!= col("dst"))
-      .repartition(col("dst"))
-      .localCheckpoint()
-    val nodes = und.select(col("src").as("node")).distinct()
-      .repartition(col("node"))
-      .localCheckpoint()
+    val (und, releaseUnd) = Checkpoints.withRelease(
+      dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .filter(col("src") =!= col("dst"))
+        .repartition(col("dst")))
+    val (nodes, releaseNodes) = Checkpoints.withRelease(
+      und.select(col("src").as("node")).distinct()
+        .repartition(col("node")))
     val combine = combineAggregation
     var labels = nodes.withColumn("label", col("node"))
-    var lastCkpt: DataFrame = null
+    var releaseLast: () => Unit = null
     for (i <- 1 to rounds) {
       // most-frequent neighbor label, smallest label on ties: count per
       // (node,label), then max_by over a (cnt, -label) total order.
@@ -386,12 +387,14 @@ object GraphAlgorithms {
             .select(col("node"), col("label"))
         }
       if (i % 2 == 0 || i == rounds) {
-        val ck = next.localCheckpoint()
-        if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-        lastCkpt = ck
+        val (ck, rel) = Checkpoints.withRelease(next)
+        if (releaseLast != null) releaseLast()
+        releaseLast = rel
         labels = ck
       } else labels = next
     }
+    // the final round checkpointed `labels` — the static tables are free
+    if (rounds >= 1) { releaseUnd(); releaseNodes() }
     labels.select(col("node"), col("label").as("community"))
   }
 
@@ -429,21 +432,32 @@ object GraphAlgorithms {
     * layout LPA uses), one tiny per-community degree sum σ joined back
     * (AQE broadcasts it while #communities is small), one argmax
     * aggregation. Fixed round count.
-    * Requires numeric node ids (the parity schedule is id-arithmetic so
-    * the oracle can replay it); seed must cover every node of the graph,
-    * which [[labelPropagation]] output does. With `burstMajoritySeed`
-    * (the corpus-scale default), a seed community holding a strict
-    * majority of nodes is burst to singletons first — local moving
-    * cannot split, so a label-flooded seed (LPA on a hub graph) would
-    * be a Q=0 fixpoint. Pass false on SMALL graphs whose one-cluster
-    * LPA seed is semantically meaningful (the manager's entity graphs:
-    * there, bursting shatters a legitimate whole-graph community and
-    * strict-improvement moving cannot rebuild it from singletons).
+    * Requires numeric NON-NEGATIVE node ids (the parity schedule is
+    * id-arithmetic — `pmod` here vs signed `%` in the SQL oracle
+    * diverge below zero, so negatives are rejected up front). Graph
+    * nodes the seed does not cover default to SINGLETON communities
+    * (id = node), the same convention the burst uses —
+    * [[labelPropagation]] output covers every node, but a filtered or
+    * partial seed no longer silently shrinks the output partition.
+    * With `burstMajoritySeed` (the corpus-scale default), a seed
+    * community holding a strict majority of nodes is burst to
+    * singletons first — local moving cannot split, so a label-flooded
+    * seed (LPA on a hub graph) would be a Q=0 fixpoint. Pass false on
+    * SMALL graphs whose one-cluster LPA seed is semantically meaningful
+    * (the manager's entity graphs: there, bursting shatters a
+    * legitimate whole-graph community and strict-improvement moving
+    * cannot rebuild it from singletons).
+    *
+    * `sigmaBroadcastBound`: seed community count at or below which the
+    * per-round σ table is broadcast (see the strategy note in-code);
+    * 0 forces the shuffled-join path a burst 100 TB seed takes —
+    * bench/test hook, results are identical (AlgoSpec).
     *
     * Output: (node, community).
     */
   def refineCommunities(edges: DataFrame, seed: DataFrame, rounds: Int = 16,
-      moverClasses: Int = 4, burstMajoritySeed: Boolean = true): DataFrame = {
+      moverClasses: Int = 4, burstMajoritySeed: Boolean = true,
+      sigmaBroadcastBound: Long = 2000000L): DataFrame = {
     require(edges.schema("src").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       "refineCommunities needs numeric node ids (parity schedule)")
@@ -456,11 +470,18 @@ object GraphAlgorithms {
     // rows need no join back to a node table for k(n).
     val deg = und0.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val und = und0
+    val (und, releaseUnd) = Checkpoints.withRelease(und0
       .join(deg.select(col("node").as("src"), col("deg").as("deg_src")), Seq("src"))
-      .repartition(col("dst"))
-      .localCheckpoint()
-    val twoM = und.count()
+      .repartition(col("dst")))
+    // one sizing job: 2m for the gain arithmetic + the min id for the
+    // pmod-vs-signed-% contract check (free — it rides the same scan)
+    val sized = und.agg(count(lit(1)).as("two_m"),
+      min(col("src").cast("long")).as("min_id")).collect()(0)
+    val twoM = sized.getLong(0)
+    require(twoM == 0L || sized.getLong(1) >= 0L,
+      "refineCommunities needs non-negative node ids: the mover schedule " +
+        "uses pmod(node, classes), which diverges from the oracle's signed % " +
+        s"for negative ids (min id seen: ${sized.getLong(1)})")
 
     // Giant-seed burst: local moving can JOIN communities but never
     // SPLIT one, so a seed community spanning most of the graph (LPA on
@@ -471,8 +492,14 @@ object GraphAlgorithms {
     // contains-graph, bursting anything below a majority LOSES quality
     // (0.24–0.26 vs 0.27; BASELINE §7), while the majority burst turns
     // the hub graph's 0.0 into the singleton-grade 0.22.
-    val seeded = seed.select(col("node"), col("community"))
-      .join(deg, Seq("node")) // graph nodes only
+    // left join FROM the graph's node set: seed rows for non-graph nodes
+    // drop out (they have no edges to move along), and graph nodes the
+    // seed misses default to singletons instead of silently vanishing
+    // from the output partition
+    val seeded = deg
+      .join(seed.select(col("node"), col("community")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("community"), col("node")).as("community"),
+        col("deg"))
     val burst: DataFrame =
       if (!burstMajoritySeed) seeded
       else {
@@ -487,9 +514,8 @@ object GraphAlgorithms {
       }
     // comm carries (node, community=cn, deg) node-partitioned; cn and
     // deg travel through the union below, so a round never re-joins it
-    var comm = burst
-      .repartition(col("node"))
-      .localCheckpoint()
+    var (comm, releaseLast) = Checkpoints.withRelease(
+      burst.repartition(col("node")))
     // σ-join strategy, decided ONCE: local moving never creates a new
     // community label, so the seed's community count bounds σ's row
     // count for every round. Broadcast below the bound (measured 2×
@@ -498,8 +524,7 @@ object GraphAlgorithms {
     // starts at ~n singleton rows — the forced broadcast would OOM, so
     // take the shuffled join.
     val broadcastSigma =
-      comm.select(col("community")).distinct().count() <= 2000000L
-    var lastCkpt: DataFrame = comm
+      comm.select(col("community")).distinct().count() <= sigmaBroadcastBound
     for (r <- 0 until rounds) {
       // σ(c): total degree of c's members — one row per community
       val sigma0 = comm.groupBy(col("community")).agg(sum(col("deg")).as("sigma"))
@@ -544,11 +569,12 @@ object GraphAlgorithms {
       // (σ, gather, stay rows), so carrying lazy lineage would
       // re-evaluate each prior round ~3× per level — the opposite of
       // LPA, whose single state reference makes sparse checkpoints a win
-      val ck = next.localCheckpoint()
-      if (lastCkpt != null) lastCkpt.unpersist(blocking = false)
-      lastCkpt = ck
+      val (ck, rel) = Checkpoints.withRelease(next)
+      releaseLast()
+      releaseLast = rel
       comm = ck
     }
+    releaseUnd() // comm is a checkpoint — the edge table is free
     comm.select(col("node"), col("community"))
   }
 

@@ -195,6 +195,50 @@ class AlgoSpec extends SparkSuite {
     assert(kept == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("refineCommunities: partial seed defaults uncovered nodes to singletons") {
+    // seed covers only the first triangle; the uncovered one must come
+    // back as singleton-seeded nodes (and then resolve as a community),
+    // not vanish from the output partition
+    val e = edges(1L -> 2L, 2L -> 3L, 1L -> 3L, 4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val partial = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "community")
+    val got = GraphAlgorithms.refineCommunities(e, partial, rounds = 8,
+      burstMajoritySeed = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 6L).toSet, s"partition lost nodes: $got")
+    assert(got(4L) == got(5L) && got(5L) == got(6L)) // rebuilt from singletons
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+    // seed rows for nodes absent from the graph drop out silently
+    val extra = partial.unionByName(Seq((99L, 7L)).toDF("node", "community"))
+    val got2 = GraphAlgorithms.refineCommunities(e, extra, rounds = 8,
+      burstMajoritySeed = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
+  test("refineCommunities rejects negative node ids (pmod vs signed % contract)") {
+    val e = edges(-1L -> 2L, 2L -> 3L)
+    val seed = Seq((-1L, -1L), (2L, 2L), (3L, 3L)).toDF("node", "community")
+    val ex = intercept[IllegalArgumentException] {
+      GraphAlgorithms.refineCommunities(e, seed, rounds = 2)
+    }
+    assert(ex.getMessage.contains("non-negative"))
+  }
+
+  test("refineCommunities: forced shuffled-sigma join equals broadcast path") {
+    val cliquePairs = for {
+      c <- 0 until 4; i <- 0 until 4; j <- i + 1 until 4
+    } yield (c * 4 + i).toLong -> (c * 4 + j).toLong
+    val bridges = (0 until 4).map(c => (c * 4 + 3).toLong -> (((c + 1) % 4) * 4).toLong)
+    val e = edges((cliquePairs ++ bridges): _*)
+    val seed = (0L until 16L).map(n => n -> n).toDF("node", "community")
+    val bcast = GraphAlgorithms.refineCommunities(e, seed, rounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shuffled = GraphAlgorithms.refineCommunities(e, seed, rounds = 8,
+      sigmaBroadcastBound = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled == bcast)
+  }
+
   test("refineCommunities == sequential replay over 20 random graphs/seeds") {
     // Independent reimplementation of the documented semantics (burst,
     // residue schedule, integer gains, strict improvement, smallest-c
