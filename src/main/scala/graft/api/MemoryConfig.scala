@@ -42,15 +42,25 @@ final case class MemoryConfig(
     betweennessExactMaxNodes: Long = 4096L,
     betweennessSampleRoots: Int = 256,
     // modularity refinement over the LPA partition (the reference runs
-    // Louvain here, manager.py:1633-1642; refineCommunities recovers
-    // 99% of its modularity deterministically — BASELINE §7). DEFAULT
-    // OFF (0 = raw LPA): on the manager's small heterogeneous graphs,
-    // modularity-optimal boundaries can split a legitimately-connected
-    // entity cluster (memory/session star nodes reshape the null
-    // model), changing the reference-pinned community lifecycle
-    // behavior; opt in on corpus-scale entity graphs where partition
-    // quality, not cluster stability, is the goal
-    communityRefineRounds: Int = 0,
+    // Louvain here, manager.py:1633-1642). DEFAULT ON at the measured
+    // knee (16 rounds, mod-4 — CommunityDefaultStudy, BASELINE §7b):
+    // on manager-style graphs the refined partition reproduces
+    // sequential Louvain's modularity AND its materialized ≥2-member
+    // entity sets exactly on the multi-session and shared-hub families
+    // (where raw LPA label-floods to one giant community, Q 0.20 vs
+    // Louvain 0.60), and approximates Louvain's split on the
+    // single-cluster family — which the reference's own Louvain also
+    // splits, so the old keep-LPA "stability" default was a deviation
+    // from reference behavior, not fidelity to it. 0 opts out to raw
+    // LPA.
+    communityRefineRounds: Int = 16,
+    // at or below this node count the community partition runs the
+    // reference's sequential Louvain on the driver (bounded collect,
+    // the betweennessExactMaxNodes pattern): small-tenant lifecycles
+    // match grafeo-memory exactly, and the synchronous refinement's
+    // tiny-graph swap-oscillation (CommunityDefaultStudy) is moot.
+    // Above it, the distributed LPA + refineCommunities pair runs.
+    communityExactMaxNodes: Long = 4096L,
     // push the tenant scope into BOTH hybrid candidate legs instead of
     // the reference's post-hoc filter (search/vector.py:96-97,159-160):
     // faithful mode can return zero in-scope rows on a crowded shared
@@ -97,6 +107,7 @@ final case class MemoryConfig(
     "community summaries require graph algorithms (types.py:107-109)")
   req(consolidationBatchSize > 0, "consolidation_batch_size must be positive")
   req(betweennessExactMaxNodes >= 0, "betweenness_exact_max_nodes must be >= 0")
+  req(communityExactMaxNodes >= 0, "community_exact_max_nodes must be >= 0")
   req(betweennessSampleRoots > 0, "betweenness_sample_roots must be positive")
   req(consolidationPreserveRecent >= 0, "consolidation_preserve_recent must be >= 0")
 

@@ -599,7 +599,7 @@ final class MemoryManager(
     idCol * 8L + code
 
   /** Edges with label-space-disambiguated endpoints. */
-  private def globalEdges: DataFrame = {
+  private[graft] def globalEdges: DataFrame = {
     val srcCode = typedCode("src")
     val dstCode = typedCode("dst")
     store.edges.select(
@@ -634,9 +634,17 @@ final class MemoryManager(
       tracer.span("memory.graph_metrics_recompute") {
       val ge = globalEdges.localCheckpoint()
       if (!ge.isEmpty) {
+        // ONE sizing job for the whole refresh (exact node count + an
+        // edge upper bound): gates both the betweenness plan choice and
+        // the community driver-vs-distributed choice
+        val sized = ge.select(explode(array(col("src"), col("dst"))).as("node"))
+          .agg(countDistinct(col("node")).as("n"),
+            (count(lit(1)) / 2).cast("long").as("m"))
+          .collect()(0)
+        val (n, mUpper) = (sized.getLong(0), sized.getLong(1))
         val pr = GraphAlgorithms.pageRank(ge)
-        val bc = scaledBetweenness(ge)
-        val lp = communityPartition(ge)
+        val bc = scaledBetweenness(ge, n, mUpper)
+        val lp = communityPartition(ge, n)
         val memMetrics = pr
           .join(bc, Seq("node"), "full_outer")
           .join(lp, Seq("node"), "full_outer")
@@ -654,19 +662,14 @@ final class MemoryManager(
     * Brandes–Pich scale-up — the write path's metric refresh stays
     * bounded at O(|S|·E) instead of O(V·E) on a grown graph.
     */
-  private def scaledBetweenness(ge: DataFrame): DataFrame = {
+  private def scaledBetweenness(ge: DataFrame, n: Long, mUpper: Long): DataFrame = {
     val nodes = ge.select(col("src").as("node"))
       .unionByName(ge.select(col("dst").as("node")))
       .distinct()
-    // ONE sizing job for the whole refresh: exact node count + an edge
-    // upper bound (raw rows, >= distinct pairs — only gates the
-    // broadcast-vs-waves choice). Threaded into betweenness() so it
-    // skips its own two eager count() jobs (VERDICT r5 #7).
-    val sized = ge.select(explode(array(col("src"), col("dst"))).as("node"))
-      .agg(countDistinct(col("node")).as("n"),
-        (count(lit(1)) / 2).cast("long").as("m"))
-      .collect()(0)
-    val (n, mUpper) = (sized.getLong(0), sized.getLong(1))
+    // (n, mUpper) sized once by the caller for the whole refresh —
+    // threaded into betweenness() so it skips its own two eager
+    // count() jobs (VERDICT r5 #7); mUpper is raw rows / 2, an upper
+    // bound that only gates the broadcast-vs-waves choice.
     if (n <= config.betweennessExactMaxNodes)
       GraphAlgorithms.betweenness(ge, knownCounts = Some((n, mUpper)))
     else {
@@ -755,24 +758,33 @@ final class MemoryManager(
   private[graft] def refreshCommunities(): Int = {
     val ge = globalEdges.localCheckpoint()
     if (ge.isEmpty) 0
-    else materializeCommunities(communityPartition(ge))
+    else {
+      val n = ge.select(explode(array(col("src"), col("dst"))).as("node"))
+        .agg(countDistinct(col("node"))).collect()(0).getLong(0)
+      materializeCommunities(communityPartition(ge, n))
+    }
   }
 
-  /** G3 partition for the manager graph: LPA, refined by the Louvain
-    * phase-1 local-moving pass when configured (the reference runs
-    * Louvain at this exact point, manager.py:1633-1642). The majority
-    * burst stays OFF here: a small connected add-graph legitimately IS
-    * one community, and bursting it to singletons would leave
-    * strict-improvement moving unable to rebuild the ≥2-entity clusters
-    * community materialization needs.
+  /** G3 partition for the manager graph (the reference runs Louvain at
+    * this exact point, manager.py:1633-1642). Two physical plans by
+    * graph size, measured in CommunityDefaultStudy / BASELINE §7b:
+    * at or below `communityExactMaxNodes` the reference's own
+    * sequential Louvain runs on the driver (bounded collect — exact
+    * lifecycle fidelity for small tenants, and immune to the
+    * synchronous refinement's tiny-graph swap-oscillation); above it,
+    * distributed LPA refined by the Louvain phase-1 local-moving pass
+    * with the majority burst ON — the configuration that reproduced
+    * sequential Louvain's partition on the multi-session AND
+    * hub-flooded families (without the burst a flooded seed is a
+    * fixpoint local moving cannot split: Q 0.20 vs Louvain's 0.60).
+    * `communityRefineRounds = 0` opts out to raw LPA everywhere.
     */
-  private def communityPartition(ge: DataFrame): DataFrame = {
-    val lp = GraphAlgorithms.labelPropagation(ge)
-    if (config.communityRefineRounds > 0)
-      GraphAlgorithms.refineCommunities(ge, lp, config.communityRefineRounds,
-        burstMajoritySeed = false)
-    else lp
-  }
+  private def communityPartition(ge: DataFrame, nNodes: Long): DataFrame =
+    if (config.communityRefineRounds <= 0) GraphAlgorithms.labelPropagation(ge)
+    else if (nNodes <= config.communityExactMaxNodes)
+      GraphAlgorithms.louvainDriver(ge)
+    else GraphAlgorithms.refineCommunities(ge,
+      GraphAlgorithms.labelPropagation(ge), config.communityRefineRounds)
 
   /** Community read API (communities.py:203-238). */
   def getCommunities(): Seq[(String, String, Long)] =

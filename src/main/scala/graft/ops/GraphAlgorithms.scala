@@ -439,14 +439,16 @@ object GraphAlgorithms {
     * (id = node), the same convention the burst uses —
     * [[labelPropagation]] output covers every node, but a filtered or
     * partial seed no longer silently shrinks the output partition.
-    * With `burstMajoritySeed` (the corpus-scale default), a seed
-    * community holding a strict majority of nodes is burst to
-    * singletons first — local moving cannot split, so a label-flooded
-    * seed (LPA on a hub graph) would be a Q=0 fixpoint. Pass false on
-    * SMALL graphs whose one-cluster LPA seed is semantically meaningful
-    * (the manager's entity graphs: there, bursting shatters a
-    * legitimate whole-graph community and strict-improvement moving
-    * cannot rebuild it from singletons).
+    * With `burstMajoritySeed` (the default), a seed community holding
+    * a strict majority of nodes is burst to singletons first — local
+    * moving cannot split, so a label-flooded seed (LPA on a hub graph)
+    * would be a Q=0 fixpoint. Measured on manager-style entity graphs
+    * (CommunityDefaultStudy, BASELINE §7b): the burst is what lets the
+    * refinement reproduce sequential Louvain's partition on hub-flooded
+    * seeds (Q 0.20 → 0.60, Louvain-identical entity sets at 16 rounds),
+    * and it does NOT shatter well-clustered seeds — no majority
+    * community exists there, so it never fires. Pass false only to
+    * pin a deliberately-coarse seed you know is majority-sized.
     *
     * `sigmaBroadcastBound`: seed community count at or below which the
     * per-round σ table is broadcast (see the strategy note in-code);
@@ -576,6 +578,114 @@ object GraphAlgorithms {
     }
     releaseUnd() // comm is a checkpoint — the edge table is free
     comm.select(col("node"), col("community"))
+  }
+
+  /** Reference-exact sequential Louvain (protocol.py:44, resolution
+    * 1.0) over a bounded graph, DRIVER-side — with
+    * [[betweennessBroadcast]], one of the two deliberately
+    * driver-bounded algorithm paths: the caller gates it by node count
+    * (MemoryConfig.communityExactMaxNodes) and the distributed
+    * [[labelPropagation]] + [[refineCommunities]] pair takes over
+    * above the bound. Why it exists (CommunityDefaultStudy): the
+    * synchronous residue-scheduled local moving can SWAP-OSCILLATE on
+    * tiny graphs when two adjacent nodes share a residue class (the
+    * 4-node memory/entity/history star a single `add` builds never
+    * re-merges from a burst seed), while a sequential sweep cannot —
+    * and at driver scale the sequential algorithm IS the reference's,
+    * so small-tenant community lifecycles match grafeo-memory exactly.
+    * Deterministic: sorted node order, strict-positive gain,
+    * smallest-community tie-break, two-phase recursion to a fixpoint.
+    * Output: (node, community), community = smallest member node id.
+    */
+  def louvainDriver(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    louvainSequential(pairs).toSeq.toDF("node", "community")
+  }
+
+  /** In-memory core of [[louvainDriver]] (exposed for the study tool
+    * and spec replays). Weighted two-phase Louvain on the undirected
+    * simple graph of `edgePairs`, unit level-0 weights.
+    */
+  def louvainSequential(edgePairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val level0 = edgePairs.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    if (level0.isEmpty) return Map.empty
+    val m = level0.size.toDouble // total weight, level 0 unit weights
+    // aggregated graph state: inter-supernode weights, self-loop weight
+    // per supernode, original-node -> supernode assignment
+    var adj: Map[Long, Map[Long, Double]] = {
+      val sym = level0.flatMap { case (a, b) => Seq((a, b, 1.0), (b, a, 1.0)) }
+      sym.groupBy(_._1).map { case (n, es) =>
+        n -> es.groupBy(_._2).map { case (d, ws) => d -> ws.map(_._3).sum }
+      }
+    }
+    var loop: Map[Long, Double] = adj.keys.map(_ -> 0.0).toMap
+    var mapping: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    var improvedLevel = true
+    while (improvedLevel) {
+      improvedLevel = false
+      // weighted degree: neighbors + the self-loop twice
+      val k: Map[Long, Double] =
+        adj.map { case (n, ns) => n -> (ns.values.sum + 2.0 * loop(n)) }
+      val comm = scala.collection.mutable.Map[Long, Long](
+        adj.keys.map(n => n -> n).toSeq: _*)
+      val sigma = scala.collection.mutable.Map[Long, Double](
+        adj.keys.map(n => n -> k(n)).toSeq: _*)
+      val nodes = adj.keys.toSeq.sorted
+      var movedInPass = true
+      while (movedInPass) {
+        movedInPass = false
+        for (n <- nodes) {
+          val cn = comm(n)
+          sigma(cn) -= k(n) // take n out
+          val wIn = scala.collection.mutable.Map[Long, Double]()
+          adj(n).foreach { case (nb, w) =>
+            val c = comm(nb); wIn(c) = wIn.getOrElse(c, 0.0) + w
+          }
+          // gain(n→c) ∝ w_in(c) − σ(c)·k(n)/2m; max, ties to smallest
+          // community id, move only on strict improvement over home
+          def gain(c: Long): Double =
+            wIn.getOrElse(c, 0.0) - sigma.getOrElse(c, 0.0) * k(n) / (2.0 * m)
+          val best = (wIn.keySet + cn).toSeq.sorted.maxBy(c => (gain(c), -c))
+          if (best != cn && gain(best) > gain(cn) + 1e-12) {
+            comm(n) = best
+            sigma(best) = sigma.getOrElse(best, 0.0) + k(n)
+            movedInPass = true
+            improvedLevel = true
+          } else sigma(cn) += k(n) // put n back
+        }
+      }
+      if (improvedLevel) {
+        // canonical supernode labels: smallest member id per community
+        val label = comm.toSeq.groupBy(_._2).flatMap { case (_, ms) =>
+          val mn = ms.map(_._1).min; ms.map(_._1 -> mn)
+        }
+        mapping = mapping.map { case (orig, sn) => orig -> label(sn) }
+        // aggregate: intra edges + old self-loops fold into new loops
+        val newLoop = scala.collection.mutable.Map[Long, Double]()
+        val newAdj = scala.collection.mutable.Map[(Long, Long), Double]()
+        adj.keys.foreach { n =>
+          newLoop(label(n)) = newLoop.getOrElse(label(n), 0.0) + loop(n)
+        }
+        adj.foreach { case (n, ns) =>
+          ns.foreach { case (d, w) =>
+            val (cn, cd) = (label(n), label(d))
+            if (cn == cd) {
+              if (n < d) newLoop(cn) = newLoop.getOrElse(cn, 0.0) + w
+            } else newAdj((cn, cd)) = newAdj.getOrElse((cn, cd), 0.0) + w
+          }
+        }
+        adj = newAdj.toSeq.groupBy(_._1._1).map { case (n, es) =>
+          n -> es.map { case ((_, d), w) => d -> w }.toMap
+        }
+        loop = newLoop.toMap
+        (newLoop.keySet -- adj.keySet).foreach(n => adj += n -> Map.empty)
+      }
+    }
+    mapping
   }
 
   /** Newman modularity of a partition over the undirected simple graph:

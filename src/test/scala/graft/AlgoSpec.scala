@@ -239,6 +239,31 @@ class AlgoSpec extends SparkSuite {
     assert(shuffled == bcast)
   }
 
+  test("louvainDriver: ring of cliques — each clique one community, known Q") {
+    val cliquePairs = for {
+      c <- 0 until 4; i <- 0 until 4; j <- i + 1 until 4
+    } yield (c * 4 + i).toLong -> (c * 4 + j).toLong
+    val bridges = (0 until 4).map(c => (c * 4 + 3).toLong -> (((c + 1) % 4) * 4).toLong)
+    val e = edges((cliquePairs ++ bridges): _*)
+    val louv = GraphAlgorithms.louvainDriver(e)
+    val got = louv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach { c =>
+      val labels = (0 until 4).map(i => got((c * 4 + i).toLong)).toSet
+      assert(labels.size == 1, s"clique $c split: $labels")
+    }
+    assert((0 until 4).map(c => got((c * 4).toLong)).toSet.size == 4)
+    val q = GraphAlgorithms.modularity(e, louv).collect().head.getDouble(0)
+    assert(math.abs(q - 0.607143) < 1e-6)
+    // the tiny-graph case that motivated the driver plan: a single
+    // add's memory/entity/history star (gkeys 8,9,12,17) — the two
+    // entities MUST land in one community, as the reference's Louvain
+    // puts them (the synchronous refinement swap-oscillates here)
+    val star = edges(8L -> 9L, 8L -> 17L, 9L -> 17L, 8L -> 12L)
+    val sp = GraphAlgorithms.louvainDriver(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sp(9L) == sp(17L), s"entities split: $sp")
+  }
+
   test("refineCommunities == sequential replay over 20 random graphs/seeds") {
     // Independent reimplementation of the documented semantics (burst,
     // residue schedule, integer gains, strict improvement, smallest-c
@@ -346,15 +371,15 @@ class AlgoSpec extends SparkSuite {
     assert(m.store.edges.filter(col("edge_type") === EdgeTypes.HasMember).count() >= 2)
   }
 
-  test("manager: opt-in refinement path wires through metric recompute") {
-    // default is raw LPA (reference-pinned lifecycle semantics); with
-    // communityRefineRounds > 0 the recompute runs LPA + refinement —
-    // this asserts the wiring produces a community column, not any
-    // particular clustering (modularity boundaries on the heterogeneous
-    // manager graph are allowed to differ from LPA's)
+  test("manager: refinement path wires through metric recompute") {
+    // refinement is the default; a small graph takes the driver-Louvain
+    // plan, so force the DISTRIBUTED path (communityExactMaxNodes = 0)
+    // to assert the LPA+refine wiring produces a community column — not
+    // any particular clustering (modularity boundaries on the
+    // heterogeneous manager graph are allowed to differ from LPA's)
     val m = new MemoryManager(spark,
       MemoryConfig(userId = "alice", enableGraphAlgorithms = true,
-        communityRefineRounds = 4),
+        communityRefineRounds = 4, communityExactMaxNodes = 0L),
       new GraphStore(spark), new MockEmbedder(16),
       new ScriptedExtractor(Seq(
         Extraction(Seq("alice works at acme"),
@@ -378,9 +403,15 @@ class AlgoSpec extends SparkSuite {
         Extraction(Seq("alice and bob work together"),
           Seq(ExtractedEntity("alice", "p"), ExtractedEntity("bob", "p")),
           Seq(ExtractedRelation("alice", "bob", "works_with"))),
+        // carol must tie to BOTH existing members: under the (now
+        // Louvain-grade) partition a pendant entity attached to one
+        // member optimally stays with its own memory's star — only a
+        // genuinely-embedded new member grows the cluster
         Extraction(Seq("carol joins the team"),
-          Seq(ExtractedEntity("alice", "p"), ExtractedEntity("carol", "p")),
-          Seq(ExtractedRelation("alice", "carol", "works_with"))))),
+          Seq(ExtractedEntity("alice", "p"), ExtractedEntity("bob", "p"),
+            ExtractedEntity("carol", "p")),
+          Seq(ExtractedRelation("alice", "carol", "works_with"),
+            ExtractedRelation("bob", "carol", "works_with"))))),
       new AddAllReconciler)
     m.add("Alice and Bob work together", now = Some(1700000000000L))
     m.recomputeGraphMetricsIfDirty()
