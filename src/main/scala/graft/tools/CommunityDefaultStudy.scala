@@ -50,10 +50,11 @@ object CommunityDefaultStudy {
   // ---------------------------------------------------------------- //
   // scenario builders — REAL manager add pipeline                     //
   // ---------------------------------------------------------------- //
-  private def manager(spark: SparkSession, adds: Seq[Extraction]): MemoryManager = {
+  private def manager(spark: SparkSession, adds: Seq[Extraction],
+      config: MemoryConfig): MemoryManager = {
     var tick = 0L
     val m = new MemoryManager(
-      spark, MemoryConfig(userId = "study"), new GraphStore(spark),
+      spark, config, new GraphStore(spark),
       new MockEmbedder(16), new ScriptedExtractor(adds), new AddAllReconciler,
       clock = () => { tick += 1; 1700000000000L + tick * 1000 })
     adds.zipWithIndex.foreach { case (_, i) =>
@@ -75,16 +76,20 @@ object CommunityDefaultStudy {
         ExtractedRelation(p(0), p(1), "related_to")).toSeq)
   }
 
-  def scenarioSessions(spark: SparkSession): MemoryManager =
-    manager(spark, for (s <- 0 until 6; j <- 0 until 8) yield sessionAdd(s, j))
+  def scenarioSessions(spark: SparkSession,
+      config: MemoryConfig = MemoryConfig(userId = "study")): MemoryManager =
+    manager(spark,
+      for (s <- 0 until 6; j <- 0 until 8) yield sessionAdd(s, j), config)
 
-  def scenarioHub(spark: SparkSession): MemoryManager =
+  def scenarioHub(spark: SparkSession,
+      config: MemoryConfig = MemoryConfig(userId = "study")): MemoryManager =
     manager(spark,
       for (s <- 0 until 6; j <- 0 until 8)
-        yield sessionAdd(s, j, extra = Seq("hub_user")))
+        yield sessionAdd(s, j, extra = Seq("hub_user")), config)
 
-  def scenarioSingle(spark: SparkSession): MemoryManager =
-    manager(spark, for (j <- 0 until 8) yield sessionAdd(0, j))
+  def scenarioSingle(spark: SparkSession,
+      config: MemoryConfig = MemoryConfig(userId = "study")): MemoryManager =
+    manager(spark, for (j <- 0 until 8) yield sessionAdd(0, j), config)
 
   // ---------------------------------------------------------------- //
 

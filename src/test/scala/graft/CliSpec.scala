@@ -88,4 +88,23 @@ class CliSpec extends SparkSuite {
     assert(out.contains("\\\"hi\\\""))
     assert(out.contains("\\n"))
   }
+
+  test("stats surfaces the CONFIGURED community partition, not raw LPA") {
+    // the study's single-pool family is the discriminator: Louvain-grade
+    // default splits the rich 5-entity cluster into two >=2-member
+    // communities (BASELINE 7b), raw LPA floods it into one — so the
+    // surfaced community count proves which partition the tools serve
+    val cfg = MemoryConfig(userId = "study", enableGraphAlgorithms = true,
+      enableCommunitySummaries = true)
+    val mOn = graft.tools.CommunityDefaultStudy.scenarioSingle(spark, cfg)
+    mOn.recomputeGraphMetricsIfDirty()
+    assert(mOn.getCommunities().size == 2)
+    assert(Cli.run(Seq("stats"), mOn).contains("\"communities\":2"))
+
+    val mOff = graft.tools.CommunityDefaultStudy.scenarioSingle(spark,
+      cfg.copy(communityRefineRounds = 0))
+    mOff.recomputeGraphMetricsIfDirty()
+    assert(mOff.getCommunities().size == 1)
+    assert(Cli.run(Seq("stats"), mOff).contains("\"communities\":1"))
+  }
 }
