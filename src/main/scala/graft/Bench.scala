@@ -66,10 +66,13 @@ object Bench {
         SparkEntry.benchExtras.toSeq.sortBy(_._1)
     // Each query runs TWICE; `queries` reports the min, `queries_first`
     // the first pass. Min-of-2 means one transient load spike can't
-    // manufacture a false regression. Memo accounting caveat: a
-    // memo-building query (see memo_builds) pays its build only on the
-    // first pass, so for those `queries` measures the memo-warm marginal
-    // cost and `queries_first` the build-inclusive cost.
+    // manufacture a false regression. Memo accounting (VERDICT r6 #2):
+    // between the two passes the memos THIS query's first pass built
+    // (memo_builds attribution) are dropped, so for memo-building
+    // queries min-of-2 is BUILD-INCLUSIVE — a real regression in the
+    // PageRank/LPA/refinement build can't hide behind a memo-warm
+    // second pass. Queries that only READ a memo another query built
+    // keep the reference's cached-metrics semantics on both passes.
     var calMid = -1.0
     val midAt = runnable.size / 2
     val results = runnable.zipWithIndex.map { case ((name, fn), i) =>
@@ -81,7 +84,13 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val (first, best) =
-        try { val r1 = once(); val r2 = once(); (r1, math.min(r1, r2)) }
+        try {
+          val r1 = once()
+          val built = graft.trace.MemoLog.memosBuiltBy(name)
+          if (built.nonEmpty) graft.trace.MemoLog.clearMemos(built)
+          val r2 = once()
+          (r1, math.min(r1, r2))
+        }
         catch {
           case e: Throwable =>
             System.err.println(

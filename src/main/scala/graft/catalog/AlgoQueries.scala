@@ -29,9 +29,21 @@ object AlgoQueries {
     * cached-metrics pattern (manager.py:1596-1598): q_pagerank /
     * q_score_crosssession share one PageRank run, q_betweenness /
     * q_score_crosssession one Brandes run, q_communities / q_modularity
-    * one LPA run.
+    * one LPA run. Each memo registers a clearer so the bench can make
+    * min-of-2 build-inclusive for the query that paid the build.
     */
+  private def registerClear(memo: String,
+      map: scala.collection.mutable.Map[String, DataFrame],
+      keySuffix: String = ""): Unit =
+    graft.trace.MemoLog.registerClearer(memo, () => map.synchronized {
+      val doomed = map.keys.filter(_.endsWith(keySuffix)).toSeq
+      doomed.foreach { k =>
+        graft.ops.Checkpoints.release(map(k)); map.remove(k)
+      }
+    })
+
   private val prMemo = scala.collection.mutable.Map[String, DataFrame]()
+  registerClear("pagerank", prMemo)
   private def pagerankOf(s: SparkSession, dir: String): DataFrame =
     prMemo.synchronized {
       prMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
@@ -42,6 +54,7 @@ object AlgoQueries {
     }
 
   private val bcMemo = scala.collection.mutable.Map[String, DataFrame]()
+  registerClear("betweenness", bcMemo)
   private def chainBetweennessOf(s: SparkSession, dir: String): DataFrame =
     bcMemo.synchronized {
       bcMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
@@ -51,6 +64,7 @@ object AlgoQueries {
     }
 
   private val lpaMemo = scala.collection.mutable.Map[String, DataFrame]()
+  registerClear("lpa", lpaMemo)
   private def communitiesOf(s: SparkSession, dir: String): DataFrame =
     lpaMemo.synchronized {
       lpaMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
@@ -61,6 +75,7 @@ object AlgoQueries {
     }
 
   private val refineMemo = scala.collection.mutable.Map[String, DataFrame]()
+  registerClear("refine", refineMemo)
   private def refinedOf(s: SparkSession, dir: String): DataFrame =
     refineMemo.synchronized {
       refineMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
@@ -75,6 +90,8 @@ object AlgoQueries {
   // its one-row result joins the cached-metrics pattern too, keyed by
   // which partition it scores
   private val modMemo = scala.collection.mutable.Map[String, DataFrame]()
+  registerClear("modularity_lpa", modMemo, keySuffix = "lpa")
+  registerClear("modularity_refined", modMemo, keySuffix = "refined")
   private def modularityOf(s: SparkSession, dir: String, which: String,
       part: (SparkSession, String) => DataFrame): DataFrame =
     modMemo.synchronized {

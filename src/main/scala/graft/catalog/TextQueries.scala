@@ -20,6 +20,10 @@ object TextQueries {
     * pattern AlgoQueries uses for PageRank/LPA/betweenness).
     */
   private val pairMemo = scala.collection.mutable.Map[String, DataFrame]()
+  graft.trace.MemoLog.registerClearer("simhash_pairs", () => pairMemo.synchronized {
+    pairMemo.values.foreach(graft.ops.Checkpoints.release)
+    pairMemo.clear()
+  })
   private def simhashPairsOf(s: SparkSession, dir: String): DataFrame =
     pairMemo.synchronized {
       pairMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {

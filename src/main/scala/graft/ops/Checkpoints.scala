@@ -36,4 +36,14 @@ private[graft] object Checkpoints {
     }
     (ck, release)
   }
+
+  /** Free the blocks of an ALREADY-checkpointed Dataset (memo caches
+    * dropped by [[graft.trace.MemoLog.clearMemos]]). Same safety
+    * contract as [[withRelease]]: only call once nothing will read the
+    * checkpoint again.
+    */
+  def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _              => ()
+  }
 }

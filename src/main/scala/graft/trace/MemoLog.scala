@@ -6,14 +6,42 @@ package graft.trace
   * a memoized query's cost depends on run order, and without this map a
   * regression in the memo build is invisible behind whichever query
   * happens to absorb it.
+  *
+  * Providers also register a CLEARER per memo: the bench drops the
+  * memos a query built between its two timed passes, so min-of-2 is
+  * build-inclusive for memo-building queries (a real regression in the
+  * PageRank/LPA/refinement build can no longer hide behind a
+  * memo-warm second pass — VERDICT r6 #2) while memo READERS keep the
+  * reference's cached-metrics semantics.
   */
 object MemoLog {
   @volatile var currentQuery: String = ""
   private val builds = scala.collection.mutable.LinkedHashMap[String, String]()
+  private val clearers = scala.collection.mutable.Map[String, () => Unit]()
 
   /** Called by a memo provider as it builds (not on cache hits). */
   def record(memo: String): Unit = synchronized {
     if (!builds.contains(memo)) builds(memo) = currentQuery
+  }
+
+  /** Providers register how to drop their memo (clear the map entries
+    * and free the checkpoint blocks); idempotent per memo name.
+    */
+  def registerClearer(memo: String, clear: () => Unit): Unit = synchronized {
+    clearers(memo) = clear
+  }
+
+  /** Memos whose recorded (first) build was paid by `query`. */
+  def memosBuiltBy(query: String): Seq[String] = synchronized {
+    builds.collect { case (m, q) if q == query => m }.toSeq
+  }
+
+  /** Drop the named memos so the next access rebuilds them. Attribution
+    * in `builds` is kept — the rebuild belongs to the same query.
+    */
+  def clearMemos(memos: Seq[String]): Unit = {
+    val fns = synchronized { memos.flatMap(clearers.get) }
+    fns.foreach(_.apply())
   }
 
   def snapshot: Map[String, String] = synchronized { builds.toMap }
