@@ -55,6 +55,7 @@ object SparkEntry {
     */
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_betweenness_waves" -> (AlgoQueries.betweennessWavesBench _),
+    "q_communities_refined_dist" -> (AlgoQueries.refinedShuffledSigmaBench _),
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
     "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _)
   )

@@ -125,6 +125,18 @@ object AlgoQueries {
       .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
       .orderBy(col("node"))
 
+  /** Bench-only: force the refinement's SHUFFLED-σ join (the path a
+    * >2M-community burst seed takes at 100 TB) on the same graph+seed
+    * the broadcast path is oracle-verified on. AlgoSpec asserts the two
+    * paths agree; this entry records the shuffled path's cost. Runs
+    * fresh each pass (no memo) — the row IS the build.
+    */
+  def refinedShuffledSigmaBench(s: SparkSession, dir: String): DataFrame =
+    GraphAlgorithms.refineCommunities(containsEdges(s, dir),
+      communitiesOf(s, dir), RefineRounds, RefineClasses,
+      sigmaBroadcastBound = 0L)
+      .orderBy(col("node"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> { (s, dir) =>
       pagerankOf(s, dir)
