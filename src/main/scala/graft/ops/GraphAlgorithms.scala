@@ -37,6 +37,15 @@ object GraphAlgorithms {
     * thresholds are not, across engines). Edges: (src, dst), distinct.
     * Output: (node, pagerank).
     *
+    * Convergence vs the reference's run-to-tolerance (1e-6, ≤100
+    * iterations — protocol.py:38-40), measured on the sf0.1
+    * contains-graph (QProfile, BASELINE §7c): max |Δrank| = 2.4e-2 at
+    * the default 20 iterations, decaying ×0.164 per 10 iterations —
+    * callers needing reference-tolerance ranks pass iters ≈ 80; the
+    * default stays 20 because the ORDERING the engine consumes (top-k,
+    * score boosts) is stable well before the absolute values are, and
+    * the fixed count is what keeps the DuckDB oracle replayable.
+    *
     * Scale shape: outdeg is folded into the checkpointed edge table once
     * (src, dst, outdeg), partitioned by src; ranks stay partitioned by
     * node, so each iteration is exactly ONE shuffle (the dst-keyed
