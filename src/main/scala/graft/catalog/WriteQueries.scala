@@ -95,6 +95,57 @@ object WriteQueries {
       })
     }
 
+  /** B1 bench (BASELINE §2/§8) — bulk raw ingest at the sf dir's full
+    * document count: [[MemoryManager.addBatch]] in 1000-doc chunks
+    * (one deterministic embed batch + memory/history/HAS_HISTORY
+    * appends per chunk — the reference's raw bulk path,
+    * manager.py:381-477). A FRESH store per invocation, nothing
+    * memoized: the bench row times the write itself on both passes,
+    * and rows/s = doc count / recorded seconds. The driver-side text
+    * collect mirrors the reference API, whose add_batch takes an
+    * in-process list by contract.
+    */
+  def bulkIngestBench(s: SparkSession, dir: String): DataFrame = {
+    val texts = load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(_.getString(1)).toSeq
+    val store = new GraphStore(s, checkpointEvery = 64)
+    val mgr = new MemoryManager(
+      s, MemoryConfig(userId = User, embeddingDimensions = 16), store,
+      new MockEmbedder(16), new ScriptedExtractor(Nil), new AddAllReconciler)
+    texts.grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+      mgr.addBatch(chunk, now = Some(T0 + i * 1000L))
+    }
+    store.memories.select(col("id"), col("text"))
+  }
+
+  /** B6 bench — the reconciliation ingest loop (the reference's hottest
+    * real-user surface, manager.py:328-379): against a 1000-memory
+    * standing store, each timed add re-sends an existing document's
+    * exact text (hash embedder → a cosine-1.0 candidate), so every add
+    * pays candidate search + scripted UPDATE + SCD2 expiry + supersede
+    * edge + history. adds/s = R / recorded seconds (BASELINE §8).
+    */
+  def reconcileBench(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000; val R = 20
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .limit(P).collect().map(_.getString(1)).toSeq
+    val store = new GraphStore(s, checkpointEvery = 64)
+    val extractions = (0 until R).map(i => Extraction(Seq(docs(i)), Nil, Nil))
+    val decisions = (0 until R).map(i =>
+      Seq(Decision(DecisionAction.Update, "updated: " + docs(i), Some(i + 1L))))
+    val mgr = new MemoryManager(
+      s, MemoryConfig(userId = User, embeddingDimensions = 16,
+        reconciliationThreshold = 0.5),
+      store, new MockEmbedder(16),
+      new ScriptedExtractor(extractions), new ScriptedReconciler(decisions))
+    mgr.addBatch(docs, now = Some(T0))
+    (0 until R).foreach(i => mgr.add(docs(i), now = Some(T0 + (i + 1) * 1000L)))
+    // the observable: every reconciled add soft-expired its target
+    store.memories.filter(col("expired_at").isNotNull).select(col("id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_memories" -> ((s, dir) => scenario(s, dir)._2),
     "q_write_edges" -> ((s, dir) => scenario(s, dir)._3),
