@@ -156,8 +156,18 @@ object Bench {
           catch { case t: Throwable =>
             System.err.println(s"[bench] design truth failed: ${t.getMessage}"); None }
       } yield rec("q_emb_neardup_lsh_design", lsh, truth, Seq("doc_a", "doc_b"))
+      // append-staleness pair (VERDICT r6 #6): recall@10 after appending
+      // the planted twins against STALE base-corpus centroids vs a fresh
+      // re-cluster of the grown corpus — the number behind
+      // appendIvfPartitioned's re-cluster knob
+      val append = for {
+        brute <- ckpt("q_ann_ivf_append_brute", Seq("query_id", "neighbor_id"))
+        stale <- ckpt("q_ann_ivf_append_stale", Seq("query_id", "neighbor_id"))
+        fresh <- ckpt("q_ann_ivf_append_fresh", Seq("query_id", "neighbor_id"))
+      } yield rec("q_ann_ivf_append_stale", stale, brute, Seq("query_id", "neighbor_id")) ++
+        rec("q_ann_ivf_append_fresh", fresh, brute, Seq("query_id", "neighbor_id"))
       emb.getOrElse(Nil) ++ ivf.getOrElse(Nil) ++ ivfKm.getOrElse(Nil) ++
-        design.getOrElse(Nil)
+        design.getOrElse(Nil) ++ append.getOrElse(Nil)
     } catch {
       // recall is telemetry; a runtime failure here (OOM on the all-pairs
       // baseline, checkpoint read error) must not swallow the timed

@@ -67,7 +67,10 @@ object SparkEntry {
     * VERDICT r5 #8), so the timed list stays comparable across rounds.
     */
   def benchUntimed: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_emb_neardup_lsh_design" -> (SimilarityQueries.nearDupDesignBench _)
+    "q_emb_neardup_lsh_design" -> (SimilarityQueries.nearDupDesignBench _),
+    "q_ann_ivf_append_brute" -> (SimilarityQueries.ivfAppendBruteforceBench _),
+    "q_ann_ivf_append_stale" -> (SimilarityQueries.ivfAppendStaleBench _),
+    "q_ann_ivf_append_fresh" -> (SimilarityQueries.ivfAppendFreshBench _)
   )
 
   def benchQueries: Seq[String] = Seq(

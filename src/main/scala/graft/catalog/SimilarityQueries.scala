@@ -165,6 +165,60 @@ object SimilarityQueries {
       .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("doc_a"), col("doc_b"))
 
+  // ---- IVF append staleness telemetry (VERDICT r6 #6) ----------------
+  // appendIvfPartitioned's scaladoc hands the caller a re-cluster knob
+  // ("rewrite when recall telemetry sags") with no number behind it.
+  // These three recall-section queries put the number there: index the
+  // BASE corpus with Lloyd-refined centroids, append the planted twins
+  // through the real partitioned-parquet append path against those now-
+  // STALE centroids, and compare probe recall@10 on the grown corpus
+  // against (a) a fresh re-cluster of the grown corpus and (b) exact
+  // brute force (the truth both recalls are measured against).
+
+  /** Grown-corpus exact truth: brute-force top-10 for the probe queries
+    * over base ∪ twins.
+    */
+  def ivfAppendBruteforceBench(s: SparkSession, dir: String): DataFrame = {
+    val corpus = designCorpus(s, dir)
+    SimilarityOps.bruteForceTopK(corpus, "vec_id", "embedding",
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Probe the STALE-append index: centroids fit on the base corpus
+    * only; twins arrive via [[SimilarityOps.appendIvfPartitioned]] into
+    * the cell-partitioned parquet layout (the real 100 TB append path,
+    * disk round-trip included) and are never re-clustered.
+    */
+  def ivfAppendStaleBench(s: SparkSession, dir: String): DataFrame = {
+    val corpus = designCorpus(s, dir).localCheckpoint()
+    val base = corpus.filter(col("vec_id") < DesignDupOffset)
+    val twins = corpus.filter(col("vec_id") >= DesignDupOffset)
+    val (baseAssigned, centroids) =
+      SimilarityOps.ivfIndexKMeans(base, "vec_id", "embedding", numCells = IvfCells)
+    val path = System.getProperty("java.io.tmpdir") +
+      s"/graft_ivf_append_${s.sparkContext.applicationId}"
+    SimilarityOps.writeIvfPartitioned(baseAssigned, path)
+    SimilarityOps.appendIvfPartitioned(twins, "vec_id", "embedding", centroids, path)
+    SimilarityOps.ivfTopK(s.read.parquet(path), "vec_id", "embedding", centroids,
+        base.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nProbe = IvfProbes)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
+  /** Probe the FRESH re-cluster of the grown corpus — the expensive
+    * alternative the staleness telemetry is weighed against.
+    */
+  def ivfAppendFreshBench(s: SparkSession, dir: String): DataFrame = {
+    val corpus = designCorpus(s, dir).localCheckpoint()
+    val (assigned, centroids) =
+      SimilarityOps.ivfIndexKMeans(corpus, "vec_id", "embedding", numCells = IvfCells)
+    SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        corpus.filter(col("vec_id") < 5), "vec_id", "embedding",
+        k = 10, nProbe = IvfProbes)
+      .select(col("query_id"), col("neighbor_id"))
+  }
+
   /** Exact ground truth at the design point: the planted (v, twin) pairs
     * whose true cosine clears the threshold (all of them, by
     * construction — asserted ≥ θ in the join below, not assumed). The

@@ -157,7 +157,13 @@ object SimilarityOps {
     * probing a fresh build of the full corpus against the same
     * centroids (IvfSpec asserts this). Centroid drift under sustained
     * appends is the caller's policy knob — re-run [[ivfIndexKMeans]]
-    * and rewrite when recall telemetry (Bench's untimed section) sags.
+    * and rewrite when recall telemetry sags. The telemetry exists
+    * (Bench recall block `q_ann_ivf_append_stale/fresh`, IvfSpec
+    * staleness bound): appending the planted-twin corpus against stale
+    * base centroids costs 0.00 recall@10 at sf0.01 (1.000 vs 1.000
+    * fresh; 0.90 vs 0.94 at sf0.001) — a distribution-PRESERVING
+    * append routes correctly, so the re-cluster spend buys protection
+    * against distribution SHIFT, not volume.
     */
   def appendIvfPartitioned(
       newVectors: DataFrame,

@@ -96,4 +96,31 @@ class IvfSpec extends SparkSuite {
     assert(grown.count() == emb.count())
     assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("cell=")) <= 8)
   }
+
+  test("append staleness: stale-centroid recall within 0.1 of fresh re-cluster") {
+    // the number behind appendIvfPartitioned's re-cluster knob
+    // (VERDICT r6 #6): Bench records the same pair as telemetry on the
+    // planted-twin corpus; this pins the deterministic sf0.01 values so
+    // a routing regression in the append path fails the build
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(got: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, t) =>
+        got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0)
+      }
+      rs.sum / rs.size
+    }
+    val truth = sets(graft.catalog.SimilarityQueries.ivfAppendBruteforceBench(spark, SfDir))
+    val stale = recall(sets(
+      graft.catalog.SimilarityQueries.ivfAppendStaleBench(spark, SfDir)), truth)
+    val fresh = recall(sets(
+      graft.catalog.SimilarityQueries.ivfAppendFreshBench(spark, SfDir)), truth)
+    info(f"append recall@10: stale=$stale%.3f fresh=$fresh%.3f")
+    assert(fresh >= 0.85, s"fresh re-cluster recall collapsed: $fresh")
+    assert(stale >= fresh - 0.1,
+      s"stale-append recall sagged more than the documented knee: " +
+        f"stale=$stale%.3f fresh=$fresh%.3f")
+  }
 }
