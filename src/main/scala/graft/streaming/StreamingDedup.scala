@@ -1,9 +1,23 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.functions.TextFunctions
+
+/** One exploded (band, bucket) row of a streaming document. */
+private[streaming] final case class BandedDoc(
+    ts: Timestamp, id: String, band: Int, key: Long, sig: Seq[Long])
+
+/** Per-bucket state: the first document that claimed the bucket. */
+private[streaming] final case class BucketFirst(id: String, sig: Seq[Long])
+
+/** An emitted near-duplicate detection. */
+private[streaming] final case class NearDupHit(
+    ts: Timestamp, id: String, dup_of: String, band: Int, est_jaccard: Double)
 
 /** Streaming deduplication for ingest pipelines (SURVEY §2.12 extension;
   * the streaming face of [[graft.ops.DedupOps]]): drop exact duplicates
@@ -60,4 +74,96 @@ object StreamingDedup {
       .withColumn("simhash", graft.functions.HashFunctions.simhash(col(textCol), bits))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("simhash")
+
+  /** Streaming MinHash-LSH near-dup DETECTION within the watermark
+    * horizon — the streaming face of
+    * [[graft.ops.DedupOps.minhashLshPairs]]: per-row signatures (the
+    * HOF array_min form — no explode/groupBy, so the signature stage is
+    * stateless), banded keys, and one
+    * `flatMapGroupsWithState` keyed by (band, bucket) whose state is
+    * the FIRST document that claimed the bucket. A later arrival in the
+    * same bucket is verified against the stored signature (estimated
+    * Jaccard = matching-component fraction) and emitted as a
+    * `(id, dup_of, band, est_jaccard)` hit when it clears `minJaccard`.
+    *
+    * Emits DETECTIONS, not a filtered keep-stream, and a doc colliding
+    * in k bands appears up to k times: the same circularity documented
+    * on [[dropFingerprintDuplicates]] applies — a multi-key KEEP
+    * decision ("drop iff any band matched") cannot be made atomically
+    * across band-partitioned state, and Structured Streaming does not
+    * admit a second stateful collapse after flatMapGroupsWithState in
+    * the same query. Downstream either collapses per micro-batch
+    * (`foreachBatch` + `dropDuplicates("id")` — what the spec asserts)
+    * or joins the hits against the ingest stream to drop flagged docs.
+    *
+    * Scale shape: state is one (firstId, signature) entry per DISTINCT
+    * band bucket seen inside the horizon — (arrival rate × horizon ×
+    * bands) entries, evicted by event-time timeout at the watermark;
+    * never proportional to corpus size. Within a micro-batch a bucket's
+    * rows are processed in (ts, id) order, so first-claim is
+    * deterministic under replay.
+    */
+  def minhashLshDuplicates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      watermark: String = "10 minutes",
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizon = watermark
+    // per-row signature: 16 array_min(transform(...)) over ONE shingle
+    // array column (multiple references keep CollapseProject from
+    // re-inlining the md5 shingle subtree per hash)
+    val sig = array((0 until numHashes).map(i =>
+      array_min(transform(col("__sh"),
+        h => graft.functions.HashFunctions.minhashMix(h, i)))): _*)
+    // band keys: xxhash64 over the band's signature slice + band index
+    val bandKeys = array((0 until bands).map(b =>
+      xxhash64(concat_ws(",",
+        slice(col("sig"), b * rows + 1, rows).cast("array<string>")), lit(b))): _*)
+    val banded = docs
+      .filter(col(textCol).isNotNull)
+      .select(col("ts"), col(idCol).cast("string").as("id"),
+        graft.functions.HashFunctions.hashedWordShingles(col(textCol), shingleSize)
+          .as("__sh"))
+      .withColumn("sig", sig)
+      .select(col("ts"), col("id"), col("sig"),
+        posexplode(bandKeys).as(Seq("band", "key")))
+      .withWatermark("ts", watermark)
+      .as[BandedDoc]
+    banded
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketFirst, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (_, rows, state: GroupState[BucketFirst]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.id))
+            val hits = Seq.newBuilder[NearDupHit]
+            var cur = state.getOption
+            sorted.foreach { r =>
+              cur match {
+                case None => cur = Some(BucketFirst(r.id, r.sig))
+                case Some(first) if first.id != r.id =>
+                  val est = first.sig.zip(r.sig).count(p => p._1 == p._2)
+                    .toDouble / numHashes
+                  if (est >= minJaccard)
+                    hits += NearDupHit(r.ts, r.id, first.id, r.band, est)
+                case _ => ()
+              }
+            }
+            state.update(cur.get) // sorted is non-empty: cur is Some
+            state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max, horizon)
+            hits.result().iterator
+          }
+      }
+      .toDF()
+  }
 }

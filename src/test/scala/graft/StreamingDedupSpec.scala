@@ -67,4 +67,48 @@ class StreamingDedupSpec extends SparkSuite {
       assert(ids.contains(3L))
     } finally query.stop()
   }
+
+  test("minhashLshDuplicates catches planted near-dups across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val base = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village roofs at dusk tonight"
+    val nearDup = base.replace("quiet", "sleepy") // one word differs
+    val query = StreamingDedup
+      .minhashLshDuplicates(docs, "doc_id", "text", "10 minutes",
+        numHashes = 16, bands = 4, minJaccard = 0.5)
+      .writeStream.format("memory").queryName("lsh_dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      // batch 1: the original + an unrelated doc
+      stream.addData(
+        (t(1), 1L, base),
+        (t(1), 2L, "completely different content about distributed query engines"))
+      query.processAllAvailable()
+      // batch 2 (a LATER micro-batch): the near-dup + another unrelated
+      stream.addData(
+        (t(3), 3L, nearDup),
+        (t(3), 4L, "yet another unrelated text describing parquet file layouts"))
+      query.processAllAvailable()
+      // batch 3: an exact repeat of doc 2's text, plus fresh content
+      stream.addData(
+        (t(5), 5L, "completely different content about distributed query engines"),
+        (t(5), 6L, "novel sixth document with entirely new words"))
+      query.processAllAvailable()
+      // collapse multi-band hits per doc — the documented downstream step
+      val hits = spark.sql("select id, dup_of, est_jaccard from lsh_dedup_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (id, hs) => id -> hs.head }
+      assert(hits.contains("3"), s"near-dup planted across batches missed: $hits")
+      assert(hits("3")._2 == "1")
+      assert(hits("3")._3 >= 0.5)
+      assert(hits.contains("5"), s"exact cross-batch repeat missed: $hits")
+      assert(hits("5")._2 == "2")
+      assert(hits("5")._3 == 1.0)
+      assert(!hits.contains("2") && !hits.contains("4") && !hits.contains("6"),
+        s"false positives: $hits")
+    } finally query.stop()
+  }
 }
