@@ -29,6 +29,13 @@ object GraphAlgorithms {
     */
   val BroadcastEdgeLimit = 500000L
 
+  /** Rounds the most recent [[refineCommunities]] call on this JVM
+    * actually executed before its early-exit (or `rounds` cap) fired.
+    * Bench/test telemetry only — written once per call on the driver,
+    * not safe under concurrent refinements.
+    */
+  @volatile var lastRefineRounds: Int = -1
+
   /** G1 — static PageRank, the classic damped formulation GraphX's
     * Pregel implements (reference params: damping 0.85,
     * protocol.py:38-40): rank⁰(v) = 1.0;
@@ -440,7 +447,18 @@ object GraphAlgorithms {
     * over the dst-partitioned edge table (the same single-exchange
     * layout LPA uses), one tiny per-community degree sum σ joined back
     * (AQE broadcasts it while #communities is small), one argmax
-    * aggregation. Fixed round count.
+    * aggregation. `rounds` is an upper bound: a move happens only on
+    * STRICT integer-gain improvement over staying, so once a full
+    * residue cycle (`moverClasses` consecutive rounds) makes zero
+    * moves, every class has seen the current state and declined —
+    * the state is a fixpoint and remaining rounds would replay it
+    * unchanged. The loop detects that and stops (`stopOnStableCycle`),
+    * returning a result bit-identical to running all `rounds`; the
+    * detector is one `sum(moved)` action per round over the
+    * just-materialized checkpoint (no recompute, no extra shuffle).
+    * This mirrors the reference's run-to-convergence Louvain
+    * (protocol.py:44) instead of paying worst-case rounds at scale;
+    * executed-round telemetry lands in [[lastRefineRounds]].
     * Requires numeric NON-NEGATIVE node ids (the parity schedule is
     * id-arithmetic — `pmod` here vs signed `%` in the SQL oracle
     * diverge below zero, so negatives are rejected up front). Graph
@@ -468,7 +486,8 @@ object GraphAlgorithms {
     */
   def refineCommunities(edges: DataFrame, seed: DataFrame, rounds: Int = 16,
       moverClasses: Int = 4, burstMajoritySeed: Boolean = true,
-      sigmaBroadcastBound: Long = 2000000L): DataFrame = {
+      sigmaBroadcastBound: Long = 2000000L,
+      stopOnStableCycle: Boolean = true): DataFrame = {
     require(edges.schema("src").dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
       "refineCommunities needs numeric node ids (parity schedule)")
@@ -536,7 +555,11 @@ object GraphAlgorithms {
     // take the shuffled join.
     val broadcastSigma =
       comm.select(col("community")).distinct().count() <= sigmaBroadcastBound
-    for (r <- 0 until rounds) {
+    // zero-move streak across the residue cycle (see scaladoc): a full
+    // cycle of declined moves is a proven fixpoint, stop early
+    var stableRounds = 0
+    var r = 0
+    while (r < rounds && (!stopOnStableCycle || stableRounds < moverClasses)) {
       // σ(c): total degree of c's members — one row per community
       val sigma0 = comm.groupBy(col("community")).agg(sum(col("deg")).as("sigma"))
       val sigma = if (broadcastSigma) broadcast(sigma0) else sigma0
@@ -575,7 +598,9 @@ object GraphAlgorithms {
           when(pmod(col("node"), lit(moverClasses)) === lit(r % moverClasses),
             col("chosen"))
             .otherwise(col("cn")).as("community"),
-          col("deg"))
+          col("cn"), col("deg"))
+        .withColumn("moved", (col("community") =!= col("cn")).cast("long"))
+        .drop("cn")
       // checkpoint EVERY round: a round references comm three times
       // (σ, gather, stay rows), so carrying lazy lineage would
       // re-evaluate each prior round ~3× per level — the opposite of
@@ -584,7 +609,15 @@ object GraphAlgorithms {
       releaseLast()
       releaseLast = rel
       comm = ck
+      if (stopOnStableCycle) {
+        // rides the checkpoint just materialized — a partition-local sum,
+        // no shuffle, no recompute of the round
+        val moved = ck.agg(coalesce(sum(col("moved")), lit(0L))).first().getLong(0)
+        stableRounds = if (moved == 0L) stableRounds + 1 else 0
+      }
+      r += 1
     }
+    lastRefineRounds = r
     releaseUnd() // comm is a checkpoint — the edge table is free
     comm.select(col("node"), col("community"))
   }

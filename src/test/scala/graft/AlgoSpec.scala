@@ -239,6 +239,32 @@ class AlgoSpec extends SparkSuite {
     assert(shuffled == bcast)
   }
 
+  test("refineCommunities: stable-cycle early exit is exact and fires") {
+    // ring of cliques converges well before 64 rounds; the early exit
+    // must return the same partition a full fixed-round run does, and
+    // the telemetry must show it stopped at a zero-move cycle
+    val cliquePairs = for {
+      c <- 0 until 4; i <- 0 until 4; j <- i + 1 until 4
+    } yield (c * 4 + i).toLong -> (c * 4 + j).toLong
+    val bridges = (0 until 4).map(c => (c * 4 + 3).toLong -> (((c + 1) % 4) * 4).toLong)
+    val e = edges((cliquePairs ++ bridges): _*)
+    val seed = (0L until 16L).map(n => n -> n).toDF("node", "community")
+    val full = GraphAlgorithms.refineCommunities(e, seed, rounds = 64,
+      stopOnStableCycle = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(GraphAlgorithms.lastRefineRounds == 64)
+    val early = GraphAlgorithms.refineCommunities(e, seed, rounds = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early == full)
+    val executed = GraphAlgorithms.lastRefineRounds
+    assert(executed < 64, s"early exit never fired: ran $executed rounds")
+    // a fixpoint is detected after exactly one full zero-move residue
+    // cycle; running with the cap AT the executed count changes nothing
+    val capped = GraphAlgorithms.refineCommunities(e, seed, rounds = executed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == full)
+  }
+
   test("louvainDriver: ring of cliques — each clique one community, known Q") {
     val cliquePairs = for {
       c <- 0 until 4; i <- 0 until 4; j <- i + 1 until 4
