@@ -61,9 +61,12 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     // main list from the oracle-verified registry, then the bench-only
     // large-graph-path variants (wave Brandes, distributed min-label)
-    val runnable: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+    val all: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       names.flatMap(n => SparkEntry.queries.get(n).map(n -> _)) ++
         SparkEntry.benchExtras.toSeq.sortBy(_._1)
+    // optional args = query-name filter for local re-timing of a subset
+    // (the driver passes none, so its contract is the full list)
+    val runnable = if (args.isEmpty) all else all.filter(q => args.contains(q._1))
     // Each query runs TWICE; `queries` reports the min, `queries_first`
     // the first pass. Min-of-2 means one transient load spike can't
     // manufacture a false regression. Memo accounting (VERDICT r6 #2):

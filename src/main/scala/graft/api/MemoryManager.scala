@@ -34,6 +34,12 @@ final class MemoryManager(
 
   import MemoryTypes.{Default => DefaultType}
 
+  /** Fact count at or below which candidate search takes the per-fact
+    * TakeOrdered point path instead of the one-execution set path: n
+    * single-stage jobs beat one 4-stage execution while n is small.
+    */
+  private val PointSearchMaxFacts = 8
+
   /** Mirror of the reference's `str(manager._model)` for the MCP config
     * resource (mcp/resources.py:20): the deterministic engine's analogue
     * is which extractor/embedder implementations are plugged in.
@@ -133,7 +139,8 @@ final class MemoryManager(
             extraction.facts.map(f => Decision(DecisionAction.Add, f, None))
           else reconciler.reconcile(extraction.facts, candidates)
         val events = executeDecisions(decisions, embeddings, temporal, ts,
-          memoryType, sessionId, runId, actorId, role, metadata, importance)
+          memoryType, sessionId, runId, actorId, role, metadata, importance,
+          knownTexts = candidates.toMap)
         storeGraph(extraction, events.flatMap(_.memoryId).map(_.toLong))
         // session chains link only ADD events (manager.py:315 filters
         // e.action == MemoryAction.ADD), but the episode's PRODUCED
@@ -231,30 +238,49 @@ final class MemoryManager(
     val mem =
       if (memoryType == MemoryTypes.Semantic) mem0
       else mem0.filter(FilterOps.memoryType(col("memory_type"), memoryType))
-    if (mem.isEmpty) Nil
-    else {
-      import spark.implicits._
-      val queries = embeddings.zipWithIndex.map { case (e, i) => (i, e) }
-        .toDF("fact_idx", "q_emb")
-      val perFact = SimilarityOps
-        .bruteForceTopK(mem, "id", "embedding", broadcast(queries),
-          "fact_idx", "q_emb", config.reconciliationCandidates, excludeSelf = false)
-        // reference similarity is max(0, 1-distance), never negative
-        .filter(greatest(lit(0.0), col("cosine")) >= config.reconciliationThreshold)
-        .orderBy(col("query_id"), col("rank"))
-        .select(col("query_id"), col("neighbor_id"))
-        .collect()
-      val ids = perFact.map(_.getLong(1)).distinct.toSeq // first-fact-wins dedup
-      if (ids.isEmpty) Nil
-      else {
-        val texts = store.memories
-          .filter(col("id").isin(ids: _*))
+    val k = config.reconciliationCandidates
+    if (embeddings.size <= PointSearchMaxFacts) {
+      // POINT path (the interactive add: 1-few facts). Per fact, one
+      // single-stage job — scan → codegen'd cosine against the literal
+      // query embedding → threshold filter → TakeOrderedAndProject
+      // (per-partition heaps, driver merge of p·k rows). No broadcast
+      // build, no crossjoin, no window shuffle, no join-back: this is
+      // the whole per-add latency story of BASELINE §8, and it is also
+      // the correct distributed top-k shape at 100 TB. Threshold-then-
+      // top-k equals the set path's top-k-then-threshold: both keep
+      // the best ≤k candidates at or above the threshold.
+      embeddings.flatMap { e =>
+        mem.select(col("id"), col("text"),
+            VectorFunctions.cosineSimilarity(col("embedding"), typedLit(e))
+              .as("cosine"))
+          // reference similarity is max(0, 1-distance), never negative
+          .filter(greatest(lit(0.0), col("cosine")) >= config.reconciliationThreshold)
+          .orderBy(col("cosine").desc, col("id").asc)
+          .limit(k)
           .select(col("id"), col("text"))
           .collect()
           .map(r => r.getLong(0) -> r.getString(1))
-          .toMap
-        ids.flatMap(id => texts.get(id).map(id -> _))
-      }
+      }.distinctBy(_._1).toSeq // first-fact-wins dedup, fact order kept
+    } else {
+      // SET path (big extraction batches): one execution for all facts —
+      // crossjoin + per-query window beats fact-count sequential jobs.
+      // Candidate texts ride the same job via a join back to the
+      // (checkpointed, in-memory) memory table; an empty store just
+      // collects zero rows, no up-front isEmpty probe.
+      import spark.implicits._
+      val queries = embeddings.zipWithIndex.map { case (e, i) => (i, e) }
+        .toDF("fact_idx", "q_emb")
+      val rows = SimilarityOps
+        .bruteForceTopK(mem, "id", "embedding", broadcast(queries),
+          "fact_idx", "q_emb", k, excludeSelf = false)
+        .filter(greatest(lit(0.0), col("cosine")) >= config.reconciliationThreshold)
+        .join(mem.select(col("id").as("neighbor_id"), col("text")), Seq("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("text"))
+        .collect()
+      // (query_id, rank) order + first-fact-wins dedup on the driver:
+      // ≤ k·facts rows, not worth a global-sort exchange
+      rows.sortBy(r => (r.getInt(0), r.getInt(1)))
+        .map(r => r.getLong(2) -> r.getString(3)).distinctBy(_._1).toSeq
     }
   }
 
@@ -270,7 +296,8 @@ final class MemoryManager(
       actorId: Option[String],
       role: Option[String],
       metadata: Option[String],
-      importance: Double = 1.0
+      importance: Double = 1.0,
+      knownTexts: Map[Long, String] = Map.empty // candidate texts already collected
   ): Seq[MemoryEvent] = {
     val events = scala.collection.mutable.ArrayBuffer.empty[MemoryEvent]
     decisions.zipWithIndex.foreach { case (d, i) =>
@@ -293,7 +320,8 @@ final class MemoryManager(
 
         case DecisionAction.Update =>
           val target = d.targetMemoryId.get
-          val oldText = expireMemory(target, ts, Some(factValidAt.getOrElse(ts)))
+          val oldText = expireMemory(target, ts, Some(factValidAt.getOrElse(ts)),
+            knownText = knownTexts.get(target))
           val emb = embedder.embedOne(d.text)
           val id = createMemory(d.text, Some(emb), ts, memoryType, sessionId,
             runId, actorId, role, metadata, factValidAt, importance)
@@ -308,7 +336,8 @@ final class MemoryManager(
 
         case DecisionAction.Delete =>
           val target = d.targetMemoryId.get
-          val oldText = expireMemory(target, ts, None)
+          val oldText = expireMemory(target, ts, None,
+            knownText = knownTexts.get(target))
           recordHistory("DELETE", target, ts, oldText, None, actorId, role)
           events += MemoryEvent("DELETE", Some(target.toString),
             oldText.getOrElse(""), oldText)
@@ -374,9 +403,14 @@ final class MemoryManager(
   /** W6 — soft expiry; sets invalid_at only in bitemporal mode
     * (manager.py:1130-1151). Returns the old text.
     */
-  private def expireMemory(id: Long, ts: Long, invalidAt: Option[Long]): Option[String] = {
-    val cur = store.memories.filter(col("id") === id)
-      .select(col("text")).collect().headOption.map(_.getString(0))
+  private def expireMemory(id: Long, ts: Long, invalidAt: Option[Long],
+      knownText: Option[String] = None): Option[String] = {
+    // the reconcile path already collected the target's text during
+    // candidate search — skip the per-add existence probe when the
+    // caller can vouch for it (per-user lock rules out a concurrent
+    // delete between the two)
+    val cur = knownText.orElse(store.memories.filter(col("id") === id)
+      .select(col("text")).collect().headOption.map(_.getString(0)))
     if (cur.isDefined) {
       import spark.implicits._
       val inv: Option[Long] = if (config.enableBitemporal) invalidAt else None
