@@ -223,6 +223,39 @@ object TextQueries {
           targetWeight = 1000L)
         .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))
+    },
+    "q_decontaminate" -> { (s, dir) =>
+      // benchmark decontamination: the "eval set" is a deterministic
+      // corpus slice (doc_id % 19), the rest is the training corpus;
+      // eval 5-gram set broadcasts, the train side never shuffles its
+      // text (CorpusOps.ngramContamination scaladoc)
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      graft.ops.CorpusOps
+        .ngramContamination(train, evalSet, "doc_id", "text", n = 5, minOverlap = 3)
+        .orderBy(col("doc_id"))
+    },
+    "q_split_assign" -> { (s, dir) =>
+      // deterministic train/val/test carve by id hash — stable under
+      // corpus growth, shuffle-free
+      graft.ops.CorpusOps
+        .hashSplit(load(s, dir, "documents").select(col("doc_id")), "doc_id",
+          trainPct = 80, valPct = 10)
+        .orderBy(col("doc_id"))
+    },
+    "q_mix_weighted" -> { (s, dir) =>
+      // weighted source mixing: per-source keep rates (derived here from
+      // the source suffix so the mixture spec is reproducible in the
+      // oracle), applied as a deterministic per-row hash threshold
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("rate",
+          (pmod(substring(col("source"), 4, 10).cast("long"), lit(5)) + 1) * lit(0.2))
+      graft.ops.CorpusOps.weightedMix(docs, "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"), col("keep_bucket"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -452,7 +485,44 @@ object TextQueries {
          |    / 1000.0) AS BIGINT) AS shard_id
          |FROM surv ORDER BY doc_id""".stripMargin
 
+    val sh5 = sqlWordShingles(toks, 5)
+    val decontaminate =
+      s"""WITH t AS (SELECT doc_id, $sh5 AS sh FROM documents),
+         |ev AS (SELECT DISTINCT unnest(sh) AS gram FROM t WHERE doc_id % 19 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS gram FROM t WHERE doc_id % 19 <> 0),
+         |m AS (SELECT tr.doc_id, count(*) AS n FROM tr JOIN ev USING (gram)
+         |  GROUP BY tr.doc_id)
+         |SELECT t.doc_id, coalesce(m.n, 0)::BIGINT AS n_overlap,
+         |  coalesce(m.n, 0) >= 3 AS contaminated
+         |FROM t LEFT JOIN m ON t.doc_id = m.doc_id
+         |WHERE t.doc_id % 19 <> 0 ORDER BY t.doc_id""".stripMargin
+
+    val splitAssign =
+      s"""WITH b AS (SELECT doc_id,
+         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 100)::BIGINT
+         |    AS split_bucket FROM documents)
+         |SELECT doc_id, split_bucket,
+         |  CASE WHEN split_bucket < 80 THEN 'train'
+         |       WHEN split_bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id""".stripMargin
+
+    val mixWeighted =
+      s"""WITH r AS (SELECT source,
+         |  ((substr(source, 4)::BIGINT % 5) + 1) * 0.2 AS rate
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |d AS (SELECT doc_id, source,
+         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::BIGINT
+         |    AS keep_bucket FROM documents)
+         |SELECT d.doc_id, d.source, d.keep_bucket
+         |FROM d JOIN r USING (source)
+         |WHERE d.keep_bucket < floor(r.rate * 10000)::BIGINT
+         |ORDER BY d.doc_id""".stripMargin
+
     Map(
+      "q_decontaminate" -> decontaminate,
+      "q_split_assign" -> splitAssign,
+      "q_mix_weighted" -> mixWeighted,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,
       "q_text_quality_rules" -> qualityRules,

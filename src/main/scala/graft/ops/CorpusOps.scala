@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions
+
+/** Corpus-assembly operators for a training-data pipeline: benchmark
+  * decontamination, deterministic splits, and weighted per-source
+  * mixing. These are the steps that sit AROUND the dedup/quality
+  * operators (DedupOps, TextFunctions) when a 100 TB corpus is turned
+  * into a training set: remove eval-set leakage, carve train/val/test,
+  * and resample sources to a target mixture.
+  *
+  * All three are deterministic by construction (content/id hashing, no
+  * RNG), so the same corpus yields the same output on any cluster
+  * layout — and each is DuckDB-oracle-checkable (q_decontaminate,
+  * q_split_assign, q_mix_weighted).
+  */
+object CorpusOps {
+
+  /** Deterministic hash bucket in [0, buckets) from a stable string
+    * rendering of `id`. md5 is the cross-engine anchor (same choice as
+    * the exact-dedup content hash): both Spark and DuckDB render the
+    * same hex, so oracle SQL reproduces the exact assignment. First 8
+    * hex chars = 32 bits — uniform, and `conv` stays well inside long
+    * range.
+    */
+  def hashBucket(id: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Benchmark decontamination (the GPT-3/PaLM-style n-gram overlap
+    * check): for each training document, count how many of its distinct
+    * word n-grams appear anywhere in the eval corpus, and flag docs at
+    * or above `minOverlap` as contaminated (to be dropped or audited).
+    *
+    * Scale shape: the eval side of any real decontamination run is
+    * tiny relative to the corpus (benchmarks are MBs, the corpus is
+    * TBs), so its distinct gram set is BROADCAST — the train side
+    * streams through a map-side hash join with no shuffle of corpus
+    * data; the only exchange is the per-doc overlap count, which
+    * partial-aggregates to at most one row per (doc, partition) before
+    * shuffling. Nothing here is proportional to corpus × eval.
+    *
+    * Output: one row per train document — (id, n_overlap: count of
+    * distinct matched grams, contaminated). Zero-overlap docs are
+    * retained (a decontamination pass must positively clear documents,
+    * not just name the dirty ones).
+    */
+  def ngramContamination(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minOverlap: Int = 3): DataFrame = {
+    val evalGrams = eval
+      .select(explode(HashFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .distinct()
+    val matched = train
+      .select(col(idCol), explode(HashFunctions.wordShingles(col(textCol), n))
+        .as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      // grams are distinct within a doc, so count(*) is distinct-matches
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
+  /** Deterministic train/val/test assignment by id hash: bucket 0–99,
+    * `train` below `trainPct`, `val` in the next `valPct`, `test`
+    * above. Pure per-row expression — no shuffle, no state, and the
+    * assignment is stable under corpus growth (a document's split never
+    * changes when other documents are added, the property random
+    * sampling lacks and incremental pipelines need).
+    *
+    * Output: input columns + (split_bucket, split).
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split percentages: train=$trainPct val=$valPct")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("split_bucket", b)
+      .withColumn("split",
+        when(col("split_bucket") < trainPct, lit("train"))
+          .when(col("split_bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Weighted corpus mixing: deterministically subsample each stratum
+    * (source/domain) to its target rate. `rates` is a (stratum, rate)
+    * table — rate in [0, 1] is the fraction of that stratum's documents
+    * to keep; strata absent from `rates` are dropped (an explicit
+    * mixture spec names everything it wants).
+    *
+    * The keep decision is `hashBucket(id, 10000) < rate * 10000` —
+    * per-row, shuffle-free (the rates table broadcasts), reproducible,
+    * and monotone in rate: raising a source's weight strictly grows its
+    * sample, so mixture iterations reuse everything already selected
+    * (the property that lets a 100 TB pipeline re-mix without
+    * re-materializing the corpus).
+    *
+    * Output: input columns + keep_bucket, filtered to the kept rows.
+    */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: DataFrame): DataFrame = {
+    val r = rates.select(col(strataCol), col("rate"))
+    df.join(broadcast(r), Seq(strataCol))
+      .withColumn("keep_bucket", hashBucket(col(idCol), 10000))
+      .filter(col("keep_bucket") < (col("rate") * 10000).cast("long"))
+      .drop("rate")
+  }
+}

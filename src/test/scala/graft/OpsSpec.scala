@@ -282,4 +282,68 @@ class OpsSpec extends SparkSuite {
     assert(fused(2L) == 1.0 / 3 + 1.0 / 2) // rank 2 + rank 1
     assert(fused(1L) == 1.0 / 2 && fused(3L) == 1.0 / 3)
   }
+
+  test("ngramContamination: planted leak flagged, clean doc cleared") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // verbatim copy of an eval span: many shared 5-grams
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta suffix"),
+      // one shared 5-gram only — below minOverlap=3
+      (2L, "alpha beta gamma delta epsilon completely different tail here"),
+      (3L, "nothing in common with the benchmark at all honestly")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps
+      .ngramContamination(train, evalSet, "doc_id", "text", n = 5, minOverlap = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L)._1 >= 3 && got(1L)._2)           // leak caught
+    assert(got(2L) == ((1L, false)))                // grazing overlap cleared
+    assert(got(3L) == ((0L, false)))                // zero-overlap row retained
+    // eval-side gram set must broadcast: the corpus side never shuffles
+    val plan = graft.ops.CorpusOps
+      .ngramContamination(train, evalSet, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval gram join should broadcast:\n$plan")
+  }
+
+  test("hashSplit: assignment is stable, in-range, and growth-invariant") {
+    val small = (0L until 200L).toDF("doc_id")
+    val big = (0L until 400L).toDF("doc_id")
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.CorpusOps.hashSplit(df, "doc_id")
+        .select("doc_id", "split_bucket", "split").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val s = assign(small); val b = assign(big)
+    assert(s.forall { case (_, (bk, _)) => bk >= 0 && bk < 100 })
+    // a document's split never changes when the corpus grows
+    assert(s.forall { case (id, v) => b(id) == v })
+    val frac = s.values.count(_._2 == "train").toDouble / s.size
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac far from 80%")
+    assert(s.values.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
+  test("weightedMix: rate 1 keeps all, rate 0 drops all, monotone in rate") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    def kept(r0: Double, r1: Double, r2: Double): Map[String, Set[Long]] = {
+      val rates = Seq(("s0", r0), ("s1", r1), ("s2", r2)).toDF("source", "rate")
+      graft.ops.CorpusOps.weightedMix(docs, "doc_id", "source", rates)
+        .select("source", "doc_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        .withDefaultValue(Set.empty[Long])
+    }
+    val full = kept(1.0, 1.0, 1.0)
+    assert(full("s0").size == 100 && full("s1").size == 100 && full("s2").size == 100)
+    val none = kept(0.0, 1.0, 1.0)
+    assert(none("s0").isEmpty && none("s1").size == 100)
+    // monotone: raising a rate only ADDS documents (re-mix reuses the
+    // previous selection — the incremental-pipeline property)
+    val half = kept(0.5, 0.5, 0.5)
+    val threeQ = kept(0.75, 0.75, 0.75)
+    Seq("s0", "s1", "s2").foreach { src =>
+      assert(half(src).subsetOf(threeQ(src)), s"$src not monotone")
+      assert(threeQ(src).subsetOf(full(src)))
+    }
+  }
 }
