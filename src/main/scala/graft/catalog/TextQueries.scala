@@ -245,6 +245,23 @@ object TextQueries {
           trainPct = 80, valPct = 10)
         .orderBy(col("doc_id"))
     },
+    "q_seq_pack" -> { (s, dir) =>
+      // fixed-length training-sequence packing: concat the corpus token
+      // stream in doc_id order, chunk at 256-token boundaries; one row
+      // per (doc, sequence) slice
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      graft.ops.ShardOps.packSequences(docs, "doc_id", "n_tokens", seqLen = 256L)
+        .select(col("doc_id"), col("seq_id"), col("doc_start"), col("doc_end"),
+          col("seq_pos"))
+        .orderBy(col("doc_id"), col("seq_id"))
+    },
+    "q_vocab_topk" -> { (s, dir) =>
+      // tokenizer-prep vocabulary: top 100 tokens by corpus frequency
+      graft.ops.CorpusOps.vocabTopK(load(s, dir, "documents"), "doc_id", "text",
+        k = 100)
+    },
     "q_mix_weighted" -> { (s, dir) =>
       // weighted source mixing: per-source keep rates (derived here from
       // the source suffix so the mixture spec is reproducible in the
@@ -519,10 +536,34 @@ object TextQueries {
          |WHERE d.keep_bucket < floor(r.rate * 10000)::BIGINT
          |ORDER BY d.doc_id""".stripMargin
 
+    val seqPack =
+      s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS ntok FROM documents),
+         |o AS (SELECT doc_id, ntok,
+         |  coalesce(sum(ntok) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS off
+         |  FROM t),
+         |e AS (SELECT doc_id, ntok, off,
+         |  unnest(range(off // 256, (off + ntok - 1) // 256 + 1)) AS seq_id
+         |  FROM o WHERE ntok > 0)
+         |SELECT doc_id, seq_id::BIGINT AS seq_id,
+         |  (greatest(off, seq_id * 256) - off)::BIGINT AS doc_start,
+         |  (least(off + ntok, (seq_id + 1) * 256) - off)::BIGINT AS doc_end,
+         |  (greatest(off, seq_id * 256) - seq_id * 256)::BIGINT AS seq_pos
+         |FROM e ORDER BY doc_id, seq_id""".stripMargin
+
+    val vocabTopK =
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
+         |SELECT token, count(*)::BIGINT AS tf,
+         |  count(DISTINCT doc_id)::BIGINT AS doc_freq
+         |FROM tok GROUP BY token
+         |ORDER BY tf DESC, token LIMIT 100""".stripMargin
+
     Map(
       "q_decontaminate" -> decontaminate,
       "q_split_assign" -> splitAssign,
       "q_mix_weighted" -> mixWeighted,
+      "q_seq_pack" -> seqPack,
+      "q_vocab_topk" -> vocabTopK,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,
       "q_text_quality_rules" -> qualityRules,

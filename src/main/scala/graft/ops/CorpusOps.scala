@@ -96,6 +96,35 @@ object CorpusOps {
           .otherwise(lit("test")))
   }
 
+  /** Corpus vocabulary statistics — the tokenizer-training prep step:
+    * the top-`k` tokens by corpus frequency, with per-token term
+    * frequency and document frequency. Deterministic under ties
+    * (count desc, then token asc), so the top-k row SET is unambiguous
+    * and oracle-checkable.
+    *
+    * Scale shape: one token-keyed aggregation (tf partial-aggregates
+    * map-side; df counts distinct ids per token — Spark plans the
+    * distinct via an expand over (token, id), still token-keyed), then
+    * a TakeOrderedAndProject top-k (per-partition heaps, driver merges
+    * k rows). No global window, no all-token sort.
+    *
+    * Output: (token, tf, doc_freq), k rows.
+    */
+  def vocabTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
   /** Weighted corpus mixing: deterministically subsample each stratum
     * (source/domain) to its target rate. `rates` is a (stratum, rate)
     * table — rate in [0, 1] is the fraction of that stratum's documents

@@ -26,13 +26,17 @@ import org.apache.spark.sql.functions._
   */
 object ShardOps {
 
-  def packShards(
+  /** Input columns + `outCol` = the exclusive prefix sum of `weightCol`
+    * in `keyCol` order — the shared two-level scan under packShards and
+    * packSequences. Null weights sum as 0; `keyCol` must be unique
+    * (see the packing contract above).
+    */
+  private def withExclusivePrefix(
       df: DataFrame,
       keyCol: String,
       weightCol: String,
-      targetWeight: Long
+      outCol: String
   ): DataFrame = {
-    require(targetWeight > 0, "targetWeight must be positive")
     val spark = df.sparkSession
     val p = spark.sessionState.conf.numShufflePartitions
     // checkpoint pins the bucket assignment: spark_partition_id() is a
@@ -58,9 +62,60 @@ object ShardOps {
     val inclusive: Column = sum(w0).over(w)
     ranged
       .join(broadcast(offDf), Seq("__bucket"))
-      .withColumn("__exclusive", col("__offset") + inclusive - w0)
+      .withColumn(outCol, col("__offset") + inclusive - w0)
+      .drop("__bucket", "__offset")
+  }
+
+  def packShards(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      targetWeight: Long
+  ): DataFrame = {
+    require(targetWeight > 0, "targetWeight must be positive")
+    withExclusivePrefix(df, keyCol, weightCol, "__exclusive")
       .withColumn("shard_id",
         floor(col("__exclusive").cast("double") / targetWeight.toDouble).cast("long"))
-      .drop("__bucket", "__offset", "__exclusive")
+      .drop("__exclusive")
+  }
+
+  /** Sequence packing for pretraining: concatenate the corpus token
+    * stream in `keyCol` order and chunk it into fixed `seqLen`-token
+    * training sequences — the "pack documents into context windows"
+    * step that follows shard assignment. Unlike packShards (a doc lands
+    * whole in one shard), a document here SPANS sequence boundaries:
+    * each output row is one (document, sequence) slice.
+    *
+    * Output: input columns + `seq_id` (which sequence the slice feeds),
+    * `doc_start`/`doc_end` (the token span within the document,
+    * end-exclusive) and `seq_pos` (where the slice begins inside the
+    * sequence). Per doc the slices tile [0, n_tokens) exactly; per
+    * sequence the slices tile [0, seqLen) exactly (last sequence
+    * excepted) — both properties are spec-asserted. Zero-token rows
+    * emit nothing (they contribute no tokens to any sequence).
+    *
+    * Scale shape: the same two-level prefix sum as packShards (never a
+    * global window), then a per-row explode bounded by
+    * n_tokens/seqLen + 1 slices — proportional to the corpus token
+    * count over seqLen, not to document count × sequence count.
+    */
+  def packSequences(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      seqLen: Long
+  ): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val ntok = coalesce(col(tokensCol).cast("long"), lit(0L))
+    val off = col("__off")
+    val L = lit(seqLen)
+    withExclusivePrefix(df, keyCol, tokensCol, "__off")
+      .filter(ntok > 0)
+      .withColumn("seq_id",
+        explode(sequence(floor(off / L), floor((off + ntok - lit(1L)) / L))))
+      .withColumn("doc_start", greatest(off, col("seq_id") * L) - off)
+      .withColumn("doc_end", least(off + ntok, (col("seq_id") + 1) * L) - off)
+      .withColumn("seq_pos", greatest(off, col("seq_id") * L) - col("seq_id") * L)
+      .drop("__off")
   }
 }

@@ -323,6 +323,44 @@ class OpsSpec extends SparkSuite {
     assert(s.values.map(_._2).toSet == Set("train", "val", "test"))
   }
 
+  test("packSequences: slices tile both the doc and the sequence") {
+    val docs = Seq((1L, 4L), (2L, 10L), (3L, 17L), (4L, 0L), (5L, 3L))
+      .toDF("doc_id", "n_tokens")
+    val got = graft.ops.ShardOps.packSequences(docs, "doc_id", "n_tokens", 10L)
+      .select("doc_id", "seq_id", "doc_start", "doc_end", "seq_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // offsets: d1@0, d2@4, d3@14, d4 zero-token (emits nothing), d5@31
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, 0L),
+      (2L, 0L, 0L, 6L, 4L), (2L, 1L, 6L, 10L, 0L),
+      (3L, 1L, 0L, 6L, 4L), (3L, 2L, 6L, 16L, 0L), (3L, 3L, 16L, 17L, 0L),
+      (5L, 3L, 0L, 3L, 1L)))
+    // every full sequence holds exactly seqLen tokens
+    val perSeq = got.groupBy(_._2).view
+      .mapValues(_.toSeq.map(s => s._4 - s._3).sum).toMap
+    assert(perSeq == Map(0L -> 10L, 1L -> 10L, 2L -> 10L, 3L -> 4L))
+    // partitioning must not change the assignment (two-level prefix sum)
+    val reparted = graft.ops.ShardOps
+      .packSequences(docs.repartition(7), "doc_id", "n_tokens", 10L)
+      .select("doc_id", "seq_id", "doc_start", "doc_end", "seq_pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(reparted == got)
+  }
+
+  test("vocabTopK: counts, doc frequency, deterministic tie-break") {
+    val docs = Seq((1L, "a a b"), (2L, "b c a")).toDF("doc_id", "text")
+    val top2 = graft.ops.CorpusOps.vocabTopK(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(top2.toSeq == Seq(("a", 3L, 2L), ("b", 2L, 2L)))
+    // equal counts break ties by token order, so top-k sets are stable
+    val tied = Seq((1L, "x y"), (2L, "y x")).toDF("doc_id", "text")
+    val top1 = graft.ops.CorpusOps.vocabTopK(tied, "doc_id", "text", 1)
+      .collect().map(_.getString(0))
+    assert(top1.toSeq == Seq("x"))
+  }
+
   test("weightedMix: rate 1 keeps all, rate 0 drops all, monotone in rate") {
     val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
     def kept(r0: Double, r1: Double, r2: Double): Map[String, Set[Long]] = {
