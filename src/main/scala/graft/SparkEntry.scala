@@ -80,7 +80,7 @@ object SparkEntry {
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk",
-    "q_emb_neardup_lsh",
+    "q_emb_neardup_lsh", "q_semdedup",
     "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",

@@ -65,6 +65,17 @@ object SimilarityQueries {
         .select(col("query_id"), col("neighbor_id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("query_id"), col("neighbor_id"))
     },
+    "q_semdedup" -> { (s, dir) =>
+      // SemDeDup: IVF-cell clustering + within-cell greedy exemplar
+      // choice; θ=0.5 (the near-dup band of this corpus — 0.3 is the
+      // stress figure, 0.9 the planted-twin design point)
+      val emb = load(s, dir, "embeddings")
+      SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+          numCells = IvfCells, threshold = 0.5)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          col("dup_of"), col("kept"))
+        .orderBy(col("vec_id"))
+    },
     "q_emb_neardup_exact" -> { (s, dir) =>
       val emb = load(s, dir, "embeddings")
       DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
@@ -294,6 +305,26 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS cosine
          |FROM dedup WHERE rn = 1 ORDER BY query_id, neighbor_id""".stripMargin
 
+    val semdedup =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+         |         FROM (SELECT e.vec_id, e.v
+         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // $IvfCells) AS stride FROM e) s
+         |               WHERE e.vec_id % s.stride = 0
+         |               ORDER BY e.vec_id LIMIT $IvfCells)),
+         |assigned AS (
+         |  SELECT vec_id, v, cell FROM (
+         |    SELECT e.vec_id, e.v, cent.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent) WHERE rn = 1),
+         |p AS (SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+         |      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |      WHERE ${cos("a.v", "b.v")} >= 0.5 GROUP BY b.vec_id)
+         |SELECT s.vec_id, s.cell::BIGINT AS cell, p.dup_of,
+         |  p.dup_of IS NULL AS kept
+         |FROM assigned s LEFT JOIN p ON s.vec_id = p.vid
+         |ORDER BY s.vec_id""".stripMargin
+
     val exact =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round(${cos("a.v", "b.v")}, 6) AS cosine
@@ -365,6 +396,7 @@ object SimilarityQueries {
       "q_ann_bruteforce" -> bruteforce,
       "q_ann_ivf" -> ivf,
       "q_recon_candidates" -> recon,
+      "q_semdedup" -> semdedup,
       "q_emb_neardup_exact" -> exact,
       "q_emb_neardup_lsh" -> lsh,
       "q_cosine_topk" -> topk,

@@ -233,4 +233,48 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into IVF
+    * cells (the strided, oracle-replayable index), then within each
+    * cell drop every document that has a SMALLER-id near-duplicate at
+    * `threshold` cosine or above. The kept set is exactly the documents
+    * with no smaller near-dup neighbor in their cell — a deterministic
+    * one-pass greedy exemplar choice (the drop decision reads only the
+    * pair list, never whether the neighbor itself survived, so chains
+    * a~b~c with cos(a,c) < θ keep only a; that over-drop is the
+    * standard SemDeDup trade and is documented rather than repaired —
+    * transitive grouping is DedupOps.duplicateClusters' job).
+    *
+    * Scale shape: one broadcast centroid assign, then a cell-keyed
+    * self-join — all-pairs only WITHIN a cell, so numCells is the
+    * contract bound (cell size ≈ corpus/C; raise C with corpus size,
+    * same framing as the bounded-group n-gram Jaccard). Cross-cell
+    * near-dups are deliberately out of scope: that recall/cost knob is
+    * what the banded sign-LSH path (embeddingNearDupPairs) covers.
+    *
+    * Output: one row per input doc — (id, cell, dup_of: smallest
+    * same-cell near-dup id below it or null, kept).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int,
+      threshold: Double
+  ): DataFrame = {
+    val (assigned, _) = ivfIndex(corpus, idCol, embCol, numCells)
+    val a = assigned.select(col("cell"), col(idCol).as("doc_a"),
+      col(embCol).as("emb_a"))
+    val b = assigned.select(col("cell"), col(idCol).as("doc_b"),
+      col(embCol).as("emb_b"))
+    val dupOf = a.join(b, Seq("cell"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(VectorFunctions.cosineSimilarity(col("emb_a"), col("emb_b"))
+        >= threshold)
+      .groupBy(col("doc_b").as(idCol))
+      .agg(min(col("doc_a")).as("dup_of"))
+    assigned.select(col(idCol), col("cell"))
+      .join(dupOf, Seq(idCol), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
 }

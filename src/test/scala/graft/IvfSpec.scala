@@ -123,4 +123,29 @@ class IvfSpec extends SparkSuite {
       s"stale-append recall sagged more than the documented knee: " +
         f"stale=$stale%.3f fresh=$fresh%.3f")
   }
+
+  test("semanticDedup: planted near-dups dropped, greedy chain documented") {
+    import spark.implicits._
+    // unit vectors at known angles: 1 is 20 deg off 0 (cos .94 >= .9),
+    // 4 is 40 deg off 0 (cos .77 < .9) but 20 deg off 1
+    def at(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0f, 0f)
+    }
+    val emb = Seq(
+      (0L, at(0)), (1L, at(20)), (4L, at(40)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, at(88) /* near e2? no: 88 deg off 0 */)
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps
+      .semanticDedup(emb, "vec_id", "embedding", numCells = 1, threshold = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getBoolean(3)))).toMap
+    assert(got(0L) == ((None, true)))        // exemplar survives
+    assert(got(1L) == ((Some(0L), false)))   // 20-deg twin dropped
+    // the greedy chain: 4 is far from 0 but near 1; it records 1 as its
+    // smaller near-dup and drops, even though 1 itself dropped
+    assert(got(4L) == ((Some(1L), false)))
+    assert(got(2L)._2 && got(3L)._2)         // isolated docs kept
+  }
 }
