@@ -79,7 +79,7 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
-    "q_decontaminate", "q_seq_pack", "q_vocab_topk",
+    "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_quality_classifier",
     "q_emb_neardup_lsh", "q_semdedup",
     "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",

@@ -257,6 +257,22 @@ object TextQueries {
           col("seq_pos"))
         .orderBy(col("doc_id"), col("seq_id"))
     },
+    "q_quality_classifier" -> { (s, dir) =>
+      // model-based quality filter: hashed-bucket linear model, weights
+      // synthesized deterministically from the bucket index (the stand-in
+      // for an offline-trained fasttext-style classifier — the mixing
+      // constants make the "model" reproducible in the oracle)
+      import graft.functions.HashFunctions.{minhashA, minhashB, MinhashPrime}
+      val weights = s.range(1024).select(col("id").as("bucket"),
+        (((col("id") * lit(minhashA(1)) + lit(minhashB(1))) % lit(MinhashPrime))
+          .cast("double") / lit(MinhashPrime.toDouble) * lit(2.0) - lit(1.0))
+          .as("weight"))
+      graft.ops.CorpusOps
+        .linearQualityScore(load(s, dir, "documents"), "doc_id", "text",
+          weights, buckets = 1024)
+        .select(col("doc_id"), col("n_tok"), round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"))
+    },
     "q_vocab_topk" -> { (s, dir) =>
       // tokenizer-prep vocabulary: top 100 tokens by corpus frequency
       graft.ops.CorpusOps.vocabTopK(load(s, dir, "documents"), "doc_id", "text",
@@ -551,6 +567,24 @@ object TextQueries {
          |  (greatest(off, seq_id * 256) - seq_id * 256)::BIGINT AS seq_pos
          |FROM e ORDER BY doc_id, seq_id""".stripMargin
 
+    val qualityClassifier = {
+      import graft.functions.HashFunctions.{minhashA, minhashB, MinhashPrime}
+      s"""WITH w AS (SELECT i AS bucket,
+         |  ((i * ${minhashA(1)} + ${minhashB(1)}) % $MinhashPrime) / $MinhashPrime * 2 - 1 AS weight
+         |  FROM range(0, 1024) t(i)),
+         |tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |b AS (SELECT doc_id,
+         |  (('0x' || substr(md5(token), 1, 8))::UBIGINT % 1024)::BIGINT AS bucket
+         |  FROM tok),
+         |sc AS (SELECT doc_id, count(*)::BIGINT AS n_tok,
+         |  sum(coalesce(w.weight, 0)) AS wsum
+         |  FROM b LEFT JOIN w USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(sc.n_tok, 0)::BIGINT AS n_tok,
+         |  round(1.0 / (1.0 + exp(-(coalesce(sc.wsum / sc.n_tok, 0.0)))), 6) AS score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }
+
     val vocabTopK =
       s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents)
          |SELECT token, count(*)::BIGINT AS tf,
@@ -564,6 +598,7 @@ object TextQueries {
       "q_mix_weighted" -> mixWeighted,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
+      "q_quality_classifier" -> qualityClassifier,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,
       "q_text_quality_rules" -> qualityRules,

@@ -96,6 +96,50 @@ object CorpusOps {
           .otherwise(lit("test")))
   }
 
+  /** Model-based quality scoring (the DCLM/fineweb-classifier step): a
+    * hashed-bucket linear model over tokens — each token hashes to one
+    * of `buckets` feature buckets, the model is a (bucket, weight)
+    * table, and a document scores sigmoid(mean bucket weight + bias).
+    * The weights table is the LEARNED artifact (trained offline, like a
+    * fasttext quality classifier); this operator is the inference pass.
+    *
+    * Scale shape: the model broadcasts (fasttext-scale is a few M
+    * buckets — megabytes), tokens hash map-side, and the per-doc mean
+    * partial-aggregates before its one doc-keyed shuffle. No UDFs, no
+    * per-row model evaluation outside codegen.
+    *
+    * Zero-token documents score sigmoid(bias) — the model's prior, not
+    * null. Tokens hashing to buckets absent from the weights table
+    * contribute weight 0 (an L1-pruned model omits its zero rows).
+    *
+    * Output: (id, n_tok, score).
+    */
+  def linearQualityScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      buckets: Int,
+      bias: Double = 0.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val scored = df
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("bucket", hashBucket(col("token"), buckets))
+      .join(broadcast(weights.select(col("bucket"), col("weight"))),
+        Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(coalesce(col("weight"), lit(0.0))).as("wsum"))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(coalesce(col("wsum") / col("n_tok"), lit(0.0)) + lit(bias)))))
+          .as("score"))
+  }
+
   /** Corpus vocabulary statistics — the tokenizer-training prep step:
     * the top-`k` tokens by corpus frequency, with per-token term
     * frequency and document frequency. Deterministic under ties

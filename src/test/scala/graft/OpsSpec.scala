@@ -361,6 +361,30 @@ class OpsSpec extends SparkSuite {
     assert(top1.toSeq == Seq("x"))
   }
 
+  test("linearQualityScore: sigmoid of mean bucket weight, prior for empty docs") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "delta"))
+      .toDF("doc_id", "text")
+    // constant-weight model: every bucket 0.8 -> every token weighs 0.8,
+    // so any non-empty doc scores sigmoid(0.8)
+    val w = (0L until 16L).map(b => (b, 0.8)).toDF("bucket", "weight")
+    val got = graft.ops.CorpusOps
+      .linearQualityScore(docs, "doc_id", "text", w, buckets = 16, bias = 0.25)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def sigmoid(x: Double) = 1.0 / (1.0 + math.exp(-x))
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - sigmoid(0.8 + 0.25)) < 1e-12)
+    assert(got(3L)._2 == got(1L)._2)  // mean is size-invariant under a constant model
+    // zero-token doc scores the model prior, not null
+    assert(got(2L) == ((0L, sigmoid(0.25))))
+    // pruned model: missing buckets contribute 0, so an empty weights
+    // table reduces every doc to the prior
+    val empty = Seq.empty[(Long, Double)].toDF("bucket", "weight")
+    val prior = graft.ops.CorpusOps
+      .linearQualityScore(docs, "doc_id", "text", empty, buckets = 16)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(prior.values.forall(_ == 0.5))
+  }
+
   test("weightedMix: rate 1 keeps all, rate 0 drops all, monotone in rate") {
     val docs = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
     def kept(r0: Double, r1: Double, r2: Double): Map[String, Set[Long]] = {
