@@ -66,4 +66,52 @@ class PropertySpec extends SparkSuite {
     }
     df.unpersist()
   }
+
+  test("packSequences tiles generated corpora for arbitrary sizes and seqLens") {
+    val caseGen: Gen[(Long, Seq[Long])] = for {
+      seqLen <- Gen.choose(1L, 50L)
+      n <- Gen.choose(1, 40)
+      sizes <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.choose(0L, 30L)),       // typical docs incl. empty
+        (2, Gen.choose(100L, 300L))))   // oversized: spans many sequences
+    } yield (seqLen, sizes)
+
+    sample(caseGen, 12, seed = 20260813L).zipWithIndex.foreach {
+      case ((seqLen, sizes), i) =>
+        val docs = sizes.zipWithIndex
+          .map { case (t, id) => (id.toLong, t) }.toDF("doc_id", "n_tokens")
+        val rows = graft.ops.ShardOps
+          .packSequences(docs.repartition(5), "doc_id", "n_tokens", seqLen)
+          .select("doc_id", "seq_id", "doc_start", "doc_end", "seq_pos")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)))
+        val total = sizes.sum
+        // doc-side tiling: each doc's slices cover [0, ntok) contiguously
+        rows.groupBy(_._1).foreach { case (id, slices) =>
+          val sorted = slices.sortBy(_._2)
+          assert(sorted.head._3 == 0L, s"case #$i doc $id")
+          assert(sorted.last._4 == sizes(id.toInt), s"case #$i doc $id")
+          sorted.sliding(2).foreach {
+            case Array(a, b) =>
+              assert(a._4 == b._3 && b._2 == a._2 + 1, s"case #$i doc $id")
+            case _ =>
+          }
+        }
+        // seq-side tiling: every sequence except the last holds seqLen
+        val perSeq = rows.groupBy(_._2).view
+          .mapValues(_.map(s => s._4 - s._3).sum).toMap
+        val lastSeq = if (total == 0) -1L else (total - 1) / seqLen
+        perSeq.foreach { case (seq, tokens) =>
+          if (seq < lastSeq) assert(tokens == seqLen, s"case #$i seq $seq")
+          else assert(tokens == total - seq * seqLen, s"case #$i last seq")
+        }
+        // zero-token docs emit nothing; all others appear
+        val emitted = rows.map(_._1).toSet
+        val expected = sizes.zipWithIndex.collect {
+          case (t, id) if t > 0 => id.toLong
+        }.toSet
+        assert(emitted == expected, s"case #$i emitted set")
+    }
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.StreamingPrep
+
+/** Streaming prep chain: the stateless quality gates compose with the
+  * watermark-bounded exact dedup in one query — low-quality docs never
+  * reach dedup state, cross-micro-batch duplicates drop, and survivors
+  * carry the gate outputs (lang_pred, n_tokens, content_hash).
+  */
+class StreamingPrepSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val T0 = 1700000000000L
+
+  // 24 words, all-alpha, stopword-rich: passes every Gopher gate
+  private val good = "the quick brown fox jumps over the lazy dog and " +
+    "then the dog ran away to the old house near the quiet river bank"
+
+  test("prepStream gates quality, drops cross-batch duplicates, keeps fields") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingPrep.prepStream(docs, "doc_id", "text")
+      .writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      stream.addData(
+        (t(1), 1L, good),
+        (t(2), 2L, "too short to survive"),            // word-count gate
+        (t(3), 3L, good.replace("the", "@@ the ##")))  // symbol-ratio gate
+      query.processAllAvailable()
+      // casing/whitespace variant of the survivor, later micro-batch:
+      // passes the gates but the dedup horizon drops it
+      stream.addData((t(5), 4L, good.toUpperCase.replace("  ", " ")))
+      query.processAllAvailable()
+      val rows = spark.sql("select doc_id, lang_pred, n_tokens from prep_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(rows.map(_._1).toSet == Set(1L))
+      assert(rows.head._2 == "en")
+      assert(rows.head._3 == 24L)
+    } finally query.stop()
+  }
+}
