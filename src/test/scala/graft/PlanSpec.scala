@@ -108,6 +108,49 @@ class PlanSpec extends SparkSuite {
     assert(survivors.count() > 0)
   }
 
+  test("classifier inference broadcasts the model, never shuffles tokens to it") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val weights = (0L until 64L).map(b => (b, 0.1)).toDF("bucket", "weight")
+    val q = graft.ops.CorpusOps
+      .linearQualityScore(docs, "doc_id", "text", weights, buckets = 64)
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    // exactly the doc-keyed aggregation shuffles; the token stream joins
+    // the model map-side, so no exchange keys on the bucket
+    assert(!p.contains("hashpartitioning(bucket"), p.take(2000))
+  }
+
+  test("semantic dedup assigns cells via broadcast and self-joins only within a cell") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val q = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+      numCells = 4, threshold = 0.5)
+    val p = plan(q)
+    // centroid assignment broadcasts; the pair stage is an equi-join on
+    // cell (bounded groups), never a cartesian over the corpus
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("sequence packing windows per range bucket, never globally") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val q = graft.ops.ShardOps.packSequences(docs, "doc_id", "n_tokens", 256L)
+    val p = plan(q)
+    // the prefix-sum window partitions by the range bucket; an empty
+    // partitionBy would render as "Window [...], [doc_id ASC..." with no
+    // partition spec and move the corpus to one partition
+    assert(p.contains("__bucket"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
