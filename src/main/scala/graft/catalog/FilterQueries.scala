@@ -10,18 +10,24 @@ import Tables._
 /** Filter / predicate / windowed-aggregation queries over the `events`
   * table (F1-F7, J11/A9, A3, A4, S11/A2; SURVEY §2.2, §2.5).
   *
-  * `events.ts` is a parquet TIMESTAMP(NANOS) column: Spark reads it as
-  * a nanos Long (spark.sql.legacy.parquet.nanosAsLong), DuckDB as a µs
-  * timestamp; `ts div 1000000` == `epoch_ms(ts)` (both floor).
+  * `events.ts` has shipped as parquet TIMESTAMP(NANOS) in some testdata
+  * generations and TIMESTAMP(MICROS) in others, so the loader adapts to
+  * the read schema: NANOS arrives as a nanos Long (under
+  * spark.sql.legacy.parquet.nanosAsLong) and floors to epoch-ms by
+  * integer division; MICROS arrives as TIMESTAMP_NTZ and converts via
+  * unix_millis in the UTC session zone. Both equal DuckDB's
+  * epoch_ms(ts) (all three floor).
   */
 object FilterQueries {
 
-  private def events(s: SparkSession, dir: String): DataFrame =
-    // ts arrives as a nanos Long (legacy.parquet.nanosAsLong); integer
-    // division floors to epoch-ms exactly like DuckDB's epoch_ms(ts)
-    load(s, dir, "events")
-      .withColumn("ms", expr("ts div 1000000"))
-      .drop("ts")
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = load(s, dir, "events")
+    val ms = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000000")
+      case _ => unix_millis(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ms", ms).drop("ts")
+  }
 
   // fixed window inside the events time range (2024-01-01 + ~35 days)
   private val T0 = 1704067200000L // 2024-01-01T00:00:00Z
