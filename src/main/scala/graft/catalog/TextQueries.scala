@@ -289,8 +289,52 @@ object TextQueries {
       graft.ops.CorpusOps.weightedMix(docs, "doc_id", "source", rates)
         .select(col("doc_id"), col("source"), col("keep_bucket"))
         .orderBy(col("doc_id"))
+    },
+    "q_pii_redact" -> { (s, dir) =>
+      // PII scrub pass: the corpus text is digit/@-free by construction
+      // (checked against all three sf dirs), so deterministic synthetic
+      // PII is planted per doc_id residue — the oracle plants the very
+      // same strings, making redaction + per-category counts hash-exact.
+      // Pure per-row codegen'd regex work, no shuffle (PiiOps scaladoc).
+      import graft.ops.PiiOps
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val t = piiPlant(col("text"), col("doc_id"))
+      val counts = PiiOps.Categories.map { case (cat, re, _) =>
+        PiiOps.matchCount(t, re).as(s"n_$cat")
+      }
+      docs.select(
+        Seq(col("doc_id"), PiiOps.redact(t).as("text_redacted")) ++ counts
+          :+ PiiOps.piiFree(t).as("pii_free"): _*)
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** Deterministic PII planting for q_pii_redact: one category per
+    * doc_id residue class mod 11 (classes 5–10 stay clean, so the
+    * pii_free gate has mass on both sides). Mirrored verbatim in
+    * [[piiPlantSql]].
+    */
+  private def piiPlant(text: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val r = pmod(id, lit(11L))
+    when(r === 0, concat(text, lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com now")))
+      .when(r === 1, concat(text, lit(" card 4111 1111 1111 1111 on file")))
+      .when(r === 2, concat(text, lit(" ssn 123-45-6789 recorded")))
+      .when(r === 3, concat(text, lit(" call 415-555-0132 today")))
+      .when(r === 4, concat(text, lit(" from 192.168."),
+        pmod(id, lit(256L)).cast("string"), lit(".7")))
+      .otherwise(text)
+  }
+
+  private val piiPlantSql =
+    """CASE doc_id % 11
+      |  WHEN 0 THEN text || ' contact user' || doc_id || '@mail.example.com now'
+      |  WHEN 1 THEN text || ' card 4111 1111 1111 1111 on file'
+      |  WHEN 2 THEN text || ' ssn 123-45-6789 recorded'
+      |  WHEN 3 THEN text || ' call 415-555-0132 today'
+      |  WHEN 4 THEN text || ' from 192.168.' || (doc_id % 256) || '.7'
+      |  ELSE text END""".stripMargin
 
   def oracle: Map[String, String] = {
     val toks = sqlTokens("text")
@@ -612,7 +656,31 @@ object TextQueries {
       "q_dedup_minhash" -> minhash4,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,
-      "q_dedup_ngram_jaccard" -> ngramJaccard
+      "q_dedup_ngram_jaccard" -> ngramJaccard,
+      "q_pii_redact" -> piiRedact
     )
+  }
+
+  /** Oracle for q_pii_redact, generated from [[graft.ops.PiiOps.Categories]]
+    * so the patterns, replacement tokens, and application order cannot
+    * drift between engines. The patterns are in the RE2 ∩ java.util.regex
+    * common subset (PiiOps scaladoc), and DuckDB strings treat backslash
+    * literally, so each Scala pattern embeds verbatim.
+    */
+  private def piiRedact: String = {
+    import graft.ops.PiiOps
+    val redactExpr = PiiOps.Categories.foldLeft("t") { case (acc, (_, re, tok)) =>
+      s"regexp_replace($acc, '$re', '$tok', 'g')"
+    }
+    val freeExpr = PiiOps.Categories.map { case (_, re, _) =>
+      s"len(regexp_extract_all(t, '$re')) = 0"
+    }.mkString(" AND ")
+    s"""WITH a AS (SELECT doc_id, $piiPlantSql AS t FROM documents)
+       |SELECT doc_id,
+       |  $redactExpr AS text_redacted,
+       |  ${PiiOps.Categories.map { case (cat, re, _) =>
+            s"len(regexp_extract_all(t, '$re'))::BIGINT AS n_$cat" }.mkString(",\n       |  ")},
+       |  ($freeExpr) AS pii_free
+       |FROM a ORDER BY doc_id""".stripMargin
   }
 }
