@@ -21,7 +21,8 @@ object SparkEntry {
       (WriteQueries.queries, WriteQueries.oracle),
       (AlgoQueries.queries, AlgoQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
-      (MiscQueries.queries, MiscQueries.oracle)
+      (MiscQueries.queries, MiscQueries.oracle),
+      (SampleQueries.queries, SampleQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
@@ -75,11 +76,12 @@ object SparkEntry {
 
   def benchQueries: Seq[String] = Seq(
     "q_text_stats", "q_text_langid", "q_text_fingerprint",
-    "q_text_quality_rules", "q_text_repetition", "q_betweenness",
+    "q_text_quality_rules", "q_text_repetition", "q_pii_redact", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_quality_classifier",
+    "q_sample_stratified", "q_sample_cluster",
     "q_emb_neardup_lsh", "q_semdedup",
     "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",

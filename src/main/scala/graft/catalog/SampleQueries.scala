@@ -1,0 +1,91 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{SampleOps, SimilarityOps}
+import Tables.load
+
+/** Exact-quota sampling queries (SampleOps): per-stratum quota sampling
+  * over `documents`, and cluster-balanced capping over `embeddings`
+  * (IVF-cell strata). Oracles replay the selection as a per-stratum
+  * `row_number` window over the same md5 ordering key — the naive form
+  * whose per-stratum sort the Spark side's two-level selection exists
+  * to avoid.
+  */
+object SampleQueries {
+
+  /** Per-language quotas chosen to exercise every classification path
+    * at sf0.01/sf0.1: below stratum size (en/fr partial), near it (de),
+    * far above it (es = whole stratum), and an absent stratum (zh has
+    * no quota row → dropped entirely).
+    */
+  private val LangQuotas = Map("en" -> 100L, "de" -> 50L, "es" -> 5000L,
+    "fr" -> 40L)
+
+  private val ClusterCap = 30L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> { (s, dir) =>
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      SampleOps.stratifiedSample(docs, "doc_id", "lang", LangQuotas)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+    "q_sample_cluster" -> { (s, dir) =>
+      // balanced-diversity cap: at most ClusterCap vectors per IVF cell
+      // (same strided index as q_ann_ivf, so the oracle replays the
+      // cell assignment exactly)
+      val emb = load(s, dir, "embeddings")
+      val (assigned, _) = SimilarityOps.ivfIndex(emb, "vec_id", "embedding",
+        numCells = SimilarityQueries.IvfCells)
+      SampleOps.capPerStratum(assigned, "vec_id", "cell", ClusterCap)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))
+    }
+  )
+
+  /** md5 sample-order key, DuckDB side (mirror of SampleOps.sampleKey). */
+  private def sqlKey(id: String): String =
+    s"(('0x' || substr(md5($id::VARCHAR), 1, 8))::UBIGINT)::BIGINT"
+
+  def oracle: Map[String, String] = {
+    val quotaRows = SampleQueries.LangQuotas.toSeq.sorted
+      .map { case (l, q) => s"('$l', $q)" }.mkString(", ")
+    val stratified =
+      s"""WITH quotas(lang, quota) AS (VALUES $quotaRows),
+         |r AS (SELECT doc_id, lang, source,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${sqlKey("doc_id")}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT r.doc_id, r.lang, r.source
+         |FROM r JOIN quotas USING (lang) WHERE r.rn <= quotas.quota
+         |ORDER BY r.doc_id""".stripMargin
+
+    import SimilarityQueries.{cos, IvfCells}
+    val cluster =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+         |         FROM (SELECT e.vec_id, e.v
+         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // $IvfCells) AS stride FROM e) s
+         |               WHERE e.vec_id % s.stride = 0
+         |               ORDER BY e.vec_id LIMIT $IvfCells)),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cent.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent) WHERE rn = 1),
+         |r AS (SELECT vec_id, cell,
+         |  row_number() OVER (PARTITION BY cell
+         |    ORDER BY ${sqlKey("vec_id")}, vec_id) AS rn
+         |  FROM assigned)
+         |SELECT vec_id, cell::BIGINT AS cell FROM r WHERE rn <= $ClusterCap
+         |ORDER BY vec_id""".stripMargin
+
+    Map(
+      "q_sample_stratified" -> stratified,
+      "q_sample_cluster" -> cluster
+    )
+  }
+}

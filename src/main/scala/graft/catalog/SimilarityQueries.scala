@@ -28,7 +28,7 @@ object SimilarityQueries {
   // choice beats strided seeding — measured series in BASELINE.md §6.
   // On a clustered real-embedding corpus the same code at nProbe=2
   // recovers the usual IVF advantage; the knob is the deploy-time tune.
-  private val IvfCells = 8
+  private[catalog] val IvfCells = 8
   private val IvfProbes = 6
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -252,7 +252,7 @@ object SimilarityQueries {
 
   /** DuckDB cosine of two DOUBLE[] expressions (mirror of
     * VectorFunctions.cosineSimilarity incl. the zero-norm guard). */
-  private def cos(a: String, b: String): String =
+  private[catalog] def cos(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_dot_product($a,$a)) = 0 OR sqrt(list_dot_product($b,$b)) = 0 THEN 0.0
        | ELSE list_dot_product($a,$b) / (sqrt(list_dot_product($a,$a)) * sqrt(list_dot_product($b,$b)))
        | END""".stripMargin.replaceAll("\n", " ")

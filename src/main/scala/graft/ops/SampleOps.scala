@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact-quota deterministic sampling — the corpus-assembly step that
+  * turns "take the best/first N docs per source (or per topic cluster)"
+  * into a reproducible distributed selection. Complements
+  * [[CorpusOps.weightedMix]]: weightedMix is RATE-based (keep p% of a
+  * source, growth-invariant as the corpus appends), this is COUNT-based
+  * (exactly N rows per stratum, the shape a fixed token-budget training
+  * mix needs). Rank-based selection is necessarily not growth-invariant
+  * — appending rows can displace earlier picks — which is the
+  * documented trade for exactness.
+  *
+  * Selection order is the md5-derived [[sampleKey]] (same cross-engine
+  * hash anchor as [[CorpusOps.hashBucket]]), tie-broken by id, so the
+  * chosen set is a uniform pseudo-random sample, identical on any
+  * cluster layout and replayable by the DuckDB oracle.
+  *
+  * Scale shape (the reason this is not a `row_number` over
+  * `partitionBy(stratum)`): a per-stratum window sorts each stratum on
+  * ONE reducer — with a handful of sources over 100 TB that is a
+  * handful of reducers sorting terabytes each. Instead, a two-level
+  * selection (same family as [[ShardOps]]'s two-level prefix sum):
+  *   1. hash keys are uniform in [0, 2^32), so bucket = key / width is
+  *      an order-preserving range partition into `selectBuckets` slots;
+  *   2. one map-side-combinable count per (stratum, bucket) — the
+  *      bounds table is strata × selectBuckets rows, tiny;
+  *   3. a running sum over that tiny table (window over ≤selectBuckets
+  *      rows per stratum) classifies each bucket: wholly inside the
+  *      quota (take all), wholly outside (drop), or the single boundary
+  *      bucket per stratum;
+  *   4. rows broadcast-join their bucket's verdict; only boundary-bucket
+  *      rows — ~1/selectBuckets of each stratum — pay a row_number, and
+  *      that window's partitions are (stratum, bucket) sized.
+  * No global sort, no per-stratum full-stratum window, one shuffle for
+  * the count agg and one for the boundary window.
+  */
+object SampleOps {
+
+  /** Deterministic uniform sample-order key in [0, 2^32): first 8 hex
+    * chars of md5 of the id's string rendering. Cross-engine: DuckDB
+    * `('0x' || substr(md5(id::VARCHAR), 1, 8))::UBIGINT` reproduces it
+    * exactly.
+    */
+  def sampleKey(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Exactly `quota(stratum)` rows per stratum — the quota-smallest by
+    * (sampleKey, id). Strata absent from `quotas` are dropped; quotas
+    * larger than a stratum keep the whole stratum. Output = input
+    * columns (selection adds nothing).
+    *
+    * `quotas` must have columns (`stratumCol`, `quota`) and be
+    * broadcast-small (one row per stratum — by construction it is).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      quotas: DataFrame,
+      selectBuckets: Int = 1024): DataFrame = {
+    require(selectBuckets > 0, "selectBuckets must be positive")
+    val width = ((1L << 32) + selectBuckets - 1) / selectBuckets
+    val keyed = df
+      .withColumn("_sk", sampleKey(col(idCol)))
+      .withColumn("_sb", floor(col("_sk") / lit(width)).cast("int"))
+
+    // bounds: strata × ≤selectBuckets rows — the window below runs over
+    // this tiny aggregate, never over the data
+    val cumW = Window.partitionBy(col(stratumCol)).orderBy(col("_sb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bounds = keyed
+      .groupBy(col(stratumCol), col("_sb")).agg(count(lit(1)).as("_n"))
+      .withColumn("_before", coalesce(sum(col("_n")).over(cumW), lit(0L)))
+      .join(quotas.select(col(stratumCol), col("quota")), Seq(stratumCol))
+      .withColumn("_remaining", col("quota") - col("_before"))
+      .filter(col("_remaining") > 0) // buckets wholly past the quota drop
+      .withColumn("_take_all", col("_n") <= col("_remaining"))
+      .select(col(stratumCol), col("_sb"), col("_take_all"), col("_remaining"))
+
+    val joined = keyed.join(broadcast(bounds), Seq(stratumCol, "_sb"))
+    val whole = joined.filter(col("_take_all"))
+    // at most ONE boundary bucket per stratum; its rows are
+    // ~stratum/selectBuckets, so this window never sees a full stratum
+    val rankW = Window.partitionBy(col(stratumCol), col("_sb"))
+      .orderBy(col("_sk").asc, col(idCol).asc)
+    val boundary = joined.filter(!col("_take_all"))
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") <= col("_remaining"))
+      .drop("_rn")
+    whole.unionByName(boundary)
+      .drop("_sk", "_sb", "_take_all", "_remaining")
+  }
+
+  /** Map-quota convenience. */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      quotas: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    stratifiedSample(df, idCol, stratumCol,
+      quotas.toSeq.toDF(stratumCol, "quota"))
+  }
+
+  /** Uniform cap per stratum: at most `cap` rows from every stratum
+    * present. The balanced-diversity shape — cap per topic cluster, per
+    * language, per domain — that keeps a head-heavy corpus from
+    * drowning the tail. The quota table is derived with one tiny
+    * distinct-agg over the stratum column (map-side combinable).
+    */
+  def capPerStratum(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      cap: Long,
+      selectBuckets: Int = 1024): DataFrame =
+    stratifiedSample(df, idCol, stratumCol,
+      df.select(col(stratumCol)).distinct().withColumn("quota", lit(cap)),
+      selectBuckets)
+}

@@ -408,4 +408,80 @@ class OpsSpec extends SparkSuite {
       assert(threeQ(src).subsetOf(full(src)))
     }
   }
+
+  test("PiiOps: redaction replaces every category, counts are order-independent, boundaries hold") {
+    import graft.ops.PiiOps
+    val rows = Seq(
+      (1L, "mail me at a.b+c@sub.example.org or x_9@y.io thanks"),
+      (2L, "card 4111 1111 1111 1111 and 5500-0000-0000-0004 on file"),
+      (3L, "ssn 123-45-6789 phone 415-555-0132 ip 10.0.0.1"),
+      (4L, "clean text with no pii at all"),
+      // boundary cases: digit runs embedded in longer tokens are NOT PII
+      (5L, "id 1234-5678-9012-34567 hash 192.168.0.1234 v1.2.3.4beta")
+    ).toDF("id", "text")
+    val got = rows.select(col("id"), PiiOps.redact(col("text")).as("red"),
+        PiiOps.matchCount(col("text"), PiiOps.Email).as("ne"),
+        PiiOps.matchCount(col("text"), PiiOps.CreditCard).as("nc"),
+        PiiOps.piiFree(col("text")).as("free"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got(1L)._1 == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(got(1L)._2 == 2L && !got(1L)._4)
+    assert(got(2L)._1 == "card <CC> and <CC> on file")
+    assert(got(2L)._3 == 2L)
+    assert(got(3L)._1 == "ssn <SSN> phone <PHONE> ip <IP>")
+    assert(got(4L)._1 == "clean text with no pii at all" && got(4L)._4)
+    // \b anchoring: the 5-digit tail breaks the CC shape (exact {4}
+    // groups cannot backtrack into a shorter match), the 4-digit octet
+    // kills the IPv4 trailing boundary, and "v1.2.3.4" has no match
+    // start at a word boundary — so row 5 redacts to itself
+    assert(got(5L)._3 == 0L, s"cc in ${got(5L)._1}")
+    assert(got(5L)._1 == "id 1234-5678-9012-34567 hash 192.168.0.1234 v1.2.3.4beta")
+    assert(got(5L)._4)
+  }
+
+  test("SampleOps: two-level selection = naive per-stratum window, exact quotas, layout-invariant") {
+    import graft.ops.SampleOps
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 500L).map(i => (i, s"s${rnd.nextInt(5)}"))
+    val df = rows.toDF("id", "grp")
+    val quotas = Map("s0" -> 0L, "s1" -> 7L, "s2" -> 50L, "s3" -> 10000L)
+    // s4 absent → dropped; s0 quota 0 → dropped; s3 quota > size → whole
+
+    // naive reference: full per-stratum window over the same key order
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(SampleOps.sampleKey(col("id")).asc, col("id").asc)
+    val qDf = quotas.toSeq.toDF("grp", "quota")
+    val want = df.withColumn("rn", row_number().over(w))
+      .join(qDf, "grp").filter(col("rn") <= col("quota"))
+      .select("id").collect().map(_.getLong(0)).toSet
+
+    def got(buckets: Int, parts: Int) =
+      SampleOps.stratifiedSample(df.repartition(parts), "id", "grp",
+          qDf, selectBuckets = buckets)
+        .select("id").collect().map(_.getLong(0)).toSet
+
+    // bucket count 1 (everything is one boundary bucket), a mid value,
+    // and one far above the row count (every bucket take-all or
+    // boundary-of-size-≤1) must all agree with the naive form, under
+    // different physical layouts
+    assert(got(1, 3) == want)
+    assert(got(16, 7) == want)
+    assert(got(4096, 1) == want)
+    // exactness: per-group sizes match min(quota, group size)
+    val sizes = rows.groupBy(_._2).map { case (g, rs) => g -> rs.size.toLong }
+    val gotSizes = SampleOps.stratifiedSample(df, "id", "grp", quotas)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(gotSizes == quotas.collect {
+      case (g, q) if math.min(q, sizes.getOrElse(g, 0L)) > 0 =>
+        g -> math.min(q, sizes(g))
+    })
+    // capPerStratum keeps every stratum, capped
+    val capped = SampleOps.capPerStratum(df, "id", "grp", 3L)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(capped.keySet == sizes.keySet && capped.values.forall(_ <= 3L))
+  }
 }
