@@ -200,7 +200,19 @@ object Bench {
         System.err.println(s"[bench] recall computation failed: ${t.getMessage}")
         Nil
     }
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+    // Two outputs (the round-7 driver artifact carried parsed:null —
+    // the single stdout line had outgrown the driver's 2000-char stdout
+    // tail, so the recorded bench was not machine-readable):
+    //   1. stdout — ONE compact line (3-decimal times, queries + totals
+    //      + probe array) sized to stay well inside the 2000-char tail;
+    //      the driver parses exactly this.
+    //   2. tools/bench_detail_last.json — the full-precision record
+    //      (first-pass column, per-probe labels, memo attribution,
+    //      recall block), committed per round as the adjudication
+    //      evidence the compact line no longer carries.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    def r2(v: Double): Double = math.rint(v * 100) / 100
+    val qsFull = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val qsFirst = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -213,8 +225,34 @@ object Bench {
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"shuffle_start":$calShStart,"shuffle_mid":$calShMid,"shuffle_end":$calShEnd}"""
     val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
     val totalFirst = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    val detailPath = "tools/bench_detail_last.json"
+    try {
+      val w = new java.io.PrintWriter(detailPath, "UTF-8")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+      finally w.close()
+      System.err.println(s"[bench] full detail written to $detailPath")
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] detail write failed: ${t.getMessage}")
+    }
+    // compact line, with a deterministic shrink ladder as the timed list
+    // grows: 3-decimal times + probes → drop probes → 2-decimal times.
+    // The budget leaves ~200 chars for sbt's trailing success line.
+    def line(dp: Double => Double, probes: Boolean): String = {
+      val qs = results.map { case (k, _, v) => "\"" + k + "\":" + dp(v) }
+        .mkString("{", ",", "}")
+      val cal =
+        if (probes)
+          Seq(calStart, calMid, calEnd, calShStart, calShMid, calShEnd)
+            .map(r2).mkString(""","cal":[""", ",", "]")
+        else ""
+      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)}$cal,"detail":"$detailPath","sf":"$sfDir"}"""
+    }
+    val out = Seq(line(r3, probes = true), line(r3, probes = false),
+      line(r2, probes = false)).find(_.length <= 1800)
+      .getOrElse(line(r2, probes = false))
     // bare line on stdout — the driver parses exactly this
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_first":$qsFirst,"total_first":$totalFirst,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+    println(out)
     spark.stop()
   }
 }
