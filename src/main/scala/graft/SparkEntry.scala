@@ -78,10 +78,11 @@ object SparkEntry {
     "q_text_stats", "q_text_langid", "q_text_fingerprint",
     "q_text_quality_rules", "q_text_repetition", "q_pii_redact", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
+    "q_dedup_incremental", "q_dedup_incremental_lsh",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_quality_classifier",
-    "q_sample_stratified", "q_sample_cluster",
+    "q_sample_stratified", "q_sample_cluster", "q_corpus_quantiles",
     "q_emb_neardup_lsh", "q_semdedup",
     "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",

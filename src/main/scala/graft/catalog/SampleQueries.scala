@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{SampleOps, SimilarityOps}
+import graft.ops.{QuantileOps, SampleOps, SimilarityOps}
 import Tables.load
 
 /** Exact-quota sampling queries (SampleOps): per-stratum quota sampling
@@ -43,8 +43,19 @@ object SampleQueries {
       SampleOps.capPerStratum(assigned, "vec_id", "cell", ClusterCap)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .orderBy(col("vec_id"))
+    },
+    "q_corpus_quantiles" -> { (s, dir) =>
+      // corpus profiling: exact per-source length percentiles via the
+      // value-range two-level selection (no per-source sort, no
+      // percentile_approx error bars)
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      QuantileOps.exactPercentiles(docs, "n_chars", "source", Percentiles)
+        .orderBy(col("source"), col("p"))
     }
   )
+
+  private val Percentiles = Map("p50" -> 50, "p90" -> 90, "p99" -> 99)
 
   /** md5 sample-order key, DuckDB side (mirror of SampleOps.sampleKey). */
   private def sqlKey(id: String): String =
@@ -83,9 +94,26 @@ object SampleQueries {
          |SELECT vec_id, cell::BIGINT AS cell FROM r WHERE rn <= $ClusterCap
          |ORDER BY vec_id""".stripMargin
 
+    // same k = ceil(pct·n/100) integer arithmetic as
+    // QuantileOps.exactPercentiles; row_number ties need no tie-break
+    // (any of the equal rows at rank k carries the k-th smallest VALUE)
+    val pctRows = Percentiles.toSeq.sortBy(_._1)
+      .map { case (l, p) => s"('$l', $p)" }.mkString(", ")
+    val quantiles =
+      s"""WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |t(p, pct) AS (VALUES $pctRows),
+         |r AS (SELECT source, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+         |  FROM documents)
+         |SELECT r.source, t.p, r.n_chars AS quantile
+         |FROM r JOIN s USING (source)
+         |JOIN t ON r.rn = (t.pct * s.n + 99) // 100
+         |ORDER BY r.source, t.p""".stripMargin
+
     Map(
       "q_sample_stratified" -> stratified,
-      "q_sample_cluster" -> cluster
+      "q_sample_cluster" -> cluster,
+      "q_corpus_quantiles" -> quantiles
     )
   }
 }

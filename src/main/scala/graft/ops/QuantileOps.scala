@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distributed order statistics — corpus profiling (per-source
+  * length percentiles, token-budget planning, outlier thresholds)
+  * without `percentile_approx`'s error bars and without the naive
+  * per-group sort.
+  *
+  * Spark's exact `percentile` aggregate buffers every value of a group
+  * in executor memory, and a `row_number` window sorts each group on
+  * one reducer — both collapse at 100 TB where a "group" is a whole
+  * source. This is the same two-level selection as [[SampleOps]], keyed
+  * by the VALUE instead of a hash: value-range bucketing is
+  * order-preserving, so per-(group, bucket) counts + a running sum over
+  * that tiny bounds table locate each target rank's boundary bucket,
+  * and only boundary-bucket rows (~1/buckets of a group, per distinct
+  * target) pay a window. Exact answer, two scans + one tiny-table
+  * window, no full-group sort anywhere.
+  *
+  * Percentiles are INTEGER percents and the target rank is
+  * k = ceil(pct·n/100) computed in integer arithmetic — no
+  * float-rounding coin flips at exact-multiple boundaries, and the
+  * DuckDB oracle reproduces k bit-exactly.
+  *
+  * Contract: `groupCol` cardinality is broadcast-small (sources,
+  * languages, shards — profiling strata, not document ids).
+  */
+object QuantileOps {
+
+  /** Per-group exact percentile values of an integral `valueCol`.
+    * `percentiles` maps an output label to an integer percent in
+    * (0, 100]. Output: one row per (group, label) — (groupCol, p,
+    * quantile), where quantile is the k-th smallest value of the group,
+    * k = ceil(pct·n/100) ≥ 1.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      percentiles: Map[String, Int],
+      buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(percentiles.values.forall(p => p > 0 && p <= 100),
+      "percentiles must be integer percents in (0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val v = col(valueCol).cast("long")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_gn"), min(v).as("_gmin"), max(v).as("_gmax"))
+      .withColumn("_gw",
+        greatest(lit(1L), ceil((col("_gmax") - col("_gmin") + 1)
+          .cast("double") / buckets).cast("long")))
+
+    // integer k = ceil(pct*n/100); identical arithmetic in the oracle
+    val targets = percentiles.toSeq.toDF("p", "_pct")
+      .crossJoin(stats)
+      .withColumn("_k", expr("(_pct * _gn + 99) div 100"))
+
+    // degenerate single-value groups answer from stats (their one
+    // bucket IS the whole group — no window needed, any k hits _gmin)
+    val flat = targets.filter(col("_gmin") === col("_gmax"))
+      .select(col(groupCol), col("p"), col("_gmin").as("quantile"))
+    val live = targets.filter(col("_gmin") =!= col("_gmax"))
+
+    val keyed = df
+      .join(broadcast(stats.select(col(groupCol), col("_gmin"), col("_gw"))),
+        Seq(groupCol))
+      .withColumn("_qb", ((v - col("_gmin")) / col("_gw")).cast("long"))
+      .select(col(groupCol), v.as("_v"), col("_qb"))
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col("_qb").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val counts = keyed.groupBy(col(groupCol), col("_qb"))
+      .agg(count(lit(1)).as("_bn"))
+      .withColumn("_before", coalesce(sum(col("_bn")).over(cumW), lit(0L)))
+
+    // the boundary bucket of each (group, target): _before < k <= _before+_bn
+    val bnd = counts.join(live.select(col(groupCol), col("p"), col("_k")),
+        Seq(groupCol))
+      .filter(col("_before") < col("_k") &&
+        col("_k") <= col("_before") + col("_bn"))
+      .select(col(groupCol), col("p"), col("_qb"),
+        (col("_k") - col("_before")).as("_kin"))
+
+    // rank only inside boundary buckets; ties in _v need no tie-break —
+    // whichever equal row lands at _kin, the VALUE is the k-th smallest
+    val bndBuckets = bnd.select(col(groupCol), col("_qb")).distinct()
+    val rankW = Window.partitionBy(col(groupCol), col("_qb"))
+      .orderBy(col("_v").asc)
+    val picked = keyed.join(broadcast(bndBuckets), Seq(groupCol, "_qb"))
+      .withColumn("_rn", row_number().over(rankW))
+      .join(broadcast(bnd), Seq(groupCol, "_qb"))
+      .filter(col("_rn") === col("_kin"))
+      .select(col(groupCol), col("p"), col("_v").as("quantile"))
+
+    picked.unionByName(flat)
+  }
+}

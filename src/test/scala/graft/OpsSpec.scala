@@ -484,4 +484,74 @@ class OpsSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped.keySet == sizes.keySet && capped.values.forall(_ <= 3L))
   }
+
+  test("DedupOps incremental: batch-vs-store agrees with global dedup; LSH cross-set = self-join restriction") {
+    import graft.ops.DedupOps
+    // planted: 1↔11 exact dup across sets, 10↔15 exact dup within batch,
+    // 2↔12 near-dup (one word changed), the rest unique
+    val mk = (i: Long, t: String) => (i, t)
+    val corpus = Seq(
+      mk(1, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(2, "colorless green ideas sleep furiously every single night here"),
+      mk(3, "a completely unrelated corpus document about spark plans"),
+      mk(4, "yet another unique corpus text with its own words entirely")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      mk(11, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(12, "colorless green ideas sleep furiously every single day here"),
+      mk(10, "fresh batch document repeated inside the batch verbatim text"),
+      mk(15, "fresh batch document repeated inside the batch verbatim text"),
+      mk(13, "and one genuinely novel batch document nothing matches")
+    ).toDF("doc_id", "text")
+    val store = DedupOps.exactDuplicates(corpus, "doc_id", "text")
+      .filter(!col("is_duplicate")).select(col("content_hash"))
+    val got = DedupOps.incrementalExact(batch, store, "doc_id", "text")
+      .select("doc_id", "dup_in_corpus", "is_duplicate", "keep")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got(11L) == ((true, false, false)))  // corpus dup
+    assert(got(10L) == ((false, false, true)))  // batch-internal first
+    assert(got(15L) == ((false, true, false)))  // batch-internal copy
+    assert(got(12L) == ((false, false, true)))  // near-dup ≠ exact dup
+    assert(got(13L) == ((false, false, true)))
+
+    // LSH: the cross-set incremental candidates equal the full
+    // self-join's pairs restricted to (corpus, batch) sides
+    val all = corpus.unionByName(batch)
+    val self = DedupOps.minhashLshPairs(all, "doc_id", "text",
+        numHashes = 32, bands = 4, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .flatMap { case (a, b, j) => Seq((a, b, j), (b, a, j)) }
+      .filter { case (a, b, _) => a < 10 && b >= 10 }.toSet
+    val inc = DedupOps.incrementalLshPairs(batch, corpus, "doc_id", "text",
+        numHashes = 32, bands = 4, shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6))).toSet
+    assert(inc == self, s"inc=$inc self=$self")
+    assert(inc.exists { case (a, b, _) => a == 1L && b == 11L }) // planted pair found
+  }
+
+  test("QuantileOps: exact percentiles = sorted-list reference, incl. ties, degenerate and tiny groups") {
+    import graft.ops.QuantileOps
+    val rnd = new scala.util.Random(11)
+    // heavy ties (values mod 17), one single-value group, one 3-row group
+    val rows = (0L until 400L).map(i => (i, s"g${i % 4}", (rnd.nextInt(1000) % 17) * 10L)) ++
+      Seq((1000L, "flat", 7L), (1001L, "flat", 7L), (1002L, "flat", 7L)) ++
+      Seq((2000L, "tiny", 5L), (2001L, "tiny", 1L), (2002L, "tiny", 9L))
+    val df = rows.toDF("id", "grp", "v")
+    val pcts = Map("p01" -> 1, "p50" -> 50, "p90" -> 90, "p100" -> 100)
+    def reference: Map[(String, String), Long] = {
+      val byG = rows.groupBy(_._2).map { case (g, rs) =>
+        g -> rs.map(_._3).sorted.toIndexedSeq }
+      (for ((g, vs) <- byG; (l, p) <- pcts) yield {
+        val k = (p.toLong * vs.size + 99) / 100
+        (g, l) -> vs(k.toInt - 1)
+      }).toMap
+    }
+    for (buckets <- Seq(1, 8, 4096); parts <- Seq(1, 5)) {
+      val got = QuantileOps.exactPercentiles(df.repartition(parts), "v", "grp",
+          pcts, buckets = buckets)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == reference, s"buckets=$buckets parts=$parts")
+    }
+  }
 }
