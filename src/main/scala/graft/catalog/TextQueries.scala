@@ -135,6 +135,34 @@ object TextQueries {
         )
         .orderBy(col("doc_id"))
     },
+    "q_dedup_incremental" -> { (s, dir) =>
+      // daily-append dedup: batch (doc_id ≡ 0 mod 5) against the hash
+      // store of the already-deduped corpus (the other 80%); the store
+      // is the one-column artifact a real pipeline materializes
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      val store = DedupOps.exactDuplicates(corpus, "doc_id", "text")
+        .filter(!col("is_duplicate")).select(col("content_hash"))
+      DedupOps.incrementalExact(batch, store, "doc_id", "text")
+        .select(col("doc_id"), col("content_hash"), col("dup_in_corpus"),
+          col("is_duplicate"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
+    "q_dedup_incremental_lsh" -> { (s, dir) =>
+      // near-dup face of the same append: batch-banded signatures
+      // broadcast against the corpus band stream, same 32/4/8 scheme as
+      // q_dedup_lsh_pairs
+      val docs = load(s, dir, "documents")
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      DedupOps.incrementalLshPairs(batch, corpus, "doc_id", "text",
+          numHashes = 32, bands = 4, shingleSize = 3, minJaccard = 0.0)
+        .select(col("corpus_id"), col("batch_id"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("corpus_id"), col("batch_id"))
+    },
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = load(s, dir, "documents")
       DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 4, shingleSize = 3)
@@ -394,6 +422,19 @@ object TextQueries {
          |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
          |FROM h ORDER BY doc_id""".stripMargin
 
+    val dedupIncremental =
+      s"""WITH n AS (SELECT doc_id,
+         |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash FROM documents),
+         |c AS (SELECT DISTINCT content_hash FROM n WHERE doc_id % 5 <> 0),
+         |b AS (SELECT doc_id, content_hash,
+         |  min(doc_id) OVER (PARTITION BY content_hash) AS keep_id
+         |  FROM n WHERE doc_id % 5 = 0)
+         |SELECT b.doc_id, b.content_hash,
+         |  (c.content_hash IS NOT NULL) AS dup_in_corpus,
+         |  b.doc_id <> b.keep_id AS is_duplicate,
+         |  (c.content_hash IS NULL AND b.doc_id = b.keep_id) AS keep
+         |FROM b LEFT JOIN c USING (content_hash) ORDER BY b.doc_id""".stripMargin
+
     val shingles3 = sqlWordShingles(toks, 3)
     val hashed3 = sqlHashedShingles(shingles3)
     val minhash4 =
@@ -416,6 +457,25 @@ object TextQueries {
          |FROM pairs p JOIN sg a ON p.doc_a = a.doc JOIN sg b ON p.doc_b = b.doc
          |WHERE ${sqlJaccard("a.hashed", "b.hashed")} >= 0.0
          |ORDER BY doc_a, doc_b""".stripMargin
+
+    // cross-set variant of lshPairs: left side corpus (doc % 5 <> 0),
+    // right side batch (doc % 5 = 0) — no doc_a < doc_b dedup needed,
+    // the sets are disjoint
+    val lshIncremental =
+      s"""WITH sh AS (SELECT doc_id AS doc, $hashed3 AS hashed FROM documents),
+         |sg AS (SELECT doc, hashed, $sig32 AS sig FROM sh),
+         |banded AS (
+         |  SELECT doc, b.band,
+         |    md5(array_to_string(list_transform(sig[b.band*8+1:b.band*8+8], x -> x::VARCHAR), ',')) AS key
+         |  FROM sg, (SELECT unnest([0,1,2,3]) AS band) b),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc AS corpus_id, r.doc AS batch_id
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key
+         |  WHERE l.doc % 5 <> 0 AND r.doc % 5 = 0)
+         |SELECT p.corpus_id, p.batch_id, round(${sqlJaccard("a.hashed", "b.hashed")}, 6) AS jaccard
+         |FROM pairs p JOIN sg a ON p.corpus_id = a.doc JOIN sg b ON p.batch_id = b.doc
+         |WHERE ${sqlJaccard("a.hashed", "b.hashed")} >= 0.0
+         |ORDER BY corpus_id, batch_id""".stripMargin
 
     val voteTerms = (0 until 32).map { i =>
       s"CASE WHEN list_aggregate(list_transform(hashes, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0 THEN ${1L << i} ELSE 0 END"
@@ -654,6 +714,8 @@ object TextQueries {
       "q_text_fingerprint" -> fingerprint,
       "q_dedup_exact" -> dedupExact,
       "q_dedup_minhash" -> minhash4,
+      "q_dedup_incremental" -> dedupIncremental,
+      "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,
       "q_dedup_ngram_jaccard" -> ngramJaccard,

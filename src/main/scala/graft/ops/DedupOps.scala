@@ -152,6 +152,105 @@ object DedupOps {
     * fingerprint within small Hamming distance; pair generation buckets
     * on fingerprint bytes at scale.
     */
+  /** Incremental exact dedup: a new batch against an existing corpus
+    * hash store (the `content_hash` column `exactDuplicates` retains —
+    * at scale a materialized one-column table, not the corpus text).
+    *
+    * The daily-append shape of a 100 TB pipeline: the batch is small
+    * relative to the store, so every join here broadcasts a
+    * BATCH-derived side — the store is scanned once (hash column only,
+    * pruned at the parquet reader) and NEVER shuffled, and the only
+    * window is batch-internal first-wins, partitioned by batch hashes.
+    * Re-running yesterday's full-corpus dedup to admit today's batch
+    * would shuffle the world; this is the O(batch) alternative.
+    *
+    * Output: batch columns + (content_hash, dup_in_corpus,
+    * is_duplicate (batch-internal, first-id wins), keep).
+    */
+  def incrementalExact(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val bh = batch
+      .withColumn("content_hash", md5(TextFunctions.normalizedText(col(textCol))))
+    val w = Window.partitionBy(col("content_hash"))
+    val internal = bh
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+      .drop("keep_id")
+    // store rows matching a batch hash: ≤ batch-distinct-size by
+    // construction, so the hit set broadcasts right back
+    val hits = store.select(col("content_hash"))
+      .join(broadcast(bh.select(col("content_hash")).distinct()), "content_hash")
+      .distinct()
+      .withColumn("dup_in_corpus", lit(true))
+    internal
+      .join(broadcast(hits), Seq("content_hash"), "left")
+      .withColumn("dup_in_corpus", coalesce(col("dup_in_corpus"), lit(false)))
+      .withColumn("keep", !col("dup_in_corpus") && !col("is_duplicate"))
+  }
+
+  /** Incremental MinHash-LSH near-dup candidates: batch × corpus band
+    * join (never batch-internal pairs — [[minhashLshPairs]] on the
+    * batch covers those, and the corpus store was self-deduped when it
+    * was built). Same signature/band scheme as the self-join path, so a
+    * store of banded signatures written at corpus-dedup time is
+    * directly reusable; here the corpus side recomputes bands from
+    * text, standing in for that store.
+    *
+    * Scale shape: the batch's banded signatures broadcast (batch ×
+    * bands rows); the corpus streams through the band join map-side
+    * with NO corpus shuffle; only candidate pairs (band-collision
+    * bounded) shuffle for verification. Output: (corpus_id, batch_id,
+    * jaccard).
+    */
+  def incrementalLshPairs(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.0): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val p = batch.sparkSession.sessionState.conf.numShufflePartitions
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc"), col(textCol))
+      .filter(col(textCol).isNotNull)
+      .repartition(p, col("doc"))
+      .select(col("doc"),
+        sort_array(
+          HashFunctions.hashedWordShingles(col(textCol), shingleSize)).as("shingles"))
+      .localCheckpoint()
+    def banded(sh: DataFrame): DataFrame =
+      signaturesFromShingles(sh, "doc", "shingles", numHashes)
+        .select(col("doc"),
+          array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+        .withColumn("bandkeys", HashFunctions.lshBands(col("sig"), bands, rows))
+        .select(col("doc"), explode_outer(col("bandkeys")).as("bk"))
+        .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+    val bSh = prep(batch)
+    val cSh = prep(corpus)
+    val pairs = banded(cSh).as("l")
+      .join(broadcast(banded(bSh).as("r")), Seq("band", "key"))
+      .select(col("l.doc").as("corpus_id"), col("r.doc").as("batch_id"))
+      .distinct()
+    // corpus side stays on the left with pairs broadcast onto it —
+    // shuffling the corpus-sized shingle table by corpus_id would undo
+    // the whole no-corpus-shuffle design; pairs are batch-derived and
+    // collision-bounded, hence broadcastable like everything else here
+    cSh.select(col("doc").as("corpus_id"), col("shingles").as("sh_c"))
+      .join(broadcast(pairs), "corpus_id")
+      .join(broadcast(bSh.select(col("doc").as("batch_id"), col("shingles").as("sh_b"))), "batch_id")
+      .withColumn("jaccard", HashFunctions.jaccardSortedLong(col("sh_c"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("corpus_id"), col("batch_id"), col("jaccard"))
+  }
+
   def simhashFingerprints(
       df: DataFrame,
       idCol: String,
