@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
+import graft.ops.PiiOps
 
 /** The streaming face of the composed prep chain (q_prep_pipeline):
   * language filter → Gopher quality gate → exact dedup within the
@@ -21,7 +22,12 @@ import graft.functions.TextFunctions
   * (the standard lambda split for order-dependent steps).
   *
   * Input: streaming (`ts`, `idCol`, `textCol`). Output: survivor rows
-  * with (`lang_pred`, `n_tokens`, `content_hash`) attached.
+  * with (`lang_pred`, `n_tokens`, `content_hash`) attached; with
+  * `redactPii` the text column is replaced by its scrubbed form
+  * ([[PiiOps.redact]] — stateless per-row regex work, so it composes
+  * into the same streaming stage with no extra state). Redaction runs
+  * AFTER the dedup keying on the raw text: two docs identical up to
+  * their (distinct) PII are different documents, and must stay so.
   */
 object StreamingPrep {
 
@@ -31,7 +37,21 @@ object StreamingPrep {
       textCol: String,
       lang: String = "en",
       minWords: Int = 20,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      redactPii: Boolean = false
+  ): DataFrame = {
+    val t = col(textCol)
+    val deduped = prepRaw(docs, idCol, textCol, lang, minWords, watermark)
+    if (redactPii) deduped.withColumn(textCol, PiiOps.redact(t)) else deduped
+  }
+
+  private def prepRaw(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      lang: String,
+      minWords: Int,
+      watermark: String
   ): DataFrame = {
     val t = col(textCol)
     val gated = docs

@@ -46,4 +46,29 @@ class StreamingPrepSpec extends SparkSuite {
       assert(rows.head._3 == 24L)
     } finally query.stop()
   }
+
+  test("prepStream with redactPii scrubs survivors but keys dedup on raw text") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingPrep.prepStream(docs, "doc_id", "text",
+        redactPii = true)
+      .writeStream.format("memory").queryName("prep_pii_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      // same prose, different PII → different documents, BOTH kept
+      val a = good + " contact alice@example.com today"
+      val b = good + " contact bob@example.org today"
+      stream.addData((t(1), 1L, a), (t(2), 2L, b))
+      query.processAllAvailable()
+      // exact duplicate of doc 1 (same PII too) in a later batch → dropped
+      stream.addData((t(4), 3L, a))
+      query.processAllAvailable()
+      val rows = spark.sql("select doc_id, text from prep_pii_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(rows.keySet == Set(1L, 2L))
+      assert(rows.values.forall(_.endsWith("contact <EMAIL> today")))
+    } finally query.stop()
+  }
 }
