@@ -151,6 +151,50 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("stratified sampling: ranking window is boundary-bucket scoped, bounds join back via broadcast") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = graft.ops.SampleOps.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 10L, "de" -> 5L))
+    val p = plan(q)
+    // the row_number window must partition by (stratum, bucket) — a
+    // stratum-only partition spec would sort whole sources on one
+    // reducer; windowspecdefinition renders both partition columns
+    val rnSpec = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition")).mkString
+    assert(rnSpec.contains("lang#") && rnSpec.contains("_sb#"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("exact percentiles: ranking window is boundary-bucket scoped") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = graft.ops.QuantileOps.exactPercentiles(docs, "n_chars", "source",
+      Map("p50" -> 50, "p99" -> 99))
+    val p = plan(q)
+    val rnSpec = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition")).mkString
+    assert(rnSpec.contains("source#") && rnSpec.contains("_qb#"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("incremental dedup never shuffle-joins: every join is broadcast, corpus side streams") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val store = graft.ops.DedupOps.exactDuplicates(corpus, "doc_id", "text")
+      .filter(!col("is_duplicate")).select(col("content_hash"))
+    val pExact = plan(
+      graft.ops.DedupOps.incrementalExact(batch, store, "doc_id", "text"))
+    assert(pExact.contains("BroadcastHashJoin"), pExact.take(2000))
+    assert(!pExact.contains("SortMergeJoin"), pExact.take(2000))
+    val pLsh = plan(graft.ops.DedupOps.incrementalLshPairs(
+      batch, corpus, "doc_id", "text", numHashes = 32, bands = 4))
+    assert(!pLsh.contains("SortMergeJoin"), pLsh.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(pLsh).length >= 3, pLsh.take(2000))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
