@@ -78,7 +78,7 @@ object SparkEntry {
     "q_text_stats", "q_text_langid", "q_text_fingerprint",
     "q_text_quality_rules", "q_text_repetition", "q_pii_redact", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
-    "q_dedup_incremental", "q_dedup_incremental_lsh",
+    "q_dedup_incremental", "q_dedup_incremental_lsh", "q_dedup_segments",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_quality_classifier",

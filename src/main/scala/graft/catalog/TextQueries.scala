@@ -163,6 +163,15 @@ object TextQueries {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("corpus_id"), col("batch_id"))
     },
+    "q_dedup_segments" -> { (s, dir) =>
+      // boilerplate pass: drop 20-token segments occurring in ≥2
+      // distinct docs (on this corpus: exactly the planted duplicate
+      // clusters' content), rebuild the survivors' text
+      val docs = load(s, dir, "documents")
+      DedupOps.commonSegmentRemoval(docs, "doc_id", "text",
+          segLen = 20, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = load(s, dir, "documents")
       DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 4, shingleSize = 3)
@@ -434,6 +443,29 @@ object TextQueries {
          |  b.doc_id <> b.keep_id AS is_duplicate,
          |  (c.content_hash IS NULL AND b.doc_id = b.keep_id) AS keep
          |FROM b LEFT JOIN c USING (content_hash) ORDER BY b.doc_id""".stripMargin
+
+    // mirror of commonSegmentRemoval: same 20-token segmentation, same
+    // distinct-doc threshold, same space-joined reconstruction; DuckDB
+    // groups by segment text directly (the md5 keying is Spark-side
+    // shuffle hygiene, not semantics)
+    val dedupSegments =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |ne AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+         |segs AS (SELECT ne.doc_id, u.i AS pos,
+         |  array_to_string(ne.toks[u.i*20+1 : u.i*20+20], ' ') AS seg_text
+         |  FROM ne, LATERAL (SELECT unnest(range(0, ((len(ne.toks)-1)//20)+1)) AS i) u),
+         |common AS (SELECT seg_text FROM segs GROUP BY seg_text
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |marked AS (SELECT s.doc_id, s.pos, s.seg_text, (c.seg_text IS NOT NULL) AS com
+         |  FROM segs s LEFT JOIN common c USING (seg_text)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_segments,
+         |  sum(CASE WHEN com THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         |  coalesce(array_to_string(list(seg_text ORDER BY pos) FILTER (WHERE NOT com), ' '), '') AS clean_text
+         |  FROM marked GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(r.n_segments, 0) AS n_segments,
+         |  coalesce(r.n_dropped, 0) AS n_dropped,
+         |  coalesce(r.clean_text, '') AS clean_text
+         |FROM t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
     val shingles3 = sqlWordShingles(toks, 3)
     val hashed3 = sqlHashedShingles(shingles3)
@@ -715,6 +747,7 @@ object TextQueries {
       "q_dedup_exact" -> dedupExact,
       "q_dedup_minhash" -> minhash4,
       "q_dedup_incremental" -> dedupIncremental,
+      "q_dedup_segments" -> dedupSegments,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

@@ -251,6 +251,79 @@ object DedupOps {
       .select(col("corpus_id"), col("batch_id"), col("jaccard"))
   }
 
+  /** Corpus-wide repeated-segment removal — the line/paragraph-dedup
+    * pass of CCNet/RefinedWeb-style pipelines, generalized to
+    * fixed-length token segments so it also applies to corpora without
+    * line structure: chop each doc's token stream into consecutive
+    * `segLen`-token segments, count the DISTINCT docs containing each
+    * segment, and rebuild every doc's text without the segments that
+    * appear in ≥ `minDocs` docs (boilerplate: headers, footers,
+    * licence blocks, navigation chrome).
+    *
+    * Distinct from within-doc repetition scoring (TextFunctions
+    * repetition rules) and whole-doc dedup: this removes the SHARED
+    * PARTS of otherwise-unique documents.
+    *
+    * Scale shape: one explode to (doc, pos, segment) — linear in corpus
+    * tokens, checkpointed so tokenization runs once for both consumers;
+    * one (segment-hash)-keyed count-distinct aggregation (map-side
+    * partial dedup); the flagged-segment set BROADCASTS back (the
+    * contract: boilerplate is high-frequency but low-cardinality — its
+    * distinct count is ≪ corpus); one doc-keyed rebuild aggregation
+    * whose collect_list is bounded by segments-per-doc. No all-pairs
+    * anywhere, no window over the corpus.
+    *
+    * Output: one row per input doc — (idCol, n_segments, n_dropped,
+    * clean_text = kept segments' tokens joined by single spaces, in
+    * original order). Token-normalized reconstruction is deliberate:
+    * the pass sits after tokenization in a prep chain, and the oracle
+    * replays it exactly.
+    */
+  def commonSegmentRemoval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      segLen: Int = 20,
+      minDocs: Long = 2): DataFrame = {
+    require(segLen > 0, "segLen must be positive")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("_toks"))
+    // empty-token docs carry no segments; they rejoin at the end
+    val nonEmpty = base.filter(size(col("_toks")) > 0).repartition(p)
+    val segArr = transform(
+      sequence(lit(0), ((size(col("_toks")) - 1) / segLen).cast("int")),
+      i => array_join(slice(col("_toks"), i * segLen + 1, lit(segLen)), " "))
+    val segs = nonEmpty
+      .select(col(idCol), posexplode(segArr).as(Seq("pos", "_seg_text")))
+      .withColumn("_seg_hash", md5(col("_seg_text")))
+      .localCheckpoint()
+    val common = segs
+      .groupBy(col("_seg_hash"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_seg_hash"), lit(true).as("_common"))
+    val rebuilt = segs
+      .join(broadcast(common), Seq("_seg_hash"), "left")
+      .withColumn("_common", coalesce(col("_common"), lit(false)))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("_common"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("_common"), struct(col("pos"), col("_seg_text"))))),
+            s => s.getField("_seg_text")),
+          " ").as("clean_text"))
+    base.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   def simhashFingerprints(
       df: DataFrame,
       idCol: String,

@@ -530,6 +530,32 @@ class OpsSpec extends SparkSuite {
     assert(inc.exists { case (a, b, _) => a == 1L && b == 11L }) // planted pair found
   }
 
+  test("DedupOps.commonSegmentRemoval: shared segments drop, unique tails survive in order") {
+    import graft.ops.DedupOps
+    val boiler = "one two three four five"
+    val rows = Seq(
+      (1L, boiler + " alpha beta gamma delta epsilon zeta"),
+      (2L, boiler + " unique words entirely different from others"),
+      (3L, "totally unrelated content with no shared segments at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.commonSegmentRemoval(rows, "doc_id", "text",
+        segLen = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1+2 share the 5-token boilerplate segment → dropped from both
+    assert(got(1L) == ((3L, 1L, "alpha beta gamma delta epsilon zeta")))
+    assert(got(2L) == ((3L, 1L, "unique words entirely different from others")))
+    assert(got(3L) == ((2L, 0L,
+      "totally unrelated content with no shared segments at all")))
+    assert(got(4L) == ((0L, 0L, "")))  // empty doc survives as a row
+    // duplicate docs lose EVERYTHING (every segment shared)
+    val dup = Seq((1L, boiler), (2L, boiler)).toDF("doc_id", "text")
+    val gd = DedupOps.commonSegmentRemoval(dup, "doc_id", "text", 5, 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(gd(1L) == "" && gd(2L) == "")
+  }
+
   test("QuantileOps: exact percentiles = sorted-list reference, incl. ties, degenerate and tiny groups") {
     import graft.ops.QuantileOps
     val rnd = new scala.util.Random(11)
