@@ -107,6 +107,27 @@ object SampleOps {
       quotas.toSeq.toDF(stratumCol, "quota"))
   }
 
+  /** Exact-fraction convenience: quota(stratum) = ceil(fraction ·
+    * |stratum|), derived with one tiny count agg — "exactly 10% of
+    * every source", where Bernoulli sampling ([[CorpusOps.weightedMix]])
+    * only delivers 10% in expectation. The fraction is applied in
+    * integer arithmetic (ceil(pct·n/100), same form as
+    * [[QuantileOps]]' rank) to keep the quota reproducible.
+    */
+  def stratifiedFraction(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      pct: Int,
+      selectBuckets: Int = 1024): DataFrame = {
+    require(pct > 0 && pct <= 100, "pct must be in (0, 100]")
+    stratifiedSample(df, idCol, stratumCol,
+      df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+        .withColumn("quota", expr(s"($pct * _n + 99) div 100"))
+        .drop("_n"),
+      selectBuckets)
+  }
+
   /** Uniform cap per stratum: at most `cap` rows from every stratum
     * present. The balanced-diversity shape — cap per topic cluster, per
     * language, per domain — that keeps a head-heavy corpus from

@@ -483,6 +483,11 @@ class OpsSpec extends SparkSuite {
       .groupBy("grp").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(capped.keySet == sizes.keySet && capped.values.forall(_ <= 3L))
+    // exact-fraction face: ceil(10% of n) per stratum, exactly
+    val frac = SampleOps.stratifiedFraction(df, "id", "grp", 10)
+      .groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac == sizes.map { case (g, n) => g -> ((10 * n + 99) / 100) })
   }
 
   test("DedupOps incremental: batch-vs-store agrees with global dedup; LSH cross-set = self-join restriction") {
