@@ -83,6 +83,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard", "q_shard_pack", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_quality_classifier",
     "q_sample_stratified", "q_sample_cluster", "q_corpus_quantiles",
+    "q_filter_adaptive",
     "q_emb_neardup_lsh", "q_semdedup",
     "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",

@@ -52,6 +52,22 @@ object SampleQueries {
         .repartition(s.sessionState.conf.numShufflePartitions)
       QuantileOps.exactPercentiles(docs, "n_chars", "source", Percentiles)
         .orderBy(col("source"), col("p"))
+    },
+    "q_filter_adaptive" -> { (s, dir) =>
+      // adaptive per-source gate: drop docs below their OWN source's
+      // p10 length — the dynamic-threshold pattern (a fixed global
+      // cutoff over- or under-filters heterogeneous sources). The
+      // threshold table is one row per source → broadcast; the corpus
+      // pays one scan + one map-side join
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val thr = QuantileOps.exactPercentiles(docs, "n_chars", "source",
+          Map("p10" -> 10))
+        .select(col("source"), col("quantile").as("thr"))
+      docs.join(broadcast(thr), "source")
+        .filter(col("n_chars") >= col("thr"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("thr"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -110,10 +126,22 @@ object SampleQueries {
          |JOIN t ON r.rn = (t.pct * s.n + 99) // 100
          |ORDER BY r.source, t.p""".stripMargin
 
+    val adaptive =
+      s"""WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |r AS (SELECT doc_id, source, n_chars,
+         |  row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn
+         |  FROM documents),
+         |thr AS (SELECT r.source, r.n_chars AS thr
+         |  FROM r JOIN s USING (source) WHERE r.rn = (10 * s.n + 99) // 100)
+         |SELECT d.doc_id, d.source, d.n_chars, thr.thr
+         |FROM documents d JOIN thr USING (source)
+         |WHERE d.n_chars >= thr.thr ORDER BY d.doc_id""".stripMargin
+
     Map(
       "q_sample_stratified" -> stratified,
       "q_sample_cluster" -> cluster,
-      "q_corpus_quantiles" -> quantiles
+      "q_corpus_quantiles" -> quantiles,
+      "q_filter_adaptive" -> adaptive
     )
   }
 }
