@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{HashFunctions, TextFunctions}
-import graft.ops.DedupOps
+import graft.ops.{CorpusOps, DedupOps}
 import Tables._
 
 /** Text-analysis + dedup queries over the `documents` table, each with a
@@ -162,6 +162,16 @@ object TextQueries {
         .select(col("corpus_id"), col("batch_id"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("corpus_id"), col("batch_id"))
+    },
+    "q_lm_score" -> { (s, dir) =>
+      // corpus-trained bigram LM quality score (CCNet-style perplexity
+      // proxy): model = top-4096 unigrams + top-16384 bigrams of THIS
+      // corpus, docs scored by mean smoothed bigram log-prob
+      val docs = load(s, dir, "documents")
+      CorpusOps.bigramLmScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("lm_score"), 6).as("lm_score"))
+        .orderBy(col("doc_id"))
     },
     "q_dedup_segments" -> { (s, dir) =>
       // boilerplate pass: drop 20-token segments occurring in ≥2
@@ -443,6 +453,27 @@ object TextQueries {
          |  b.doc_id <> b.keep_id AS is_duplicate,
          |  (c.content_hash IS NULL AND b.doc_id = b.keep_id) AS keep
          |FROM b LEFT JOIN c USING (content_hash) ORDER BY b.doc_id""".stripMargin
+
+    // mirror of bigramLmScore: same pruned model (count-desc,
+    // lexical tie-break), same add-one smoothing over pruned counts
+    val lmScore =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[u.i+1] AS w1, toks[u.i+2] AS w2
+         |  FROM t, LATERAL (SELECT unnest(range(0, len(toks)-1)) AS i) u
+         |  WHERE len(toks) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t)
+         |  GROUP BY w1 ORDER BY c1 DESC, w1 LIMIT 4096),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |  GROUP BY w1, w2 ORDER BY c2 DESC, w1, w2 LIMIT 16384),
+         |sc AS (SELECT bg.doc_id,
+         |  ln((coalesce(bi.c2, 0) + 1)::DOUBLE / (coalesce(uni.c1, 0) + 4096)) AS lp
+         |  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams, avg(lp) AS s
+         |  FROM sc GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         |  round(agg.s, 6) AS lm_score
+         |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
     // mirror of commonSegmentRemoval: same 20-token segmentation, same
     // distinct-doc threshold, same space-joined reconstruction; DuckDB
@@ -748,6 +779,7 @@ object TextQueries {
       "q_dedup_minhash" -> minhash4,
       "q_dedup_incremental" -> dedupIncremental,
       "q_dedup_segments" -> dedupSegments,
+      "q_lm_score" -> lmScore,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

@@ -195,4 +195,71 @@ object CorpusOps {
       .filter(col("keep_bucket") < (col("rate") * 10000).cast("long"))
       .drop("rate")
   }
+
+  /** Statistical LM quality scoring, CCNet-style: train a bigram
+    * language model ON the corpus itself (or a trusted reference slice)
+    * and score every document by its mean add-one-smoothed bigram log
+    * probability — fluent in-domain text scores high, gibberish and
+    * boilerplate-mangled text score low, and the resulting column
+    * drives perplexity-band filtering. Complements
+    * [[linearQualityScore]] (an OFFLINE-trained artifact): this model
+    * is trained by the pipeline run itself, with no external input.
+    *
+    * Model = the top-`vocabTopK` unigrams and top-`bigramTopK` bigrams
+    * by count (ties broken lexically, so the tables are deterministic);
+    * pruning IS the scale contract — both tables are TakeOrdered
+    * results that stay broadcastable regardless of corpus size. Scoring
+    * is add-one smoothed over the pruned tables:
+    * lp(w1,w2) = ln((c2(w1,w2)+1) / (c1(w1)+vocabTopK)), with pruned-out
+    * counts reading 0 — no branching backoff, exactly replayable.
+    *
+    * Scale shape: two token-keyed count aggs (map-side combinable) +
+    * two TakeOrderedAndProject prunes; scoring is the bigram explode
+    * (linear, the same stream that trained the counts) with two
+    * broadcast lookups and one doc-keyed mean. No shuffle grows with
+    * vocabulary.
+    *
+    * Output: one row per input doc — (idCol, n_bigrams, lm_score =
+    * mean log-prob, null for docs with <2 tokens).
+    */
+  def bigramLmScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabTopK: Int = 4096,
+      bigramTopK: Int = 16384): DataFrame = {
+    require(vocabTopK > 0 && bigramTopK > 0, "model sizes must be positive")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df
+      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_t"))
+      .repartition(p)
+      .localCheckpoint() // feeds unigrams, bigrams, and the final left join
+    val uni = toks
+      .select(explode(col("_t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
+      .orderBy(col("_c1").desc, col("w1").asc)
+      .limit(vocabTopK)
+    val bigrams = toks
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_bg"))
+      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val bi = bigrams
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c2"))
+      .orderBy(col("_c2").desc, col("w1").asc, col("w2").asc)
+      .limit(bigramTopK)
+    val scored = bigrams
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .join(broadcast(uni), Seq("w1"), "left")
+      .withColumn("_lp", log(
+        (coalesce(col("_c2"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_c1"), lit(0L)) + vocabTopK)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("_lp")).as("lm_score"))
+    toks.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
+  }
 }

@@ -535,6 +535,36 @@ class OpsSpec extends SparkSuite {
     assert(inc.exists { case (a, b, _) => a == 1L && b == 11L }) // planted pair found
   }
 
+  test("CorpusOps.bigramLmScore: matches a hand-rolled bigram LM, pruning drops tail counts") {
+    import graft.ops.CorpusOps
+    val rows = Seq(
+      (1L, "a b a b a"),   // bigrams: ab ba ab ba
+      (2L, "a b c"),       // ab bc
+      (3L, "x"),           // no bigrams
+      (4L, "c a b a")      // ca ab ba
+    ).toDF("doc_id", "text")
+    // reference model over the full corpus (V=8 covers everything)
+    val c1 = Map("a" -> 6L, "b" -> 4L, "c" -> 2L, "x" -> 1L)
+    val c2 = Map(("a","b") -> 4L, ("b","a") -> 3L, ("b","c") -> 1L, ("c","a") -> 1L)
+    def lp(w1: String, w2: String, v: Int, uni: Map[String,Long], bi: Map[(String,String),Long]) =
+      math.log((bi.getOrElse((w1,w2), 0L) + 1).toDouble / (uni.getOrElse(w1, 0L) + v))
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val got = CorpusOps.bigramLmScore(rows, "doc_id", "text", vocabTopK = 8, bigramTopK = 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    val d1 = mean(Seq(lp("a","b",8,c1,c2), lp("b","a",8,c1,c2), lp("a","b",8,c1,c2), lp("b","a",8,c1,c2)))
+    assert(got(1L)._1 == 4L && math.abs(got(1L)._2.get - d1) < 1e-12)
+    assert(got(3L) == ((0L, None)))  // <2 tokens → null score
+    // pruning: keep only the single top bigram (a,b) — every other
+    // bigram reads count 0 and scores the smoothed floor for its w1
+    val pruned = CorpusOps.bigramLmScore(rows, "doc_id", "text", vocabTopK = 2, bigramTopK = 1)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    val uniP = Map("a" -> 6L, "b" -> 4L) // top-2 by count
+    val biP = Map(("a","b") -> 4L)       // top-1
+    val d4p = mean(Seq(lp("c","a",2,uniP,biP), lp("a","b",2,uniP,biP), lp("b","a",2,uniP,biP)))
+    assert(math.abs(pruned(4L).get - d4p) < 1e-12)
+  }
+
   test("DedupOps.commonSegmentRemoval: shared segments drop, unique tails survive in order") {
     import graft.ops.DedupOps
     val boiler = "one two three four five"
