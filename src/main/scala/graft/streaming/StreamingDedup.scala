@@ -49,6 +49,36 @@ object StreamingDedup {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Exact dedup against a STATIC corpus store, composed with the
+    * horizon dedup: arrivals are checked against the materialized
+    * content-hash table of everything ingested in past runs (the same
+    * one-column artifact [[graft.ops.DedupOps.incrementalExact]]
+    * consumes), then against the stream's own watermark horizon. This
+    * closes the gap between the two existing faces: the horizon alone
+    * forgets history older than the watermark; the batch incremental
+    * path alone can't run continuously.
+    *
+    * Scale shape: a stream-static LEFT ANTI join — Spark keeps NO
+    * stream state for it (the static side is re-scannable per
+    * micro-batch, and at scale is a parquet table partition-pruned /
+    * broadcast by the planner); the only streaming state remains the
+    * horizon's (rate × watermark) hash entries. The store is read as
+    * of each micro-batch, so appending to it between batches tightens
+    * the filter without a restart.
+    */
+  def dropExactDuplicatesAgainstStore(
+      docs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      watermark: String = "10 minutes"
+  ): DataFrame =
+    docs
+      .withColumn("content_hash", md5(TextFunctions.normalizedText(col(textCol))))
+      .join(store.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** NEAR-dup streaming dedup at fingerprint granularity: drop documents
     * whose `bits`-wide simhash matches one already seen in the horizon.
     * The simhash vote sum is order- and casing-insensitive over tokens,

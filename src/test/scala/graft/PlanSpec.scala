@@ -195,6 +195,18 @@ class PlanSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(pLsh).length >= 3, pLsh.take(2000))
   }
 
+  test("bigram LM scoring looks up both model tables via broadcast") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = graft.ops.CorpusOps.bigramLmScore(docs, "doc_id", "text",
+      vocabTopK = 64, bigramTopK = 256)
+    val p = plan(q)
+    // the scoring stream must not shuffle against the model: both
+    // pruned tables join as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")

@@ -44,6 +44,37 @@ class StreamingDedupSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("dropExactDuplicatesAgainstStore filters history AND horizon") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, md5}
+    import graft.functions.TextFunctions
+    // the store: hashes of two historical docs
+    val store = Seq("historical doc one", "historical doc two")
+      .toDF("text")
+      .select(md5(TextFunctions.normalizedText(col("text"))).as("content_hash"))
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingDedup.dropExactDuplicatesAgainstStore(
+        docs, store, "doc_id", "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_store_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      stream.addData(
+        (t(1), 1L, "Historical  DOC one"),   // in store (normalized) → dropped
+        (t(2), 2L, "a genuinely new doc"))   // fresh → kept
+      query.processAllAvailable()
+      stream.addData(
+        (t(3), 3L, "a genuinely new doc"),   // horizon dup → dropped
+        (t(4), 4L, "historical doc two"),    // in store → dropped
+        (t(5), 5L, "another new one"))       // fresh → kept
+      query.processAllAvailable()
+      val ids = spark.sql("select doc_id from dedup_store_out").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(2L, 5L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("dropFingerprintDuplicates collapses reordered/case variants, keeps distinct docs") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, Long, String)]
