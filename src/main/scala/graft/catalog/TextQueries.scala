@@ -217,6 +217,29 @@ object TextQueries {
         .select(col("doc"), col("cluster"), col("is_canonical"))
         .orderBy(col("doc"))
     },
+    "q_dedup_keep_best" -> { (s, dir) =>
+      // quality-ranked dedup retention: within each simhash near-dup
+      // cluster keep the HIGHEST-QUALITY member (stopword hits desc,
+      // token count desc, id) — production corpus dedup keeps the best
+      // copy, not the arbitrary min-id canonical. One full-corpus window
+      // on cluster key carrying (id, 2 longs); membership broadcast
+      val p = s.sessionState.conf.numShufflePartitions
+      val docs = load(s, dir, "documents").repartition(p)
+      val t = col("text")
+      val scored = docs.select(
+        col("doc_id"),
+        TextFunctions.gopherStopHits(t).cast("long").as("stop_hits"),
+        TextFunctions.tokenCount(t).cast("long").as("n_words"))
+      val clusters = DedupOps
+        .duplicateClusters(simhashPairsOf(s, dir))
+        .select(col("doc"), col("cluster"))
+      DedupOps
+        .keepBestPerCluster(scored, clusters, "doc_id",
+          Seq(col("stop_hits").desc, col("n_words").desc))
+        .select(col("doc_id"), col("cluster"), col("stop_hits"),
+          col("n_words"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
     "q_shard_pack" -> { (s, dir) =>
       // pack the corpus into ~1000-token training shards in doc_id
       // order — two-level distributed prefix sum (ShardOps), never a
@@ -637,6 +660,37 @@ object TextQueries {
          |SELECT doc, min(r) AS cluster, (doc = min(r)) AS is_canonical
          |FROM reach GROUP BY doc ORDER BY doc""".stripMargin
 
+    // clusters' component labeling + the quality-rules score columns,
+    // then the per-cluster quality argmax — mirror of
+    // DedupOps.keepBestPerCluster over the same verified fragments
+    val keepBest =
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(list_distinct(toks), x -> x IN ($stopIn)))::BIGINT AS stop_hits,
+         |  len(toks)::BIGINT AS n_words FROM t),
+         |h AS (SELECT doc_id,
+         |  list_transform(toks, x -> (('0x' || substr(md5(x), 1, 8))::UBIGINT)::BIGINT) AS hashes
+         |  FROM t),
+         |fp AS (SELECT doc_id AS doc, ($voteTerms)::BIGINT AS sh FROM h),
+         |banded AS (SELECT doc, sh, b.band, (sh >> (b.band * 8)) & 255 AS key
+         |  FROM fp, (SELECT unnest([0,1,2,3]) AS band) b),
+         |p AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+         |  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc
+         |  WHERE bit_count(xor(l.sh, r.sh)) <= 3),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |        UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         |reach AS (
+         |  SELECT src AS doc, src AS r FROM (SELECT DISTINCT src FROM und)
+         |  UNION
+         |  SELECT u.src AS doc, reach.r FROM und u JOIN reach ON u.dst = reach.doc),
+         |cl AS (SELECT doc, min(r) AS cluster FROM reach GROUP BY doc),
+         |j AS (SELECT sc.doc_id, coalesce(cl.cluster, sc.doc_id) AS cluster,
+         |  sc.stop_hits, sc.n_words FROM sc LEFT JOIN cl ON sc.doc_id = cl.doc)
+         |SELECT doc_id, cluster, stop_hits, n_words,
+         |  (row_number() OVER (PARTITION BY cluster
+         |    ORDER BY stop_hits DESC, n_words DESC, doc_id) = 1) AS keep
+         |FROM j ORDER BY doc_id""".stripMargin
+
     val shardPack =
       s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,
@@ -771,6 +825,7 @@ object TextQueries {
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
       "q_dedup_clusters" -> clusters,
+      "q_dedup_keep_best" -> keepBest,
       "q_dedup_simhash_pairs" -> simhashPairs,
       "q_text_stats" -> textStats,
       "q_text_langid" -> langid,

@@ -476,6 +476,48 @@ object DedupOps {
     labels.withColumn("is_canonical", col("doc") === col("cluster"))
   }
 
+  /** Quality-ranked survivor selection: keep the best-scoring member of
+    * each duplicate cluster rather than the arbitrary min-id canonical —
+    * what a production corpus dedup actually retains (cf. the reference's
+    * first-seen keep, /root/reference/src/grafeo_memory/manager.py ingest
+    * dedup; quality-ranked retention is the pipeline extension).
+    *
+    * `clusters` is [[duplicateClusters]] output (doc, cluster); docs of
+    * `scored` absent from it are singletons and keep=true by
+    * construction (their cluster becomes their own id — ids can't
+    * collide with real cluster labels because a cluster label is the min
+    * MEMBER id). `order` ranks within a cluster (e.g. quality desc,
+    * length desc); ascending id is always appended so ties break
+    * deterministically.
+    *
+    * Scale shape: ONE window keyed on cluster id carrying only the
+    * projected order columns — the same full-corpus hash-keyed window
+    * [[exactDuplicates]] uses, uniform by construction (clusters are
+    * near-dup components; singletons are their own key). The membership
+    * join broadcasts by default — membership is bounded by the pair
+    * graph (only docs with ≥1 near-dup appear), orders of magnitude
+    * smaller than the corpus; pass broadcastClusters=false on a corpus
+    * whose duplicate set itself exceeds executor memory and the join
+    * degrades to a shuffle on id.
+    */
+  def keepBestPerCluster(
+      scored: DataFrame,
+      clusters: DataFrame,
+      idCol: String,
+      order: Seq[Column],
+      broadcastClusters: Boolean = true
+  ): DataFrame = {
+    val m = clusters.select(col("doc").as(idCol), col("cluster"))
+    val mm = if (broadcastClusters) broadcast(m) else m
+    val withC = scored
+      .join(mm, Seq(idCol), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col(idCol)))
+    val w = Window
+      .partitionBy(col("cluster"))
+      .orderBy(order :+ col(idCol).asc: _*)
+    withC.withColumn("keep", row_number().over(w) === 1)
+  }
+
   /** Exact n-gram Jaccard similarity for a bounded candidate set
     * (all pairs within a grouping key, e.g. same source bucket).
     * Shingles are md5-hashed to longs before the all-pairs join — the

@@ -114,6 +114,27 @@ class OpsSpec extends SparkSuite {
     assert(run(0L) == expected) // distributed min-label path
   }
 
+  test("keepBestPerCluster: quality argmax per cluster, singletons pass through") {
+    // cluster {1,2,3}: doc 2 has the best score; cluster {10,11}: tie on
+    // score -> longer doc 11 wins; doc 5 is unclustered -> kept, own id
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc", "cluster")
+    val scored = Seq(
+      (1L, 4L, 100L), (2L, 9L, 50L), (3L, 4L, 200L),
+      (10L, 6L, 80L), (11L, 6L, 90L), (5L, 1L, 10L)
+    ).toDF("doc_id", "stop_hits", "n_words")
+    def run(bcast: Boolean) = graft.ops.DedupOps
+      .keepBestPerCluster(scored, clusters, "doc_id",
+        Seq(col("stop_hits").desc, col("n_words").desc), broadcastClusters = bcast)
+      .select("doc_id", "cluster", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = Set(
+      (1L, 1L, false), (2L, 1L, true), (3L, 1L, false),
+      (10L, 10L, false), (11L, 10L, true), (5L, 5L, true))
+    assert(run(bcast = true) == expected)
+    assert(run(bcast = false) == expected) // shuffle-join membership path
+  }
+
   test("native cosine matches the HOF formulation on null/zero/mismatch edge cases") {
     // the semantics contract: null element => null result UNLESS the
     // OTHER side is a null-free zero vector (3-valued when(na===0||nb===0))
