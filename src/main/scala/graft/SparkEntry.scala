@@ -80,7 +80,8 @@ object SparkEntry {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
     "q_dedup_incremental", "q_dedup_incremental_lsh", "q_dedup_segments",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
-    "q_dedup_ngram_jaccard", "q_dedup_keep_best", "q_shard_pack", "q_prep_pipeline",
+    "q_dedup_ngram_jaccard", "q_dedup_keep_best", "q_shard_pack",
+    "q_shuffle_shards", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_quality_classifier",
     "q_lm_score",
     "q_sample_stratified", "q_sample_cluster", "q_corpus_quantiles",

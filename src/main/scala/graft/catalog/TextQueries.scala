@@ -240,6 +240,22 @@ object TextQueries {
           col("n_words"), col("keep"))
         .orderBy(col("doc_id"))
     },
+    "q_shuffle_shards" -> { (s, dir) =>
+      // deterministic global training-order shuffle: order the corpus by
+      // a seeded hash of the id (a reproducible pseudo-random permutation
+      // — no RNG state, re-runs bit-identical on any cluster) and pack
+      // into fixed 16-doc shards. Same two-level prefix sum as
+      // q_shard_pack with unit weights — a naive ORDER BY hash global
+      // window would move the corpus to ONE reducer
+      val docs = load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+            .as("shuffle_key"))
+        .withColumn("one", lit(1L))
+      graft.ops.ShardOps.packShards(docs, "shuffle_key", "one", targetWeight = 16L)
+        .select(col("doc_id"), col("shuffle_key"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
     "q_shard_pack" -> { (s, dir) =>
       // pack the corpus into ~1000-token training shards in doc_id
       // order — two-level distributed prefix sum (ShardOps), never a
@@ -691,6 +707,16 @@ object TextQueries {
          |    ORDER BY stop_hits DESC, n_words DESC, doc_id) = 1) AS keep
          |FROM j ORDER BY doc_id""".stripMargin
 
+    // rank-per-16 in seeded-hash order == unit-weight exclusive prefix
+    // sum / 16 (mirror of the Spark side's packShards reuse)
+    val shuffleShards =
+      s"""WITH t AS (SELECT doc_id,
+         |  md5('shuf42:' || doc_id::VARCHAR) AS shuffle_key FROM documents)
+         |SELECT doc_id, shuffle_key,
+         |  CAST(floor((row_number() OVER (ORDER BY shuffle_key) - 1) / 16.0)
+         |    AS BIGINT) AS shard_id
+         |FROM t ORDER BY doc_id""".stripMargin
+
     val shardPack =
       s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,
@@ -822,6 +848,7 @@ object TextQueries {
       "q_quality_classifier" -> qualityClassifier,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,
+      "q_shuffle_shards" -> shuffleShards,
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
       "q_dedup_clusters" -> clusters,

@@ -114,6 +114,20 @@ class OpsSpec extends SparkSuite {
     assert(run(0L) == expected) // distributed min-label path
   }
 
+  test("packShards with unit weights is rank-based fixed-size sharding in key order") {
+    // the deterministic-global-shuffle reuse (q_shuffle_shards): shard =
+    // floor(rank0 / K) in hash-key order, invariant to input partitioning
+    val docs = (1L to 37L).map(i => (i, f"k$i%03d", 1L)).toDF("doc_id", "k", "one")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.ShardOps.packShards(df, "k", "one", targetWeight = 5L)
+        .select("k", "shard_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run(docs)
+    val expected = (1L to 37L).map(i => f"k$i%03d" -> (i - 1) / 5).toMap
+    assert(got == expected)
+    assert(run(docs.repartition(7)) == expected)
+  }
+
   test("keepBestPerCluster: quality argmax per cluster, singletons pass through") {
     // cluster {1,2,3}: doc 2 has the best score; cluster {10,11}: tie on
     // score -> longer doc 11 wins; doc 5 is unclustered -> kept, own id
