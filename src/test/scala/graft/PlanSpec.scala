@@ -207,6 +207,35 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2500))
   }
 
+  test("keep-best retention broadcasts cluster membership; argmax windows on cluster key") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"))
+    val clusters = { import spark.implicits._; Seq((1L, 1L), (2L, 1L)).toDF("doc", "cluster") }
+    val q = graft.ops.DedupOps.keepBestPerCluster(docs, clusters, "doc_id",
+      Seq(col("score").desc))
+    val p = plan(q)
+    // membership joins as a broadcast (bounded by the pair graph), and
+    // the ranking window partitions by cluster — an empty partitionBy
+    // would single-reduce the corpus
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    val rnSpec = p.linesIterator.filter(l =>
+      l.contains("row_number()") && l.contains("windowspecdefinition")).mkString
+    assert(rnSpec.contains("cluster#"), p.take(2500))
+  }
+
+  test("global-shuffle sharding windows per range bucket, never globally") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("doc_id"),
+        md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("k"))
+      .withColumn("one", lit(1L))
+    val q = graft.ops.ShardOps.packShards(docs, "k", "one", targetWeight = 16L)
+    val p = plan(q)
+    assert(p.contains("__bucket"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
