@@ -71,7 +71,11 @@ object GraftFunctions {
       arity("graft_fingerprint", 1)(args => NativeExprs.TokenFingerprint(args(0)))),
     ("graft_simhash_text",
       "graft_simhash_text(text) - 32-bit simhash fingerprint from raw text",
-      arity("graft_simhash_text", 1)(args => NativeExprs.SimHashText(args(0), 32)))
+      arity("graft_simhash_text", 1)(args => NativeExprs.SimHashText(args(0), 32))),
+    ("graft_minhash_sig",
+      "graft_minhash_sig(hashes, n) - n-element minhash signature of a hashed-shingle array",
+      arity("graft_minhash_sig", 2)(args =>
+        NativeExprs.MinhashSig(args(0), litInt("graft_minhash_sig", args(1)))))
   )
 
   private def litInt(name: String, e: Expression): Int = e match {

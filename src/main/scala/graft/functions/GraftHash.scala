@@ -321,4 +321,49 @@ object GraftHash {
     while (it.hasNext) { arr(i) = it.next(); i += 1 }
     new GenericArrayData(arr)
   }
+
+  private val MinhashPrime = 2147483647L
+
+  /** Whole MinHash signature in ONE pass over a hashed-shingle array
+    * ([[NativeExprs.MinhashSig]]): out(i) = min over shingles h of
+    * (a_i·h + b_i) mod P with the [[HashFunctions.minhashA]]/`minhashB`
+    * constants — bit-identical to `min` aggregating
+    * `HashFunctions.minhashMix` over an exploded shingle table, but
+    * per-row: no explode, no groupBy, NO SHUFFLE to build signatures.
+    * Null elements are skipped (mirroring `min`'s null handling); an
+    * array with no usable elements yields an all-null signature, exactly
+    * what the outer-explode + min aggregation produced.
+    */
+  def minhashSig(hashes: ArrayData, numHashes: Int): ArrayData = {
+    if (hashes == null) return null
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = ((i + 1L) * 2654435761L) % MinhashPrime
+      b(i) = (i * 40503L + 12345L) % MinhashPrime
+      i += 1
+    }
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var any = false
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      if (!hashes.isNullAt(j)) {
+        any = true
+        val h = hashes.getLong(j)
+        var k = 0
+        while (k < numHashes) {
+          var m = (h * a(k) + b(k)) % MinhashPrime
+          if (m < 0) m += MinhashPrime // pmod semantics; unreachable for 31-bit inputs
+          if (m < mins(k)) mins(k) = m
+          k += 1
+        }
+      }
+      j += 1
+    }
+    if (!any) new GenericArrayData(new Array[AnyRef](numHashes))
+    else new GenericArrayData(mins)
+  }
 }

@@ -102,6 +102,17 @@ object HashFunctions {
   def minhashMix(hashed: Column, i: Int): Column =
     pmod(hashed * lit(minhashA(i)) + lit(minhashB(i)), lit(MinhashPrime))
 
+  /** Whole signature (array<long>, length `numHashes`) from a hashed-
+    * shingle array in one per-row kernel pass — no explode, no groupBy,
+    * no shuffle ([[NativeExprs.MinhashSig]]); element i equals
+    * `min(minhashMix(h, i))` over the array, bit-exactly.
+    */
+  def minhashSig(hashedShingles: Column, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.MinhashSig(
+      GraftSqlShim.expression(hashedShingles), numHashes))
+  }
+
   /** LSH band keys over an array<long> signature: hash `rows`-sized
     * bands; docs sharing any band key are near-dup candidates. Returns
     * array<struct<band:int, key:string>>.

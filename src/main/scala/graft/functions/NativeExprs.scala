@@ -610,4 +610,40 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
       copy(child = newChild)
   }
+
+  /** Whole MinHash signature per ROW — min over the hashed-shingle array
+    * of each universal-mix hash family member, all `numHashes` mins in
+    * one pass ([[GraftHash.minhashSig]]). Replaces the explode →
+    * groupBy(id).agg(min×n) shape, whose aggregation exchange is a
+    * corpus-keyed shuffle of every signature; signatures are a pure
+    * function of one row's shingles, so no shuffle is ever needed to
+    * build them. Bit-identical to the aggregation form (property-tested
+    * in NativeExprPropertySpec).
+    */
+  case class MinhashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression {
+    require(numHashes >= 1, "numHashes must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = true)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_minhash_sig"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(LongType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be array<long>, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.minhashSig($c, $numHashes)")
+
+    override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+      copy(child = newChild)
+  }
 }

@@ -33,14 +33,17 @@ object DedupOps {
   /** MinHash signatures: numHashes 31-bit min values over word shingles.
     * Output columns: idCol, mh_0 .. mh_{n-1} (long).
     *
-    * Shape: md5 each shingle ONCE to a 31-bit long, explode, then
-    * numHashes `min` aggregations over universal-mixed terms
+    * Shape: md5 each shingle ONCE to a 31-bit long, then ONE per-row
+    * native kernel pass computes all universal-mixed mins
     * (a_i·h + b_i mod P) — the md5 (the dominant cost) is independent of
-    * numHashes and the mins combine map-side.
-    * (Two rejected shapes, measured at sf0.1: per-hash md5(seed||s) made
-    * signature cost linear in numHashes; and the nested-HOF form — an
-    * array of minhash expressions over a shingle column — collapses in
-    * Catalyst so the shingle subtree is re-inlined into EVERY hash.)
+    * numHashes and NOTHING shuffles: a signature is a pure function of
+    * one row's shingles.
+    * (Three rejected shapes, measured at sf0.1: per-hash md5(seed||s)
+    * made signature cost linear in numHashes; the nested-HOF form — an
+    * array of interpreted minhash expressions — collapses in Catalyst so
+    * the shingle subtree re-inlines into EVERY hash; and the original
+    * explode + groupBy(id).agg(min×n) paid a corpus-keyed aggregation
+    * exchange just to reassemble rows the scan already had.)
     */
   def minhashSignatures(
       df: DataFrame,
@@ -50,11 +53,11 @@ object DedupOps {
       shingleSize: Int = 3
   ): DataFrame = {
     // hash-heavy: round-robin repartition the (narrow) text rows FIRST
-    // so the shingle+md5 explode runs on every core — a small-file scan
+    // so the shingle+md5 kernel runs on every core — a small-file scan
     // arrives as one partition and would otherwise hash single-threaded.
-    // Round-robin, not keyed: the min-agg's partial aggregate shrinks
-    // each partition to ≤ one row per id before the exchange, so a keyed
-    // pre-shuffle buys nothing and costs a hash-eval per row.
+    // Round-robin, not keyed: nothing downstream needs an id partitioning
+    // (the signature kernel is per-row), so a keyed pre-shuffle buys
+    // nothing and costs a hash-eval per row.
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     // null-text rows are excluded (a null shingle array would otherwise
     // surface as an all-null signature row under the outer explode)
@@ -66,27 +69,37 @@ object DedupOps {
     signaturesFromShingles(sh, idCol, "__shingles", numHashes)
   }
 
-  /** Signature aggregation over an ALREADY hashed-shingled table — lets
-    * callers that also need the raw shingle sets (LSH verification)
-    * compute and hash shingles exactly once.
+  /** Signature ARRAY over an ALREADY hashed-shingled table — one per-row
+    * kernel pass ([[HashFunctions.minhashSig]]), so building signatures
+    * costs ZERO shuffle at any corpus size (the former shape — explode +
+    * groupBy(id).agg(min×n) — paid a corpus-keyed aggregation exchange).
+    * Callers that also need the raw shingle sets (LSH verification)
+    * compute and hash shingles exactly once. Output: (idCol, sig).
+    */
+  private def sigArrayFromShingles(
+      sh: DataFrame,
+      idCol: String,
+      shCol: String,
+      numHashes: Int
+  ): DataFrame =
+    sh.select(col(idCol),
+      HashFunctions.minhashSig(col(shCol), numHashes).as("sig"))
+
+  /** [[sigArrayFromShingles]] flattened to the public mh_i column
+    * contract. The extraction lives in a SECOND projection: the kernel
+    * alias is referenced `numHashes` times, and CollapseProject keeps
+    * multi-referenced non-cheap expressions in their own project, so the
+    * shingle+signature kernels run once per row (PlanSpec pins this).
     */
   private def signaturesFromShingles(
       sh: DataFrame,
       idCol: String,
       shCol: String,
       numHashes: Int
-  ): DataFrame = {
-    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
-    // explode into `size(expr) > 0 AND isnotnull(expr)` and pushes that
-    // below the repartition to the SCAN — evaluating the interpreted-HOF
-    // shingle subtree twice more, single-threaded (measured 4.7 s vs
-    // 0.7 s at sf0.1). Shingle arrays are never empty, so outer explode
-    // is semantically identical and skips the rule.
-    val exploded = sh.select(col(idCol), explode_outer(col(shCol)).as("h"))
-    val aggs = (0 until numHashes).map(i =>
-      min(HashFunctions.minhashMix(col("h"), i)).as(s"mh_$i"))
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
-  }
+  ): DataFrame =
+    sigArrayFromShingles(sh, idCol, shCol, numHashes)
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band, key), emit distinct candidate pairs (a < b) with their exact
@@ -122,14 +135,17 @@ object DedupOps {
           HashFunctions.hashedWordShingles(col(textCol), shingleSize)).as("shingles"))
       .localCheckpoint()
 
-    // signatures via the explode+min-agg shape (see minhashSignatures)
-    val sigs = signaturesFromShingles(shingled, "doc", "shingles", numHashes)
-      .select(col("doc"),
-        array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+    // per-row signature kernel: zero shuffle between shingles and bands
+    val sigs = sigArrayFromShingles(shingled, "doc", "shingles", numHashes)
       .withColumn("bandkeys", HashFunctions.lshBands(col("sig"), bands, rows))
 
+    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    // explode into `size(expr) > 0 AND isnotnull(expr)` filters pushed
+    // below to the scan, re-evaluating the kernel subtree (measured 4.7 s
+    // vs 0.7 s at sf0.1 before the checkpoint isolated this path); band
+    // arrays are never empty, so outer explode is identical and skips it
     val banded = sigs
-      .select(col("doc"), explode_outer(col("bandkeys")).as("bk")) // outer: see signaturesFromShingles
+      .select(col("doc"), explode_outer(col("bandkeys")).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
 
     val pairs = banded
@@ -217,24 +233,33 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val p = batch.sparkSession.sessionState.conf.numShufflePartitions
-    def prep(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("doc"), col(textCol))
-      .filter(col(textCol).isNotNull)
-      .repartition(p, col("doc"))
-      .select(col("doc"),
-        sort_array(
-          HashFunctions.hashedWordShingles(col(textCol), shingleSize)).as("shingles"))
-      .localCheckpoint()
-    def banded(sh: DataFrame): DataFrame =
-      signaturesFromShingles(sh, "doc", "shingles", numHashes)
+    // materialize=true only for the BATCH side: it is re-read (banding,
+    // then twice in verification) and small, so a repartition +
+    // localCheckpoint is cheap insurance. The CORPUS side must get
+    // neither — a repartition is a full corpus shuffle and a
+    // localCheckpoint a corpus-sized executor-storage materialization,
+    // both of which would break the no-corpus-shuffle scale contract.
+    // Recomputing corpus shingles for the verification join is a second
+    // linear scan, which is the right trade at 100 TB.
+    def prep(df: DataFrame, materialize: Boolean): DataFrame = {
+      val sh = df
+        .select(col(idCol).as("doc"), col(textCol))
+        .filter(col(textCol).isNotNull)
         .select(col("doc"),
-          array((0 until numHashes).map(i => col(s"mh_$i")): _*).as("sig"))
+          sort_array(
+            HashFunctions.hashedWordShingles(col(textCol), shingleSize)).as("shingles"))
+      if (materialize) sh.repartition(p, col("doc")).localCheckpoint() else sh
+    }
+    // per-row signature kernel — the corpus side goes shingles → sig →
+    // bands entirely map-side, with no aggregation exchange anywhere
+    def banded(sh: DataFrame): DataFrame =
+      sigArrayFromShingles(sh, "doc", "shingles", numHashes)
         .withColumn("bandkeys", HashFunctions.lshBands(col("sig"), bands, rows))
         .select(col("doc"), explode_outer(col("bandkeys")).as("bk"))
         .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"))
 
-    val bSh = prep(batch)
-    val cSh = prep(corpus)
+    val bSh = prep(batch, materialize = true)
+    val cSh = prep(corpus, materialize = false)
     val pairs = banded(cSh).as("l")
       .join(broadcast(banded(bSh).as("r")), Seq("band", "key"))
       .select(col("l.doc").as("corpus_id"), col("r.doc").as("batch_id"))

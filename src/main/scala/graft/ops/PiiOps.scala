@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object PiiOps {
 
-  /** `\b`-anchored so a digit run embedded in a longer token (an id,
-    * a hash) is NOT treated as PII — redaction must not corrupt
-    * non-PII content.
+  /** The four NUMERIC patterns (CC/SSN/Phone/IPv4) are `\b`-anchored so
+    * a digit run embedded in a longer token (an id, a hash) is NOT
+    * treated as PII — redaction must not corrupt non-PII content. Email
+    * is unanchored by design: its character classes span word and
+    * non-word chars, so `\b` has no clean placement there.
     */
   val Email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val CreditCard = "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b"

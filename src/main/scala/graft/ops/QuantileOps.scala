@@ -48,8 +48,14 @@ object QuantileOps {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // NULL values are excluded up front so n, the bucket counts, and the
+    // boundary ranks all see the same row set — counting nulls into _gn
+    // while min/max ignore them would silently shift k (nulls would sort
+    // into a NULL _qb bucket that orders FIRST, while a
+    // row_number-over-value oracle orders them last)
+    val df0 = df.filter(col(valueCol).isNotNull)
     val v = col(valueCol).cast("long")
-    val stats = df.groupBy(col(groupCol))
+    val stats = df0.groupBy(col(groupCol))
       .agg(count(lit(1)).as("_gn"), min(v).as("_gmin"), max(v).as("_gmax"))
       .withColumn("_gw",
         greatest(lit(1L), ceil((col("_gmax") - col("_gmin") + 1)
@@ -66,7 +72,7 @@ object QuantileOps {
       .select(col(groupCol), col("p"), col("_gmin").as("quantile"))
     val live = targets.filter(col("_gmin") =!= col("_gmax"))
 
-    val keyed = df
+    val keyed = df0
       .join(broadcast(stats.select(col(groupCol), col("_gmin"), col("_gw"))),
         Seq(groupCol))
       .withColumn("_qb", ((v - col("_gmin")) / col("_gw")).cast("long"))

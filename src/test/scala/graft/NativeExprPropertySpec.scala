@@ -74,6 +74,30 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("MinhashSig == min-of-minhashMix HOF formulation over 300 random hash arrays") {
+    // random 31-bit hash arrays incl. empty and single-element — the
+    // per-row kernel must be bit-identical to the aggregation form it
+    // replaced (min over the exploded array of each mixed family member)
+    val arrGen: Gen[Seq[Long]] = Gen.frequency(
+      8 -> Gen.nonEmptyListOf(Gen.choose(0L, (1L << 31) - 1)),
+      1 -> Gen.listOfN(1, Gen.choose(0L, (1L << 31) - 1)),
+      1 -> Gen.const(Seq.empty[Long]))
+    val n = 8
+    val df = sample(arrGen, 300, seed = 1234L).toDF("hs")
+    def hofMin(i: Int) =
+      array_min(transform(col("hs"), h => HashFunctions.minhashMix(h, i)))
+    val cols = HashFunctions.minhashSig(col("hs"), n).as("sig") +:
+      (0 until n).map(i => hofMin(i).as(s"e_$i"))
+    val got = df.select(cols: _*).collect()
+    got.foreach { r =>
+      val sig = r.getSeq[Any](0)
+      (0 until n).foreach { i =>
+        val exp = if (r.isNullAt(i + 1)) null else r.getLong(i + 1)
+        assert(sig(i) == exp, s"mh_$i: native=${sig(i)} hof=$exp hs row")
+      }
+    }
+  }
+
   test("HashedWordShingles == HOF formulation over 300 random texts") {
     // word chars, separators, digits, casing, unicode-ish noise, empty
     // and separator-only strings — the tokenizer boundary space

@@ -50,6 +50,14 @@ class PlanSpec extends SparkSuite {
     val opt = q.queryExecution.optimizedPlan.toString
     val hits = "graft_word_shingles31".r.findAllIn(opt).length
     assert(hits == 1, s"shingle kernel appears $hits times in:\n${opt.take(1500)}")
+    // the per-row signature kernel must also stay single-evaluation: the
+    // mh_i extraction references it n times, and CollapseProject must
+    // keep the multi-referenced non-cheap alias in its own projection
+    val sigHits = "graft_minhash_sig".r.findAllIn(opt).length
+    assert(sigHits == 1, s"sig kernel appears $sigHits times in:\n${opt.take(1500)}")
+    // and signature building must not shuffle — no aggregation exchange
+    val p = plan(q)
+    assert(!p.contains("hashpartitioning(doc_id"), p.take(1500))
   }
 
   test("IVF probe joins centroids via broadcast, not shuffle") {
@@ -193,6 +201,10 @@ class PlanSpec extends SparkSuite {
       batch, corpus, "doc_id", "text", numHashes = 32, bands = 4))
     assert(!pLsh.contains("SortMergeJoin"), pLsh.take(2000))
     assert("BroadcastHashJoin".r.findAllIn(pLsh).length >= 3, pLsh.take(2000))
+    // the corpus side must never be repartitioned by doc — the batch side
+    // is localCheckpoint'd (plans as an RDD scan), so ANY doc-keyed
+    // exchange in this plan is a corpus-sized shuffle regression
+    assert(!pLsh.contains("hashpartitioning(doc#"), pLsh.take(2500))
   }
 
   test("bigram LM scoring looks up both model tables via broadcast") {
