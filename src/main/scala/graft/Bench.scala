@@ -75,6 +75,50 @@ object Bench {
     calibrateShuffle() // untimed: first shuffle pays one-time machinery JIT
     val calStart = calibrate()
     val calShStart = calibrateShuffle()
+    // Per-query load attribution (VERDICT r8 "what's wrong" #1): the
+    // start/mid/end probes demonstrably cannot certify a run quiet —
+    // r8's driver artifact read quiet-band on all three probes while
+    // specific queries ran 4–12× hot from bursty contention BETWEEN
+    // them. So every timed pass now carries its own measurement: host
+    // CPU jiffies from /proc/stat (incl. steal — hypervisor contention
+    // is exactly the r8 failure mode) minus THIS JVM's jiffies from
+    // /proc/self/stat, over the pass's wall-clock window. The quotient
+    // is the fraction of machine CPU consumed by OTHERS while the query
+    // ran — ~0 on a quiet host regardless of how hard the query itself
+    // drives the cores. Rows above LoadFlagBound are listed in
+    // load_flagged, making the bench JSON self-adjudicating without
+    // cross-referencing series runs.
+    val LoadFlagBound = 0.10
+    def hostJiffies(): (Long, Long) = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        // user nice system idle iowait irq softirq steal
+        val idle = f(3) + f(4)
+        val total = f.take(8).sum
+        (total - idle, total)
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
+    def selfJiffies(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val s = src.mkString
+        // comm may contain spaces: fields restart after the last ')'
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        rest(11).toLong + rest(12).toLong // utime + stime (all threads)
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+    /** External-CPU fraction over `body`'s window, paired with its result. */
+    def withLoad[A](body: => A): (A, Double) = {
+      val (hb0, ht0) = hostJiffies(); val s0 = selfJiffies()
+      val r = body
+      val (hb1, ht1) = hostJiffies(); val s1 = selfJiffies()
+      val load =
+        if (hb0 < 0 || s0 < 0 || ht1 <= ht0) -1.0
+        else math.max(0.0,
+          ((hb1 - hb0) - (s1 - s0)).toDouble / (ht1 - ht0).toDouble)
+      (r, load)
+    }
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
       else SparkEntry.queries.keys.toSeq.sorted
@@ -101,26 +145,28 @@ object Bench {
     val results = runnable.zipWithIndex.map { case ((name, fn), i) =>
       if (i == midAt) { calMid = calibrate(); calShMid = calibrateShuffle() }
       graft.trace.MemoLog.currentQuery = name
-      def once(): Double = {
+      def once(): (Double, Double) = withLoad {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val (first, best) =
+      val (first, best, load) =
         try {
-          val r1 = once()
+          val (r1, l1) = once()
           val built = graft.trace.MemoLog.memosBuiltBy(name)
           if (built.nonEmpty) graft.trace.MemoLog.clearMemos(built)
-          val r2 = once()
-          (r1, math.min(r1, r2))
+          val (r2, l2) = once()
+          // load is attributed to the pass the reported min came from —
+          // the question "was THIS number contended?" answered per row
+          (r1, math.min(r1, r2), if (r1 <= r2) l1 else l2)
         }
         catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            (-1.0, -1.0)
+            (-1.0, -1.0, -1.0)
         }
-      (name, first, best)
+      (name, first, best, load)
     }
     val calEnd = calibrate()
     val calShEnd = calibrateShuffle()
@@ -212,10 +258,16 @@ object Bench {
     //      evidence the compact line no longer carries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def r2(v: Double): Double = math.rint(v * 100) / 100
-    val qsFull = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qsFirst = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val loadJson = results
+      .map { case (k, _, _, l) => "\"" + k + "\":" + math.rint(l * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val flagged = results.collect {
+      case (k, _, _, l) if l > LoadFlagBound => k }
+    val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memoJson = graft.trace.MemoLog.snapshot.toSeq.sortBy(_._1)
       .map { case (m, q) => "\"" + m + "\":\"" + q + "\"" }.mkString("{", ",", "}")
     val recallJson = recalls
@@ -223,12 +275,17 @@ object Bench {
       .mkString("{", ",", "}")
     val calJson =
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"shuffle_start":$calShStart,"shuffle_mid":$calShMid,"shuffle_end":$calShEnd}"""
-    val total = results.collect { case (_, _, v) if v >= 0 => v }.sum
-    val totalFirst = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val detailPath = "tools/bench_detail_last.json"
+    val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
+    val totalFirst = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    // default detail path is the DRIVER file: harness runs must not
+    // clobber the committed quiet yardstick (bench_detail_last.json,
+    // VERDICT r8 #2) — quiet recordings opt in explicitly via
+    // SPARK_GRAFT_BENCH_DETAIL=tools/bench_detail_last.json
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "tools/bench_detail_driver.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
       finally w.close()
       System.err.println(s"[bench] full detail written to $detailPath")
     } catch {
@@ -239,14 +296,16 @@ object Bench {
     // grows: 3-decimal times + probes → drop probes → 2-decimal times.
     // The budget leaves ~200 chars for sbt's trailing success line.
     def line(dp: Double => Double, probes: Boolean): String = {
-      val qs = results.map { case (k, _, v) => "\"" + k + "\":" + dp(v) }
+      val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + dp(v) }
         .mkString("{", ",", "}")
       val cal =
         if (probes)
           Seq(calStart, calMid, calEnd, calShStart, calShMid, calShEnd)
             .map(r2).mkString(""","cal":[""", ",", "]")
         else ""
-      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)}$cal,"detail":"$detailPath","sf":"$sfDir"}"""
+      // flagged-row count always rides the compact line (2–8 chars);
+      // the names live in the detail file
+      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)},"load_flagged_n":${flagged.size}$cal,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     val out = Seq(line(r3, probes = true), line(r3, probes = false),
       line(r2, probes = false)).find(_.length <= 1800)
