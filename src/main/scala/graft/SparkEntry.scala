@@ -57,6 +57,7 @@ object SparkEntry {
   def benchExtras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_bulk_ingest" -> (WriteQueries.bulkIngestBench _),
     "q_write_reconcile" -> (WriteQueries.reconcileBench _),
+    "q_write_reconcile_batch" -> (WriteQueries.reconcileBatchBench _),
     "q_betweenness_waves" -> (AlgoQueries.betweennessWavesBench _),
     "q_communities_refined_dist" -> (AlgoQueries.refinedShuffledSigmaBench _),
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),

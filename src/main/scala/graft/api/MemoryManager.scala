@@ -220,6 +220,350 @@ final class MemoryManager(
     }
   }
 
+  /** W2 at batch scale — set-oriented reconciliation ingest: the whole
+    * per-add pipeline (extract → embed → candidate search → reconcile →
+    * SCD2 execute → graph/episode store) over a batch of texts with a
+    * BOUNDED number of distributed operations, independent of batch
+    * size: one embed call for all facts, ONE candidate-search job, one
+    * embed call for all update texts, one lookup for off-candidate
+    * targets, one lookup for inherited entity edges, then one append /
+    * patch per table. The reference's loop is sequential by contract
+    * (manager.py:339-343 — each add sees the store its predecessors
+    * left); this is the documented scale alternative for corpus-refresh
+    * ingest, where per-add driver round-trips dominate (B6 measured the
+    * loop at ≈1 add/s; BASELINE §8).
+    *
+    * INTRA-BATCH SEMANTICS (the documented contract):
+    *   - Candidates and reconciliation targets resolve against the
+    *     PRE-BATCH store snapshot. Facts from different batch items do
+    *     not see each other as candidates, and a memory created by item
+    *     i is never a target for item j.
+    *   - If several decisions expire the same target, the expiry
+    *     applies once (all share the batch timestamp; first decision's
+    *     bitemporal invalid_at wins); every such decision still records
+    *     its own history event, exactly as the sequential loop would at
+    *     equal timestamps.
+    *   - An UPDATE/DELETE whose target is absent from the pre-batch
+    *     store behaves like the sequential path: no expiry patch, but
+    *     the UPDATE still creates its memory/supersedes edge/history
+    *     row (with old_text = null).
+    *   - Entity upsert is one merged first-appearance pass; on a
+    *     conflict-free batch the assigned ids equal the sequential
+    *     loop's. Relation reconciliation consults pre-batch relation
+    *     edges only.
+    *   - Episode NEXT_EPISODE / session LEADS_TO chains link the batch
+    *     linearly: the pre-batch predecessor is resolved once (after
+    *     batch expiries), then item i chains to item i+1. The
+    *     sequential path's same-call quirk (an item's own UPDATE-created
+    *     memory can become its chain predecessor) is intentionally not
+    *     reproduced — the linear chain is what a batch caller means.
+    *
+    * Returns one [[AddResult]] per input text, index-aligned.
+    */
+  def addReconcileBatch(
+      texts: Seq[String],
+      memoryType: String = DefaultType,
+      sessionId: Option[String] = None,
+      runId: Option[String] = None,
+      actorId: Option[String] = None,
+      role: Option[String] = None,
+      metadata: Option[String] = None,
+      now: Option[Long] = None,
+      importance: Double = 1.0
+  ): Seq[AddResult] = lockFor(config.userId).synchronized {
+    tracer.span("memory.add_reconcile_batch", Map("n" -> texts.size.toString)) {
+    usageIncr("add_reconcile_batch")
+    if (texts.isEmpty) return Seq.empty
+    val ts = now.getOrElse(clock())
+
+    // 1. extraction per item — same combined→separate fallback ladder as add()
+    val extractions = texts.map { text =>
+      try extractor.extract(text)
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          val facts = extractor.extractFactsOnly(text)
+          val (ents, rels) = extractor.extractEntitiesOnly(text)
+          Extraction(facts, ents, rels)
+      }
+    }
+    val temporal: Seq[Map[Int, TemporalAnnotation]] = extractions.map { ex =>
+      if (config.enableBitemporal && ex.facts.nonEmpty)
+        extractor.annotateTemporal(ex.facts).map(a => a.factIndex -> a).toMap
+      else Map.empty
+    }
+
+    // 2. ONE embed call over every fact of every item
+    val allFacts = extractions.flatMap(_.facts)
+    val allEmbs = if (allFacts.isEmpty) Seq.empty else embedder.embed(allFacts)
+    val offsets = extractions.scanLeft(0)(_ + _.facts.size)
+
+    // 3. ONE candidate-search job against the pre-batch store
+    val perFact = candidateRowsPerFact(allFacts, allEmbs, memoryType)
+
+    // 4. per-item reconcile (driver trait call, like the loop): each
+    // item's candidates = its facts' rows, fact-major/rank-minor,
+    // first-wins dedup WITHIN the item only
+    val candsPerItem: Seq[Seq[(Long, String)]] = extractions.indices.map { i =>
+      (offsets(i) until offsets(i + 1)).flatMap(perFact(_)).distinctBy(_._1)
+    }
+    val decisionsPerItem: Seq[Seq[Decision]] = extractions.zipWithIndex.map {
+      case (ex, i) =>
+        if (ex.facts.isEmpty) Nil
+        else if (candsPerItem(i).isEmpty)
+          ex.facts.map(f => Decision(DecisionAction.Add, f, None))
+        else reconciler.reconcile(ex.facts, candsPerItem(i))
+    }
+
+    // 5. batched resolution of everything the executor needs:
+    //    update-text embeddings (one call), off-candidate target texts
+    //    (one lookup), inherited entity edges (one lookup)
+    val updateTexts = decisionsPerItem.flatten.collect {
+      case d if d.action == DecisionAction.Update && d.targetMemoryId.nonEmpty => d.text
+    }
+    val updateEmbs =
+      if (updateTexts.isEmpty) Iterator.empty else embedder.embed(updateTexts).iterator
+    val knownTexts: Map[Long, String] = candsPerItem.flatten.toMap
+    val targets = decisionsPerItem.flatten
+      .collect { case d if d.targetMemoryId.nonEmpty &&
+        d.action != DecisionAction.Add && d.action != DecisionAction.None =>
+        d.targetMemoryId.get }.distinct
+    val missingTargets = targets.filterNot(knownTexts.contains)
+    val fetchedTexts: Map[Long, String] =
+      if (missingTargets.isEmpty) Map.empty
+      else store.memories.filter(col("id").isin(missingTargets: _*))
+        .select(col("id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val targetText: Map[Long, String] = knownTexts ++ fetchedTexts
+    val updTargets = decisionsPerItem.flatten.collect {
+      case d if d.action == DecisionAction.Update && d.targetMemoryId.nonEmpty =>
+        d.targetMemoryId.get }.distinct
+    val inheritedEnts: Map[Long, Seq[Long]] =
+      if (updTargets.isEmpty) Map.empty
+      else store.edges
+        .filter(col("edge_type") === EdgeTypes.HasEntity &&
+          col("src").isin(updTargets: _*))
+        .select(col("src"), col("dst")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+
+    // 6. drive the decision loop ON THE DRIVER, accumulating rows;
+    // memory/history ids are assigned in the sequential loop's visit
+    // order, so a conflict-free batch lands with identical ids
+    val newMems = Vector.newBuilder[MemoryRow]
+    val histRows = Vector.newBuilder[HistoryRow]
+    val newEdges = Vector.newBuilder[EdgeRow]
+    val expiries = scala.collection.mutable.LinkedHashMap.empty[Long, Option[Long]]
+    val eventsPerItem = scala.collection.mutable.ArrayBuffer.empty[Seq[MemoryEvent]]
+    val createdPerItem = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+
+    def mkMemory(text: String, emb: Option[Array[Float]],
+        validAt: Option[Long]): Long = {
+      emb.foreach { e =>
+        require(e.isEmpty || e.length == config.embeddingDimensions,
+          s"embedding dimension ${e.length} != configured ${config.embeddingDimensions}")
+      }
+      val id = store.nextMemoryId()
+      newMems += newMemoryRow(id, text, emb, ts, memoryType, sessionId,
+        runId, actorId, role, metadata, validAt, importance)
+      id
+    }
+    def mkHistory(event: String, memoryId: Long, oldText: Option[String],
+        newText: Option[String]): Unit = {
+      val hid = store.nextHistoryId()
+      histRows += HistoryRow(hid, memoryId, event, ts, oldText, newText,
+        actorId, role)
+      newEdges += EdgeRow(store.nextEdgeId(), memoryId, hid,
+        EdgeTypes.HasHistory, Map.empty)
+    }
+    def expire(target: Long, invalidAt: Option[Long]): Option[String] = {
+      val known = targetText.get(target)
+      if (known.isDefined && !expiries.contains(target))
+        expiries(target) = if (config.enableBitemporal) invalidAt else None
+      known
+    }
+
+    decisionsPerItem.zipWithIndex.foreach { case (decisions, item) =>
+      val events = scala.collection.mutable.ArrayBuffer.empty[MemoryEvent]
+      val created = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val itemEmbs = allEmbs.slice(offsets(item), offsets(item + 1))
+      decisions.zipWithIndex.foreach { case (d, i) =>
+        val factValidAt = temporal(item).get(i).flatMap(_.validAt)
+        d.action match {
+          case DecisionAction.Add =>
+            val id = mkMemory(d.text, itemEmbs.lift(i), factValidAt)
+            mkHistory("ADD", id, None, Some(d.text))
+            events += MemoryEvent("ADD", Some(id.toString), d.text)
+            created += id
+          case DecisionAction.Update if d.targetMemoryId.isEmpty =>
+            val id = mkMemory(d.text, itemEmbs.lift(i), factValidAt)
+            mkHistory("ADD", id, None, Some(d.text))
+            events += MemoryEvent("ADD", Some(id.toString), d.text)
+            created += id
+          case DecisionAction.Update =>
+            val target = d.targetMemoryId.get
+            val oldText = expire(target, Some(factValidAt.getOrElse(ts)))
+            val id = mkMemory(d.text, Some(updateEmbs.next()), factValidAt)
+            newEdges += EdgeRow(store.nextEdgeId(), id, target,
+              EdgeTypes.Supersedes, Map.empty)
+            inheritedEnts.getOrElse(target, Nil).foreach(e =>
+              newEdges += EdgeRow(store.nextEdgeId(), id, e,
+                EdgeTypes.HasEntity, Map.empty))
+            mkHistory("UPDATE", id, oldText, Some(d.text))
+            events += MemoryEvent("UPDATE", Some(id.toString), d.text, oldText)
+            created += id
+          case DecisionAction.Delete if d.targetMemoryId.isEmpty => ()
+          case DecisionAction.Delete =>
+            val target = d.targetMemoryId.get
+            val oldText = expire(target, None)
+            mkHistory("DELETE", target, oldText, None)
+            events += MemoryEvent("DELETE", Some(target.toString),
+              oldText.getOrElse(""), oldText)
+          case DecisionAction.None => ()
+        }
+      }
+      eventsPerItem += events.toSeq
+      createdPerItem += created.toSeq
+    }
+
+    // 7. graph store, batched: one merged first-appearance entity
+    // upsert (conflict-free ids equal the sequential loop's), HAS_ENTITY
+    // cross products per item, relation reconciliation vs the PRE-BATCH
+    // relation edges with one delete + one append
+    val allEnts = extractions.flatMap(_.entities)
+    val entityIdsAll: Map[String, Long] = upsertEntities(allEnts)
+    extractions.zipWithIndex.foreach { case (ex, item) =>
+      if (ex.entities.nonEmpty) {
+        val itemEntIds = ex.entities.flatMap(e => entityIdsAll.get(e.name))
+          .distinct.sorted
+        for {
+          m <- eventsPerItem(item).flatMap(_.memoryId).map(_.toLong)
+          e <- itemEntIds
+        } newEdges += EdgeRow(store.nextEdgeId(), m, e, EdgeTypes.HasEntity,
+          Map.empty)
+      }
+    }
+    val itemsWithRels = extractions.filter(_.relations.nonEmpty)
+    if (itemsWithRels.nonEmpty) {
+      val touched = itemsWithRels
+        .flatMap(_.entities.flatMap(e => entityIdsAll.get(e.name))).distinct
+      val existing = existingRelations(touched)
+      val names =
+        if (existing.isEmpty) Map.empty[Long, String]
+        else store.entities
+          .filter(col("id").isin(existing.flatMap(e => Seq(e._2, e._3)).distinct: _*))
+          .select(col("id"), col("name")).collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val deleteIds = itemsWithRels.flatMap { ex =>
+        val itemEntIds = ex.entities.flatMap(e => entityIdsAll.get(e.name)).toSet
+        val itemTriples = existing.filter(e => itemEntIds.contains(e._2))
+          .map { case (eid, s, t, rt) =>
+            (eid, ExtractedRelation(names.getOrElse(s, s.toString),
+              names.getOrElse(t, t.toString), rt)) }
+        val toDelete = reconciler.reconcileRelations(
+          ex.relations, itemTriples.map(_._2))
+        toDelete.flatMap { d =>
+          itemTriples.find { case (_, r) =>
+            r.source == d.source && r.target == d.target &&
+              r.relationType == d.relationType
+          }.map(_._1)
+        }
+      }.distinct
+      store.deleteEdgesById(deleteIds)
+      itemsWithRels.foreach { ex =>
+        ex.relations.foreach { r =>
+          for {
+            s <- entityIdsAll.get(r.source)
+            t <- entityIdsAll.get(r.target)
+          } newEdges += EdgeRow(store.nextEdgeId(), s, t, EdgeTypes.Relation,
+            Map("relation_type" -> r.relationType))
+        }
+      }
+    }
+
+    // 8. ONE append per table + at most two expiry patches (with and
+    // without bitemporal invalid_at)
+    store.appendMemories(newMems.result())
+    if (expiries.nonEmpty) {
+      import spark.implicits._
+      val (bi, plain) = expiries.toSeq.partition(_._2.isDefined)
+      if (plain.nonEmpty)
+        store.patchMemories(
+          plain.map { case (id, _) => (id, ts) }.toDF("id", "expired_at"),
+          Seq("expired_at"))
+      if (bi.nonEmpty)
+        store.patchMemories(
+          bi.map { case (id, inv) => (id, ts, inv.get) }
+            .toDF("id", "expired_at", "invalid_at"),
+          Seq("expired_at", "invalid_at"))
+    }
+    store.appendHistory(histRows.result())
+
+    // 9. linear batch chaining: pre-batch predecessor resolved ONCE
+    // (post-expiry), then item → item within the batch
+    val chainKey = runId.orElse(config.runId).orElse(sessionId)
+    if (config.enableEpisodes) {
+      var prevEp: Option[Long] =
+        if (chainKey.isEmpty) None
+        else chainKey.flatMap { key =>
+          store.episodes
+            .filter(col("user_id") === config.userId &&
+              (col("run_id") === key ||
+                (col("run_id").isNull && col("session_id") === key)))
+            .orderBy(col("created_at").desc, col("id").desc)
+            .select(col("id")).collect().headOption.map(_.getLong(0))
+        }
+      val epRows = Vector.newBuilder[EpisodeRow]
+      texts.indices.foreach { item =>
+        if (eventsPerItem(item).nonEmpty) {
+          val epId = store.nextEpisodeId()
+          epRows += EpisodeRow(epId, texts(item), "message", config.userId,
+            ts, sessionId, runId.orElse(config.runId))
+          val prodIds = eventsPerItem(item).flatMap(_.memoryId).map(_.toLong).distinct
+          prodIds.foreach(m => newEdges += EdgeRow(store.nextEdgeId(), epId,
+            m, EdgeTypes.Produced, Map.empty))
+          val mentioned = extractions(item).entities
+            .flatMap(e => entityIdsAll.get(e.name)).distinct.sorted
+          mentioned.foreach(e => newEdges += EdgeRow(store.nextEdgeId(),
+            epId, e, EdgeTypes.Mentions, Map.empty))
+          if (chainKey.nonEmpty) {
+            prevEp.foreach(p => newEdges += EdgeRow(store.nextEdgeId(), p,
+              epId, EdgeTypes.NextEpisode, Map.empty))
+            prevEp = Some(epId)
+          }
+        }
+      }
+      store.appendEpisodes(epRows.result())
+    } else chainKey.foreach { key =>
+      val createdAll = createdPerItem.flatten.toSeq
+      var prev: Option[Long] =
+        if (createdPerItem.forall(_.isEmpty)) None
+        else scopeCol(store.memories)
+          .filter(col("expired_at").isNull &&
+            !col("id").isin(createdAll: _*) &&
+            (coalesce(col("run_id"), col("session_id")) === key))
+          .orderBy(col("created_at").desc, col("id").desc)
+          .select(col("id")).collect().headOption.map(_.getLong(0))
+      texts.indices.foreach { item =>
+        val addIds = eventsPerItem(item).filter(_.event == "ADD")
+          .flatMap(_.memoryId).map(_.toLong)
+        if (addIds.nonEmpty) {
+          prev.foreach(p => newEdges += EdgeRow(store.nextEdgeId(), p,
+            addIds.head, EdgeTypes.LeadsTo, Map("sequence" -> "0")))
+          addIds.sliding(2).zipWithIndex.foreach {
+            case (Seq(a, b), i) => newEdges += EdgeRow(store.nextEdgeId(),
+              a, b, EdgeTypes.LeadsTo, Map("sequence" -> (i + 1).toString))
+            case _ => ()
+          }
+        }
+        if (createdPerItem(item).nonEmpty)
+          prev = Some(createdPerItem(item).last)
+      }
+    }
+    store.appendEdges(newEdges.result())
+    eventsPerItem.map(AddResult(_)).toSeq
+    }
+  }
+
   /** J12 — reconciliation-candidate search: top-k cosine per fact above
     * the threshold over the user's non-expired memories, dedup across
     * facts first-wins (search/vector.py:294-348). One distributed job
@@ -229,7 +573,22 @@ final class MemoryManager(
       facts: Seq[String],
       embeddings: Seq[Array[Float]],
       memoryType: String = MemoryTypes.Semantic
-  ): Seq[(Long, String)] = tracer.span("memory.candidate_search",
+  ): Seq[(Long, String)] =
+    // flatten is fact-major / rank-minor, so first-fact-wins dedup over
+    // the per-fact rows reproduces the original flat contract exactly
+    candidateRowsPerFact(facts, embeddings, memoryType)
+      .flatten.distinctBy(_._1)
+
+  /** J12, per-fact shape: rank-ordered candidate rows for EACH fact
+    * (index-aligned with `facts`), before any cross-fact dedup — the
+    * form [[addReconcileBatch]] needs, where facts from different batch
+    * items must not dedup against each other.
+    */
+  private def candidateRowsPerFact(
+      facts: Seq[String],
+      embeddings: Seq[Array[Float]],
+      memoryType: String = MemoryTypes.Semantic
+  ): Seq[Seq[(Long, String)]] = tracer.span("memory.candidate_search",
       Map("facts" -> facts.size.toString)) {
     // non-semantic adds reconcile only against their own type
     // (manager.py:279-292 similar_filters) — a procedural fact must
@@ -249,7 +608,7 @@ final class MemoryManager(
       // the correct distributed top-k shape at 100 TB. Threshold-then-
       // top-k equals the set path's top-k-then-threshold: both keep
       // the best ≤k candidates at or above the threshold.
-      embeddings.flatMap { e =>
+      embeddings.map { e =>
         mem.select(col("id"), col("text"),
             VectorFunctions.cosineSimilarity(col("embedding"), typedLit(e))
               .as("cosine"))
@@ -259,8 +618,8 @@ final class MemoryManager(
           .limit(k)
           .select(col("id"), col("text"))
           .collect()
-          .map(r => r.getLong(0) -> r.getString(1))
-      }.distinctBy(_._1).toSeq // first-fact-wins dedup, fact order kept
+          .map(r => r.getLong(0) -> r.getString(1)).toSeq
+      }
     } else {
       // SET path (big extraction batches): one execution for all facts —
       // crossjoin + per-query window beats fact-count sequential jobs.
@@ -277,10 +636,13 @@ final class MemoryManager(
         .join(mem.select(col("id").as("neighbor_id"), col("text")), Seq("neighbor_id"))
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("text"))
         .collect()
-      // (query_id, rank) order + first-fact-wins dedup on the driver:
-      // ≤ k·facts rows, not worth a global-sort exchange
-      rows.sortBy(r => (r.getInt(0), r.getInt(1)))
-        .map(r => r.getLong(2) -> r.getString(3)).distinctBy(_._1).toSeq
+      // (query_id, rank) driver sort then group per fact: ≤ k·facts
+      // rows, not worth a global-sort exchange
+      val byFact = rows.sortBy(r => (r.getInt(0), r.getInt(1)))
+        .map(r => (r.getInt(0), r.getLong(2) -> r.getString(3)))
+        .groupBy(_._1)
+      embeddings.indices.map(i =>
+        byFact.getOrElse(i, Array.empty).map(_._2).toSeq)
     }
   }
 

@@ -146,8 +146,110 @@ object WriteQueries {
     store.memories.filter(col("expired_at").isNotNull).select(col("id"))
   }
 
+  /** B6b bench — the same reconciliation workload as [[reconcileBench]]
+    * but 10× the adds through ONE [[MemoryManager.addReconcileBatch]]
+    * call: candidate search for all 200 texts is one distributed job,
+    * the SCD2 expiry one patch, the appends one per table — the
+    * distributed-op count is independent of the batch size, so adds/s
+    * (= 200 / recorded seconds) measures the set-oriented scale path
+    * the per-add loop can't reach (BASELINE §8: B6 ≈ 1 add/s).
+    */
+  def reconcileBatchBench(s: SparkSession, dir: String): DataFrame = {
+    val P = 1000; val R = 200
+    val docs = load(s, dir, "documents")
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .limit(P).collect().map(_.getString(1)).toSeq
+    val store = new GraphStore(s, checkpointEvery = 64)
+    val extractions = (0 until R).map(i => Extraction(Seq(docs(i)), Nil, Nil))
+    val decisions = (0 until R).map(i =>
+      Seq(Decision(DecisionAction.Update, "updated: " + docs(i), Some(i + 1L))))
+    val mgr = new MemoryManager(
+      s, MemoryConfig(userId = User, embeddingDimensions = 16,
+        reconciliationThreshold = 0.5),
+      store, new MockEmbedder(16),
+      new ScriptedExtractor(extractions), new ScriptedReconciler(decisions))
+    mgr.addBatch(docs, now = Some(T0))
+    mgr.addReconcileBatch((0 until R).map(docs), now = Some(T0 + 1000L))
+    store.memories.filter(col("expired_at").isNotNull).select(col("id"))
+  }
+
+  /** Batched-reconciliation scenario (W2 at batch scale,
+    * [[MemoryManager.addReconcileBatch]]): seed BP memories via the raw
+    * batch path at T0, then ONE batched reconcile call at TB over the
+    * next BR docs with scripted decisions cycling UPDATE / ADD / DELETE
+    * (item j: j%3==0 → UPDATE seed j+1; j%3==1 → ADD; j%3==2 → DELETE
+    * seed j), each item also extracting its doc's lang as an entity.
+    * All targets are pre-batch seeds, so the documented intra-batch
+    * semantics land deterministic closed-form state the oracle asserts:
+    * created ids BP + j - j/3 + 1 in decision order, expiries at TB,
+    * SUPERSEDES for updates, HAS_ENTITY from every event memory
+    * (including DELETE targets) to first-appearance entity ids, one
+    * history row per decision.
+    */
+  private val BP = 20
+  private val BR = 12
+  private val TB = T0 + 777000L
+  private val batchMemo =
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame, DataFrame)]()
+
+  private[catalog] def batchScenario(
+      s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    batchMemo.synchronized {
+      batchMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
+        val docs = load(s, dir, "documents")
+          .filter(col("doc_id") < BP + BR)
+          .select(col("doc_id"), col("text"), col("lang"))
+          .orderBy(col("doc_id"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        val seeds = docs.take(BP).map(_._2).toSeq
+        val batch = docs.drop(BP)
+        val extractions = batch.map { case (_, text, lang) =>
+          Extraction(Seq(text), Seq(ExtractedEntity(lang, "lang")), Nil)
+        }
+        val decisions: Seq[Seq[Decision]] = batch.zipWithIndex.map {
+          case ((_, text, _), j) =>
+            if (j % 3 == 0) Seq(Decision(DecisionAction.Update,
+              "updated: " + text, Some(j + 1L)))
+            else if (j % 3 == 1) Seq(Decision(DecisionAction.Add, text, None))
+            else Seq(Decision(DecisionAction.Delete, "", Some(j.toLong)))
+        }.toSeq
+        val store = new GraphStore(s, checkpointEvery = 64)
+        val mgr = new MemoryManager(
+          s,
+          MemoryConfig(userId = User, embeddingDimensions = 16,
+            reconciliationThreshold = 0.0),
+          store,
+          new MockEmbedder(16),
+          new ScriptedExtractor(extractions.toSeq),
+          new ScriptedReconciler(decisions)
+        )
+        mgr.addBatch(seeds, now = Some(T0))
+        mgr.addReconcileBatch(batch.map(_._2).toSeq, now = Some(TB))
+        val mems = store.memories
+          .select(col("id"), col("text"), col("created_at"), col("expired_at"))
+          .orderBy(col("id"))
+          .localCheckpoint()
+        val edges = store.edges
+          .filter(col("edge_type").isin(EdgeTypes.HasEntity, EdgeTypes.Supersedes))
+          .select(col("src"), col("dst"), col("edge_type"))
+          .distinct()
+          .orderBy(col("edge_type"), col("src"), col("dst"))
+          .localCheckpoint()
+        val hist = store.history
+          .select(col("id"), col("memory_id"), col("event"), col("old_text"),
+            col("new_text"))
+          .orderBy(col("id"))
+          .localCheckpoint()
+        (mems, edges, hist)
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_memories" -> ((s, dir) => scenario(s, dir)._2),
+    "q_write_batch_memories" -> ((s, dir) => batchScenario(s, dir)._1),
+    "q_write_batch_edges" -> ((s, dir) => batchScenario(s, dir)._2),
+    "q_write_batch_history" -> ((s, dir) => batchScenario(s, dir)._3),
     "q_write_edges" -> ((s, dir) => scenario(s, dir)._3),
     "q_write_history" -> ((s, dir) => scenario(s, dir)._4),
     "q_pipeline_search" -> { (s, dir) =>
@@ -175,6 +277,53 @@ object WriteQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_write_batch_memories" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < ${BP + BR}),
+         |seeds AS (
+         |  SELECT doc_id + 1 AS id, text, $T0 AS created_at,
+         |    CASE WHEN ((doc_id + 1) % 3 = 1 AND doc_id + 1 <= 10)
+         |           OR ((doc_id + 1) % 3 = 2 AND doc_id + 1 <= 11)
+         |         THEN $TB END AS expired_at
+         |  FROM d WHERE doc_id < $BP),
+         |created AS (
+         |  SELECT $BP + (j - j // 3) + 1 AS id,
+         |    CASE WHEN j % 3 = 0 THEN 'updated: ' || text ELSE text END AS text,
+         |    $TB AS created_at, CAST(NULL AS BIGINT) AS expired_at
+         |  FROM (SELECT doc_id - $BP AS j, text FROM d WHERE doc_id >= $BP)
+         |  WHERE j % 3 <> 2)
+         |SELECT * FROM seeds UNION ALL SELECT * FROM created ORDER BY id""".stripMargin,
+    "q_write_batch_edges" ->
+      s"""WITH b AS (SELECT doc_id - $BP AS j, lang FROM documents
+         |           WHERE doc_id >= $BP AND doc_id < ${BP + BR}),
+         |ent AS (SELECT lang, row_number() OVER (ORDER BY min(j)) AS ent_id
+         |        FROM b GROUP BY lang),
+         |ev AS (SELECT j, CASE WHEN j % 3 = 2 THEN j
+         |                      ELSE $BP + (j - j // 3) + 1 END AS mem_id, lang FROM b),
+         |he AS (SELECT ev.mem_id AS src, ent.ent_id AS dst, 'HAS_ENTITY' AS edge_type
+         |       FROM ev JOIN ent ON ev.lang = ent.lang),
+         |sup AS (SELECT $BP + (j - j // 3) + 1 AS src, j + 1 AS dst,
+         |               'SUPERSEDES' AS edge_type
+         |        FROM b WHERE j % 3 = 0)
+         |SELECT DISTINCT src, dst, edge_type
+         |FROM (SELECT * FROM he UNION ALL SELECT * FROM sup)
+         |ORDER BY edge_type, src, dst""".stripMargin,
+    "q_write_batch_history" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < ${BP + BR}),
+         |seeds AS (SELECT doc_id + 1 AS id, doc_id + 1 AS memory_id,
+         |    'ADD' AS event, CAST(NULL AS VARCHAR) AS old_text, text AS new_text
+         |  FROM d WHERE doc_id < $BP),
+         |b AS (SELECT doc_id - $BP AS j, text FROM d WHERE doc_id >= $BP),
+         |batch AS (
+         |  SELECT $BP + j + 1 AS id,
+         |    CASE WHEN j % 3 = 2 THEN j ELSE $BP + (j - j // 3) + 1 END AS memory_id,
+         |    CASE j % 3 WHEN 0 THEN 'UPDATE' WHEN 1 THEN 'ADD' ELSE 'DELETE' END AS event,
+         |    tgt.text AS old_text,
+         |    CASE WHEN j % 3 = 0 THEN 'updated: ' || b.text
+         |         WHEN j % 3 = 1 THEN b.text END AS new_text
+         |  FROM b LEFT JOIN d tgt
+         |    ON tgt.doc_id = CASE WHEN j % 3 = 0 THEN j
+         |                         WHEN j % 3 = 2 THEN j - 1 END)
+         |SELECT * FROM seeds UNION ALL SELECT * FROM batch ORDER BY id""".stripMargin,
     "q_write_memories" ->
       s"""SELECT doc_id + 1 AS id, text, '$User' AS user_id,
          |  $T0 + doc_id * 1000 AS created_at,

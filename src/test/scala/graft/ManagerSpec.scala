@@ -544,4 +544,103 @@ class ManagerSpec extends SparkSuite {
     assert(names.last == "final")
     assert(ex.results.nonEmpty)
   }
+
+  test("addReconcileBatch == sequential add loop on a conflict-free batch") {
+    // same scripts, same seeds, same timestamp: the batched path must
+    // land the identical store state — memories and history row-for-row
+    // (ids included: both paths assign in decision-visit order), edges
+    // as a set (edge-id interleaving differs by construction)
+    val seedTexts = Seq("s one", "s two", "s three", "s four")
+    val T1 = T0 + 50000
+    val exts = Seq(
+      Extraction(Seq("alice works at acme"), Seq(ExtractedEntity("alice", "person")), Nil),
+      Extraction(Seq("bob joined beta"), Seq(ExtractedEntity("bob", "person"),
+        ExtractedEntity("beta", "org")), Nil),
+      Extraction(Seq("alice moved on"), Seq(ExtractedEntity("alice", "person")), Nil),
+      Extraction(Seq("drop the second seed"), Nil, Nil))
+    // items 1-2 ADD, item 3 UPDATE target seed 1, item 4 DELETE seed 2 —
+    // all targets pre-batch, no intra-batch references
+    val decs = Seq(
+      Seq(Decision(DecisionAction.Add, "alice works at acme", None)),
+      Seq(Decision(DecisionAction.Add, "bob joined beta", None)),
+      Seq(Decision(DecisionAction.Update, "alice moved on", Some(1L))),
+      Seq(Decision(DecisionAction.Delete, "", Some(2L))))
+    val texts = Seq("m1", "m2", "m3", "m4")
+
+    def build(batched: Boolean): GraphStore = {
+      val store = new GraphStore(spark)
+      val m = new MemoryManager(spark,
+        MemoryConfig(userId = "alice", reconciliationThreshold = 0.0),
+        store, new MockEmbedder(16),
+        new ScriptedExtractor(exts), new ScriptedReconciler(decs))
+      m.addBatch(seedTexts, now = Some(T0))
+      if (batched)
+        m.addReconcileBatch(texts, sessionId = Some("s1"), now = Some(T1))
+      else
+        texts.foreach(t => m.add(t, sessionId = Some("s1"), now = Some(T1)))
+      store
+    }
+    val seqStore = build(batched = false)
+    val batStore = build(batched = true)
+
+    val memCols = Seq("id", "text", "created_at", "expired_at", "session_id",
+      "memory_type", "user_id")
+    def mems(s: GraphStore) = s.memories
+      .select(memCols.head, memCols.tail: _*)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString)
+    assert(mems(seqStore).toSeq == mems(batStore).toSeq)
+    def hist(s: GraphStore) = s.history
+      .select("id", "memory_id", "event", "old_text", "new_text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(hist(seqStore).toSeq == hist(batStore).toSeq)
+    def edgeSet(s: GraphStore) = s.edges
+      .select("src", "dst", "edge_type", "props").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getMap[String, String](3).toMap)).toSet
+    assert(edgeSet(seqStore) == edgeSet(batStore))
+    def ents(s: GraphStore) = s.entities
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ents(seqStore) == ents(batStore))
+  }
+
+  test("addReconcileBatch intra-batch semantics: pre-batch targets only, single expiry") {
+    // an UPDATE targeting a memory created EARLIER IN THE SAME BATCH
+    // must not expire it (pre-batch snapshot contract) but still creates
+    // its memory + supersedes edge + UPDATE history with null old_text;
+    // two decisions expiring the same pre-batch target expire it once
+    val store = new GraphStore(spark)
+    val exts = Seq(
+      Extraction(Seq("new fact"), Nil, Nil),
+      Extraction(Seq("updates the new fact"), Nil, Nil),
+      Extraction(Seq("and drop seed twice"), Nil, Nil))
+    val decs = Seq(
+      Seq(Decision(DecisionAction.Add, "new fact", None)),           // -> id 2
+      Seq(Decision(DecisionAction.Update, "updates the new fact", Some(2L))),
+      Seq(Decision(DecisionAction.Delete, "", Some(1L)),
+        Decision(DecisionAction.Delete, "", Some(1L))))
+    val m = new MemoryManager(spark,
+      MemoryConfig(userId = "alice", reconciliationThreshold = 0.0),
+      store, new MockEmbedder(16),
+      new ScriptedExtractor(exts), new ScriptedReconciler(decs))
+    m.addBatch(Seq("seed"), now = Some(T0)) // id 1
+    val rs = m.addReconcileBatch(Seq("a", "b", "c"), now = Some(T0 + 1000))
+    assert(rs.map(_.events.map(_.event)) ==
+      Seq(Seq("ADD"), Seq("UPDATE"), Seq("DELETE", "DELETE")))
+    // id 2 (batch-created) NOT expired; id 1 expired exactly once
+    val expired = store.memories.filter(col("expired_at").isNotNull)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(expired == Set(1L))
+    // supersedes edge exists even though the target was intra-batch
+    val sup = store.edges.filter(col("edge_type") === EdgeTypes.Supersedes)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sup.toSeq == Seq((3L, 2L)))
+    // UPDATE history carries null old_text (target text unknown to the
+    // pre-batch snapshot is still resolvable — id 2's text IS known?
+    // no: knownTexts covers candidates; id 2 is not a candidate, and the
+    // missing-target lookup hits the PRE-batch store, so old_text is null
+    val upd = store.history.filter(col("event") === "UPDATE").collect().head
+    assert(upd.isNullAt(upd.fieldIndex("old_text")))
+    // both DELETE decisions recorded their history
+    assert(store.history.filter(col("event") === "DELETE").count() == 2)
+  }
 }
