@@ -276,6 +276,43 @@ object DedupOps {
       .select(col("corpus_id"), col("batch_id"), col("jaccard"))
   }
 
+  /** The banded-signature STORE artifact of a corpus — one row per
+    * (doc, band): (doc, band, key, sig). Built once at corpus-dedup time
+    * and reused by every later consumer that needs "does this new text
+    * near-dup anything in the corpus": the batch append path (the band
+    * join of [[incrementalLshPairs]] is exactly a join against these
+    * rows) and the streaming face
+    * ([[graft.streaming.StreamingDedup.minhashLshDuplicatesAgainstStore]]).
+    *
+    * Scale layout: write partitioned by `band` and bucketed/sorted by
+    * `key` — every probe is an equi-join on (band, key), so band
+    * partitions prune to the probed band and key buckets co-locate the
+    * join without shuffling the store. The store is O(corpus × bands)
+    * rows of (id, key, numHashes longs) — signature metadata, not
+    * corpus text. Building it is one linear scan: per-row signature
+    * kernel, zero shuffle.
+    */
+  def bandedSignatureStore(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        HashFunctions.minhashSig(
+          HashFunctions.hashedWordShingles(col(textCol), shingleSize),
+          numHashes).as("sig"))
+      .withColumn("bk",
+        explode_outer(HashFunctions.lshBands(col("sig"), bands, rows)))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.key").as("key"),
+        col("sig"))
+  }
+
   /** Corpus-wide repeated-segment removal — the line/paragraph-dedup
     * pass of CCNet/RefinedWeb-style pipelines, generalized to
     * fixed-length token segments so it also applies to corpora without

@@ -108,8 +108,8 @@ object StreamingDedup {
   /** Streaming MinHash-LSH near-dup DETECTION within the watermark
     * horizon — the streaming face of
     * [[graft.ops.DedupOps.minhashLshPairs]]: per-row signatures (the
-    * HOF array_min form — no explode/groupBy, so the signature stage is
-    * stateless), banded keys, and one
+    * native one-pass kernel — no explode/groupBy, so the signature
+    * stage is stateless), banded keys, and one
     * `flatMapGroupsWithState` keyed by (band, bucket) whose state is
     * the FIRST document that claimed the bucket. A later arrival in the
     * same bucket is verified against the stored signature (estimated
@@ -133,6 +133,65 @@ object StreamingDedup {
     * rows are processed in (ts, id) order, so first-claim is
     * deterministic under replay.
     */
+  /** Streaming MinHash-LSH near-dup detection against a STATIC
+    * banded-signature corpus store
+    * ([[graft.ops.DedupOps.bandedSignatureStore]]) — the streaming face
+    * of [[graft.ops.DedupOps.incrementalLshPairs]] and the near-dup
+    * sibling of [[dropExactDuplicatesAgainstStore]]: every arrival's
+    * per-row signature is banded with the SAME md5 key scheme the batch
+    * store uses, stream-static joined on (band, key), and verified
+    * against the stored signature (estimated Jaccard =
+    * matching-component fraction). Emits detections
+    * (ts, id, dup_of, band, est_jaccard); a doc colliding with the same
+    * store doc in k bands appears k times — collapse per micro-batch
+    * downstream (foreachBatch + dropDuplicates, what the spec does), as
+    * with [[minhashLshDuplicates]].
+    *
+    * Scale shape: ZERO streaming state — signature + banding are
+    * per-row expressions and a stream-static inner join keeps no state
+    * (the static side is re-read per micro-batch, so appending to the
+    * store between batches widens coverage without a restart). With the
+    * store written partitioned by `band` / bucketed by `key` (the
+    * documented layout), each micro-batch probe prunes to its bands and
+    * joins without shuffling the store. Unlike the horizon-bounded
+    * [[minhashLshDuplicates]], matches reach arbitrarily far back —
+    * the two compose: horizon state catches intra-stream dups, the
+    * store join catches corpus dups.
+    */
+  def minhashLshDuplicatesAgainstStore(
+      docs: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.5
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val arrivals = docs
+      .filter(col(textCol).isNotNull)
+      .select(col("ts"), col(idCol).cast("string").as("id"),
+        graft.functions.HashFunctions.minhashSig(
+          graft.functions.HashFunctions.hashedWordShingles(col(textCol), shingleSize),
+          numHashes).as("sig"))
+      .withColumn("bk", explode_outer(
+        graft.functions.HashFunctions.lshBands(col("sig"), bands, rows)))
+      .select(col("ts"), col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    arrivals
+      .join(store.select(col("doc").cast("string").as("dup_of"),
+        col("band"), col("key"), col("sig").as("store_sig")),
+        Seq("band", "key"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), col("store_sig"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("ts"), col("id"), col("dup_of"), col("band"),
+        col("est_jaccard"))
+  }
+
   def minhashLshDuplicates(
       docs: DataFrame,
       idCol: String,
@@ -148,12 +207,10 @@ object StreamingDedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val horizon = watermark
-    // per-row signature: 16 array_min(transform(...)) over ONE shingle
-    // array column (multiple references keep CollapseProject from
-    // re-inlining the md5 shingle subtree per hash)
-    val sig = array((0 until numHashes).map(i =>
-      array_min(transform(col("__sh"),
-        h => graft.functions.HashFunctions.minhashMix(h, i)))): _*)
+    // per-row native signature kernel — one fused pass over the shingle
+    // array (bit-identical to the array_min/minhashMix HOF form,
+    // NativeExprPropertySpec)
+    val sig = graft.functions.HashFunctions.minhashSig(col("__sh"), numHashes)
     // band keys: xxhash64 over the band's signature slice + band index
     val bandKeys = array((0 until bands).map(b =>
       xxhash64(concat_ws(",",

@@ -142,4 +142,49 @@ class StreamingDedupSpec extends SparkSuite {
         s"false positives: $hits")
     } finally query.stop()
   }
+
+  test("minhashLshDuplicatesAgainstStore catches near-dups of corpus docs across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val corpusA = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls softly on the quiet village roofs at dusk tonight"
+    val corpusB = "distributed query engines shuffle partitioned data across " +
+      "executors while the optimizer prunes columns and pushes filters down"
+    // the static store: banded signatures of the historical corpus,
+    // built by the batch-side artifact builder
+    val store = graft.ops.DedupOps.bandedSignatureStore(
+      Seq((10L, corpusA), (20L, corpusB)).toDF("doc_id", "text"),
+      "doc_id", "text", numHashes = 16, bands = 4).localCheckpoint()
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingDedup.minhashLshDuplicatesAgainstStore(
+        docs, store, "doc_id", "text",
+        numHashes = 16, bands = 4, minJaccard = 0.5)
+      .writeStream.format("memory").queryName("lsh_store_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      // batch 1: near-dup of corpus doc 10 (one word swapped) + fresh doc
+      stream.addData(
+        (t(1), 1L, corpusA.replace("quiet", "sleepy")),
+        (t(1), 2L, "a wholly original first-batch document about gardens"))
+      query.processAllAvailable()
+      // batch 2: exact repeat of corpus doc 20 + fresh doc — the store
+      // reaches arbitrarily far back, no horizon involved
+      stream.addData(
+        (t(50), 3L, corpusB),
+        (t(50), 4L, "another fresh document mentioning telescopes and tides"))
+      query.processAllAvailable()
+      val hits = spark.sql("select id, dup_of, est_jaccard from lsh_store_out")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (id, hs) => id -> hs.head }
+      assert(hits.contains("1"), s"store near-dup missed: $hits")
+      assert(hits("1")._2 == "10")
+      assert(hits("1")._3 >= 0.5)
+      assert(hits.contains("3"), s"exact store repeat missed: $hits")
+      assert(hits("3")._2 == "20")
+      assert(hits("3")._3 == 1.0)
+      assert(!hits.contains("2") && !hits.contains("4"),
+        s"false positives: $hits")
+    } finally query.stop()
+  }
 }
