@@ -12,6 +12,8 @@ import Tables._
   */
 object TextQueries {
 
+  private[catalog] val BpeMergeCount = 12
+
   private val punctClassScala = "[^.,;:!?'\"()\\[\\]{}-]"
   private val punctClassSql = """[^.,;:!?''"()\[\]{}-]""" // '' = SQL-escaped quote
 
@@ -363,6 +365,14 @@ object TextQueries {
       // tokenizer-prep vocabulary: top 100 tokens by corpus frequency
       graft.ops.CorpusOps.vocabTopK(load(s, dir, "documents"), "doc_id", "text",
         k = 100)
+    },
+    "q_bpe_merges" -> { (s, dir) =>
+      // distributed BPE training: 12 merges learned from the corpus
+      // word-frequency table (OpsSpec proves equality with a driver-side
+      // reference implementation; the oracle replays the merge sequence
+      // step by step in SQL)
+      graft.ops.CorpusOps.bpeMerges(load(s, dir, "documents"), "doc_id",
+        "text", numMerges = BpeMergeCount)
     },
     "q_mix_weighted" -> { (s, dir) =>
       // weighted source mixing: per-source keep rates (derived here from
@@ -814,6 +824,41 @@ object TextQueries {
          |  (greatest(off, seq_id * 256) - seq_id * 256)::BIGINT AS seq_pos
          |FROM e ORDER BY doc_id, seq_id""".stripMargin
 
+    // BPE replay, unrolled: word frequencies once, then BpeMergeCount
+    // steps of (adjacent-pair count → deterministic max → merge). Words
+    // are DOUBLE-SPACE-joined symbol strings with double-space ends;
+    // each merge is a literal replace of ' l  r ' with ' lr ' — the
+    // single-space pattern boundaries leave one space on each side, so
+    // ADJACENT occurrences don't swallow each other's separator and the
+    // replace merges every non-overlapping occurrence left-to-right,
+    // exactly like the Spark kernel's one-pass scan.
+    val bpeMerges = {
+      val steps = (0 until BpeMergeCount).map { k =>
+        s"""p$k AS (
+           |  SELECT struct_extract(u.p, 'l') AS l, struct_extract(u.p, 'r') AS r,
+           |    sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM w$k) t,
+           |    UNNEST([struct_pack(l := t.tk[i], r := t.tk[i+1])
+           |            for i in range(1, len(t.tk))]) AS u(p)
+           |  GROUP BY 1, 2),
+           |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |w${k + 1} AS (
+           |  SELECT freq, replace(s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
+           |  FROM w$k, b$k b)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 until BpeMergeCount).map { k =>
+        s"""SELECT $k::BIGINT AS merge_rank, l AS l_sym, r AS r_sym,
+           |  l||r AS merged, cnt AS pair_count FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT count(*)::BIGINT AS freq,
+         |    '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  ' AS s
+         |  FROM (SELECT unnest($toks) AS word FROM documents)
+         |  GROUP BY word),
+         |$steps
+         |SELECT * FROM ($unions) ORDER BY merge_rank""".stripMargin
+    }
+
     val qualityClassifier = {
       import graft.functions.HashFunctions.{minhashA, minhashB, MinhashPrime}
       s"""WITH w AS (SELECT i AS bucket,
@@ -845,6 +890,7 @@ object TextQueries {
       "q_mix_weighted" -> mixWeighted,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
+      "q_bpe_merges" -> bpeMerges,
       "q_quality_classifier" -> qualityClassifier,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,

@@ -322,6 +322,35 @@ object GraftHash {
     new GenericArrayData(arr)
   }
 
+  /** One BPE merge step over a symbol array: replace every adjacent
+    * (l, r) occurrence with the concatenated symbol, scanning LEFT TO
+    * RIGHT without overlap (the Sennrich-BPE contract: in "a a a" with
+    * merge (a,a), the first two merge and the third survives) —
+    * [[NativeExprs.BpeMergeAdjacent]]. The DuckDB oracle replays the
+    * identical semantics as a literal string replace over
+    * space-sentineled symbol strings.
+    */
+  def bpeMerge(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    if (syms == null) return null
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[AnyRef](n)
+    val merged = UTF8String.concat(l, r)
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && !syms.isNullAt(i) && !syms.isNullAt(i + 1) &&
+          syms.getUTF8String(i) == l && syms.getUTF8String(i + 1) == r) {
+        out.add(merged)
+        i += 2
+      } else {
+        // clone: the input may be UnsafeArrayData whose string slices
+        // alias a reused row buffer
+        out.add(if (syms.isNullAt(i)) null else syms.getUTF8String(i).clone())
+        i += 1
+      }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val MinhashPrime = 2147483647L
 
   /** Whole MinHash signature in ONE pass over a hashed-shingle array

@@ -646,4 +646,43 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): MinhashSig =
       copy(child = newChild)
   }
+
+  /** One BPE merge step ([[GraftHash.bpeMerge]]): the (l, r) pair is a
+    * per-iteration driver constant, so it rides the expression as plain
+    * parameters (codegen pins them as reference objects), and the scan
+    * is one fused left-to-right pass per row.
+    */
+  case class BpeMergeAdjacent(child: Expression, l: String, r: String)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_bpe_merge"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be array<string>, got $other")
+      }
+    }
+
+    private lazy val lU = org.apache.spark.unsafe.types.UTF8String.fromString(l)
+    private lazy val rU = org.apache.spark.unsafe.types.UTF8String.fromString(r)
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.bpeMerge(input.asInstanceOf[ArrayData], lU, rU)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeL", lU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      val rRef = ctx.addReferenceObj("bpeR", rU,
+        "org.apache.spark.unsafe.types.UTF8String")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.bpeMerge($c, $lRef, $rRef)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeMergeAdjacent =
+      copy(child = newChild)
+  }
 }

@@ -149,4 +149,14 @@ object TextFunctions {
   /** Normalized text for exact-dedup: collapse whitespace, lowercase. */
   def normalizedText(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** One BPE merge step over a symbol array (left-to-right,
+    * non-overlapping — [[NativeExprs.BpeMergeAdjacent]]); (l, r) are
+    * per-iteration driver constants.
+    */
+  def bpeMergeStep(syms: Column, l: String, r: String): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.BpeMergeAdjacent(
+      GraftSqlShim.expression(syms), l, r))
+  }
 }

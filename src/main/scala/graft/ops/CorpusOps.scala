@@ -169,6 +169,80 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Distributed BPE tokenizer training — the canonical next step after
+    * [[vocabTopK]] for pretraining prep: learn `numMerges` byte-pair
+    * merges from the corpus token stream.
+    *
+    * Shape (the one that holds at 100 TB): the CORPUS is touched exactly
+    * once — a token-keyed word-frequency aggregation (map-side combine;
+    * the only corpus-sized shuffle). All BPE statistics live in that
+    * (word, freq) table, which is vocabulary-sized (distinct words ≪
+    * corpus tokens), so the merge loop iterates over IT, never the
+    * corpus: each of the `numMerges` rounds is one adjacent-pair count
+    * aggregation weighted by word freq (a vocabulary-sized job), a
+    * driver pick of the max pair with DETERMINISTIC tie-break
+    * (count desc, then left asc, right asc — byte order), and one
+    * per-row native merge kernel pass ([[graft.functions.GraftHash
+    * .bpeMerge]]: left-to-right, non-overlapping — the Sennrich
+    * contract), localCheckpointed so plan depth stays flat across
+    * iterations.
+    *
+    * No end-of-word marker: merges are intra-word over the canonical
+    * token alphabet ([[graft.functions.TextFunctions.tokens]]) — a
+    * spec'd simplification the oracle replays exactly.
+    *
+    * Output: (merge_rank, l_sym, r_sym, merged, pair_count) — one row
+    * per learned merge in training order; stops early if no pair
+    * remains.
+    */
+  def bpeMerges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    require(numMerges > 0, "numMerges must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      // filter guards the regex-split's trailing empty slot (Java
+      // split-with-negative-limit semantics); symbols are never empty
+      .select(col("freq"),
+        filter(split(col("word"), ""), s => length(s) > 0).as("syms"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var exhausted = false
+    var k = 0
+    while (k < numMerges && !exhausted) {
+      val best = words
+        .select(col("freq"),
+          explode(zip_with(col("syms"),
+            slice(col("syms"), lit(2), greatest(lit(0), size(col("syms")) - 1)),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .filter(col("p.r").isNotNull)
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val row = best.head
+        val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+        merges += ((k.toLong, l, r, l + r, cnt))
+        words = words.select(col("freq"),
+            graft.functions.TextFunctions.bpeMergeStep(col("syms"), l, r)
+              .as("syms"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
+  }
+
   /** Weighted corpus mixing: deterministically subsample each stratum
     * (source/domain) to its target rate. `rates` is a (stratum, rate)
     * table — rate in [0, 1] is the fraction of that stratum's documents

@@ -650,4 +650,60 @@ class OpsSpec extends SparkSuite {
       assert(got == reference, s"buckets=$buckets parts=$parts")
     }
   }
+
+  test("CorpusOps.bpeMerges equals a driver-side reference BPE trainer") {
+    import spark.implicits._
+    // repetition-heavy corpus: forces multi-char merges, adjacent-run
+    // non-overlap ("aaaa"), and count ties broken by symbol order
+    val texts = Seq(
+      "the theater thesis then the the banana bandana",
+      "aaaa aaaa banana low lower lowest low low",
+      "the then lowest banana aaaa thesis theater the")
+    def refBpe(numMerges: Int): Seq[(Long, String, String, String, Long)] = {
+      val freqs = texts
+        .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      var words: Map[Vector[String], Long] = freqs.toSeq
+        .map { case (w, f) => w.map(_.toString).toVector -> f }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      var k = 0
+      var done = false
+      while (k < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (s, f) =>
+          s.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq
+            .minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((k.toLong, l, r, l + r, c))
+          def merge(s: Vector[String]): Vector[String] = {
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                b += l + r; i += 2
+              } else { b += s(i); i += 1 }
+            }
+            b.result()
+          }
+          words = words.toSeq.map { case (s, f) => merge(s) -> f }
+            .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps.bpeMerges(df, "doc_id", "text", numMerges = 10)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == refBpe(10), s"got:\n${got.mkString("\n")}\nref:\n${refBpe(10).mkString("\n")}")
+  }
 }
