@@ -54,6 +54,27 @@ object MultimodalQueries {
         round(element_at(Multimodal.stubEmbedding(col("data"), 4), 4), 6).as("f3"))
         .orderBy(col("media_id"))
     },
+    "q_media_neardup" -> { (s, dir) =>
+      // perceptual-hash image near-dup: every 7th doc gets a planted
+      // twin payload (last byte zeroed), aHash fingerprints over the
+      // stride-sampled pixel grid, banded Hamming pairs at radius 3
+      // (pigeonhole-exact for bands=4). The oracle verifies by brute
+      // force over ALL pairs — hash-matching it proves the banded path
+      // loses nothing at the contract radius.
+      val base = media(s, dir)
+      val twins = load(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          lit("image/png").as("media_type"),
+          unhex(concat(substring(md5(col("text")), 1, 30), lit("00"))).as("data"))
+      val fp = Multimodal.withAHash(base.unionByName(twins), "data", "ahash")
+        .select(col("media_id"), col("ahash"))
+        .localCheckpoint()
+      graft.ops.DedupOps
+        .fingerprintNearDupPairs(fp, "media_id", "ahash",
+          bits = 32, bands = 4, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     "q_media_frames" -> { (s, dir) =>
       // frame-sample plumbing: 4 equal byte slices; emit per-frame length
       // + frame digest so the fan-out shape is oracle-checked
@@ -88,6 +109,32 @@ object MultimodalQueries {
         |  round((('0x' || substr(md5_b, 7, 2))::UBIGINT)::DOUBLE / 255.0, 6) AS f3
         |FROM (SELECT media_id, h, md5(h) AS md5_b FROM d)
         |ORDER BY media_id""".stripMargin,
+    // brute-force ALL-PAIRS aHash verification (the deliberate oracle
+    // inversion: Spark runs the banded path, DuckDB the exhaustive one —
+    // a hash match proves pigeonhole-exact recall at radius 3)
+    "q_media_neardup" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id, lower(md5(text)) AS hx FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, substr(lower(md5(text)), 1, 30) || '00'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |fp AS (
+        |  SELECT media_id,
+        |    [ (('0x' || substr(hx, ((i * 16) // 32) * 2 + 1, 2))::UBIGINT)::BIGINT
+        |      for i in range(0, 32) ] AS px
+        |  FROM m0),
+        |h AS (SELECT media_id, px, list_aggregate(px, 'sum') AS s FROM fp),
+        |ah AS (
+        |  SELECT media_id,
+        |    list_aggregate([CASE WHEN px[i + 1] * 32 > s
+        |                         THEN (1::BIGINT << i) ELSE 0::BIGINT END
+        |                    for i in range(0, 32)], 'sum') AS ahash
+        |  FROM h)
+        |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+        |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
+        |FROM ah a JOIN ah b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
         |f AS (SELECT media_id, i AS frame_idx, substr(h, i * 8 + 1, 8) AS frame_hex

@@ -413,8 +413,6 @@ object DedupOps {
     require(bits % bands == 0, "bands must divide bits")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
-    val sliceBits = bits / bands
-    val mask = (1L << sliceBits) - 1
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     // checkpoint: the fingerprint feeds the doc column, all `bands`
     // slice keys, and the Hamming verify — without materialization,
@@ -425,11 +423,36 @@ object DedupOps {
       .repartition(p, col("doc"))
       .select(col("doc"), HashFunctions.simhash(col("t"), bits).as("sh"))
       .localCheckpoint()
+    fingerprintNearDupPairs(fp, "doc", "sh", bits, bands, maxHamming)
+  }
+
+  /** Banded Hamming pairs over ANY precomputed long fingerprint column —
+    * the machinery behind [[simhashNearDupPairs]], reusable for
+    * perceptual image hashes ([[graft.sources.Multimodal.withAHash]])
+    * and any other bit-fingerprint near-dup: band the `bits`-wide value
+    * into `bands` contiguous slices, self-join on (band, slice)
+    * (pigeonhole: Hamming ≤ maxHamming < bands ⟹ some slice matches, so
+    * recall is EXACT at that radius while the join stays bucketed),
+    * verify with true Hamming. Output: (doc_a, doc_b, hamming).
+    */
+  def fingerprintNearDupPairs(
+      fp: DataFrame,
+      idCol: String,
+      fpCol: String,
+      bits: Int = 32,
+      bands: Int = 4,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming < bands ($maxHamming >= $bands)")
+    val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
     val banded = fp.select(
-      col("doc"), col("sh"),
+      col(idCol).as("doc"), col(fpCol).as("sh"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sh"), b * sliceBits).bitwiseAND(lit(mask)).as("key"))): _*))
+          shiftright(col(fpCol), b * sliceBits).bitwiseAND(lit(mask)).as("key"))): _*))
         .as("bk"))
       .select(col("doc"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("l")

@@ -110,6 +110,60 @@ object Multimodal {
     }: _*)
   }
 
+  /** STUB "resize": `n` pixels sampled stride-wise from the payload byte
+    * stream (pixel i = byte at i·len/n) — the locality-preserving
+    * downsample a real build replaces with decode + bilinear resize to
+    * the hash grid. Unlike a digest, nearby payloads give nearby pixel
+    * grids, which is the property perceptual hashing needs. Codegen'd
+    * column expression over hex() (no UDF), replayed exactly by the SQL
+    * oracle.
+    */
+  def stubPixels(dataColName: String, n: Int): Column = {
+    require(n >= 1 && n <= 64, "pixel count must be in [1,64]")
+    expr(s"""transform(sequence(0, ${n - 1}), i ->
+      cast(conv(substring(hex($dataColName),
+        cast((i * length($dataColName)) div $n as int) * 2 + 1, 2), 16, 10)
+        as bigint))""")
+  }
+
+  /** Perceptual AVERAGE hash (aHash): bit i set iff pixel i exceeds the
+    * grid mean, packed into a long — the image-side analogue of text
+    * simhash; near-identical payloads land within small Hamming
+    * distance, and pair generation reuses the banded Hamming machinery
+    * ([[graft.ops.DedupOps.fingerprintNearDupPairs]]). The mean compare
+    * is kept in INTEGERS (p·bits > Σp ⟺ p > mean, strictly) so the SQL
+    * oracle replays it bit-exactly with no float edge. 32 bits keeps
+    * every shift in non-negative long range in both engines. The pixel
+    * array and its sum ride as named columns so each evaluates once.
+    */
+  def withAHash(df: DataFrame, dataCol: String, outCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits >= 2 && bits <= 32, "aHash bits must be in [2,32]")
+    df.withColumn("__px", stubPixels(dataCol, bits))
+      .withColumn("__pxsum", expr("aggregate(__px, 0L, (a, x) -> a + x)"))
+      .withColumn(outCol, expr(
+        s"""aggregate(zip_with(__px, sequence(0, ${bits - 1}),
+           | (p, i) -> if(p * $bits > __pxsum, shiftleft(1L, i), 0L)),
+           | 0L, (a, x) -> a + x)""".stripMargin))
+      .drop("__px", "__pxsum")
+  }
+
+  /** Perceptual DIFFERENCE hash (dHash): bit i set iff pixel i > pixel
+    * i+1 over a (bits+1)-pixel strip — the gradient-based sibling of
+    * [[withAHash]], insensitive to global brightness shifts.
+    */
+  def withDHash(df: DataFrame, dataCol: String, outCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits >= 2 && bits <= 32, "dHash bits must be in [2,32]")
+    df.withColumn("__px", stubPixels(dataCol, bits + 1))
+      .withColumn(outCol, expr(
+        s"""aggregate(transform(sequence(0, ${bits - 1}),
+           | i -> if(element_at(__px, i + 1) > element_at(__px, i + 2),
+           |         shiftleft(1L, i), 0L)),
+           | 0L, (a, x) -> a + x)""".stripMargin))
+      .drop("__px")
+  }
+
   /** Frame sampling for video-ish payloads: `n` equal byte slices as an
     * array<binary> column (the real build decodes frames; the slicing,
     * schema and fan-out are the actual plumbing). SQL-expression form

@@ -94,4 +94,39 @@ class MultimodalSpec extends SparkSuite {
       .select(length(col("frame")).as("l")).collect().map(_.getInt(0))
     assert(frames.toSeq == Seq(4, 4, 4, 4))
   }
+
+  test("perceptual-hash near-dup: planted twin images pair up, distinct images don't") {
+    // controlled payloads: a smooth ramp "image", its twin with one byte
+    // nudged (≈1 pixel + no mean flip), and two structurally different
+    // payloads. Strided sampling → aHash → banded Hamming pairs.
+    val ramp = Array.tabulate(64)(i => (i * 4).toByte)
+    val twin = ramp.clone(); twin(10) = (twin(10) + 6).toByte
+    val inverse = Array.tabulate(64)(i => (255 - i * 4).toByte)
+    val stripes = Array.tabulate(64)(i => if (i % 2 == 0) 0.toByte else 200.toByte)
+    val df = Seq((1L, ramp), (2L, twin), (3L, inverse), (4L, stripes))
+      .toDF("media_id", "data")
+    val fp = Multimodal.withAHash(df, "data", "ahash")
+      .select(col("media_id"), col("ahash")).localCheckpoint()
+    val pairs = graft.ops.DedupOps
+      .fingerprintNearDupPairs(fp, "media_id", "ahash",
+        bits = 32, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"expected exactly the planted twin pair, got ${pairs.toSeq}")
+    assert(pairs.head._3 <= 3)
+    // banded result == brute force at the contract radius (pigeonhole)
+    val hashes = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b)).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet == brute)
+    // dHash variant fingerprints twins near-identically too
+    val dfp = Multimodal.withDHash(df, "data", "dhash")
+      .select(col("media_id"), col("dhash")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(dfp(1L) ^ dfp(2L)) <= 3)
+    // ascending ramp (gradient bits all 0) vs descending ramp (all 1)
+    assert(java.lang.Long.bitCount(dfp(1L) ^ dfp(3L)) > 3)
+  }
 }
