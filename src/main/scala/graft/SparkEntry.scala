@@ -58,6 +58,7 @@ object SparkEntry {
     "q_write_bulk_ingest" -> (WriteQueries.bulkIngestBench _),
     "q_write_reconcile" -> (WriteQueries.reconcileBench _),
     "q_write_reconcile_batch" -> (WriteQueries.reconcileBatchBench _),
+    "q_pipeline_search_scaled" -> (WriteQueries.pipelineSearchScaledBench _),
     "q_betweenness_waves" -> (AlgoQueries.betweennessWavesBench _),
     "q_communities_refined_dist" -> (AlgoQueries.refinedShuffledSigmaBench _),
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
     "q_score_boost", "q_score_composite",
     "q_pagerank", "q_communities", "q_modularity",
-    "q_communities_refined", "q_modularity_refined", "q_score_crosssession"
+    "q_communities_refined", "q_modularity_refined", "q_score_crosssession",
+    "q_pipeline_search"
   )
 }

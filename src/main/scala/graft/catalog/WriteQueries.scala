@@ -245,6 +245,42 @@ object WriteQueries {
       })
     }
 
+  /** Flagship search at corpus scale — the reference's hottest READ
+    * surface, timed against a STANDING store of every document at the
+    * sf dir (memoized per app+dir: the first bench pass pays the bulk
+    * seed, min-of-2 reports the warm-store search latency, which is the
+    * regression signal this row exists for). Exercises the staged
+    * pipeline (hybrid candidates, merge, boosts, composite scoring,
+    * top-k) over a store 125× the oracle scenario's at sf0.1.
+    */
+  private val searchMemo =
+    scala.collection.mutable.Map[String, MemoryManager]()
+
+  def pipelineSearchScaledBench(s: SparkSession, dir: String): DataFrame = {
+    val mgr = searchMemo.synchronized {
+      searchMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
+        val texts = load(s, dir, "documents")
+          .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+          .collect().map(_.getString(1)).toSeq
+        val store = new GraphStore(s, checkpointEvery = 64)
+        val m = new MemoryManager(
+          s,
+          MemoryConfig(userId = User, embeddingDimensions = 16,
+            enableTopologyBoost = true, enableImportance = true),
+          store, new MockEmbedder(16),
+          new ScriptedExtractor(Nil), new AddAllReconciler)
+        texts.grouped(1000).zipWithIndex.foreach { case (chunk, i) =>
+          m.addBatch(chunk, now = Some(T0 + i * 1000L))
+        }
+        m
+      })
+    }
+    import s.implicits._
+    val results = mgr.search("key agg row scan slow fast table", k = 10,
+      now = Some(T0 + 1000000L))
+    results.map(r => (r.memoryId, r.score)).toDF("memory_id", "score")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_write_memories" -> ((s, dir) => scenario(s, dir)._2),
     "q_write_batch_memories" -> ((s, dir) => batchScenario(s, dir)._1),

@@ -148,6 +148,21 @@ object SimilarityOps {
   def writeIvfPartitioned(assigned: DataFrame, path: String): Unit =
     assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Post-append index health from [[appendIvfPartitioned]]: per-cell
+    * size extremes and the max/median skew watermark that drives the
+    * re-cluster recommendation.
+    */
+  final case class IvfAppendStats(
+      appended: Long,
+      cells: Int,
+      maxCell: Long,
+      medianCell: Long,
+      skew: Double,
+      recommendRecluster: Boolean)
+
+  /** Default max/median cell-size watermark for [[appendIvfPartitioned]]. */
+  val DefaultIvfSkewWatermark = 4.0
+
   /** Incremental maintenance for the partitioned layout: assign NEW
     * vectors to the EXISTING centroids and append them into the
     * cell-partitioned directory — no rebuild, no rewrite of existing
@@ -155,25 +170,51 @@ object SimilarityOps {
     * directories only). Routing is the same broadcast assign the
     * initial build uses, so probing the grown index is identical to
     * probing a fresh build of the full corpus against the same
-    * centroids (IvfSpec asserts this). Centroid drift under sustained
-    * appends is the caller's policy knob — re-run [[ivfIndexKMeans]]
-    * and rewrite when recall telemetry sags. The telemetry exists
-    * (Bench recall block `q_ann_ivf_append_stale/fresh`, IvfSpec
-    * staleness bound): appending the planted-twin corpus against stale
-    * base centroids costs 0.00 recall@10 at sf0.01 (1.000 vs 1.000
-    * fresh; 0.90 vs 0.94 at sf0.001) — a distribution-PRESERVING
-    * append routes correctly, so the re-cluster spend buys protection
-    * against distribution SHIFT, not volume.
+    * centroids (IvfSpec asserts this).
+    *
+    * RE-CLUSTER POLICY (the knob, now quantified): the returned
+    * [[IvfAppendStats]] carries a cell-skew watermark —
+    * skew = max-cell / median-cell over the post-append index;
+    * `recommendRecluster` fires when it exceeds `skewWatermark`
+    * (default [[DefaultIvfSkewWatermark]] = 4.0: probes routed to the
+    * max cell then scan ≥4× the median cell's rows, the point where
+    * per-probe cost dispersion starts to dominate the re-cluster
+    * spend). Skew — not volume — is the right trigger: the recall
+    * telemetry (Bench `q_ann_ivf_append_stale/fresh`, IvfSpec staleness
+    * bound) shows a distribution-PRESERVING append costs ≈0.00
+    * recall@10 against stale centroids (1.000 vs 1.000 at sf0.01; 0.90
+    * vs 0.94 at sf0.001), while distribution SHIFT concentrates
+    * arrivals in few cells — exactly what the watermark measures. The
+    * per-cell counts group on the `cell` PARTITION column only, so the
+    * check never reads vector data. On recommendation, re-run
+    * [[ivfIndexKMeans]] + [[writeIvfPartitioned]].
     */
   def appendIvfPartitioned(
       newVectors: DataFrame,
       corpusId: String,
       corpusEmb: String,
       centroids: DataFrame,
-      path: String
-  ): Unit =
-    assignToCells(newVectors, corpusId, corpusEmb, centroids)
-      .write.partitionBy("cell").mode("append").parquet(path)
+      path: String,
+      skewWatermark: Double = DefaultIvfSkewWatermark
+  ): IvfAppendStats = {
+    require(skewWatermark >= 1.0, "skewWatermark must be >= 1.0")
+    val assigned = assignToCells(newVectors, corpusId, corpusEmb, centroids)
+    assigned.write.partitionBy("cell").mode("append").parquet(path)
+    val spark = newVectors.sparkSession
+    val counts = spark.read.parquet(path)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1)).sorted
+    val appended = newVectors.count()
+    if (counts.isEmpty)
+      IvfAppendStats(appended, 0, 0L, 0L, 1.0, recommendRecluster = false)
+    else {
+      val median = counts(counts.length / 2)
+      val mx = counts.last
+      val skew = mx.toDouble / math.max(1L, median)
+      IvfAppendStats(appended, counts.length, mx, median, skew,
+        recommendRecluster = skew > skewWatermark)
+    }
+  }
 
   /** Read back only the probed cells; the cell predicate is a partition
     * filter, never a row filter.

@@ -148,4 +148,35 @@ class IvfSpec extends SparkSuite {
     assert(got(4L) == ((Some(1L), false)))
     assert(got(2L)._2 && got(3L)._2)         // isolated docs kept
   }
+
+  test("append skew watermark: balanced appends stay quiet, concentrated appends recommend re-cluster") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val half1 = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val half2 = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val (assigned1, centroids) =
+      SimilarityOps.ivfIndex(half1, "vec_id", "embedding", numCells = 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-skew").toString
+    SimilarityOps.writeIvfPartitioned(assigned1, dir)
+    // distribution-preserving append: same corpus geometry → skew stays
+    // at its balanced level, no recommendation at the default watermark
+    val s1 = SimilarityOps.appendIvfPartitioned(
+      half2, "vec_id", "embedding", centroids, dir)
+    assert(s1.appended == half2.count())
+    assert(s1.cells > 0 && s1.maxCell >= s1.medianCell)
+    assert(s1.skew < SimilarityOps.DefaultIvfSkewWatermark, s"balanced skew ${s1.skew}")
+    assert(!s1.recommendRecluster)
+    // distribution SHIFT: pile 6× the corpus into whatever cell the
+    // first vector routes to (identical embeddings route identically) —
+    // max/median must blow past the watermark and trigger the flag
+    val one = emb.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding")).collect().head.getSeq[Float](0)
+    import spark.implicits._
+    val n = (emb.count() * 6).toInt
+    val flood = (0 until n).map(i => (1000000L + i, one.toArray)).toDF("vec_id", "embedding")
+    val s2 = SimilarityOps.appendIvfPartitioned(
+      flood, "vec_id", "embedding", centroids, dir)
+    assert(s2.skew > SimilarityOps.DefaultIvfSkewWatermark, s"skew after flood: ${s2.skew}")
+    assert(s2.recommendRecluster, s"flooded index must recommend re-cluster: $s2")
+  }
 }
