@@ -374,6 +374,22 @@ object TextQueries {
       graft.ops.CorpusOps.bpeMerges(load(s, dir, "documents"), "doc_id",
         "text", numMerges = BpeMergeCount)
     },
+    "q_bpe_encode" -> { (s, dir) =>
+      // train-then-encode: the learned merge table (a driver constant)
+      // applied to every doc in one zero-shuffle kernel pass; output is
+      // the per-doc subword count + a fingerprint of the full subword
+      // sequence, so the oracle checks every unit in order
+      val docs = load(s, dir, "documents")
+      val merges = graft.ops.CorpusOps
+        .bpeMerges(docs, "doc_id", "text", numMerges = BpeMergeCount)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.ops.CorpusOps.bpeEncode(docs, "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("subwords")).cast("long").as("n_subwords"),
+          md5(concat_ws(" ", col("subwords"))).as("subword_fp"))
+        .orderBy(col("doc_id"))
+    },
     "q_mix_weighted" -> { (s, dir) =>
       // weighted source mixing: per-source keep rates (derived here from
       // the source suffix so the mixture spec is reproducible in the
@@ -832,7 +848,10 @@ object TextQueries {
     // ADJACENT occurrences don't swallow each other's separator and the
     // replace merges every non-overlapping occurrence left-to-right,
     // exactly like the Spark kernel's one-pass scan.
-    val bpeMerges = {
+    // shared training CTE chain: w0 (word frequencies as double-space
+    // symbol strings) then BpeMergeCount steps of pair-count → best →
+    // merge; used by both the training and the encoding oracle
+    val bpeTrainCtes = {
       val steps = (0 until BpeMergeCount).map { k =>
         s"""p$k AS (
            |  SELECT struct_extract(u.p, 'l') AS l, struct_extract(u.p, 'r') AS r,
@@ -846,17 +865,50 @@ object TextQueries {
            |  SELECT freq, replace(s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
            |  FROM w$k, b$k b)""".stripMargin
       }.mkString(",\n")
-      val unions = (0 until BpeMergeCount).map { k =>
-        s"""SELECT $k::BIGINT AS merge_rank, l AS l_sym, r AS r_sym,
-           |  l||r AS merged, cnt AS pair_count FROM b$k""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
+      s"""w0 AS (
          |  SELECT count(*)::BIGINT AS freq,
          |    '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  ' AS s
          |  FROM (SELECT unnest($toks) AS word FROM documents)
          |  GROUP BY word),
-         |$steps
+         |$steps""".stripMargin
+    }
+
+    val bpeMerges = {
+      val unions = (0 until BpeMergeCount).map { k =>
+        s"""SELECT $k::BIGINT AS merge_rank, l AS l_sym, r AS r_sym,
+           |  l||r AS merged, cnt AS pair_count FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bpeTrainCtes
          |SELECT * FROM ($unions) ORDER BY merge_rank""".stripMargin
+    }
+
+    // encoding replay: docs as ONE double-space symbol string with a
+    // non-mergeable '|' word separator (merges are learned from alnum
+    // tokens, so '|' never appears in a pair and boundaries can't
+    // bridge), then the same 12 replaces in rank order
+    val bpeEncode = {
+      val docSteps = (0 until BpeMergeCount).map { k =>
+        s"""doc${k + 1} AS (
+           |  SELECT doc_id,
+           |    replace(s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
+           |  FROM doc$k, b$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $bpeTrainCtes,
+         |doc0 AS (
+         |  SELECT doc_id, CASE WHEN len($toks) = 0 THEN NULL ELSE
+         |    '  ' || array_to_string(list_transform($toks,
+         |      w -> trim(regexp_replace(w, '(.)', '\\1  ', 'g'))), '  |  ') || '  '
+         |    END AS s
+         |  FROM documents),
+         |$docSteps,
+         |enc AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(trim(coalesce(s, '')), '  '),
+         |      x -> x <> '|' AND x <> '') AS subs
+         |  FROM doc$BpeMergeCount)
+         |SELECT doc_id, len(subs)::BIGINT AS n_subwords,
+         |  md5(array_to_string(subs, ' ')) AS subword_fp
+         |FROM enc ORDER BY doc_id""".stripMargin
     }
 
     val qualityClassifier = {
@@ -891,6 +943,7 @@ object TextQueries {
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_bpe_merges" -> bpeMerges,
+      "q_bpe_encode" -> bpeEncode,
       "q_quality_classifier" -> qualityClassifier,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,

@@ -351,6 +351,54 @@ object GraftHash {
     new GenericArrayData(out.toArray)
   }
 
+  /** BPE ENCODE: apply a learned merge sequence (rank order) to every
+    * token of a document, one merge = one left-to-right non-overlapping
+    * pass over that token's symbol array ([[bpeMerge]] semantics) —
+    * [[NativeExprs.BpeEncode]]. Output: the document's subword units in
+    * token order. Merges never bridge token boundaries (each token is
+    * encoded independently), matching the training contract.
+    */
+  def bpeEncodeDoc(tokens: ArrayData, ls: Array[String],
+      rs: Array[String]): ArrayData = {
+    if (tokens == null) return null
+    val out = new java.util.ArrayList[AnyRef]()
+    val nTok = tokens.numElements()
+    var t = 0
+    while (t < nTok) {
+      if (!tokens.isNullAt(t)) {
+        val word = tokens.getUTF8String(t).toString
+        var syms = new java.util.ArrayList[String](word.length)
+        var c = 0
+        while (c < word.length) {
+          // codePoint-safe split: surrogate pairs stay one symbol
+          val cp = word.codePointAt(c)
+          val n = Character.charCount(cp)
+          syms.add(word.substring(c, c + n))
+          c += n
+        }
+        var m = 0
+        while (m < ls.length) {
+          val l = ls(m); val r = rs(m)
+          val merged = new java.util.ArrayList[String](syms.size)
+          var i = 0
+          while (i < syms.size) {
+            if (i < syms.size - 1 && syms.get(i) == l && syms.get(i + 1) == r) {
+              merged.add(l + r); i += 2
+            } else { merged.add(syms.get(i)); i += 1 }
+          }
+          syms = merged
+          m += 1
+        }
+        var k = 0
+        while (k < syms.size) {
+          out.add(UTF8String.fromString(syms.get(k))); k += 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val MinhashPrime = 2147483647L
 
   /** Whole MinHash signature in ONE pass over a hashed-shingle array

@@ -685,4 +685,42 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): BpeMergeAdjacent =
       copy(child = newChild)
   }
+
+  /** BPE encode of a document's token array with a LEARNED merge
+    * sequence ([[GraftHash.bpeEncodeDoc]]): every token is char-split
+    * and each merge applied in rank order, one fused per-row pass.
+    * The merge table is a driver constant (the output of training), so
+    * encoding is a zero-shuffle map over the corpus.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_bpe_encode"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be array<string>, got $other")
+      }
+    }
+
+    private lazy val ls: Array[String] = merges.map(_._1).toArray
+    private lazy val rs: Array[String] = merges.map(_._2).toArray
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.bpeEncodeDoc(input.asInstanceOf[ArrayData], ls, rs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val lRef = ctx.addReferenceObj("bpeEncL", ls, "java.lang.String[]")
+      val rRef = ctx.addReferenceObj("bpeEncR", rs, "java.lang.String[]")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.bpeEncodeDoc($c, $lRef, $rRef)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+      copy(child = newChild)
+  }
 }

@@ -159,4 +159,14 @@ object TextFunctions {
     GraftSqlShim.column(NativeExprs.BpeMergeAdjacent(
       GraftSqlShim.expression(syms), l, r))
   }
+
+  /** BPE-encode a token array with a learned merge sequence — one fused
+    * per-row pass ([[NativeExprs.BpeEncode]]); returns the subword
+    * units in token order.
+    */
+  def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.BpeEncode(
+      GraftSqlShim.expression(tokens), merges))
+  }
 }

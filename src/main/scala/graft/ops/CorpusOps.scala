@@ -243,6 +243,29 @@ object CorpusOps {
       .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
   }
 
+  /** BPE ENCODING with a learned merge table ([[bpeMerges]] output) —
+    * the apply side of tokenizer training: every document's canonical
+    * tokens are char-split and run through the merge sequence in rank
+    * order, all in ONE per-row native kernel pass
+    * ([[graft.functions.GraftHash.bpeEncodeDoc]]). The merge table is a
+    * driver constant, so encoding is a ZERO-SHUFFLE map over the corpus
+    * — the shape a 100 TB tokenization pass must have (train once on
+    * the word table, broadcast the merges in the closure, stream the
+    * corpus through).
+    *
+    * Output: (idCol, subwords array<string>) — subword units in token
+    * order; token boundaries are never merged across.
+    */
+  def bpeEncode(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextFunctions.bpeEncode(
+        graft.functions.TextFunctions.tokens(col(textCol)), merges)
+        .as("subwords"))
+
   /** Weighted corpus mixing: deterministically subsample each stratum
     * (source/domain) to its target rate. `rates` is a (stratum, rate)
     * table — rate in [0, 1] is the fraction of that stratum's documents

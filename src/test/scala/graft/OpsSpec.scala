@@ -705,5 +705,33 @@ class OpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
         r.getLong(4))).toSeq
     assert(got == refBpe(10), s"got:\n${got.mkString("\n")}\nref:\n${refBpe(10).mkString("\n")}")
+
+    // encode applies the learned merges per token, never across tokens
+    val merges = got.map(m => (m._2, m._3))
+    val enc = graft.ops.CorpusOps.bpeEncode(df, "doc_id", "text", merges)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1)))
+    def refEncode(text: String): Seq[String] =
+      text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        merges.foreach { case (l, r) =>
+          val b = Vector.newBuilder[String]; var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+        }
+        syms
+      }
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(enc(i)._2 == refEncode(t), s"doc $i: ${enc(i)._2} != ${refEncode(t)}")
+    }
+    // every subword round-trips: concatenation reproduces the tokens
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(enc(i)._2.mkString ==
+        t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString)
+    }
   }
 }
