@@ -248,6 +248,39 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), p.take(2000))
   }
 
+  test("BPE encode is a zero-shuffle map; training pair-agg combines map-side") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    // encode with a fixed merge table: the whole plan must be scan →
+    // project (kernel) — any Exchange means tokenization stopped being
+    // the stream-through map a 100 TB pass requires
+    val enc = graft.ops.CorpusOps.bpeEncode(docs, "doc_id", "text",
+      Seq(("t", "h"), ("th", "e")))
+    val pEnc = plan(enc)
+    assert(!pEnc.contains("Exchange"), pEnc.take(1500))
+    assert(pEnc.contains("graft_bpe_encode"), pEnc.take(1500))
+  }
+
+  test("media near-dup: fingerprints are per-row, pair join is banded equi-join, never cartesian") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val media = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        unhex(md5(col("text"))).as("data"))
+    val fp = graft.sources.Multimodal.withAHash(media, "data", "ahash")
+      .select(col("media_id"), col("ahash"))
+    // fingerprinting itself must not shuffle
+    assert(!plan(fp).contains("Exchange"), plan(fp).take(1500))
+    val pairs = graft.ops.DedupOps.fingerprintNearDupPairs(
+      fp.localCheckpoint(), "media_id", "ahash", bits = 32, bands = 4,
+      maxHamming = 3)
+    val p = plan(pairs)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    // the self-join keys on the banded slices
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")

@@ -45,4 +45,44 @@ class StreamingSpec extends SparkSuite {
     assert(alice == Seq("a-first", "a-second", "a-third"))
     assert(cache("bob").getAll().map(_.text) == Seq("b-first"))
   }
+
+  test("reconciling ingest: later micro-batch UPDATE supersedes an earlier batch's memory") {
+    // W2b streaming face: cross-batch semantics are sequential, so a
+    // scripted UPDATE arriving in micro-batch 2 must expire the memory
+    // micro-batch 1 created, with the full SCD2 trail
+    val store = new GraphStore(spark)
+    // batch 1 hits the empty-store fast path (all-ADD, reconciler not
+    // consulted); only batch 2 consumes a scripted decision
+    val decisions = Seq(
+      Seq(Decision(DecisionAction.Update, "alice moved to beta", Some(1L))))
+    val mgr = new MemoryManager(
+      spark, MemoryConfig(userId = "alice", reconciliationThreshold = 0.0),
+      store, new MockEmbedder(16),
+      new ScriptedExtractor(Seq(
+        Extraction(Seq("alice works at acme"), Nil, Nil),
+        Extraction(Seq("alice moved to beta"), Nil, Nil))),
+      new ScriptedReconciler(decisions))
+    val ingest = new StreamingIngest(_ => mgr)
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, Long)]
+    val events = stream.toDF().toDF("user_id", "text", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-rec").toString
+    val query = ingest.startReconciling(events, dir)
+    try {
+      stream.addData(("alice", "m1", 1000L))
+      query.processAllAvailable()
+      stream.addData(("alice", "m2", 2000L))
+      query.processAllAvailable()
+    } finally query.stop()
+    import org.apache.spark.sql.functions.col
+    val mems = store.memories.select("id", "text", "expired_at").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2))).sortBy(_._1)
+    assert(mems.map(m => (m._1, m._2)).toSeq ==
+      Seq((1L, "alice works at acme"), (2L, "alice moved to beta")))
+    assert(!mems(0)._3 && mems(1)._3) // id 1 expired by batch 2's UPDATE
+    val sup = store.edges.filter(col("edge_type") === graft.core.EdgeTypes.Supersedes)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sup.toSeq == Seq((2L, 1L)))
+  }
 }
