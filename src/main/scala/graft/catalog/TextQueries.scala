@@ -374,6 +374,17 @@ object TextQueries {
       graft.ops.CorpusOps.bpeMerges(load(s, dir, "documents"), "doc_id",
         "text", numMerges = BpeMergeCount)
     },
+    "q_classifier_train" -> { (s, dir) =>
+      // distributed logistic-GD training of the quality classifier:
+      // deterministic labels (length > 300 ≈ the corpus median), 64
+      // buckets, 6 rounds at lr 0.5; the oracle replays every round
+      val docs = load(s, dir, "documents")
+        .withColumn("label", (length(col("text")) > 300).cast("double"))
+      graft.ops.CorpusOps
+        .trainQualityClassifier(docs, "doc_id", "text", "label",
+          buckets = 64, iters = 6, lr = 0.5)
+        .orderBy(col("bucket"))
+    },
     "q_bpe_encode" -> { (s, dir) =>
       // train-then-encode: the learned merge table (a driver constant)
       // applied to every doc in one zero-shuffle kernel pass; output is
@@ -911,6 +922,48 @@ object TextQueries {
          |FROM enc ORDER BY doc_id""".stripMargin
     }
 
+    // logistic-GD training replay, unrolled: per round, doc raw scores
+    // under the current weights, probabilities, bucket gradients, then
+    // the 6-dp-quantized update — the same quantization the Spark loop
+    // applies, so iterates are bit-reproducible across engines
+    val classifierTrain = {
+      val iters = 6; val lrS = "0.5"
+      val steps = (0 until iters).map { k =>
+        s"""s$k AS (SELECT f.doc, sum(f.f * w.w) AS raw
+           |  FROM feat f JOIN w$k w USING (bucket) GROUP BY 1),
+           |p$k AS (SELECT l.doc, l.y,
+           |    1.0 / (1.0 + exp(-(coalesce(s.raw, 0.0) + b.bias))) AS pr
+           |  FROM l LEFT JOIN s$k s USING (doc), bb$k b),
+           |g$k AS (SELECT f.bucket,
+           |    sum((p.pr - p.y) * f.f) / (SELECT n FROM nn) AS g
+           |  FROM feat f JOIN p$k p USING (doc) GROUP BY 1),
+           |w${k + 1} AS (SELECT w.bucket,
+           |    round(w.w - $lrS * coalesce(g.g, 0.0), 6) AS w
+           |  FROM w$k w LEFT JOIN g$k g USING (bucket)),
+           |bb${k + 1} AS (SELECT round(b.bias -
+           |    $lrS * (SELECT sum(pr - y) FROM p$k) / (SELECT n FROM nn), 6) AS bias
+           |  FROM bb$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH l AS (SELECT doc_id AS doc,
+         |    CASE WHEN length(text) > 300 THEN 1.0 ELSE 0.0 END AS y
+         |  FROM documents),
+         |nn AS (SELECT count(*)::DOUBLE AS n FROM l),
+         |tok AS (SELECT doc_id AS doc, unnest($toks) AS token FROM documents),
+         |bc AS (SELECT doc,
+         |    (('0x' || substr(md5(token), 1, 8))::UBIGINT % 64)::BIGINT AS bucket,
+         |    count(*)::DOUBLE AS cnt
+         |  FROM tok GROUP BY 1, 2),
+         |feat AS (SELECT doc, bucket,
+         |    cnt / sum(cnt) OVER (PARTITION BY doc) AS f FROM bc),
+         |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
+         |bb0 AS (SELECT 0.0 AS bias),
+         |$steps
+         |SELECT * FROM (
+         |  SELECT bucket, w AS weight FROM w$iters
+         |  UNION ALL SELECT -1::BIGINT, bias FROM bb$iters)
+         |ORDER BY bucket""".stripMargin
+    }
+
     val qualityClassifier = {
       import graft.functions.HashFunctions.{minhashA, minhashB, MinhashPrime}
       s"""WITH w AS (SELECT i AS bucket,
@@ -944,6 +997,7 @@ object TextQueries {
       "q_vocab_topk" -> vocabTopK,
       "q_bpe_merges" -> bpeMerges,
       "q_bpe_encode" -> bpeEncode,
+      "q_classifier_train" -> classifierTrain,
       "q_quality_classifier" -> qualityClassifier,
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.HashFunctions
@@ -138,6 +139,91 @@ object CorpusOps {
         (lit(1.0) / (lit(1.0) +
           exp(-(coalesce(col("wsum") / col("n_tok"), lit(0.0)) + lit(bias)))))
           .as("score"))
+  }
+
+  /** TRAINING for [[linearQualityScore]]'s model — the other half of
+    * the DCLM/fineweb classifier step: full-batch logistic-regression
+    * gradient descent over the hashed-bucket features, distributed, and
+    * deterministic enough to replay in SQL.
+    *
+    * Features are exactly what inference consumes: f(doc, bucket) =
+    * bucket token count / doc token count, so score = sigmoid(Σ f·w +
+    * bias) = sigmoid(mean bucket weight + bias). Each of the `iters`
+    * rounds: (1) one doc-keyed aggregation computes every doc's
+    * probability under the current broadcast weights; (2) the feature
+    * table joins those probabilities map-side (both sides are
+    * hash-partitioned by doc — the feature table is repartitioned ONCE
+    * and checkpointed, the probability table comes out of a doc-keyed
+    * aggregation, so the join reuses the partitioning, PageRank-style);
+    * (3) a bucket-keyed aggregation of (p−y)·f yields the gradient —
+    * AT MOST `buckets` rows, collected to the driver where the weight
+    * map updates and re-broadcasts. Weights and bias are QUANTIZED to
+    * 6 dp after every update (the IVF-centroid precedent): iterates are
+    * then bit-reproducible across partitionings and the DuckDB oracle
+    * replays every round exactly.
+    *
+    * Scale: corpus pays one tokenize+count pass up front, then two
+    * keyed aggregations per round; the model side always broadcasts
+    * (fasttext-scale buckets = megabytes). Driver state is the weight
+    * vector, never the corpus.
+    *
+    * Output: (bucket, weight) — learned weights for every bucket seen
+    * in the corpus, plus the bias as bucket = −1.
+    */
+  def trainQualityClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      buckets: Int,
+      iters: Int = 6,
+      lr: Double = 0.5): DataFrame = {
+    require(buckets > 0 && iters > 0 && lr > 0, "invalid hyperparameters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = spark.sessionState.conf.numShufflePartitions
+    // HALF_UP to match SQL round(x, 6) exactly (math.rint is half-even)
+    def q6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val labels = df.select(col(idCol).as("doc"),
+        col(labelCol).cast("double").as("y"))
+      .repartition(p, col("doc")).localCheckpoint()
+    val n = labels.count().toDouble
+    val feat = df
+      .select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .withColumn("bucket", hashBucket(col("token"), buckets))
+      .groupBy(col("doc"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("f", col("cnt") /
+        sum(col("cnt")).over(Window.partitionBy(col("doc"))))
+      .select(col("doc"), col("bucket"), col("f"))
+      .repartition(p, col("doc")).localCheckpoint()
+
+    var w: Map[Long, Double] =
+      feat.select(col("bucket")).distinct().collect()
+        .map(r => r.getLong(0) -> 0.0).toMap
+    var bias = 0.0
+    var it = 0
+    while (it < iters) {
+      val wDf = broadcast(w.toSeq.toDF("bucket", "w"))
+      val raw = feat.join(wDf, Seq("bucket"))
+        .groupBy(col("doc")).agg(sum(col("f") * col("w")).as("raw"))
+      val probs = labels.join(raw, Seq("doc"), "left")
+        .select(col("doc"), col("y"),
+          (lit(1.0) / (lit(1.0) +
+            exp(-(coalesce(col("raw"), lit(0.0)) + lit(bias))))).as("pr"))
+      val grads = feat.join(probs, Seq("doc"))
+        .groupBy(col("bucket"))
+        .agg((sum((col("pr") - col("y")) * col("f")) / n).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val gBias = probs.agg((sum(col("pr") - col("y")) / n).as("g"))
+        .collect().head.getDouble(0)
+      w = w.map { case (b, v) => b -> q6(v - lr * grads.getOrElse(b, 0.0)) }
+      bias = q6(bias - lr * gBias)
+      it += 1
+    }
+    (w.toSeq :+ (-1L -> bias)).toDF("bucket", "weight")
   }
 
   /** Corpus vocabulary statistics — the tokenizer-training prep step:

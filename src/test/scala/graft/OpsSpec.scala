@@ -734,4 +734,61 @@ class OpsSpec extends SparkSuite {
         t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).mkString)
     }
   }
+
+  test("CorpusOps.trainQualityClassifier: matches driver-side GD, learns a planted signal") {
+    import spark.implicits._
+    val B = 16; val ITERS = 5; val LR = 0.5
+    // planted signal: positive docs carry "excellent", negatives "spam"
+    val texts = (0 until 24).map { i =>
+      if (i % 2 == 0) s"document $i reads excellent excellent prose today"
+      else s"document $i is spam spam filler noise"
+    }
+    val df = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, if (i % 2 == 0) 1.0 else 0.0) }
+      .toDF("doc_id", "text", "label")
+    val got = graft.ops.CorpusOps
+      .trainQualityClassifier(df, "doc_id", "text", "label",
+        buckets = B, iters = ITERS, lr = LR)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // driver-side reference: identical tokenization, hashing, GD, 6-dp
+    // quantization
+    def q6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bucket(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tok.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) =>
+      val toks = t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val cnt = toks.groupBy(bucket).map { case (b, g) => b -> g.length.toDouble }
+      val n = toks.length.toDouble
+      (cnt.map { case (b, c) => b -> c / n }, if (i % 2 == 0) 1.0 else 0.0)
+    }
+    val nDocs = docs.length.toDouble
+    var w = docs.flatMap(_._1.keys).distinct.map(_ -> 0.0).toMap
+    var bias = 0.0
+    (0 until ITERS).foreach { _ =>
+      val prs = docs.map { case (f, y) =>
+        val raw = f.map { case (b, v) => v * w(b) }.sum
+        (f, y, 1.0 / (1.0 + math.exp(-(raw + bias))))
+      }
+      val g = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      prs.foreach { case (f, y, pr) =>
+        f.foreach { case (b, v) => g(b) += (pr - y) * v / nDocs } }
+      val gb = prs.map { case (_, y, pr) => pr - y }.sum / nDocs
+      w = w.map { case (b, v) => b -> q6(v - LR * g(b)) }
+      bias = q6(bias - LR * gb)
+    }
+    val expected = w + (-1L -> bias)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (b, v) =>
+      assert(math.abs(v - expected(b)) < 2e-6, s"bucket $b: $v vs ${expected(b)}")
+    }
+    // the planted tokens' buckets separate with the right signs
+    assert(got(bucket("excellent")) > 0.05, got.toString)
+    assert(got(bucket("spam")) < -0.05, got.toString)
+  }
 }
