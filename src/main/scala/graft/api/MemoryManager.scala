@@ -1020,6 +1020,44 @@ final class MemoryManager(
 
   private var metricsVersion = -1L
 
+  // ---- search-path metric memos -----------------------------------
+  // topology and reinforcement are WHOLE-GRAPH aggregations; computing
+  // them per search (the pre-r9 shape) re-aggregates the full edge
+  // table on every query — the wrong shape at 100 TB, where metric
+  // refresh must amortize across reads. Both memoize on the exact
+  // store versions their inputs depend on: topology reads only
+  // HAS_ENTITY edges (graphVersion); reinforcement additionally reads
+  // (created_at, importance) of memories — created_at is immutable and
+  // an edgeless new memory can't shift any other memory's score, so
+  // (graphVersion, importanceVersion) is a precise key. bumpAccess
+  // deliberately invalidates neither (the r6 dirty-flag rationale).
+  private var topoMemoKey = -1L
+  private var topoMemo: DataFrame = _
+  private def topologyScoresDf(): DataFrame = this.synchronized {
+    if (store.graphVersion != topoMemoKey) {
+      topoMemo = GraphOps.topologyScores(
+          store.edges.filter(col("edge_type") === EdgeTypes.HasEntity))
+        .select(col("mem"), col("topology_score"))
+        .localCheckpoint()
+      topoMemoKey = store.graphVersion
+    }
+    topoMemo
+  }
+  private var reinfMemoKey = (-1L, -1L)
+  private var reinfMemo: DataFrame = _
+  private def reinforcementDf(): DataFrame = this.synchronized {
+    val key = (store.graphVersion, store.importanceVersion)
+    if (key != reinfMemoKey) {
+      reinfMemo = GraphOps.reinforcement(
+          store.memories.select(col("id"), col("created_at"), col("importance")),
+          store.edges.filter(col("edge_type") === EdgeTypes.HasEntity),
+          config.structuralFeedbackGamma)
+        .localCheckpoint()
+      reinfMemoKey = key
+    }
+    reinfMemo
+  }
+
   /** G1+G2+G3 — recompute and cache metric columns on Memory rows when
     * the EDGE TOPOLOGY changed since the last recompute (graphVersion,
     * not writeVersion: access-count bumps and property patches must not
@@ -1326,11 +1364,8 @@ final class MemoryManager(
 
     // ---- boost chain R2/R3 ----
     // topology scores feed both the R2 boost and R5's wTopo term —
-    // compute the whole-graph aggregation at most once per search
-    lazy val topoDf = GraphOps.topologyScores(
-        store.edges.filter(col("edge_type") === EdgeTypes.HasEntity))
-      .select(col("mem"), col("topology_score"))
-      .localCheckpoint()
+    // version-memoized across searches (see topologyScoresDf)
+    lazy val topoDf = topologyScoresDf()
     if (config.enableTopologyBoost) {
       filtered = filtered
         .join(topoDf.withColumnRenamed("mem", "id"), Seq("id"), "left")
@@ -1360,7 +1395,6 @@ final class MemoryManager(
     if (config.enableImportance) {
       val ts = now.getOrElse(clock())
       val ids = page.map(_.id)
-      val he = store.edges.filter(col("edge_type") === EdgeTypes.HasEntity)
       // wTopo > 0 pulls A5 topology per result (shared topoDf, computed
       // once even when R2 also ran); structural decay pulls A6
       // reinforcement to modulate the recency rate (scoring.py:15-125)
@@ -1373,9 +1407,7 @@ final class MemoryManager(
         else Map.empty
       val reinfMap: Map[Long, Double] =
         if (config.enableStructuralDecay && ids.nonEmpty)
-          GraphOps.reinforcement(
-              store.memories.select(col("id"), col("created_at"), col("importance")),
-              he, config.structuralFeedbackGamma)
+          reinforcementDf()
             .filter(col("mem").isin(ids: _*))
             .select(col("mem"), col("reinforcement")).collect()
             .map(r => r.getLong(0) -> r.getDouble(1)).toMap

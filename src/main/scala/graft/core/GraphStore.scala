@@ -59,8 +59,14 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     */
   @volatile private var version = 0L
   @volatile private var graphVer = 0L
+  // importance-version: ticked only by mutations that can change a
+  // memory's importance column — the one input to reinforcement-style
+  // metrics that neither writeVersion (too chatty: access bumps) nor
+  // graphVersion (edge-only) tracks
+  @volatile private var importanceVer = 0L
   def writeVersion: Long = version
   def graphVersion: Long = graphVer
+  def importanceVersion: Long = importanceVer
 
   private def tick(structural: Boolean = false): Unit = {
     version += 1
@@ -122,6 +128,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     * for matching ids; everything else passes through unchanged.
     */
   def patchMemories(patch: DataFrame, setCols: Seq[String]): Unit = this.synchronized {
+    if (setCols.contains("importance")) importanceVer += 1
     val p = broadcast(
       patch.select(
         (col("id").as("__pid") +: setCols.map(c => col(c).as(s"__p_$c"))): _*))
