@@ -1043,6 +1043,23 @@ final class MemoryManager(
     }
     topoMemo
   }
+  // BM25 prepared corpus (the text-index artifact): the tokenized
+  // (id, dl, toks) table + corpus stats, keyed on textVersion so only
+  // text-row changes (append/delete/text-patch/load) rebuild it —
+  // pre-r9 every search re-tokenized the whole store for its BM25 leg
+  private var bm25MemoKey = -1L
+  private var bm25Memo: (DataFrame, Long, Double) = _
+  private def bm25PreparedState(): (DataFrame, Long, Double) = this.synchronized {
+    if (store.textVersion != bm25MemoKey) {
+      val base =
+        if (config.scopedHybridCandidates) scopeCol(store.memories)
+        else store.memories
+      bm25Memo = SearchOps.bm25Prepare(base, "id", "text")
+      bm25MemoKey = store.textVersion
+    }
+    bm25Memo
+  }
+
   private var reinfMemoKey = (-1L, -1L)
   private var reinfMemo: DataFrame = _
   private def reinforcementDf(): DataFrame = this.synchronized {
@@ -1318,7 +1335,8 @@ final class MemoryManager(
           candBase.withColumn("embedding",
             when(nonEmptyEmb, col("embedding")).otherwise(lit(null))),
           "id", "text", "embedding", query, queryVec, effectiveK,
-          config.rrfK, fetchK = math.max(50, 4 * effectiveK))
+          config.rrfK, fetchK = math.max(50, 4 * effectiveK),
+          preparedBm25 = Some(bm25PreparedState()))
         cand.join(mem, Seq("id"))
           .filter(col("expired_at").isNull && predCol && typeFiltered)
           .filter(scopeColExpr)

@@ -64,9 +64,15 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   // metrics that neither writeVersion (too chatty: access bumps) nor
   // graphVersion (edge-only) tracks
   @volatile private var importanceVer = 0L
+  // text-version: ticked by mutations that change the (id, text) row
+  // set — memory appends/deletes/loads and text patches — the inputs of
+  // text-index-shaped state (BM25 prepared corpus); access bumps and
+  // expiry/metric patches do NOT tick it
+  @volatile private var textVer = 0L
   def writeVersion: Long = version
   def graphVersion: Long = graphVer
   def importanceVersion: Long = importanceVer
+  def textVersion: Long = textVer
 
   private def tick(structural: Boolean = false): Unit = {
     version += 1
@@ -87,6 +93,8 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   def appendMemories(rows: Seq[MemoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
       memories = memories.unionByName(spark.createDataset(rows).toDF())
+      importanceVer += 1
+      textVer += 1
       tick()
     }
   }
@@ -129,6 +137,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     */
   def patchMemories(patch: DataFrame, setCols: Seq[String]): Unit = this.synchronized {
     if (setCols.contains("importance")) importanceVer += 1
+    if (setCols.contains("text")) textVer += 1
     val p = broadcast(
       patch.select(
         (col("id").as("__pid") +: setCols.map(c => col(c).as(s"__p_$c"))): _*))
@@ -185,6 +194,8 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
         (col("edge_type").isin(EdgeTypes.Supersedes, EdgeTypes.LeadsTo) &&
           (srcDead || dstDead))
       edges = edges.filter(!dead)
+      importanceVer += 1
+      textVer += 1
       tick(structural = true)
     }
   }
@@ -220,6 +231,8 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
           (col("edge_type").isin(EdgeTypes.Supersedes, EdgeTypes.LeadsTo) &&
             (srcDead || dstDead))
         edges = marked.filter(!dead).drop("__dsrc", "__ddst")
+        importanceVer += 1
+        textVer += 1
         tick(structural = true)
       }
       n
@@ -276,6 +289,8 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
     memoryIds.set(maxId(memories, "id")); entityIds.set(maxId(entities, "id"))
     episodeIds.set(maxId(episodes, "id")); communityIds.set(maxId(communities, "id"))
     historyIds.set(maxId(history, "id")); edgeIds.set(maxId(edges, "edge_id"))
+    importanceVer += 1
+    textVer += 1
     tick(structural = true) // the whole edge table changed
   }
 }

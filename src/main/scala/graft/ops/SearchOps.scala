@@ -93,6 +93,62 @@ object SearchOps {
       .select(col("doc_id").as(idCol), col("bm25"))
   }
 
+  /** Query-independent BM25 corpus state — the materialized text-index
+    * artifact a per-query scan reuses: the tokenized doc table
+    * (doc_id, dl, toks), checkpointed so tokenization never re-runs per
+    * query, plus (n_docs, avgdl). At 100 TB this is the table a real
+    * deployment maintains incrementally; here it memoizes in the
+    * manager on the store's textVersion.
+    */
+  def bm25Prepare(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String): (DataFrame, Long, Double) = {
+    import graft.functions.TextFunctions.tokens
+    val docTokens = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("dl", size(col("toks")))
+      .localCheckpoint()
+    val st = docTokens.agg(
+      count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl")).collect()(0)
+    val n = st.getLong(0)
+    (docTokens, n, if (n == 0) 0.0 else st.getDouble(1))
+  }
+
+  /** BM25 over a [[bm25Prepare]]d corpus — identical arithmetic to
+    * [[bm25]] (corpus stats as literals instead of an in-plan agg; the
+    * double operations are the same, so scores are bit-identical), but
+    * the per-query cost is one pass over the already-tokenized table.
+    */
+  def bm25Prepared(
+      prepared: (DataFrame, Long, Double),
+      idCol: String,
+      queryTerms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val (docTokens, nDocs, avgdl) = prepared
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val tf = docTokens
+      .select(col("doc_id"), col("dl"), explode_outer(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(df_), "term")
+      .withColumn(
+        "idf",
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn(
+        "w",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("bm25"))
+      .select(col("doc_id").as(idCol), col("bm25"))
+  }
+
   /** Reciprocal-rank fusion of scored result sets (V3). Each input must
     * expose (idCol, scoreCol); ranks are dense positions ordered by
     * (score desc, id asc). fused = Σ 1/(rrfK + rank). The reference uses
@@ -136,10 +192,15 @@ object SearchOps {
       queryVec: Array[Float],
       k: Int,
       rrfK: Double = 1.0,
-      fetchK: Int = 50
+      fetchK: Int = 50,
+      preparedBm25: Option[(DataFrame, Long, Double)] = None
   ): DataFrame = {
     val terms = queryText.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
-    val bm = bm25(docs, idCol, textCol, terms)
+    val bmScores = preparedBm25 match {
+      case Some(p) => bm25Prepared(p, idCol, terms)
+      case None => bm25(docs, idCol, textCol, terms)
+    }
+    val bm = bmScores
       .orderBy(col("bm25").desc, col(idCol).asc)
       .limit(fetchK)
     val vec = docs
