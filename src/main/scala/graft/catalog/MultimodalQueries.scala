@@ -75,6 +75,36 @@ object MultimodalQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_audio_neardup" -> { (s, dir) =>
+      // acoustic-fingerprint near-dup: 64-byte "waveform" payloads (4
+      // chained digests), every 11th doc gets a planted twin with the
+      // last 4 bytes zeroed (an end-truncated copy). Fingerprint = sign
+      // of frame-energy deltas over a 33-frame envelope; the tail edit
+      // touches only the last 2 energy frames → ≤ 3 delta bits flip, so
+      // banded Hamming pairs at radius 3 (bands=4, pigeonhole-exact)
+      // find every twin. Oracle verifies by brute force over ALL pairs.
+      val d = load(s, dir, "documents")
+      def wave(tail: org.apache.spark.sql.Column) = concat(
+        md5(col("text")), md5(concat(col("text"), lit("a"))),
+        md5(concat(col("text"), lit("b"))), tail)
+      val base = d.select(col("doc_id").as("media_id"),
+        lit("audio/wav").as("media_type"),
+        unhex(wave(md5(concat(col("text"), lit("c"))))).as("data"))
+      val twins = d.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          lit("audio/wav").as("media_type"),
+          unhex(wave(concat(substring(md5(concat(col("text"), lit("c"))), 1, 24),
+            lit("00000000")))).as("data"))
+      val fp = Multimodal
+        .withAudioFingerprint(base.unionByName(twins), "data", "afp")
+        .select(col("media_id"), col("afp"))
+        .localCheckpoint()
+      graft.ops.DedupOps
+        .fingerprintNearDupPairs(fp, "media_id", "afp",
+          bits = 32, bands = 4, maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
     "q_media_frames" -> { (s, dir) =>
       // frame-sample plumbing: 4 equal byte slices; emit per-frame length
       // + frame digest so the fan-out shape is oracle-checked
@@ -134,6 +164,39 @@ object MultimodalQueries {
         |  bit_count(xor(a.ahash, b.ahash))::BIGINT AS hamming
         |FROM ah a JOIN ah b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // brute-force ALL-PAIRS acoustic-fingerprint verification (same
+    // oracle inversion as q_media_neardup): 33-frame energy envelope
+    // over the 64-byte payload — frame i = bytes (2i, 2i+1), frame 32
+    // is past the payload and contributes 0, exactly like Spark's
+    // bounds-guarded kernel
+    "q_audio_neardup" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id,
+        |    lower(md5(text) || md5(text || 'a') || md5(text || 'b')
+        |      || md5(text || 'c')) AS hx
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    lower(md5(text) || md5(text || 'a') || md5(text || 'b')
+        |      || substr(md5(text || 'c'), 1, 24) || '00000000')
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |fe AS (
+        |  SELECT media_id,
+        |    [ (('0x' || substr(hx, i * 4 + 1, 2))::UBIGINT)::BIGINT
+        |      + (('0x' || substr(hx, i * 4 + 3, 2))::UBIGINT)::BIGINT
+        |      for i in range(0, 32) ] || [0::BIGINT] AS fe
+        |  FROM m0),
+        |fp AS (
+        |  SELECT media_id,
+        |    list_aggregate([CASE WHEN fe[i + 2] > fe[i + 1]
+        |                         THEN (1::BIGINT << i) ELSE 0::BIGINT END
+        |                    for i in range(0, 32)], 'sum') AS afp
+        |  FROM fe)
+        |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+        |  bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+        |FROM fp a JOIN fp b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     "q_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),

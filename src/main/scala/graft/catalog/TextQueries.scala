@@ -184,6 +184,14 @@ object TextQueries {
           segLen = 20, minDocs = 2)
         .orderBy(col("doc_id"))
     },
+    "q_dedup_substrings" -> { (s, dir) =>
+      // suffix-array-style pass: remove every non-first occurrence of
+      // any 8-token window repeated anywhere in the corpus (across docs
+      // OR within one), rebuild the survivors' text
+      val docs = load(s, dir, "documents")
+      DedupOps.duplicateSpanRemoval(docs, "doc_id", "text", winLen = 8)
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_minhash" -> { (s, dir) =>
       val docs = load(s, dir, "documents")
       DedupOps.minhashSignatures(docs, "doc_id", "text", numHashes = 4, shingleSize = 3)
@@ -574,6 +582,31 @@ object TextQueries {
          |  coalesce(r.clean_text, '') AS clean_text
          |FROM t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+    // mirrors DedupOps.duplicateSpanRemoval: 0-based window positions,
+    // first-occurrence keep = rn 1 ordered by (doc_id, pos) — identical
+    // to Spark's min(struct(doc_id, pos)); removal positions expand,
+    // distinct, and index the 1-based DuckDB token list via j-1
+    val dedupSubstrings =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT ne.doc_id, u.i - 1 AS pos,
+         |  md5(array_to_string(ne.toks[u.i : u.i + 7], ' ')) AS h
+         |  FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 8) ne,
+         |  LATERAL (SELECT unnest(range(1, len(ne.toks) - 8 + 2)) AS i) u),
+         |w2 AS (SELECT doc_id, pos, h,
+         |  row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM w),
+         |fl AS (SELECT doc_id, pos FROM w2 WHERE rn > 1),
+         |rm AS (SELECT doc_id, list_sort(list(DISTINCT rp)) AS rl FROM
+         |  (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS rp FROM fl)
+         |  GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+         |  coalesce(len(r.rl), 0)::BIGINT AS n_removed,
+         |  CASE WHEN r.rl IS NULL THEN array_to_string(t.toks, ' ')
+         |    -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's ''
+         |    ELSE coalesce(array_to_string([t.toks[j] for j in range(1, len(t.toks) + 1)
+         |      if NOT list_contains(r.rl, j - 1)], ' '), '')
+         |  END AS clean_text
+         |FROM t LEFT JOIN rm r USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
     val shingles3 = sqlWordShingles(toks, 3)
     val hashed3 = sqlHashedShingles(shingles3)
     val minhash4 =
@@ -862,21 +895,26 @@ object TextQueries {
     // shared training CTE chain: w0 (word frequencies as double-space
     // symbol strings) then BpeMergeCount steps of pair-count → best →
     // merge; used by both the training and the encoding oracle
+    // MATERIALIZED is load-bearing on w/p/b: each w$k is referenced
+    // TWICE (by p$k and by w${k+1}), so DuckDB's default CTE inlining
+    // re-evaluates the whole prefix chain 2^BpeMergeCount times — the
+    // sf0.001 replay went from unbounded-minutes to sub-second with
+    // materialization (same fix as the refined-communities oracle)
     val bpeTrainCtes = {
       val steps = (0 until BpeMergeCount).map { k =>
-        s"""p$k AS (
+        s"""p$k AS MATERIALIZED (
            |  SELECT struct_extract(u.p, 'l') AS l, struct_extract(u.p, 'r') AS r,
            |    sum(freq)::BIGINT AS cnt
            |  FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM w$k) t,
            |    UNNEST([struct_pack(l := t.tk[i], r := t.tk[i+1])
            |            for i in range(1, len(t.tk))]) AS u(p)
            |  GROUP BY 1, 2),
-           |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-           |w${k + 1} AS (
+           |b$k AS MATERIALIZED (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |w${k + 1} AS MATERIALIZED (
            |  SELECT freq, replace(s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
            |  FROM w$k, b$k b)""".stripMargin
       }.mkString(",\n")
-      s"""w0 AS (
+      s"""w0 AS MATERIALIZED (
          |  SELECT count(*)::BIGINT AS freq,
          |    '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  ' AS s
          |  FROM (SELECT unnest($toks) AS word FROM documents)
@@ -928,35 +966,39 @@ object TextQueries {
     // applies, so iterates are bit-reproducible across engines
     val classifierTrain = {
       val iters = 6; val lrS = "0.5"
+      // MATERIALIZED on every iterate: w$k / p$k / bb$k are each
+      // referenced twice per round, so default CTE inlining compounds
+      // to an exponential re-evaluation of the whole prefix (same
+      // pathology as the BPE replay; same fix)
       val steps = (0 until iters).map { k =>
-        s"""s$k AS (SELECT f.doc, sum(f.f * w.w) AS raw
+        s"""s$k AS MATERIALIZED (SELECT f.doc, sum(f.f * w.w) AS raw
            |  FROM feat f JOIN w$k w USING (bucket) GROUP BY 1),
-           |p$k AS (SELECT l.doc, l.y,
+           |p$k AS MATERIALIZED (SELECT l.doc, l.y,
            |    1.0 / (1.0 + exp(-(coalesce(s.raw, 0.0) + b.bias))) AS pr
            |  FROM l LEFT JOIN s$k s USING (doc), bb$k b),
-           |g$k AS (SELECT f.bucket,
+           |g$k AS MATERIALIZED (SELECT f.bucket,
            |    sum((p.pr - p.y) * f.f) / (SELECT n FROM nn) AS g
            |  FROM feat f JOIN p$k p USING (doc) GROUP BY 1),
-           |w${k + 1} AS (SELECT w.bucket,
+           |w${k + 1} AS MATERIALIZED (SELECT w.bucket,
            |    round(w.w - $lrS * coalesce(g.g, 0.0), 6) AS w
            |  FROM w$k w LEFT JOIN g$k g USING (bucket)),
-           |bb${k + 1} AS (SELECT round(b.bias -
+           |bb${k + 1} AS MATERIALIZED (SELECT round(b.bias -
            |    $lrS * (SELECT sum(pr - y) FROM p$k) / (SELECT n FROM nn), 6) AS bias
            |  FROM bb$k b)""".stripMargin
       }.mkString(",\n")
-      s"""WITH l AS (SELECT doc_id AS doc,
+      s"""WITH l AS MATERIALIZED (SELECT doc_id AS doc,
          |    CASE WHEN length(text) > 300 THEN 1.0 ELSE 0.0 END AS y
          |  FROM documents),
-         |nn AS (SELECT count(*)::DOUBLE AS n FROM l),
+         |nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM l),
          |tok AS (SELECT doc_id AS doc, unnest($toks) AS token FROM documents),
          |bc AS (SELECT doc,
          |    (('0x' || substr(md5(token), 1, 8))::UBIGINT % 64)::BIGINT AS bucket,
          |    count(*)::DOUBLE AS cnt
          |  FROM tok GROUP BY 1, 2),
-         |feat AS (SELECT doc, bucket,
+         |feat AS MATERIALIZED (SELECT doc, bucket,
          |    cnt / sum(cnt) OVER (PARTITION BY doc) AS f FROM bc),
-         |w0 AS (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
-         |bb0 AS (SELECT 0.0 AS bias),
+         |w0 AS MATERIALIZED (SELECT DISTINCT bucket, 0.0 AS w FROM feat),
+         |bb0 AS MATERIALIZED (SELECT 0.0 AS bias),
          |$steps
          |SELECT * FROM (
          |  SELECT bucket, w AS weight FROM w$iters
@@ -1014,6 +1056,7 @@ object TextQueries {
       "q_dedup_minhash" -> minhash4,
       "q_dedup_incremental" -> dedupIncremental,
       "q_dedup_segments" -> dedupSegments,
+      "q_dedup_substrings" -> dedupSubstrings,
       "q_lm_score" -> lmScore,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,

@@ -725,4 +725,86 @@ object DedupOps {
       .filter(col("cosine") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
+
+  /** Exact duplicated-SUBSTRING removal — the suffix-array dedup pass of
+    * Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better") re-expressed as a distributed token-window dataflow: any
+    * `winLen`-token window whose content occurs at two or more (doc,
+    * pos) occurrences corpus-wide keeps only its globally-first
+    * occurrence (lexicographic min of (doc, pos)); every other
+    * occurrence's token span is removed and the doc's surviving tokens
+    * rejoin in order. Because windows slide, a shared passage of length
+    * M ≥ winLen is covered by overlapping flagged windows whose position
+    * sets union into the full span — the same contiguous-match removal a
+    * suffix array yields, without building one. Distinct from whole-doc
+    * dedup (docs here are unique) and from [[commonSegmentRemoval]]
+    * (which drops fixed segments shared by ≥ minDocs docs; this pass
+    * catches ANY repeated run, including within one doc, at any
+    * alignment).
+    *
+    * Scale shape, stage by stage:
+    *  - windows: ONE posexplode of per-doc sliding windows — linear in
+    *    corpus tokens; the winLen-token gram string exists only inside
+    *    the projection that md5s it (never shuffled, never stored);
+    *  - duplicate detection: ONE hash-keyed groupBy with map-side
+    *    partial aggregation (count + min occurrence struct) — uniform
+    *    keys, skew-safe even for a boilerplate window repeated millions
+    *    of times because partials combine;
+    *  - flagging: the dup-hash side is filtered to count ≥ 2 BEFORE the
+    *    join back, so its size is bounded by the corpus's duplicated
+    *    text, not the corpus (AQE broadcasts it when it fits; else the
+    *    join shuffles on the same uniform hash key);
+    *  - rebuild: flagged spans expand to ≤ winLen positions per flagged
+    *    window, group to a per-doc sorted removal list (bounded by doc
+    *    length), and ONE doc-keyed join + per-row higher-order filter
+    *    rebuilds the text — the corpus token stream itself is never
+    *    exploded or shuffled.
+    *
+    * Output: one row per input doc — (idCol, n_tokens, n_removed,
+    * clean_text), token-normalized like [[commonSegmentRemoval]].
+    */
+  def duplicateSpanRemoval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 8): DataFrame = {
+    require(winLen > 0, "winLen must be positive")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .repartition(p, col(idCol))
+      .localCheckpoint() // tokenization runs once for windows + rebuild
+    // sliding windows: pos is 0-based; docs shorter than winLen carry
+    // no windows (whole-doc dedup owns those) and rejoin untouched
+    val winArr = transform(
+      sequence(lit(0), (size(col("_toks")) - winLen).cast("int")),
+      i => md5(array_join(slice(col("_toks"), i + 1, lit(winLen)), " ")))
+    val wins = base
+      .filter(size(col("_toks")) >= winLen)
+      .select(col(idCol), posexplode(winArr).as(Seq("pos", "_wh")))
+    val dups = wins
+      .groupBy(col("_wh"))
+      .agg(count(lit(1)).as("_cnt"),
+        min(struct(col(idCol), col("pos"))).as("_first"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_wh"), col("_first"))
+    val flagged = wins
+      .join(dups, Seq("_wh"))
+      .filter(!(col(idCol) === col("_first")(idCol) &&
+        col("pos") === col("_first")("pos")))
+    val removal = flagged
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + winLen - 1)).as("_rp"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_rp"))).as("_rm"))
+    base
+      .join(removal, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        coalesce(size(col("_rm")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          when(col("_rm").isNull, col("_toks"))
+            .otherwise(filter(col("_toks"),
+              (_, i) => !array_contains(col("_rm"), i))),
+          " ").as("clean_text"))
+  }
 }

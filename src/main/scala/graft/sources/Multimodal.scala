@@ -174,4 +174,42 @@ object Multimodal {
     val chunk = s"int(greatest(1, ceil(length($dataColName) / ${n}.0D)))"
     expr(s"transform(sequence(0, ${n - 1}), i -> substring($dataColName, i * $chunk + 1, $chunk))")
   }
+
+  /** STUB audio decode: frame ENERGY envelope — the payload split into
+    * `frames` equal byte slices, energy = sum of byte values per slice
+    * (the real build decodes PCM and sums |sample| per hop window; the
+    * envelope shape, not the codec, is what the fingerprint consumes).
+    * Bytes beyond the payload contribute 0, so short tail frames are
+    * deterministic. Codegen'd expression over hex() (no UDF), replayed
+    * exactly by the SQL oracle.
+    */
+  def frameEnergies(dataColName: String, frames: Int): Column = {
+    require(frames >= 1 && frames <= 64, "frame count must be in [1,64]")
+    val chunk = s"int(greatest(1, ceil(length($dataColName) / ${frames}.0D)))"
+    expr(s"""transform(sequence(0, ${frames - 1}), i ->
+      aggregate(sequence(0, $chunk - 1), 0L, (a, j) ->
+        a + if(i * $chunk + j < length($dataColName),
+          cast(conv(substring(hex($dataColName), (i * $chunk + j) * 2 + 1, 2),
+            16, 10) as bigint), 0L)))""")
+  }
+
+  /** Acoustic fingerprint: bit i set iff energy rises from frame i to
+    * frame i+1 over a (bits+1)-frame envelope — the audio analogue of
+    * [[withDHash]] and of chromaprint's sign-of-delta features:
+    * insensitive to global gain (a louder copy has the same envelope
+    * SHAPE), sensitive to structure. Near-identical payloads land within
+    * small Hamming distance, so pair generation reuses the banded
+    * machinery ([[graft.ops.DedupOps.fingerprintNearDupPairs]]).
+    */
+  def withAudioFingerprint(df: DataFrame, dataCol: String, outCol: String,
+      bits: Int = 32): DataFrame = {
+    require(bits >= 2 && bits <= 32, "fingerprint bits must be in [2,32]")
+    df.withColumn("__fe", frameEnergies(dataCol, bits + 1))
+      .withColumn(outCol, expr(
+        s"""aggregate(transform(sequence(0, ${bits - 1}),
+           | i -> if(element_at(__fe, i + 2) > element_at(__fe, i + 1),
+           |         shiftleft(1L, i), 0L)),
+           | 0L, (a, x) -> a + x)""".stripMargin))
+      .drop("__fe")
+  }
 }

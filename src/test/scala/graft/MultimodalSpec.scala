@@ -129,4 +129,35 @@ class MultimodalSpec extends SparkSuite {
     // ascending ramp (gradient bits all 0) vs descending ramp (all 1)
     assert(java.lang.Long.bitCount(dfp(1L) ^ dfp(3L)) > 3)
   }
+
+  test("acoustic fingerprint: envelope-shape bits, tail-edit twins pair, gain shift doesn't flip bits") {
+    // 64-byte "waveforms": a rising-falling envelope, a copy with the
+    // last 4 bytes zeroed (end truncation), the same envelope at +40
+    // gain (louder copy — identical delta SIGNS, so hamming 0), and an
+    // alternating envelope (far away)
+    val env = Array.tabulate(64)(i => (math.min(i, 63 - i) * 6).toByte)
+    val cut = env.clone(); (60 until 64).foreach(cut(_) = 0.toByte)
+    val loud = env.map(b => ((b & 0xff) / 2 + 40).toByte) // halved + offset: same monotonicity
+    val alt = Array.tabulate(64)(i => if (i % 4 < 2) 10.toByte else 120.toByte)
+    val df = Seq((1L, env), (2L, cut), (3L, loud), (4L, alt))
+      .toDF("media_id", "data")
+    val fp = Multimodal.withAudioFingerprint(df, "data", "afp")
+      .select(col("media_id"), col("afp")).localCheckpoint()
+    val hashes = fp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // tail edit touches only the last two energy frames → ≤ 3 delta bits
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(2L)) <= 3)
+    // gain/scale change preserves every energy-delta sign → hamming 0
+    assert(hashes(1L) == hashes(3L))
+    assert(java.lang.Long.bitCount(hashes(1L) ^ hashes(4L)) > 3)
+    // banded pair search finds exactly the near pairs (pigeonhole at r=3)
+    val pairs = graft.ops.DedupOps
+      .fingerprintNearDupPairs(fp, "media_id", "afp",
+        bits = 32, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      h = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if h <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute && pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)))
+  }
 }

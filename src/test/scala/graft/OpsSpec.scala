@@ -626,6 +626,34 @@ class OpsSpec extends SparkSuite {
     assert(gd(1L) == "" && gd(2L) == "")
   }
 
+  test("DedupOps.duplicateSpanRemoval: non-first occurrences of repeated windows drop, firsts and uniques survive") {
+    import graft.ops.DedupOps
+    val rows = Seq(
+      // P = p1..p6 (6 tokens) appears in docs 1, 2 and 6; doc 1 is first
+      (1L, "a b c p1 p2 p3 p4 p5 p6"),
+      (2L, "p1 p2 p3 p4 p5 p6 x y z"),
+      // within-doc repeat: second r1..r4 run must drop
+      (3L, "r1 r2 r3 r4 m n r1 r2 r3 r4"),
+      // shorter than winLen: carries no windows, survives verbatim
+      (4L, "p1 p2 p3"),
+      (5L, "totally unique words nothing shared here at all"),
+      // entire doc is a repeated window → removed to empty
+      (6L, "p1 p2 p3 p4")
+    ).toDF("doc_id", "text")
+    val got = DedupOps.duplicateSpanRemoval(rows, "doc_id", "text", winLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds every first occurrence → untouched
+    assert(got(1L) == ((9L, 0L, "a b c p1 p2 p3 p4 p5 p6")))
+    // doc 2's copy of P: overlapping flagged windows union to the full
+    // 6-token span, the unique tail survives
+    assert(got(2L) == ((9L, 6L, "x y z")))
+    assert(got(3L) == ((10L, 4L, "r1 r2 r3 r4 m n")))
+    assert(got(4L) == ((3L, 0L, "p1 p2 p3")))
+    assert(got(5L) == ((8L, 0L, "totally unique words nothing shared here at all")))
+    assert(got(6L) == ((4L, 4L, "")))
+  }
+
   test("QuantileOps: exact percentiles = sorted-list reference, incl. ties, degenerate and tiny groups") {
     import graft.ops.QuantileOps
     val rnd = new scala.util.Random(11)

@@ -207,6 +207,21 @@ class PlanSpec extends SparkSuite {
     assert(!pLsh.contains("hashpartitioning(doc#"), pLsh.take(2500))
   }
 
+  test("substring dedup: hash-keyed agg combines map-side, no cartesian, no single-partition stage") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = graft.ops.DedupOps.duplicateSpanRemoval(docs, "doc_id", "text", winLen = 8)
+    val p = plan(q)
+    // every stage is keyed (window hash or doc id) — nothing collapses
+    // to one partition and nothing goes all-pairs
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    // duplicate detection partial-aggregates before the exchange (the
+    // skew story for boilerplate windows): a partial_count on the
+    // window-hash agg must appear below the final agg
+    assert(p.contains("partial_count"), p.take(2500))
+  }
+
   test("bigram LM scoring looks up both model tables via broadcast") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
