@@ -108,8 +108,24 @@ object Bench {
         rest(11).toLong + rest(12).toLong // utime + stime (all threads)
       } finally src.close()
     } catch { case _: Throwable => -1L }
-    /** External-CPU fraction over `body`'s window, paired with its result. */
-    def withLoad[A](body: => A): (A, Double) = {
+    /** External-CPU fraction + this-JVM CPU seconds over `body`'s
+      * window, paired with its result. The CPU-seconds column is a
+      * second contention witness the load fraction cannot provide: the
+      * r9b exhibit is a run with quiet-band probes and load ≈ 0 on
+      * every row where specific queries still ran 2–2.8× the series
+      * minimum — contention the guest kernel never sees (unreported
+      * hypervisor steal / memory-bandwidth pressure). Descheduling
+      * inflates wall while leaving consumed jiffies roughly flat,
+      * whereas a true code regression raises both together — so a
+      * wall-regressed row with yardstick-flat cpu is host noise. It is
+      * corroborating, not a verdict: scheduler spin-wait and GC scale
+      * partially with wall (measured cross-run median deviation ≈9%
+      * for both columns, BASELINE §14), so only a LARGE wall/cpu
+      * divergence is meaningful. (local[32] runs executors in-process,
+      * so utime+stime covers all query compute; 100 = Linux USER_HZ
+      * for /proc jiffies.)
+      */
+    def withLoad[A](body: => A): (A, Double, Double) = {
       val (hb0, ht0) = hostJiffies(); val s0 = selfJiffies()
       val r = body
       val (hb1, ht1) = hostJiffies(); val s1 = selfJiffies()
@@ -117,7 +133,8 @@ object Bench {
         if (hb0 < 0 || s0 < 0 || ht1 <= ht0) -1.0
         else math.max(0.0,
           ((hb1 - hb0) - (s1 - s0)).toDouble / (ht1 - ht0).toDouble)
-      (r, load)
+      val cpuS = if (s0 < 0 || s1 < 0) -1.0 else (s1 - s0) / 100.0
+      (r, load, cpuS)
     }
     val names =
       if (SparkEntry.benchQueries.nonEmpty) SparkEntry.benchQueries
@@ -145,28 +162,29 @@ object Bench {
     val results = runnable.zipWithIndex.map { case ((name, fn), i) =>
       if (i == midAt) { calMid = calibrate(); calShMid = calibrateShuffle() }
       graft.trace.MemoLog.currentQuery = name
-      def once(): (Double, Double) = withLoad {
+      def once(): (Double, Double, Double) = withLoad {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val (first, best, load) =
+      val (first, best, load, cpu) =
         try {
-          val (r1, l1) = once()
+          val (r1, l1, c1) = once()
           val built = graft.trace.MemoLog.memosBuiltBy(name)
           if (built.nonEmpty) graft.trace.MemoLog.clearMemos(built)
-          val (r2, l2) = once()
-          // load is attributed to the pass the reported min came from —
-          // the question "was THIS number contended?" answered per row
-          (r1, math.min(r1, r2), if (r1 <= r2) l1 else l2)
+          val (r2, l2, c2) = once()
+          // load/cpu are attributed to the pass the reported min came
+          // from — "was THIS number contended?" answered per row
+          (r1, math.min(r1, r2),
+            if (r1 <= r2) l1 else l2, if (r1 <= r2) c1 else c2)
         }
         catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            (-1.0, -1.0, -1.0)
+            (-1.0, -1.0, -1.0, -1.0)
         }
-      (name, first, best, load)
+      (name, first, best, load, cpu)
     }
     val calEnd = calibrate()
     val calShEnd = calibrateShuffle()
@@ -258,15 +276,18 @@ object Bench {
     //      evidence the compact line no longer carries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def r2(v: Double): Double = math.rint(v * 100) / 100
-    val qsFull = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qsFirst = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadJson = results
-      .map { case (k, _, _, l) => "\"" + k + "\":" + math.rint(l * 1000) / 1000 }
+      .map { case (k, _, _, l, _) => "\"" + k + "\":" + math.rint(l * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    val cpuJson = results
+      .map { case (k, _, _, _, c) => "\"" + k + "\":" + math.rint(c * 100) / 100 }
       .mkString("{", ",", "}")
     val flagged = results.collect {
-      case (k, _, _, l) if l > LoadFlagBound => k }
+      case (k, _, _, l, _) if l > LoadFlagBound => k }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val memoJson = graft.trace.MemoLog.snapshot.toSeq.sortBy(_._1)
       .map { case (m, q) => "\"" + m + "\":\"" + q + "\"" }.mkString("{", ",", "}")
@@ -275,8 +296,8 @@ object Bench {
       .mkString("{", ",", "}")
     val calJson =
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"shuffle_start":$calShStart,"shuffle_mid":$calShMid,"shuffle_end":$calShEnd}"""
-    val total = results.collect { case (_, _, v, _) if v >= 0 => v }.sum
-    val totalFirst = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, _, v, _, _) if v >= 0 => v }.sum
+    val totalFirst = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
     // default detail path is the DRIVER file: harness runs must not
     // clobber the committed quiet yardstick (bench_detail_last.json,
     // VERDICT r8 #2) — quiet recordings opt in explicitly via
@@ -285,7 +306,7 @@ object Bench {
       "tools/bench_detail_driver.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
       finally w.close()
       System.err.println(s"[bench] full detail written to $detailPath")
     } catch {
@@ -296,7 +317,7 @@ object Bench {
     // grows: 3-decimal times + probes → drop probes → 2-decimal times.
     // The budget leaves ~200 chars for sbt's trailing success line.
     def line(dp: Double => Double, probes: Boolean): String = {
-      val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + dp(v) }
+      val qs = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + dp(v) }
         .mkString("{", ",", "}")
       val cal =
         if (probes)

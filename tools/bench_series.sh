@@ -19,6 +19,10 @@ done
 export SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}"
 for i in $(seq 1 "$RUNS"); do
   echo "=== run $i/$RUNS $(date -u +%H:%M:%S) ===" >&2
+  # per-run detail file: the full-precision record (incl. the per-query
+  # load and cpu columns) is the adjudication evidence — one shared
+  # driver-default path would keep only the last run's
+  SPARK_GRAFT_BENCH_DETAIL="$OUT/run${i}_detail.json" \
   java $ADD_OPENS -Xmx8g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CP" graft.Bench > "$OUT/run$i.json" 2> "$OUT/run$i.err"
