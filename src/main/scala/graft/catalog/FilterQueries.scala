@@ -109,6 +109,19 @@ object FilterQueries {
         .select(col("user_id"), col("event_id"), col("ms"))
         .orderBy(col("user_id"))
     },
+    "q_sessionize" -> { (s, dir) =>
+      // gap-based sessionization (batch face of the streaming
+      // sessionizer): 6 h boundary over each user's event stream —
+      // chosen from the corpus gap distribution (median inter-event gap
+      // ≈7.7 h), so real multi-event sessions AND boundaries both occur
+      val ev = events(s, dir)
+      graft.ops.SessionOps
+        .sessionSummaries(ev, "user_id", "ms", "event_id", gapMs = 6L * 3600000L)
+        .select(col("user_id"), col("session_idx"),
+          col("n_events"), col("start_ts").as("start_ms"),
+          col("end_ts").as("end_ms"), col("duration_ms"))
+        .orderBy(col("user_id"), col("session_idx"))
+    },
     "q_group_by_session" -> { (s, dir) =>
       // A3 — group-by-session with chronological order inside each group
       // (ids joined to a string so the compare is array-free)
@@ -189,6 +202,20 @@ object FilterQueries {
          |      row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
          |      FROM b)
          |SELECT user_id, event_id, ms FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+         |s AS (SELECT user_id, event_id, ms,
+         |  CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 21600000
+         |       THEN 1 ELSE 0 END AS st
+         |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+         |x AS (SELECT user_id, ms,
+         |  sum(st) OVER (PARTITION BY user_id ORDER BY ms, event_id
+         |    ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM s)
+         |SELECT user_id, session_idx::BIGINT AS session_idx,
+         |  count(*)::BIGINT AS n_events, min(ms) AS start_ms, max(ms) AS end_ms,
+         |  (max(ms) - min(ms))::BIGINT AS duration_ms
+         |FROM x GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin,
     "q_group_by_session" ->
       s"""SELECT user_id,
          |  array_to_string(list(event_id::VARCHAR ORDER BY epoch_ms(ts), event_id), ',') AS event_ids,

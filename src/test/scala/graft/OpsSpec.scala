@@ -626,6 +626,32 @@ class OpsSpec extends SparkSuite {
     assert(gd(1L) == "" && gd(2L) == "")
   }
 
+  test("SessionOps: gap boundary is strict, ties break by id, users isolate, summaries aggregate") {
+    import graft.ops.SessionOps
+    val rows = Seq(
+      // user 1: gap of exactly 1000 does NOT split (strict >), 2500 does
+      (1L, 0L, 10L), (1L, 1000L, 11L), (1L, 3500L, 12L),
+      // same-ts tie: deterministic id order, same session
+      (1L, 3500L, 13L),
+      // user 2: single event; its own session regardless of user 1
+      (2L, 0L, 20L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = SessionOps.sessionize(rows, "user_id", "ts", "event_id", gapMs = 1000L)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("session_idx"), r.getAs[Boolean]("is_session_start")))).toMap
+    assert(got(10L) == ((0L, true)))
+    assert(got(11L) == ((0L, false)))  // gap == gapMs stays in-session
+    assert(got(12L) == ((1L, true)))   // gap 2500 > gapMs splits
+    assert(got(13L) == ((1L, false)))
+    assert(got(20L) == ((0L, true)))
+    val sums = SessionOps.sessionSummaries(rows, "user_id", "ts", "event_id", 1000L)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_idx")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms")))).toMap
+    assert(sums((1L, 0L)) == ((2L, 1000L)))
+    assert(sums((1L, 1L)) == ((2L, 0L)))
+    assert(sums((2L, 0L)) == ((1L, 0L)))
+  }
+
   test("DedupOps.duplicateSpanRemoval: non-first occurrences of repeated windows drop, firsts and uniques survive") {
     import graft.ops.DedupOps
     val rows = Seq(
