@@ -109,6 +109,49 @@ object FilterQueries {
         .select(col("user_id"), col("event_id"), col("ms"))
         .orderBy(col("user_id"))
     },
+    "q_asof_join" -> { (s, dir) =>
+      // as-of join: every view picks up the latest prior click of the
+      // same user (ties on ms match; right side pre-reduced to one row
+      // per (user, ms) per the op contract). The oracle runs DuckDB's
+      // NATIVE ASOF JOIN — hash-matching it proves the union+window
+      // dataflow implements the same semantics without any join.
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ms"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ms", col("ms"))
+      graft.ops.AsofOps
+        .asofJoin(views, clicks, "user_id", "ms", Seq("click_id", "click_ms"))
+        .withColumn("lag_ms", col("ms") - col("click_ms"))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("click_id"), col("click_ms"), col("lag_ms"))
+        .orderBy(col("event_id"))
+    },
+    "q_range_join" -> { (s, dir) =>
+      // range join: views falling inside each error's 6 h aftermath
+      // window, per user — bin-bucketed equi-join (bin = interval
+      // length), aggregated to a per-error count with zero-match
+      // errors retained
+      val ev = events(s, dir)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          col("ms").as("start_ms"))
+        .withColumn("end_ms", col("start_ms") + 6L * 3600000L)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ms").as("view_ms"))
+      val pairs = graft.ops.AsofOps.rangeJoin(
+        views, errors, "user_id", "view_ms", "start_ms", "end_ms",
+        binMs = 6L * 3600000L)
+      errors
+        .join(pairs.groupBy(col("error_id")).agg(count(lit(1)).as("n_views")),
+          Seq("error_id"), "left")
+        .select(col("error_id"), col("user_id"), col("start_ms"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"))
+        .orderBy(col("error_id"))
+    },
     "q_sessionize" -> { (s, dir) =>
       // gap-based sessionization (batch face of the streaming
       // sessionizer): 6 h boundary over each user's event stream —
@@ -202,6 +245,26 @@ object FilterQueries {
          |      row_number() OVER (PARTITION BY user_id ORDER BY ms DESC, event_id DESC) AS rn
          |      FROM b)
          |SELECT user_id, event_id, ms FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_asof_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+         |v AS (SELECT user_id, event_id, ms FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ms AS cms, max(event_id) AS click_id
+         |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT v.event_id, v.user_id, v.ms, c.click_id,
+         |  c.cms AS click_ms, v.ms - c.cms AS lag_ms
+         |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ms >= c.cms
+         |ORDER BY v.event_id""".stripMargin,
+    "q_range_join" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+         |er AS (SELECT user_id, event_id AS error_id, ms AS start_ms,
+         |       ms + 21600000 AS end_ms FROM e WHERE event_type = 'error'),
+         |v AS (SELECT user_id, ms FROM e WHERE event_type = 'view'),
+         |p AS (SELECT er.error_id, count(*) AS n FROM er JOIN v
+         |      ON er.user_id = v.user_id AND v.ms >= er.start_ms AND v.ms <= er.end_ms
+         |      GROUP BY 1)
+         |SELECT er.error_id, er.user_id, er.start_ms,
+         |  coalesce(p.n, 0)::BIGINT AS n_views
+         |FROM er LEFT JOIN p USING (error_id) ORDER BY er.error_id""".stripMargin,
     "q_sessionize" ->
       s"""WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
          |s AS (SELECT user_id, event_id, ms,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) and range (interval-containment) joins — two
+  * temporal joins Spark's builtin operators only express as inequality
+  * joins, which plan as per-key nested loops (the shape that dies at
+  * scale). Both are re-expressed here as single-shuffle dataflows over
+  * the primitives Catalyst does optimize: key-partitioned windows and
+  * equi-joins.
+  */
+object AsofOps {
+
+  /** As-of LEFT join: for every left row, attach the payload of the
+    * LATEST right row with right.ts <= left.ts under the same key —
+    * with NO join at all: both sides union into one tagged stream, one
+    * key-partitioned window pass carries the most recent right payload
+    * forward (`last` ignoreNulls over rows-unbounded-preceding), and
+    * the left rows keep what reached them. Equal timestamps match
+    * (<=), mirroring ASOF semantics: at a tie the right row sorts
+    * before the left row via the side tag.
+    *
+    * Scale shape: ONE shuffle of (left + right) keyed on `keyCol` and
+    * a per-key local sort — O((n+m)·log) with zero row duplication.
+    * The alternatives don't survive 100×: an inequality join plans as
+    * BroadcastNestedLoopJoin (per-key cartesian), and a windowed
+    * "latest right per left via join + filter + argmax" duplicates
+    * every candidate pair before discarding all but one.
+    *
+    * Contract: `right` must be unique per (keyCol, tsCol) — pre-reduce
+    * multiple same-instant rows to one (the ordering of equal-ts right
+    * rows in the union stream is otherwise unspecified, as in any ASOF
+    * engine). Left columns pass through; `payloadCols` (right columns,
+    * names must not clash with left's) arrive null when no right row
+    * precedes.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "payloadCols must be non-empty")
+    val leftCols = left.columns.toSeq
+    require(payloadCols.forall(!leftCols.contains(_)),
+      s"payload columns ${payloadCols.mkString(",")} must not clash with left columns")
+    // both sides ride the union as structs (left columns / right
+    // payload), each null on the other side, so the stream schema is
+    // uniform and every column survives with its exact type
+    val pay = struct(payloadCols.map(col): _*)
+    val lrow = struct(leftCols.map(col): _*)
+    val payType = right.select(pay.as("_pay")).schema("_pay").dataType
+    val lrowType = left.select(lrow.as("_lrow")).schema("_lrow").dataType
+    val rs2 = right.select(
+      col(keyCol), col(tsCol).as("_ats"), lit(0).as("_side"), pay.as("_pay"),
+      lit(null).cast(lrowType).as("_lrow"))
+    val ls2 = left.select(
+      col(keyCol), col(tsCol).as("_ats"), lit(1).as("_side"),
+      lit(null).cast(payType).as("_pay"),
+      lrow.as("_lrow"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ats").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = rs2.unionByName(ls2)
+      .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+    val outLeft = leftCols.map(c => col("_lrow")(c).as(c))
+    val outPay = payloadCols.map(c => col("_asof")(c).as(c))
+    joined.select(outLeft ++ outPay: _*)
+  }
+
+  /** Range (interval-containment) INNER join: every (point, interval)
+    * pair under the same key with start <= pt <= end — as an EQUI-join
+    * via fixed-width bin bucketing: each interval explodes to the bins
+    * it covers, each point maps to its single bin, candidates meet on
+    * (key, bin) and a residual filter keeps true containment. A pair
+    * meets in exactly the point's bin, so no dedup pass is needed.
+    *
+    * Scale shape: interval fan-out is ceil(len/binMs)+1 rows per
+    * interval; the join is a plain shuffled (or AQE-broadcast)
+    * equi-join on uniform (key, bin) keys. Set `binMs` near the
+    * typical interval length: larger bins mean fewer interval copies
+    * but denser candidate bins. The naive `points.join(intervals,
+    * pt.between(start, end))` plans as BroadcastNestedLoopJoin — a
+    * per-key cartesian.
+    *
+    * Column names of the two inputs must be disjoint except `keyCol`.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCol: String,
+      ptCol: String,
+      startCol: String,
+      endCol: String,
+      binMs: Long): DataFrame = {
+    require(binMs > 0, "binMs must be positive")
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet) - keyCol
+    require(clash.isEmpty, s"column clash: ${clash.mkString(",")}")
+    val ib = intervals
+      .filter(col(startCol) <= col(endCol))
+      .withColumn("_bin",
+        explode(sequence(floor(col(startCol) / binMs), floor(col(endCol) / binMs))))
+    val pb = points.withColumn("_bin", floor(col(ptCol) / binMs))
+    pb.join(ib, Seq(keyCol, "_bin"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("_bin")
+  }
+}

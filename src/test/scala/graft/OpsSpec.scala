@@ -626,6 +626,35 @@ class OpsSpec extends SparkSuite {
     assert(gd(1L) == "" && gd(2L) == "")
   }
 
+  test("AsofOps.asofJoin: latest prior right row per key, ties match, keys isolate, no-predecessor is null") {
+    import graft.ops.AsofOps
+    val left = Seq((1L, 3L, "l0"), (1L, 10L, "l1"), (1L, 12L, "l2"), (2L, 10L, "l3"))
+      .toDF("k", "ms", "lname")
+    val right = Seq((1L, 5L, "X"), (1L, 10L, "Y"), (1L, 11L, "Z"), (2L, 1L, "W"))
+      .toDF("k", "ms", "pname")
+    val got = AsofOps.asofJoin(left, right, "k", "ms", Seq("pname"))
+      .collect().map(r => r.getAs[String]("lname") -> r.getAs[String]("pname")).toMap
+    assert(got("l0") == null)      // nothing at or before ts 3
+    assert(got("l1") == "Y")       // tie at ts 10 matches (<=)
+    assert(got("l2") == "Z")
+    assert(got("l3") == "W")       // key 2 sees only its own rows
+  }
+
+  test("AsofOps.rangeJoin: inclusive bounds, multi-bin intervals, key isolation — and bin width doesn't change results") {
+    import graft.ops.AsofOps
+    val points = Seq((1L, 0L, 100L), (1L, 1L, 150L), (1L, 2L, 250L), (2L, 3L, 150L))
+      .toDF("k", "pid", "pt")
+    val ivals = Seq((1L, 10L, 100L, 250L), (1L, 11L, 160L, 160L), (2L, 12L, 0L, 149L))
+      .toDF("k", "iid", "s", "e")
+    def run(bin: Long) = AsofOps.rangeJoin(points, ivals, "k", "pt", "s", "e", bin)
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = Set((0L, 10L), (1L, 10L), (2L, 10L)) // incl. pt==s and pt==e
+    assert(run(50L) == expected)    // interval 10 spans multiple bins
+    assert(run(1000L) == expected)  // one huge bin — same result
+    assert(run(7L) == expected)     // tiny bins — same result, no dup pairs
+  }
+
   test("SessionOps: gap boundary is strict, ties break by id, users isolate, summaries aggregate") {
     import graft.ops.SessionOps
     val rows = Seq(

@@ -207,6 +207,32 @@ class PlanSpec extends SparkSuite {
     assert(!pLsh.contains("hashpartitioning(doc#"), pLsh.take(2500))
   }
 
+  test("asof join plans as union+window with NO join; range join is an equi-join, never a nested loop") {
+    assume(new java.io.File(s"$SfDir/events.parquet").exists())
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$SfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        (col("event_id") * 1000L).as("ms"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id"), col("ms"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"), col("event_id").as("click_id"))
+    val pAsof = plan(graft.ops.AsofOps.asofJoin(views, clicks, "user_id", "ms", Seq("click_id")))
+    // the whole point: point-in-time lookup WITHOUT any join operator
+    assert(!pAsof.contains("Join"), pAsof.take(2500))
+    assert(pAsof.contains("Window"), pAsof.take(2500))
+    val ivals = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ms").as("s0"), (col("ms") + 500L).as("e0"))
+    val pRange = plan(graft.ops.AsofOps.rangeJoin(
+      views.withColumnRenamed("ms", "pt"), ivals, "user_id", "pt", "s0", "e0", 500L))
+    // the inequality predicate must ride an equi-join as a residual
+    // filter — BroadcastNestedLoopJoin is the per-key cartesian this
+    // operator exists to avoid
+    assert(!pRange.contains("BroadcastNestedLoopJoin"), pRange.take(2500))
+    assert(!pRange.contains("CartesianProduct"), pRange.take(2500))
+    assert(pRange.contains("Join"), pRange.take(2500))
+  }
+
   test("substring dedup: hash-keyed agg combines map-side, no cartesian, no single-partition stage") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
