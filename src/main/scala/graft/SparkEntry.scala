@@ -86,6 +86,7 @@ object SparkEntry {
     "q_dedup_ngram_jaccard", "q_dedup_keep_best", "q_shard_pack",
     "q_shuffle_shards", "q_prep_pipeline",
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_bpe_merges",
+    "q_wordpiece_merges",
     "q_bpe_encode", "q_quality_classifier", "q_classifier_train", "q_lm_score",
     "q_sample_stratified", "q_sample_cluster", "q_corpus_quantiles",
     "q_filter_adaptive",

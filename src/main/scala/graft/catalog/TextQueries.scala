@@ -382,6 +382,16 @@ object TextQueries {
       graft.ops.CorpusOps.bpeMerges(load(s, dir, "documents"), "doc_id",
         "text", numMerges = BpeMergeCount)
     },
+    "q_wordpiece_merges" -> { (s, dir) =>
+      // WordPiece-criterion training: same loop, pick maximizes
+      // pair_count/(freq(l)·freq(r)) — one correctly-rounded IEEE
+      // division over exact integers, so the argmax sequence is
+      // engine-independent and the oracle replays it bit-for-bit
+      graft.ops.CorpusOps.wordpieceMerges(load(s, dir, "documents"),
+          "doc_id", "text", numMerges = BpeMergeCount)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("merge_rank"))
+    },
     "q_classifier_train" -> { (s, dir) =>
       // distributed logistic-GD training of the quality classifier:
       // deterministic labels (length > 300 ≈ the corpus median), 64
@@ -931,6 +941,49 @@ object TextQueries {
          |SELECT * FROM ($unions) ORDER BY merge_rank""".stripMargin
     }
 
+    // WordPiece replay: identical machinery with the score-based pick —
+    // sc$k counts symbol occurrences (weighted by word freq) in the
+    // round's word table; the score is ONE IEEE division over exact
+    // integers (< 2^53), bit-identical to Spark's, so ORDER BY score
+    // DESC picks the same pair every round
+    val wpTrainCtes = {
+      val steps = (0 until BpeMergeCount).map { k =>
+        s"""p$k AS MATERIALIZED (
+           |  SELECT struct_extract(u.p, 'l') AS l, struct_extract(u.p, 'r') AS r,
+           |    sum(freq)::BIGINT AS cnt
+           |  FROM (SELECT freq, string_split(trim(s), '  ') AS tk FROM w$k) t,
+           |    UNNEST([struct_pack(l := t.tk[i], r := t.tk[i+1])
+           |            for i in range(1, len(t.tk))]) AS u(p)
+           |  GROUP BY 1, 2),
+           |sc$k AS MATERIALIZED (
+           |  SELECT u.sym AS s, sum(freq)::BIGINT AS sf
+           |  FROM (SELECT freq, unnest(string_split(trim(s), '  ')) AS sym FROM w$k) u
+           |  GROUP BY 1),
+           |b$k AS MATERIALIZED (
+           |  SELECT p.l, p.r, p.cnt,
+           |    p.cnt::DOUBLE / (sl.sf * sr.sf)::DOUBLE AS score
+           |  FROM p$k p JOIN sc$k sl ON p.l = sl.s JOIN sc$k sr ON p.r = sr.s
+           |  ORDER BY score DESC, p.l, p.r LIMIT 1),
+           |w${k + 1} AS MATERIALIZED (
+           |  SELECT freq, replace(s, ' '||b.l||'  '||b.r||' ', ' '||b.l||b.r||' ') AS s
+           |  FROM w$k, b$k b)""".stripMargin
+      }.mkString(",\n")
+      s"""w0 AS MATERIALIZED (
+         |  SELECT count(*)::BIGINT AS freq,
+         |    '  ' || trim(regexp_replace(word, '(.)', '\\1  ', 'g')) || '  ' AS s
+         |  FROM (SELECT unnest($toks) AS word FROM documents)
+         |  GROUP BY word),
+         |$steps""".stripMargin
+    }
+    val wordpieceMergesSql = {
+      val unions = (0 until BpeMergeCount).map { k =>
+        s"""SELECT $k::BIGINT AS merge_rank, l AS l_sym, r AS r_sym,
+           |  l||r AS merged, cnt AS pair_count, round(score, 6) AS score FROM b$k""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $wpTrainCtes
+         |SELECT * FROM ($unions) ORDER BY merge_rank""".stripMargin
+    }
+
     // encoding replay: docs as ONE double-space symbol string with a
     // non-mergeable '|' word separator (merges are learned from alnum
     // tokens, so '|' never appears in a pair and boundaries can't
@@ -1038,6 +1091,7 @@ object TextQueries {
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_bpe_merges" -> bpeMerges,
+      "q_wordpiece_merges" -> wordpieceMergesSql,
       "q_bpe_encode" -> bpeEncode,
       "q_classifier_train" -> classifierTrain,
       "q_quality_classifier" -> qualityClassifier,

@@ -286,9 +286,52 @@ object CorpusOps {
       idCol: String,
       textCol: String,
       numMerges: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    mergeTraining(df, textCol, numMerges, wordpiece = false)
+      .map { case (k, l, r, cnt, _) => (k, l, r, l + r, cnt) }
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
+  }
+
+  /** WordPiece-style merge training — the same loop as [[bpeMerges]]
+    * with the WordPiece pick criterion: maximize the association score
+    * pair_count / (freq(l)·freq(r)) (the likelihood gain of merging
+    * the pair under a unigram model) instead of the raw pair count, so
+    * rare-but-strongly-bound pairs merge before frequent-but-loose
+    * ones. Per round that adds ONE symbol-occurrence frequency
+    * aggregation — still over the vocabulary-sized word table, never
+    * the corpus. All score inputs are exact integers < 2^53, so the
+    * score is a single correctly-rounded IEEE division — bit-identical
+    * in any engine, which is what makes the argmax (and therefore the
+    * whole merge sequence) deterministic and SQL-replayable; bit-equal
+    * scores tie-break lexically (l asc, r asc).
+    *
+    * Encoding with the learned table is [[bpeEncode]] with these
+    * merges — merge-sequence application, the same zero-shuffle kernel.
+    *
+    * Output: (merge_rank, l_sym, r_sym, merged, pair_count, score).
+    */
+  def wordpieceMerges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numMerges: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    mergeTraining(df, textCol, numMerges, wordpiece = true)
+      .map { case (k, l, r, cnt, score) => (k, l, r, l + r, cnt, score) }
+      .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count", "score")
+  }
+
+  /** Shared merge-training loop (see [[bpeMerges]] for the scale-shape
+    * contract): word-frequency table built once, per-round pair agg +
+    * deterministic argmax + native merge kernel. `wordpiece` switches
+    * the pick from raw count to the association score.
+    */
+  private def mergeTraining(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      wordpiece: Boolean): Seq[(Long, String, String, Long, Double)] = {
     require(numMerges > 0, "numMerges must be positive")
-    val spark = df.sparkSession
-    import spark.implicits._
     var words = df
       .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
         .as("word"))
@@ -298,11 +341,11 @@ object CorpusOps {
       .select(col("freq"),
         filter(split(col("word"), ""), s => length(s) > 0).as("syms"))
       .localCheckpoint()
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    val merges = Seq.newBuilder[(Long, String, String, Long, Double)]
     var exhausted = false
     var k = 0
     while (k < numMerges && !exhausted) {
-      val best = words
+      val pairs = words
         .select(col("freq"),
           explode(zip_with(col("syms"),
             slice(col("syms"), lit(2), greatest(lit(0), size(col("syms")) - 1)),
@@ -310,14 +353,30 @@ object CorpusOps {
         .filter(col("p.r").isNotNull)
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
-        .limit(1)
-        .collect()
+      val best =
+        if (!wordpiece)
+          pairs.withColumn("score", lit(-1.0))
+            .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+            .limit(1).select(col("l"), col("r"), col("cnt"), col("score"))
+            .collect()
+        else {
+          val symFreq = words
+            .select(col("freq"), explode(col("syms")).as("s"))
+            .groupBy(col("s")).agg(sum(col("freq")).as("sf"))
+          pairs
+            .join(symFreq.select(col("s").as("l"), col("sf").as("lf")), Seq("l"))
+            .join(symFreq.select(col("s").as("r"), col("sf").as("rf")), Seq("r"))
+            .withColumn("score",
+              col("cnt").cast("double") / (col("lf") * col("rf")).cast("double"))
+            .orderBy(col("score").desc, col("l").asc, col("r").asc)
+            .limit(1).select(col("l"), col("r"), col("cnt"), col("score"))
+            .collect()
+        }
       if (best.isEmpty) exhausted = true
       else {
         val row = best.head
         val (l, r, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-        merges += ((k.toLong, l, r, l + r, cnt))
+        merges += ((k.toLong, l, r, cnt, row.getDouble(3)))
         words = words.select(col("freq"),
             graft.functions.TextFunctions.bpeMergeStep(col("syms"), l, r)
               .as("syms"))
@@ -326,7 +385,6 @@ object CorpusOps {
       }
     }
     merges.result()
-      .toDF("merge_rank", "l_sym", "r_sym", "merged", "pair_count")
   }
 
   /** BPE ENCODING with a learned merge table ([[bpeMerges]] output) —

@@ -818,6 +818,68 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("CorpusOps.wordpieceMerges equals a driver-side reference, diverges from the BPE pick") {
+    import spark.implicits._
+    val texts = Seq(
+      "the theater thesis then the the banana bandana",
+      "aaaa aaaa banana low lower lowest low low",
+      "the then lowest banana aaaa thesis theater the")
+    def refWp(numMerges: Int): Seq[(Long, String, String, String, Long, Double)] = {
+      val freqs = texts
+        .flatMap(_.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+        .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+      var words: Map[Vector[String], Long] = freqs.toSeq
+        .map { case (w, f) => w.map(_.toString).toVector -> f }
+        .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+      val out = Seq.newBuilder[(Long, String, String, String, Long, Double)]
+      var k = 0; var done = false
+      while (k < numMerges && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        words.foreach { case (s, f) =>
+          s.foreach(x => sc(x) = sc.getOrElse(x, 0L) + f)
+          s.sliding(2).foreach {
+            case Seq(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + f
+            case _ => ()
+          }
+        }
+        if (pc.isEmpty) done = true
+        else {
+          // same argmax rule: exact-integer IEEE division, lexical ties
+          val ((l, r), c) = pc.toSeq.minBy { case ((l, r), c) =>
+            (-(c.toDouble / (sc(l) * sc(r)).toDouble), l, r) }
+          out += ((k.toLong, l, r, l + r, c, c.toDouble / (sc(l) * sc(r)).toDouble))
+          def merge(s: Vector[String]): Vector[String] = {
+            val b = Vector.newBuilder[String]; var i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+                b += l + r; i += 2
+              } else { b += s(i); i += 1 }
+            }
+            b.result()
+          }
+          words = words.toSeq.map { case (s, f) => merge(s) -> f }
+            .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sum }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps.wordpieceMerges(df, "doc_id", "text", numMerges = 10)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    val ref = refWp(10)
+    assert(got == ref, s"got:\n${got.mkString("\n")}\nref:\n${ref.mkString("\n")}")
+    // the criterion actually bites: the association-score pick differs
+    // from the raw-count pick somewhere in the first 10 merges
+    val bpe = graft.ops.CorpusOps.bpeMerges(df, "doc_id", "text", numMerges = 10)
+      .orderBy(col("merge_rank")).collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(got.map(m => (m._2, m._3)) != bpe)
+  }
+
   test("CorpusOps.trainQualityClassifier: matches driver-side GD, learns a planted signal") {
     import spark.implicits._
     val B = 16; val ITERS = 5; val LR = 0.5
