@@ -235,6 +235,12 @@ object Bench {
         brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
         probe <- ckpt("q_ann_ivf_kmeans", Seq("query_id", "neighbor_id"))
       } yield rec("q_ann_ivf_kmeans", probe, brute, Seq("query_id", "neighbor_id"))
+      // PQ deployable shape (ADC shortlist + exact re-rank) vs brute —
+      // the compression path's recall number, same series as IVF's
+      val pqR = for {
+        brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
+        probe <- ckpt("q_ann_pq_rerank", Seq("query_id", "neighbor_id"))
+      } yield rec("q_ann_pq_rerank", probe, brute, Seq("query_id", "neighbor_id"))
       // θ=0.9 design point over planted twins (the near-dup regime the
       // corpus itself lacks; truth = exact cosine on the planted pairs)
       val design = for {
@@ -255,7 +261,7 @@ object Bench {
       } yield rec("q_ann_ivf_append_stale", stale, brute, Seq("query_id", "neighbor_id")) ++
         rec("q_ann_ivf_append_fresh", fresh, brute, Seq("query_id", "neighbor_id"))
       emb.getOrElse(Nil) ++ ivf.getOrElse(Nil) ++ ivfKm.getOrElse(Nil) ++
-        design.getOrElse(Nil) ++ append.getOrElse(Nil)
+        pqR.getOrElse(Nil) ++ design.getOrElse(Nil) ++ append.getOrElse(Nil)
     } catch {
       // recall is telemetry; a runtime failure here (OOM on the all-pairs
       // baseline, checkpoint read error) must not swallow the timed

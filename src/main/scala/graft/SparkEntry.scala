@@ -91,7 +91,8 @@ object SparkEntry {
     "q_sample_stratified", "q_sample_cluster", "q_corpus_quantiles",
     "q_filter_adaptive",
     "q_emb_neardup_lsh", "q_semdedup",
-    "q_ann_bruteforce", "q_ann_ivf", "q_cosine_topk", "q_recon_candidates",
+    "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",
+    "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",
     "q_group_by_session", "q_sessionize", "q_asof_join", "q_range_join",

@@ -30,6 +30,17 @@ object SimilarityQueries {
   // recovers the usual IVF advantage; the knob is the deploy-time tune.
   private[catalog] val IvfCells = 8
   private val IvfProbes = 6
+  // PQ operating point: 8 subspaces × 16 codes over 64 dims = 4 B of
+  // codes per vector (vs 256 B of floats — the 100 TB compression
+  // story); codebooks are strided-deterministic so the oracle replays
+  // encode + ADC bit-for-bit
+  private val PqSub = 8
+  private val PqCodes = 16
+  // rerank operating point: bigger codebooks + ADC shortlist + exact
+  // re-rank — recall@10 0.9 at sf0.001 on this isotropic (worst-case)
+  // corpus, vs 0.3 for raw ADC top-10 at the same codebooks
+  private val PqCodesRerank = 64
+  private val PqShortlist = 100
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -46,6 +57,32 @@ object SimilarityQueries {
         SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = IvfCells)
       SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", centroids,
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10, nProbe = IvfProbes)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_ann_pq" -> { (s, dir) =>
+      // product-quantized ANN: codebooks learned (strided), corpus
+      // encoded to 8 codes/vector, queries scored by ADC table lookups
+      val emb = load(s, dir, "embeddings")
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", PqSub, PqCodes)
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+      SimilarityOps.pqTopK(codes, "vec_id",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc"), 6).as("adc"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_ann_pq_rerank" -> { (s, dir) =>
+      // the deployable PQ shape: ADC shortlist over codes, exact
+      // cosine re-rank of the shortlist only
+      val emb = load(s, dir, "embeddings")
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        PqSub, PqCodesRerank)
+      val codes = SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+      SimilarityOps.pqTopKReranked(codes, "vec_id", emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb,
+          k = 10, shortlist = PqShortlist)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
@@ -293,6 +330,65 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    // PQ replay: same strided codebook rows as the IVF centroid trick,
+    // per-(vector, subspace) argmin with (dist asc, code asc) ties —
+    // identical to Spark's array_min struct ordering — and a fixed
+    // subspace-order ADC sum via the (m, code)-ordered distance list,
+    // matching Spark's expression-reduce order exactly
+    def pqCtes(numCodes: Int): String = {
+      val sd = Dims / PqSub
+      def l2(a: String, b: String) =
+        s"""list_aggregate([ ($a[mm.m*$sd+j] - $b[mm.m*$sd+j])
+           | * ($a[mm.m*$sd+j] - $b[mm.m*$sd+j]) for j in range(1, ${sd + 1})],
+           | 'sum')""".stripMargin.replaceAll("\n", "")
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v AS cv
+         |       FROM (SELECT e.vec_id, e.v
+         |             FROM e CROSS JOIN (SELECT greatest(1, count(*) // $numCodes) AS stride FROM e) s
+         |             WHERE e.vec_id % s.stride = 0
+         |             ORDER BY e.vec_id LIMIT $numCodes)),
+         |mm AS (SELECT unnest(range(0, $PqSub)) AS m),
+         |codes AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT e.vec_id, mm.m, c.code,
+         |      row_number() OVER (PARTITION BY e.vec_id, mm.m
+         |        ORDER BY ${l2("e.v", "c.cv")} ASC, c.code ASC) AS rn
+         |    FROM e, mm, cb c) WHERE rn = 1),
+         |cvl AS (SELECT vec_id, list(code ORDER BY m) AS cl FROM codes GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+         |dt AS (SELECT q.query_id, mm.m, c.code, ${l2("q.qv", "c.cv")} AS d
+         |  FROM q, mm, cb c),
+         |dtl AS (SELECT query_id, list(d ORDER BY m, code) AS dl FROM dt GROUP BY query_id),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_aggregate([ q.dl[m*$numCodes + c.cl[m+1] + 1]
+         |      for m in range(0, $PqSub) ], 'sum') AS adc
+         |  FROM dtl q, cvl c WHERE q.query_id <> c.vec_id)""".stripMargin
+    }
+    val pq =
+      s"""WITH ${pqCtes(PqCodes)},
+         |r AS (SELECT query_id, neighbor_id, adc,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, round(adc, 6) AS adc, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+    // shortlist by ADC, exact-cosine re-rank of the shortlist only —
+    // the deployable PQ shape the Spark path implements
+    val pqRerank =
+      s"""WITH ${pqCtes(PqCodesRerank)},
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+         |  FROM scored) WHERE rn <= $PqShortlist),
+         |ex AS (SELECT s.query_id, s.neighbor_id, ${cos("qe.v", "ne.v")} AS c
+         |  FROM short s JOIN e qe ON s.query_id = qe.vec_id
+         |  JOIN e ne ON s.neighbor_id = ne.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+         |      FROM ex)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     val recon =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
@@ -395,6 +491,8 @@ object SimilarityQueries {
     Map(
       "q_ann_bruteforce" -> bruteforce,
       "q_ann_ivf" -> ivf,
+      "q_ann_pq" -> pq,
+      "q_ann_pq_rerank" -> pqRerank,
       "q_recon_candidates" -> recon,
       "q_semdedup" -> semdedup,
       "q_emb_neardup_exact" -> exact,
