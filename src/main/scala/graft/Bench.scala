@@ -240,7 +240,9 @@ object Bench {
       val pqR = for {
         brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
         probe <- ckpt("q_ann_pq_rerank", Seq("query_id", "neighbor_id"))
-      } yield rec("q_ann_pq_rerank", probe, brute, Seq("query_id", "neighbor_id"))
+        both <- ckpt("q_ann_ivfpq", Seq("query_id", "neighbor_id"))
+      } yield rec("q_ann_pq_rerank", probe, brute, Seq("query_id", "neighbor_id")) ++
+        rec("q_ann_ivfpq", both, brute, Seq("query_id", "neighbor_id"))
       // θ=0.9 design point over planted twins (the near-dup regime the
       // corpus itself lacks; truth = exact cosine on the planted pairs)
       val design = for {

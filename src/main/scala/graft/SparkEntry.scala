@@ -62,7 +62,8 @@ object SparkEntry {
     "q_betweenness_waves" -> (AlgoQueries.betweennessWavesBench _),
     "q_communities_refined_dist" -> (AlgoQueries.refinedShuffledSigmaBench _),
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
-    "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _)
+    "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _),
+    "q_ann_ivfpq" -> (SimilarityQueries.ivfPqBench _)
   )
 
   /** Recall-telemetry-only queries: computed by [[Bench]] in the untimed

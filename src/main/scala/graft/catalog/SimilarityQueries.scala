@@ -167,6 +167,29 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Bench-only composed IVF×PQ path — the full production ANN layout:
+    * k-means PQ codebooks, IVF routing (6/8 probes), ADC over the
+    * cell-partitioned code table, shortlist-100 exact re-rank. No
+    * oracle — each half is oracle-gated separately (q_ann_ivf,
+    * q_ann_pq_rerank); the composition's recall is recorded by
+    * [[graft.Bench]] in the untimed telemetry section.
+    */
+  def ivfPqBench(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val (assigned, centroids) =
+      SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = IvfCells)
+    val cb = SimilarityOps.pqCodebooksKMeans(emb, "vec_id", "embedding",
+      PqSub, PqCodesRerank)
+    val codes = SimilarityOps.pqEncode(assigned, "vec_id", "embedding", cb,
+      passthrough = Seq("cell"))
+    SimilarityOps.pqTopKIvf(codes, "vec_id", emb, "vec_id", "embedding",
+        centroids, emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb,
+        k = 10, nProbe = IvfProbes, shortlist = PqShortlist)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   // ---- design-point near-dup bench (VERDICT r4 #4) -------------------
   // The synthetic corpus is isotropic: its maximum off-diagonal cosine
   // is 0.60, so the θ=0.9 near-dup regime (the regime the reference's

@@ -357,6 +357,63 @@ object SimilarityOps {
       rows(k).slice(m * subDim, (m + 1) * subDim))
   }
 
+  /** Lloyd-refined PQ codebooks — the offline upgrade to
+    * [[pqCodebooks]], exactly as [[ivfIndexKMeans]] is to [[ivfIndex]]:
+    * per subspace, k-means over a bounded deterministic SAMPLE of the
+    * corpus (strided ids — codebook training on a sample is the
+    * standard practice at scale: quantizer quality saturates long
+    * before the sample stops fitting on the driver, so the corpus is
+    * never collected). Seeded with the strided codebooks; fixed
+    * iteration count and lowest-code tie-breaks keep the result
+    * deterministic; codes that lose every member keep their previous
+    * center (no collapse).
+    */
+  def pqCodebooksKMeans(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numSub: Int,
+      numCodes: Int,
+      lloydIters: Int = 5,
+      sampleSize: Int = 4096): Array[Array[Array[Double]]] = {
+    val cb = pqCodebooks(corpus, idCol, embCol, numSub, numCodes)
+    val n = corpus.count()
+    val stride = math.max(1L, n / sampleSize)
+    val sample = corpus
+      .filter(pmod(col(idCol), lit(stride)) === 0)
+      .orderBy(col(idCol).asc)
+      .limit(sampleSize)
+      .select(col(embCol))
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val subDim = cb(0)(0).length
+    (0 until numSub).foreach { m =>
+      val subs = sample.map(_.slice(m * subDim, (m + 1) * subDim))
+      (0 until lloydIters).foreach { _ =>
+        val sums = Array.fill(numCodes, subDim)(0.0)
+        val cnts = Array.fill(numCodes)(0L)
+        subs.foreach { v =>
+          var bk = 0; var bd = Double.MaxValue
+          var k = 0
+          while (k < numCodes) {
+            var d = 0.0; var j = 0
+            while (j < subDim) { val x = v(j) - cb(m)(k)(j); d += x * x; j += 1 }
+            if (d < bd) { bd = d; bk = k } // strict <: ties keep lowest k
+            k += 1
+          }
+          cnts(bk) += 1
+          var j = 0
+          while (j < subDim) { sums(bk)(j) += v(j); j += 1 }
+        }
+        (0 until numCodes).foreach { k =>
+          if (cnts(k) > 0)
+            (0 until subDim).foreach(j => cb(m)(k)(j) = sums(k)(j) / cnts(k))
+        }
+      }
+    }
+    cb
+  }
+
   /** PQ encoding: each vector becomes `numSub` small codes (argmin-L2
     * sub-centroid per subspace, ties to the lower code). The 100 TB
     * point: a 64-dim float vector (256 B) compresses to numSub codes
@@ -369,7 +426,8 @@ object SimilarityOps {
       corpus: DataFrame,
       idCol: String,
       embCol: String,
-      cb: Array[Array[Array[Double]]]): DataFrame = {
+      cb: Array[Array[Array[Double]]],
+      passthrough: Seq[String] = Nil): DataFrame = {
     val numSub = cb.length
     val numCodes = cb(0).length
     val subDim = cb(0)(0).length
@@ -384,8 +442,9 @@ object SimilarityOps {
       array_min(array((0 until numCodes).map { k =>
         struct(subDist(m, k).as("d"), lit(k).as("k"))
       }: _*)).getField("k")
-    corpus.select(col(idCol),
-      array((0 until numSub).map(codeOf): _*).as("codes"))
+    corpus.select(
+      (col(idCol) +: passthrough.map(col)) :+
+        array((0 until numSub).map(codeOf): _*).as("codes"): _*)
   }
 
   /** PQ top-k by asymmetric distance (ADC): per query, the numSub ×
@@ -402,6 +461,28 @@ object SimilarityOps {
     *
     * Output: (query_id, neighbor_id, adc [squared L2], rank).
     */
+  /** Per-query ADC distance table over `cb`: numSub × numCodes exact
+    * query-subvector ↔ code distances, flattened in (m, code) order.
+    */
+  private def dtabCol(queryEmb: String, cb: Array[Array[Array[Double]]]): Column = {
+    val subDim = cb(0)(0).length
+    def qSubDist(m: Int, kk: Int): Column =
+      (0 until subDim).map { j =>
+        val d = col(queryEmb).getItem(m * subDim + j).cast("double") - lit(cb(m)(kk)(j))
+        d * d
+      }.reduce(_ + _)
+    array((for (m <- cb.indices; kk <- cb(0).indices)
+      yield qSubDist(m, kk)): _*)
+  }
+
+  /** ADC score of a `codes` row against the row's `_dtab`: numSub table
+    * lookups summed in fixed subspace order.
+    */
+  private def adcCol(cb: Array[Array[Array[Double]]]): Column =
+    cb.indices.map(m =>
+      element_at(col("_dtab"), col("codes").getItem(m) + m * cb(0).length + 1))
+      .reduce(_ + _)
+
   def pqTopK(
       codes: DataFrame,
       codesId: String,
@@ -410,26 +491,13 @@ object SimilarityOps {
       queryEmb: String,
       cb: Array[Array[Array[Double]]],
       k: Int): DataFrame = {
-    val numSub = cb.length
-    val numCodes = cb(0).length
-    val subDim = cb(0)(0).length
     val p = codes.sparkSession.sessionState.conf.numShufflePartitions
-    def qSubDist(m: Int, kk: Int): Column =
-      (0 until subDim).map { j =>
-        val d = col(queryEmb).getItem(m * subDim + j).cast("double") - lit(cb(m)(kk)(j))
-        d * d
-      }.reduce(_ + _)
-    val dtab = array((for (m <- 0 until numSub; kk <- 0 until numCodes)
-      yield qSubDist(m, kk)): _*)
-    val q = queries.select(col(queryId).as("query_id"), dtab.as("_dtab"))
+    val q = queries.select(col(queryId).as("query_id"), dtabCol(queryEmb, cb).as("_dtab"))
     val scored = q
       .crossJoin(codes.select(col(codesId).as("neighbor_id"), col("codes"))
         .repartition(p))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc",
-        (0 until numSub).map(m =>
-          element_at(col("_dtab"), col("codes").getItem(m) + m * numCodes + 1))
-          .reduce(_ + _))
+      .withColumn("adc", adcCol(cb))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     scored
@@ -473,6 +541,61 @@ object SimilarityOps {
         Seq("neighbor_id"))
       .withColumn("cosine",
         VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF × PQ — the full production ANN layout, composed from the two
+    * halves: IVF routing bounds WHICH cells a query probes
+    * (nProbe/C of the corpus), the probed candidates score by ADC over
+    * codes (reading 4–8 B per vector instead of the embedding), and an
+    * exact re-rank touches only the shortlist — multiplicative savings:
+    * probe fraction × code width. `assignedCodes` is the stored
+    * artifact: (id, cell, codes), written partitioned by cell so the
+    * probe is a partition-pruned scan of the code table.
+    */
+  def pqTopKIvf(
+      assignedCodes: DataFrame,
+      codesId: String,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      centroids: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      cb: Array[Array[Array[Double]]],
+      k: Int,
+      nProbe: Int,
+      shortlist: Int): DataFrame = {
+    val routed = queries
+      .select(col(queryId).as("query_id"), col(queryEmb).as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", VectorFunctions.cosineSimilarity(col("q_emb"), col("cent_emb")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("cell").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    val q = queries.select(col(queryId).as("query_id"), dtabCol(queryEmb, cb).as("_dtab"))
+    val short = broadcast(routed.join(q, Seq("query_id")))
+      .join(assignedCodes.select(col(codesId).as("neighbor_id"), col("cell"), col("codes")),
+        Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcCol(cb))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("neighbor_id").asc)))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = broadcast(
+        short.join(queries.select(col(queryId).as("query_id"), col(queryEmb).as("q_emb")),
+          Seq("query_id")))
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb")),
+        Seq("neighbor_id"))
+      .withColumn("cosine", VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     exact

@@ -82,6 +82,34 @@ class IvfSpec extends SparkSuite {
     // isotropic corpus = PQ's worst case; the shortlist held 0.90 at
     // both sf0.001 (20%% scanned) and sf0.01 (2%% scanned)
     assert(recall >= 0.8, s"PQ rerank recall too low: $recall")
+
+    // Lloyd-refined codebooks must not lose recall vs the strided seed
+    val cbKm = SimilarityOps.pqCodebooksKMeans(emb, "vec_id", "embedding", 8, 64)
+    val gotKm = topkSets(SimilarityOps.pqTopKReranked(
+      SimilarityOps.pqEncode(emb, "vec_id", "embedding", cbKm), "vec_id",
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", cbKm,
+      k = 10, shortlist = 100))
+    val recallKm = truth.map { case (q, t) =>
+      gotKm.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+      .sum / truth.size
+    info(f"PQ kmeans-codebook re-rank recall@10 = $recallKm%.3f")
+    assert(recallKm >= recall - 0.05,
+      s"Lloyd codebooks lost recall: strided=$recall kmeans=$recallKm")
+
+    // composed IVF x PQ: probe 6/8 cells, ADC within cells, re-rank —
+    // recall bounded by the IVF probe fraction times the shortlist pass
+    val (assigned, centroids) =
+      SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = 8)
+    val codesCell = SimilarityOps.pqEncode(assigned, "vec_id", "embedding",
+      cbKm, passthrough = Seq("cell"))
+    val gotBoth = topkSets(SimilarityOps.pqTopKIvf(codesCell, "vec_id",
+      emb, "vec_id", "embedding", centroids, queries, "vec_id", "embedding",
+      cbKm, k = 10, nProbe = 6, shortlist = 100))
+    val recallBoth = truth.map { case (q, t) =>
+      gotBoth.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+      .sum / truth.size
+    info(f"IVF(6/8) x PQ re-rank recall@10 = $recallBoth%.3f")
+    assert(recallBoth >= 0.6, s"composed IVF x PQ recall too low: $recallBoth")
   }
 
   test("incremental append into the partitioned layout == fresh full build") {
