@@ -620,6 +620,80 @@ private[functions] object NativeExprs {
     * build them. Bit-identical to the aggregation form (property-tested
     * in NativeExprPropertySpec).
     */
+  /** PQ code assignment against driver-constant codebooks
+    * ([[GraftHash.pqCodes]]): the flat codebook rides the generated
+    * code as one referenced object, so Catalyst analysis/codegen cost
+    * is O(1) in numCodes — the unrolled-literal form this replaced
+    * built numSub × numCodes × subDim-term trees and spent ~40 s per
+    * query in the planner at 8 × 64 codes.
+    */
+  case class PqCodes(child: Expression, cb: Array[Double],
+      numSub: Int, numCodes: Int, subDim: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_pq_codes"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(child.dataType, "input") match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => TypeCheckSuccess
+      }
+    }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.pqCodes(input.asInstanceOf[ArrayData], isFloat, cb,
+        numSub, numCodes, subDim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.GraftHash.pqCodes($c, $isFloat, $cbRef, $numSub, $numCodes, $subDim)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqCodes =
+      copy(child = newChild)
+  }
+
+  /** PQ per-query ADC distance table ([[GraftHash.pqDtab]]); same
+    * driver-constant codebook mechanics as [[PqCodes]].
+    */
+  case class PqDtab(child: Expression, cb: Array[Double],
+      numSub: Int, numCodes: Int, subDim: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_pq_dtab"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(child.dataType, "input") match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => TypeCheckSuccess
+      }
+    }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.pqDtab(input.asInstanceOf[ArrayData], isFloat, cb,
+        numSub, numCodes, subDim)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cbRef = ctx.addReferenceObj("pqcb", cb, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.GraftHash.pqDtab($c, $isFloat, $cbRef, $numSub, $numCodes, $subDim)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): PqDtab =
+      copy(child = newChild)
+  }
+
   case class MinhashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
     require(numHashes >= 1, "numHashes must be >= 1")

@@ -34,6 +34,18 @@ object VectorFunctions {
     GraftSqlShim.column(NativeExprs.CosineSim(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 
+  /** PQ codes for a vector against driver-constant codebooks
+    * (cb(m)(k) = sub-centroid) — one fused per-row kernel pass.
+    */
+  def pqCodes(emb: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftSqlShim.column(NativeExprs.PqCodes(GraftSqlShim.expression(emb),
+      cb.flatten.flatten, cb.length, cb(0).length, cb(0)(0).length))
+
+  /** PQ per-query ADC distance table, flat (m, code) order. */
+  def pqDtab(emb: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftSqlShim.column(NativeExprs.PqDtab(GraftSqlShim.expression(emb),
+      cb.flatten.flatten, cb.length, cb(0).length, cb(0)(0).length))
+
   /** Cosine against a constant query vector (the common search shape). */
   def cosineToQuery(emb: Column, query: Array[Float]): Column = {
     val q = query.map(_.toDouble)

@@ -427,25 +427,15 @@ object SimilarityOps {
       idCol: String,
       embCol: String,
       cb: Array[Array[Array[Double]]],
-      passthrough: Seq[String] = Nil): DataFrame = {
-    val numSub = cb.length
-    val numCodes = cb(0).length
-    val subDim = cb(0)(0).length
-    def subDist(m: Int, k: Int): Column =
-      (0 until subDim).map { j =>
-        val d = col(embCol).getItem(m * subDim + j).cast("double") - lit(cb(m)(k)(j))
-        d * d
-      }.reduce(_ + _)
-    // argmin via array_min over (dist, code) structs: struct ordering
-    // is (d asc, code asc) — deterministic ties without a window
-    def codeOf(m: Int): Column =
-      array_min(array((0 until numCodes).map { k =>
-        struct(subDist(m, k).as("d"), lit(k).as("k"))
-      }: _*)).getField("k")
+      passthrough: Seq[String] = Nil): DataFrame =
+    // one fused native kernel pass (argmin ties to the lower code);
+    // the first cut unrolled the codebooks into literal expression
+    // trees, which was bit-identical but cost Catalyst ~40 s/query in
+    // analysis+codegen at 8 × 64 codes — the codebook now rides the
+    // generated code as a single referenced object
     corpus.select(
       (col(idCol) +: passthrough.map(col)) :+
-        array((0 until numSub).map(codeOf): _*).as("codes"): _*)
-  }
+        VectorFunctions.pqCodes(col(embCol), cb).as("codes"): _*)
 
   /** PQ top-k by asymmetric distance (ADC): per query, the numSub ×
     * numCodes table of exact query-subvector ↔ code distances is one
@@ -462,18 +452,11 @@ object SimilarityOps {
     * Output: (query_id, neighbor_id, adc [squared L2], rank).
     */
   /** Per-query ADC distance table over `cb`: numSub × numCodes exact
-    * query-subvector ↔ code distances, flattened in (m, code) order.
+    * query-subvector ↔ code distances, flattened in (m, code) order —
+    * same native-kernel mechanics as [[pqEncode]].
     */
-  private def dtabCol(queryEmb: String, cb: Array[Array[Array[Double]]]): Column = {
-    val subDim = cb(0)(0).length
-    def qSubDist(m: Int, kk: Int): Column =
-      (0 until subDim).map { j =>
-        val d = col(queryEmb).getItem(m * subDim + j).cast("double") - lit(cb(m)(kk)(j))
-        d * d
-      }.reduce(_ + _)
-    array((for (m <- cb.indices; kk <- cb(0).indices)
-      yield qSubDist(m, kk)): _*)
-  }
+  private def dtabCol(queryEmb: String, cb: Array[Array[Array[Double]]]): Column =
+    VectorFunctions.pqDtab(col(queryEmb), cb)
 
   /** ADC score of a `codes` row against the row's `_dtab`: numSub table
     * lookups summed in fixed subspace order.
