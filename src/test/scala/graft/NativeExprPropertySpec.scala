@@ -55,6 +55,47 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("PqCodes/PqDtab kernels == scala reference over 200 random vectors and codebooks") {
+    val numSub = 4; val numCodes = 5; val subDim = 3
+    val dims = numSub * subDim
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dims,
+      Gen.frequency(9 -> Gen.choose(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
+    val rows = sample(vecGen, 200, seed = 7L)
+    val cbFlat = sample(Gen.choose(-5.0, 5.0), numSub * numCodes * subDim, seed = 11L)
+    val cb = Array.tabulate(numSub, numCodes)((m, k) =>
+      (0 until subDim).map(j => cbFlat((m * numCodes + k) * subDim + j)).toArray)
+
+    def refCodes(v: Seq[Float]): Seq[Int] =
+      (0 until numSub).map { m =>
+        var bk = 0; var bd = Double.MaxValue
+        (0 until numCodes).foreach { k =>
+          var d = 0.0
+          (0 until subDim).foreach { j =>
+            val x = v(m * subDim + j).toDouble - cb(m)(k)(j); d += x * x }
+          if (d < bd) { bd = d; bk = k }
+        }
+        bk
+      }
+    def refDtab(v: Seq[Float]): Seq[Double] =
+      for (m <- 0 until numSub; k <- 0 until numCodes) yield {
+        var d = 0.0
+        (0 until subDim).foreach { j =>
+          val x = v(m * subDim + j).toDouble - cb(m)(k)(j); d += x * x }
+        d
+      }
+
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = df.select(col("id"),
+        VectorFunctions.pqCodes(col("v"), cb).as("codes"),
+        VectorFunctions.pqDtab(col("v"), cb).as("dtab"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getSeq[Double](2)))).toMap
+    rows.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong)._1 == refCodes(v), s"codes mismatch at row $i")
+      assert(got(i.toLong)._2 == refDtab(v), s"dtab mismatch at row $i")
+    }
+  }
+
   test("SortedIntersectSize == array_intersect size over 300 random sorted sets") {
     val setGen: Gen[Seq[Long]] =
       Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
