@@ -37,8 +37,9 @@ object SimilarityQueries {
   private val PqSub = 8
   private val PqCodes = 16
   // rerank operating point: bigger codebooks + ADC shortlist + exact
-  // re-rank — recall@10 0.9 at sf0.001 on this isotropic (worst-case)
-  // corpus, vs 0.3 for raw ADC top-10 at the same codebooks
+  // re-rank — recall@10 0.9 at a 20%-of-corpus shortlist on this
+  // isotropic (worst-case) corpus, vs 0.3 for raw ADC top-10 at the
+  // same codebooks; recall tracks the scanned fraction (BASELINE §15)
   private val PqCodesRerank = 64
   private val PqShortlist = 100
 

@@ -497,10 +497,12 @@ object SimilarityOps {
     * lookup into the id-bucketed vector table, here a broadcast of the
     * (bounded) shortlist onto one vector scan. On this deliberately
     * isotropic corpus (PQ's worst case — no cluster structure for the
-    * codebooks to exploit) 8×64 codebooks with shortlist 100 measure
-    * recall@10 = 0.9 at sf0.001 where raw ADC top-10 reads 0.3
-    * (BASELINE); shortlist is the recall knob, fixed while the corpus
-    * grows.
+    * codebooks to exploit) recall@10 tracks the SCANNED FRACTION:
+    * 8×64 codebooks read 0.90 at a 20%-of-corpus shortlist and 0.64 at
+    * 5% (raw ADC top-10: 0.16–0.3); BASELINE §15 records the sweep.
+    * Shortlist is the recall knob — clustered real embeddings tighten
+    * the ADC ordering, so the fraction a given recall needs shrinks
+    * with realistic data, and the IVF composition bounds it further.
     */
   def pqTopKReranked(
       codes: DataFrame,

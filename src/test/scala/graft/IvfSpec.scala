@@ -79,8 +79,9 @@ class IvfSpec extends SparkSuite {
       got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
     val recall = recalls.sum / recalls.size
     info(f"PQ 8x64 + shortlist-100 re-rank recall@10 = $recall%.3f")
-    // isotropic corpus = PQ's worst case; the shortlist held 0.90 at
-    // both sf0.001 (20%% scanned) and sf0.01 (2%% scanned)
+    // isotropic corpus = PQ's worst case: recall tracks the scanned
+    // fraction (shortlist 100 of 500 vectors = 20% → 0.90; the sf0.1
+    // sweep in BASELINE §15 confirms the fraction law)
     assert(recall >= 0.8, s"PQ rerank recall too low: $recall")
 
     // Lloyd-refined codebooks must not lose recall vs the strided seed
