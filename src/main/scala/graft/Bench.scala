@@ -336,9 +336,44 @@ object Bench {
       // the names live in the detail file
       s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)},"load_flagged_n":${flagged.size}$cal,"detail":"$detailPath","sf":"$sfDir"}"""
     }
+    // Last ladder rungs for a timed list that has outgrown full
+    // per-row precision (the 80-row r9 list at 2 decimals is ~2005
+    // chars — OVER the driver's 2000-char stdout tail, the exact r7
+    // failure mode): 2-significant-digit values with the redundant
+    // fields dropped (total_first/detail live in the detail file), and
+    // if even that exceeds budget, the FASTEST rows fold into one
+    // "q_other_folded" sum with an explicit compact_folded_n count —
+    // bounded length at any future list size, never a silent cap, and
+    // the slowest (adjudication-relevant) rows always ride whole.
+    def sig2(v: Double): String =
+      if (v < 0) "-1"
+      else if (v >= 10) math.round(v).toString
+      else if (v >= 1) f"$v%.1f"
+      else f"$v%.2f"
+    def slimLine(budget: Int): String = {
+      val header = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
+      def footer(foldedN: Int) =
+        (if (foldedN > 0) s""","compact_folded_n":$foldedN""" else "") +
+          s""","load_flagged_n":${flagged.size},"sf":"$sfDir"}"""
+      val sorted = results.map { case (k, _, v, _, _) => (k, v) }.sortBy(-_._2)
+      val sb = new StringBuilder
+      var folded = 0
+      var foldSum = 0.0
+      val reserve = 64 // room for the fold entry + footer growth
+      sorted.foreach { case (k, v) =>
+        val enc = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + sig2(v)
+        if (header.length + sb.length + enc.length + reserve <= budget) sb.append(enc)
+        else { folded += 1; foldSum += math.max(v, 0.0) }
+      }
+      val foldEnc =
+        if (folded > 0)
+          (if (sb.isEmpty) "" else ",") + "\"q_other_folded\":" + sig2(foldSum)
+        else ""
+      header + sb + foldEnc + "}" + footer(folded)
+    }
     val out = Seq(line(r3, probes = true), line(r3, probes = false),
       line(r2, probes = false)).find(_.length <= 1800)
-      .getOrElse(line(r2, probes = false))
+      .getOrElse(slimLine(1850))
     // bare line on stdout — the driver parses exactly this
     println(out)
     spark.stop()
