@@ -105,6 +105,27 @@ object MultimodalQueries {
         .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_audio_features" -> { (s, dir) =>
+      // audio feature extraction surfaced directly (the decode-stage
+      // columns the fingerprint consumes): frame-energy envelope over
+      // the 64-byte waveform — first/mid/last real frames plus the
+      // past-payload frame 32, which must read 0 (the bounds guard),
+      // and the packed fingerprint
+      val d = load(s, dir, "documents")
+      val base = d.select(col("doc_id").as("media_id"),
+        unhex(concat(md5(col("text")), md5(concat(col("text"), lit("a"))),
+          md5(concat(col("text"), lit("b"))),
+          md5(concat(col("text"), lit("c"))))).as("data"))
+      Multimodal.withAudioFingerprint(base, "data", "afp")
+        .withColumn("fe", Multimodal.frameEnergies("data", 33))
+        .select(col("media_id"),
+          element_at(col("fe"), 1).as("e0"),
+          element_at(col("fe"), 17).as("e16"),
+          element_at(col("fe"), 32).as("e31"),
+          element_at(col("fe"), 33).as("e_past_end"),
+          col("afp"))
+        .orderBy(col("media_id"))
+    },
     "q_media_frames" -> { (s, dir) =>
       // frame-sample plumbing: 4 equal byte slices; emit per-frame length
       // + frame digest so the fan-out shape is oracle-checked
@@ -198,6 +219,29 @@ object MultimodalQueries {
         |FROM fp a JOIN fp b ON a.media_id < b.media_id
         |WHERE bit_count(xor(a.afp, b.afp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_audio_features" ->
+      """WITH m0 AS (
+        |  SELECT doc_id AS media_id,
+        |    lower(md5(text) || md5(text || 'a') || md5(text || 'b')
+        |      || md5(text || 'c')) AS hx
+        |  FROM documents),
+        |fe AS (
+        |  SELECT media_id,
+        |    [ (('0x' || substr(hx, i * 4 + 1, 2))::UBIGINT)::BIGINT
+        |      + (('0x' || substr(hx, i * 4 + 3, 2))::UBIGINT)::BIGINT
+        |      for i in range(0, 32) ] || [0::BIGINT] AS fe
+        |  FROM m0),
+        |fp AS (
+        |  SELECT media_id, fe,
+        |    -- ::BIGINT: list_aggregate sum widens, and a float-typed
+        |    -- output column would break the engine-vs-oracle compare
+        |    list_aggregate([CASE WHEN fe[i + 2] > fe[i + 1]
+        |                         THEN (1::BIGINT << i) ELSE 0::BIGINT END
+        |                    for i in range(0, 32)], 'sum')::BIGINT AS afp
+        |  FROM fe)
+        |SELECT media_id, fe[1] AS e0, fe[17] AS e16, fe[32] AS e31,
+        |  fe[33] AS e_past_end, afp
+        |FROM fp ORDER BY media_id""".stripMargin,
     "q_media_frames" ->
       """WITH d AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
         |f AS (SELECT media_id, i AS frame_idx, substr(h, i * 8 + 1, 8) AS frame_hex

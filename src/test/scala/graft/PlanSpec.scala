@@ -207,6 +207,19 @@ class PlanSpec extends SparkSuite {
     assert(!pLsh.contains("hashpartitioning(doc#"), pLsh.take(2500))
   }
 
+  test("PQ: encode is a zero-shuffle native-kernel projection over the scan") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val cb = graft.ops.SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 16)
+    val p = plan(graft.ops.SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb))
+    // the 100 TB contract: building the code table is one map-side pass
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("graft_pq_codes"), p.take(2000))
+    // "*(n)" prefixes mark whole-stage-codegen'd operators in this
+    // toString form — the kernel projection must carry one
+    assert(p.contains("*(1) Project"), p.take(2000))
+  }
+
   test("asof join plans as union+window with NO join; range join is an equi-join, never a nested loop") {
     assume(new java.io.File(s"$SfDir/events.parquet").exists())
     import spark.implicits._
