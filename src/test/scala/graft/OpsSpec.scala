@@ -626,6 +626,35 @@ class OpsSpec extends SparkSuite {
     assert(gd(1L) == "" && gd(2L) == "")
   }
 
+  test("round-9 ops are partitioning-invariant: same results under any input layout") {
+    import graft.ops.{AsofOps, DedupOps, SessionOps}
+    val rnd = new scala.util.Random(5)
+    val ev = (0 until 300).map { i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(5000).toLong, i.toLong) }
+      .toDF("k", "ts", "id")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // sessionize: window keyed on user — layout must not matter
+    val s1 = canon(SessionOps.sessionSummaries(ev.repartition(7), "k", "ts", "id", 500L))
+    val s2 = canon(SessionOps.sessionSummaries(ev.repartition(3, col("ts")), "k", "ts", "id", 500L))
+    assert(s1 == s2)
+    // asof: union+window — layout of either side must not matter
+    val right = ev.groupBy(col("k"), col("ts")).agg(max(col("id")).as("rid"))
+    val a1 = canon(AsofOps.asofJoin(ev.repartition(5), right.repartition(2), "k", "ts", Seq("rid")))
+    val a2 = canon(AsofOps.asofJoin(ev.repartition(2, col("id")), right.repartition(6, col("k")), "k", "ts", Seq("rid")))
+    assert(a1 == a2)
+    // substring dedup: global first-occurrence rule is a total order on
+    // (doc, pos) — independent of physical layout
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x y c d e f g h q r"),
+      (3L, "c d e f g h i j z w")
+    ).toDF("doc_id", "text")
+    val d1 = canon(DedupOps.duplicateSpanRemoval(docs.repartition(4), "doc_id", "text", winLen = 4))
+    val d2 = canon(DedupOps.duplicateSpanRemoval(docs.coalesce(1), "doc_id", "text", winLen = 4))
+    assert(d1 == d2)
+  }
+
   test("AsofOps.asofJoin: latest prior right row per key, ties match, keys isolate, no-predecessor is null") {
     import graft.ops.AsofOps
     val left = Seq((1L, 3L, "l0"), (1L, 10L, "l1"), (1L, 12L, "l2"), (2L, 10L, "l3"))
