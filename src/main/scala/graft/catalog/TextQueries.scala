@@ -374,6 +374,37 @@ object TextQueries {
       graft.ops.CorpusOps.vocabTopK(load(s, dir, "documents"), "doc_id", "text",
         k = 100)
     },
+    "q_heavy_hitters" -> { (s, dir) =>
+      // exact heavy hitters by threshold (tokens above 0.2% of the
+      // corpus): mergeable Misra–Gries sketch pass (one sketch-sized row
+      // shuffles, never the tokens) + exact re-count of the bounded
+      // candidate set — the deterministic two-pass composition
+      graft.ops.SketchOps.heavyHitters(load(s, dir, "documents"), "text",
+        phi = 0.002)
+    },
+    "q_dsir_weights" -> { (s, dir) =>
+      // DSIR importance weights: target LM = English docs, raw LM = the
+      // rest; hashed-unigram bag LMs, per-doc log-ratio sum
+      graft.ops.ImportanceOps
+        .importanceWeights(load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .select(col("doc"), col("is_target"), col("n_tok"),
+          round(col("weight"), 6).as("weight"))
+        .orderBy(col("doc"))
+    },
+    "q_dsir_sample" -> { (s, dir) =>
+      // Gumbel top-k importance resample of the NON-target pool toward
+      // the target distribution (the DSIR selection step): 50 of the
+      // raw docs, seeded noise, TakeOrdered plan
+      val w = graft.ops.ImportanceOps
+        .importanceWeights(load(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", buckets = 1024)
+        .filter(!col("is_target"))
+      graft.ops.ImportanceOps
+        .importanceResample(w, k = 50, temperature = 2.0, seed = "dsir42")
+        .select(col("doc"), round(col("weight"), 6).as("weight"),
+          round(col("key"), 6).as("key"))
+    },
     "q_bpe_merges" -> { (s, dir) =>
       // distributed BPE training: 12 merges learned from the corpus
       // word-frequency table (OpsSpec proves equality with a driver-side
@@ -1084,12 +1115,70 @@ object TextQueries {
          |FROM tok GROUP BY token
          |ORDER BY tf DESC, token LIMIT 100""".stripMargin
 
+    val heavyHitters =
+      s"""WITH tok AS (SELECT unnest($toks) AS token
+         |    FROM documents WHERE text IS NOT NULL),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM tok)
+         |SELECT token, count(*)::BIGINT AS cnt
+         |FROM tok, n GROUP BY token, n.n
+         |HAVING count(*)::DOUBLE > 0.002 * n.n
+         |ORDER BY token""".stripMargin
+
+    // shared DSIR weight pipeline: hashed-unigram LMs (target = en),
+    // add-1 smoothing over 1024 buckets, per-doc log-ratio sums —
+    // mirrors ImportanceOps.importanceWeights arithmetic exactly
+    val dsirWeightCte =
+      s"""tok AS (SELECT doc_id AS doc, (lang = 'en') AS is_target,
+         |    unnest($toks) AS token
+         |  FROM documents WHERE text IS NOT NULL),
+         |tb AS (SELECT doc, is_target,
+         |    (('0x' || substr(md5(token), 1, 8))::UBIGINT % 1024)::BIGINT AS bucket
+         |  FROM tok),
+         |bc AS MATERIALIZED (SELECT is_target, bucket, count(*)::BIGINT AS cnt
+         |  FROM tb GROUP BY 1, 2),
+         |tot AS (SELECT
+         |    sum(CASE WHEN is_target THEN cnt ELSE 0 END)::DOUBLE AS nt,
+         |    sum(CASE WHEN NOT is_target THEN cnt ELSE 0 END)::DOUBLE AS nr
+         |  FROM bc),
+         |lam AS MATERIALIZED (SELECT b.i AS bucket,
+         |    ln((coalesce(tc.cnt, 0)::DOUBLE + 1.0) / (tot.nt + 1024.0)) -
+         |    ln((coalesce(rc.cnt, 0)::DOUBLE + 1.0) / (tot.nr + 1024.0)) AS lambda
+         |  FROM range(0, 1024) b(i)
+         |  CROSS JOIN tot
+         |  LEFT JOIN (SELECT * FROM bc WHERE is_target) tc ON tc.bucket = b.i
+         |  LEFT JOIN (SELECT * FROM bc WHERE NOT is_target) rc ON rc.bucket = b.i),
+         |perdoc AS (SELECT tb.doc, count(*)::BIGINT AS n_tok,
+         |    sum(lam.lambda) AS weight
+         |  FROM tb JOIN lam ON lam.bucket = tb.bucket GROUP BY tb.doc),
+         |w AS (SELECT d.doc_id AS doc, (d.lang = 'en') AS is_target,
+         |    coalesce(p.n_tok, 0)::BIGINT AS n_tok,
+         |    coalesce(p.weight, 0.0) AS weight
+         |  FROM documents d LEFT JOIN perdoc p ON p.doc = d.doc_id)""".stripMargin
+
+    val dsirWeights =
+      s"""WITH $dsirWeightCte
+         |SELECT doc, is_target, n_tok, round(weight, 6) AS weight
+         |FROM w ORDER BY doc""".stripMargin
+
+    val dsirSample =
+      s"""WITH $dsirWeightCte,
+         |keyed AS (SELECT doc, weight,
+         |    weight / 2.0 + (-ln(-ln(
+         |      (('0x' || substr(md5('dsir42-' || CAST(doc AS VARCHAR)), 1, 8))
+         |        ::UBIGINT::DOUBLE + 0.5) / 4294967296.0))) AS key
+         |  FROM w WHERE NOT is_target)
+         |SELECT doc, round(weight, 6) AS weight, round(key, 6) AS key
+         |FROM keyed ORDER BY key DESC, doc LIMIT 50""".stripMargin
+
     Map(
       "q_decontaminate" -> decontaminate,
       "q_split_assign" -> splitAssign,
       "q_mix_weighted" -> mixWeighted,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
+      "q_heavy_hitters" -> heavyHitters,
+      "q_dsir_weights" -> dsirWeights,
+      "q_dsir_sample" -> dsirSample,
       "q_bpe_merges" -> bpeMerges,
       "q_wordpiece_merges" -> wordpieceMergesSql,
       "q_bpe_encode" -> bpeEncode,

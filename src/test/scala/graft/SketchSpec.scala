@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.SketchFunctions
+import graft.ops.{ImportanceOps, SketchOps}
+
+/** Misra–Gries sketch guarantees + the two-pass exact heavy hitters,
+  * and the DSIR importance-weighting/resampling ops.
+  */
+class SketchSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // a skewed corpus: token "t<i>" appears i times, i in 1..40, spread
+  // over docs of 5 tokens each → n = 820 tokens, known exact counts
+  private def skewedDocs = {
+    val tokens = (1 to 40).flatMap(i => Seq.fill(i)(s"t$i"))
+    val docs = tokens.grouped(5).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toSeq
+    docs.toDF("doc_id", "text")
+  }
+
+  test("MisraGries: no false negatives above n/(capacity+1); counts are lower bounds") {
+    val n = (1 to 40).sum // 820
+    for (capacity <- Seq(8, 16, 64); parts <- Seq(1, 7)) {
+      val df = skewedDocs.repartition(parts)
+      val got = df
+        .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+        .agg(SketchFunctions.misraGries(col("t"), capacity).as("s"))
+        .head().getSeq[Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got.size <= capacity)
+      val bound = n.toDouble / (capacity + 1)
+      for (i <- 1 to 40) {
+        val true_ = i.toLong
+        if (true_ > bound) {
+          // guaranteed present, with a lower-bound count short by <= bound
+          assert(got.contains(s"t$i"), s"t$i missing at capacity=$capacity parts=$parts")
+          val lb = got(s"t$i")
+          assert(lb <= true_ && true_ - lb <= bound.toLong + 1,
+            s"t$i lb=$lb true=$true_ bound=$bound")
+        }
+        got.get(s"t$i").foreach(lb => assert(lb <= true_))
+      }
+    }
+  }
+
+  test("heavyHitters equals the exact groupBy result and is partitioning-invariant") {
+    val phi = 0.02 // threshold 16.4 over n=820 → tokens t17..t40
+    def run(parts: Int) =
+      SketchOps.heavyHitters(skewedDocs.repartition(parts), "text", phi)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val exact = (1 to 40).filter(_ > 820 * phi).map(i => s"t$i" -> i.toLong)
+      .sortBy(_._1)
+    assert(run(1) == exact)
+    assert(run(7) == exact)
+    // slack=1 (minimum capacity) must still be exact — the guarantee,
+    // not the slack, carries correctness
+    val tight = SketchOps.heavyHitters(skewedDocs.repartition(5), "text", phi,
+      slack = 1.0).collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(tight == exact)
+  }
+
+  test("heavyHitters: empty and null-text inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(SketchOps.heavyHitters(empty, "text", 0.1).count() == 0)
+    val nulls = Seq((1L, null.asInstanceOf[String]), (2L, "a a a b"))
+      .toDF("doc_id", "text")
+    val got = SketchOps.heavyHitters(nulls, "text", 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(got == Seq("a" -> 3L)) // 3/4 > 0.5, b's 1/4 is not
+  }
+
+  test("importanceWeights: target-like raw docs outweigh off-target raw docs") {
+    // target vocabulary {alpha beta gamma}, off-target {xx yy zz}
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "t"),
+      (2L, "beta gamma alpha gamma", "t"),
+      (3L, "alpha beta gamma", "r"), // raw, target-like
+      (4L, "xx yy zz xx yy", "r"), // raw, off-target
+      (5L, null.asInstanceOf[String], "r"))
+      .toDF("doc_id", "text", "grp")
+    val w = ImportanceOps.importanceWeights(docs, "doc_id", "text",
+      col("grp") === "t", buckets = 64)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(w.size == 5)
+    assert(w(3L)._3 > w(4L)._3, s"target-like ${w(3L)} !> off-target ${w(4L)}")
+    assert(w(5L) == ((false, 0L, 0.0))) // null text → zero tokens, zero weight
+    assert(w(1L)._2 == 5L && w(4L)._2 == 5L)
+  }
+
+  test("importanceResample: deterministic seeded Gumbel top-k, k honored") {
+    val docs = (1L to 100L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma" else "xx yy zz", i % 2 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val w = ImportanceOps.importanceWeights(docs, "doc_id", "text", col("is_t"))
+    def sample(seed: String) =
+      ImportanceOps.importanceResample(w.filter(!col("is_target")), k = 10,
+        temperature = 0.5, seed = seed)
+        .collect().map(_.getLong(0)).toSeq
+    val a = sample("s1")
+    assert(a == sample("s1")) // reproducible
+    assert(a.size == 10 && a.distinct.size == 10)
+    assert(a != sample("s2")) // seed actually feeds the noise
+    // keys are emitted descending
+    val keys = ImportanceOps.importanceResample(w, k = 20, seed = "s3")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(keys == keys.sortBy(-_))
+  }
+}
