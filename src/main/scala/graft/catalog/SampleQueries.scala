@@ -24,6 +24,7 @@ object SampleQueries {
     "fr" -> 40L)
 
   private val ClusterCap = 30L
+  private[catalog] val KCenterK = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_stratified" -> { (s, dir) =>
@@ -43,6 +44,15 @@ object SampleQueries {
       SampleOps.capPerStratum(assigned, "vec_id", "cell", ClusterCap)
         .select(col("vec_id"), col("cell").cast("long").as("cell"))
         .orderBy(col("vec_id"))
+    },
+    "q_sample_kcenter" -> { (s, dir) =>
+      // greedy k-center diversity selection: 8 farthest-point centers
+      // over the embedding space (k−1 TakeOrdered(1) argmax passes)
+      val emb = load(s, dir, "embeddings")
+      SampleOps.kCenterSelect(emb, "vec_id", "embedding", k = KCenterK)
+        .select(col("rank"), col("id").as("vec_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy(col("rank"))
     },
     "q_corpus_quantiles" -> { (s, dir) =>
       // corpus profiling: exact per-source length percentiles via the
@@ -137,9 +147,39 @@ object SampleQueries {
          |FROM documents d JOIN thr USING (source)
          |WHERE d.n_chars >= thr.thr ORDER BY d.doc_id""".stripMargin
 
+    // greedy k-center unrolled step by step (KCenterK−1 argmax rounds),
+    // same d² = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ decomposition as the Spark
+    // kernels so the doubles match bit-for-bit before the final round()
+    val kcenter = {
+      val steps = (1 until KCenterK).map { i =>
+        s"""m$i AS (SELECT s.vec_id,
+           |    min(s.xx - 2.0 * list_dot_product(s.v, c.v) + c.xx) AS d
+           |  FROM sq s CROSS JOIN ch${i - 1} c GROUP BY s.vec_id),
+           |c$i AS MATERIALIZED (SELECT q.vec_id, q.v, q.xx, m.d
+           |  FROM m$i m JOIN sq q USING (vec_id)
+           |  ORDER BY m.d DESC, q.vec_id LIMIT 1),
+           |ch$i AS MATERIALIZED (SELECT vec_id, v, xx FROM ch${i - 1}
+           |  UNION ALL SELECT vec_id, v, xx FROM c$i)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 until KCenterK)
+        .map(i => s"UNION ALL SELECT ${i + 1} AS rank, vec_id, round(d, 6) AS dist FROM c$i")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sq AS MATERIALIZED (SELECT vec_id, v, list_dot_product(v, v) AS xx
+         |  FROM e),
+         |c0 AS MATERIALIZED (SELECT vec_id, v, xx FROM sq
+         |  ORDER BY vec_id LIMIT 1),
+         |ch0 AS MATERIALIZED (SELECT vec_id, v, xx FROM c0),
+         |$steps
+         |SELECT 1 AS rank, vec_id, 0.0 AS dist FROM c0
+         |$sel
+         |ORDER BY rank""".stripMargin
+    }
+
     Map(
       "q_sample_stratified" -> stratified,
       "q_sample_cluster" -> cluster,
+      "q_sample_kcenter" -> kcenter,
       "q_corpus_quantiles" -> quantiles,
       "q_filter_adaptive" -> adaptive
     )

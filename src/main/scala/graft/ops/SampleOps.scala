@@ -143,4 +143,68 @@ object SampleOps {
     stratifiedSample(df, idCol, stratumCol,
       df.select(col(stratumCol)).distinct().withColumn("quota", lit(cap)),
       selectBuckets)
+
+  /** Greedy k-center (farthest-point) diversity selection over an
+    * embedding column — the classic 2-approximation coreset seed
+    * (Gonzalez 1985): start from the minimum-id vector, then k−1 times
+    * pick the point farthest (squared L2) from everything chosen so
+    * far. The embedding-space "cover the corpus, don't oversample the
+    * densest mode" selection that complements [[capPerStratum]]'s
+    * cluster caps and SemDeDup's cell-local pruning.
+    *
+    * Dataflow: k−1 distributed argmax passes. Each pass evaluates the
+    * candidate's distance to every chosen center IN ONE PROJECTION
+    * (native dot kernels, d² = ⟨x,x⟩ − 2⟨x,c⟩ + ⟨c,c⟩ with ⟨x,x⟩
+    * dedup'd by subexpression elimination), takes `least(...)`, and
+    * plans as TakeOrderedAndProject(1) — per-partition 1-row heaps, no
+    * sort, no shuffle beyond the 1-row merge. Driver state is the
+    * chosen set: k·dim floats, k-bounded like the MMR loop.
+    *
+    * Scale: cost is k linear scans — the right shape for the
+    * tens-to-hundreds of centers a curation pass uses. For k in the
+    * thousands, carry the running min-distance column in a
+    * checkpointed table instead of re-deriving it (one scan per step
+    * either way, but O(1) centers per row); not needed at this k.
+    *
+    * Output: (rank, id, dist) — dist is the squared-L2 farthest
+    * distance at selection time (0.0 for the seed), full precision.
+    */
+  def kCenterSelect(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+
+    val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    def vecLit(c: Array[Double]): Column = array(c.map(lit): _*)
+    def toArr(a: Seq[Any]): Array[Double] = a.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray
+
+    val seedRow = pts.orderBy(col("id")).limit(1).head()
+    val seed = (seedRow.getLong(0), toArr(seedRow.getSeq[Any](1)))
+    val chosen = scala.collection.mutable.ArrayBuffer((seed._1, seed._2, 0.0))
+    var i = 1
+    while (i < k) {
+      val dists = chosen.map { case (_, cv, _) =>
+        val cc = cv.map(x => x * x).sum
+        VectorFunctions.dotProduct(col("v"), col("v")) -
+          lit(2.0) * VectorFunctions.dotProduct(col("v"), vecLit(cv)) + lit(cc)
+      }
+      val mind = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
+      val top = pts.withColumn("d", mind)
+        .orderBy(col("d").desc, col("id")).limit(1).head()
+      chosen += ((top.getLong(0), toArr(top.getSeq[Any](1)), top.getDouble(2)))
+      i += 1
+    }
+    chosen.zipWithIndex
+      .map { case ((id, _, d), r) => (r + 1, id, d) }.toSeq
+      .toDF("rank", "id", "dist")
+  }
 }

@@ -335,6 +335,35 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("misra-gries sketch aggregates with map-side partials; one sketch row shuffles") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = docs
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .agg(graft.functions.SketchFunctions.misraGries(col("t"), 64).as("s"))
+    val p = plan(q)
+    // TypedImperativeAggregate plans as ObjectHashAggregate, and the
+    // partial/final split must be present: the map side reduces each
+    // partition to ONE serialized sketch before the exchange — the
+    // whole point vs a token-keyed groupBy at 100 TB
+    assert(p.contains("ObjectHashAggregate"), p.take(1200))
+    assert("partial_graft_misra_gries".r.findAllIn(p).nonEmpty, p.take(1200))
+    assert(!p.contains("hashpartitioning(t"), p.take(1200)) // no token shuffle
+  }
+
+  test("dsir: lambda table broadcasts back; resample plans as TakeOrdered") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val w = graft.ops.ImportanceOps.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en", buckets = 64)
+    val pw = plan(w)
+    // the per-token side must join the bucket-LM table broadcast —
+    // a sort-merge there would shuffle the whole token stream by bucket
+    assert(pw.contains("BroadcastHashJoin"), pw.take(2000))
+    val s = graft.ops.ImportanceOps.importanceResample(w, k = 10)
+    assert(plan(s).contains("TakeOrderedAndProject"), plan(s).take(800))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")

@@ -92,6 +92,32 @@ class SketchSpec extends SparkSuite {
     assert(w(1L)._2 == 5L && w(4L)._2 == 5L)
   }
 
+  test("kCenterSelect: greedy farthest-point invariants, partitioning-invariant") {
+    // three tight clusters far apart + a straggler: k-center must visit
+    // each cluster before densifying any of them
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val pts = Seq(
+      (1L, v(0, 0)), (2L, v(0.1, 0)), (3L, v(0, 0.1)),
+      (10L, v(100, 0)), (11L, v(100.1, 0)),
+      (20L, v(0, 100)), (21L, v(0, 100.1)),
+      (30L, v(60, 60)))
+    def run(parts: Int) = graft.ops.SampleOps
+      .kCenterSelect(pts.toDF("vec_id", "embedding").repartition(parts),
+        "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = run(1)
+    assert(a == run(5)) // deterministic under partitioning
+    assert(a.head == ((1, 1L, 0.0))) // seed = min id
+    // one center per far cluster, before any near-duplicate
+    val ids = a.map(_._2)
+    assert(ids.toSet.intersect(Set(10L, 11L)).size == 1)
+    assert(ids.toSet.intersect(Set(20L, 21L)).size == 1)
+    assert(ids.contains(30L))
+    // selection distances are non-increasing (greedy farthest-point)
+    val d = a.drop(1).map(_._3)
+    assert(d == d.sorted.reverse, d.toString)
+  }
+
   test("importanceResample: deterministic seeded Gumbel top-k, k honored") {
     val docs = (1L to 100L).map(i =>
       (i, if (i % 3 == 0) "alpha beta gamma" else "xx yy zz", i % 2 == 0))
