@@ -63,7 +63,8 @@ object SparkEntry {
     "q_communities_refined_dist" -> (AlgoQueries.refinedShuffledSigmaBench _),
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
     "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _),
-    "q_ann_ivfpq" -> (SimilarityQueries.ivfPqBench _)
+    "q_ann_ivfpq" -> (SimilarityQueries.ivfPqBench _),
+    "q_unigram_train" -> (TextQueries.unigramTrainBench _)
   )
 
   /** Recall-telemetry-only queries: computed by [[Bench]] in the untimed
@@ -89,7 +90,9 @@ object SparkEntry {
     "q_decontaminate", "q_seq_pack", "q_vocab_topk", "q_bpe_merges",
     "q_wordpiece_merges",
     "q_bpe_encode", "q_quality_classifier", "q_classifier_train", "q_lm_score",
-    "q_sample_stratified", "q_sample_cluster", "q_corpus_quantiles",
+    "q_heavy_hitters", "q_dsir_weights", "q_dsir_sample",
+    "q_sample_stratified", "q_sample_cluster", "q_sample_kcenter",
+    "q_corpus_quantiles",
     "q_filter_adaptive",
     "q_emb_neardup_lsh", "q_semdedup",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",

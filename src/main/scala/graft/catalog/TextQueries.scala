@@ -47,6 +47,14 @@ object TextQueries {
       .select(col("doc"), col("cluster"), col("is_canonical"))
       .orderBy(col("doc"))
 
+  /** Bench-only: unigram-LM trainer at a production-ish vocab size
+    * (test-gated in TokenizerSpec against a reference implementation;
+    * no SQL oracle — Viterbi DP is not reasonably SQL-replayable).
+    */
+  def unigramTrainBench(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusOps.unigramTrain(load(s, dir, "documents"),
+      "doc_id", "text", vocabSize = 2000, maxPieceLen = 4, emRounds = 2)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) =>
       // per-row text metrics are CPU-bound; spread a single-partition

@@ -511,4 +511,86 @@ object GraftHash {
     }
     new GenericArrayData(out)
   }
+
+  /** Log-prob penalty for a code point no vocab piece covers — harsh
+    * enough that any real segmentation beats an unknown-char one, but
+    * finite so every word stays segmentable (SentencePiece's unk
+    * handling has the same role).
+    */
+  val UnigramUnkLogp: Double = -100.0
+
+  /** Viterbi unigram-LM segmentation of each token against a piece
+    * vocabulary ([[NativeExprs.UnigramEncode]] kernel body). For every
+    * token: DP over code-point boundaries maximizing the summed piece
+    * log-probs; exact score ties prefer the LONGER trailing piece
+    * (candidate start positions are scanned longest-piece-first with
+    * strictly-greater replacement), so the segmentation is
+    * deterministic. Code points with no covering piece fall back to a
+    * single-char piece at [[UnigramUnkLogp]]. Output: the tokens'
+    * segmentations concatenated in token order.
+    */
+  def unigramEncodeDoc(tokens: ArrayData,
+      vocab: java.util.HashMap[String, java.lang.Double],
+      maxPieceLen: Int): ArrayData = {
+    if (tokens == null) return null
+    val out = new java.util.ArrayList[AnyRef]()
+    val nTok = tokens.numElements()
+    var t = 0
+    while (t < nTok) {
+      if (!tokens.isNullAt(t)) {
+        val word = tokens.getUTF8String(t).toString
+        // code-point boundary positions: pos(0)=0 < ... < pos(P-1)=len
+        val posBuf = new java.util.ArrayList[Integer](word.length + 1)
+        var c = 0
+        while (c < word.length) {
+          posBuf.add(c)
+          c += Character.charCount(word.codePointAt(c))
+        }
+        posBuf.add(word.length)
+        val P = posBuf.size
+        val pos = new Array[Int](P)
+        var q = 0
+        while (q < P) { pos(q) = posBuf.get(q); q += 1 }
+
+        val best = new Array[Double](P)
+        val back = new Array[Int](P)
+        java.util.Arrays.fill(best, Double.NegativeInfinity)
+        best(0) = 0.0
+        var pi = 1
+        while (pi < P) {
+          // longest piece first: pj ascending from pi-maxPieceLen
+          var pj = math.max(0, pi - maxPieceLen)
+          while (pj < pi) {
+            if (best(pj) != Double.NegativeInfinity) {
+              val lp = vocab.get(word.substring(pos(pj), pos(pi)))
+              if (lp != null) {
+                val cand = best(pj) + lp.doubleValue()
+                if (cand > best(pi)) { best(pi) = cand; back(pi) = pj }
+              }
+            }
+            pj += 1
+          }
+          if (best(pi) == Double.NegativeInfinity) {
+            // unknown code point: single-char fallback keeps coverage
+            best(pi) = best(pi - 1) + UnigramUnkLogp
+            back(pi) = pi - 1
+          }
+          pi += 1
+        }
+        // backtrack, then emit in order
+        val rev = new java.util.ArrayList[String]()
+        var cur = P - 1
+        while (cur > 0) {
+          rev.add(word.substring(pos(back(cur)), pos(cur)))
+          cur = back(cur)
+        }
+        var k = rev.size - 1
+        while (k >= 0) {
+          out.add(UTF8String.fromString(rev.get(k))); k -= 1
+        }
+      }
+      t += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

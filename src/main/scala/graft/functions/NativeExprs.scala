@@ -797,4 +797,53 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): BpeEncode =
       copy(child = newChild)
   }
+
+  /** Unigram-LM Viterbi encoding with a learned piece vocabulary
+    * ([[GraftHash.unigramEncodeDoc]]): like [[BpeEncode]], the model is
+    * a driver constant riding the expression (codegen pins the lookup
+    * map as a reference object), so encoding is one fused zero-shuffle
+    * pass per row.
+    */
+  case class UnigramEncode(child: Expression, pieces: Seq[String],
+      logps: Seq[Double]) extends UnaryExpression {
+    require(pieces.length == logps.length, "pieces/logps must align")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_unigram_encode"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case ArrayType(StringType, _) => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be array<string>, got $other")
+      }
+    }
+
+    private lazy val vocab: java.util.HashMap[String, java.lang.Double] = {
+      val m = new java.util.HashMap[String, java.lang.Double](pieces.length * 2)
+      var i = 0
+      while (i < pieces.length) {
+        m.put(pieces(i), java.lang.Double.valueOf(logps(i)))
+        i += 1
+      }
+      m
+    }
+    private lazy val maxLen: Int =
+      if (pieces.isEmpty) 1
+      else math.max(1, pieces.iterator
+        .map(p => p.codePointCount(0, p.length)).max)
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.unigramEncodeDoc(input.asInstanceOf[ArrayData], vocab, maxLen)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val vRef = ctx.addReferenceObj("unigramVocab", vocab, "java.util.HashMap")
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.GraftHash.unigramEncodeDoc($c, $vRef, $maxLen)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
+      copy(child = newChild)
+  }
 }

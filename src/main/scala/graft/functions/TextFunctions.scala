@@ -169,4 +169,16 @@ object TextFunctions {
     GraftSqlShim.column(NativeExprs.BpeEncode(
       GraftSqlShim.expression(tokens), merges))
   }
+
+  /** Viterbi unigram-LM encode of a token array against a learned
+    * piece vocabulary — one fused per-row pass
+    * ([[NativeExprs.UnigramEncode]]); returns the pieces in token
+    * order. Exact-tie segmentations prefer the longer trailing piece.
+    */
+  def unigramEncode(tokens: Column, pieces: Seq[String],
+      logps: Seq[Double]): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.UnigramEncode(
+      GraftSqlShim.expression(tokens), pieces, logps))
+  }
 }

@@ -410,6 +410,133 @@ object CorpusOps {
         graft.functions.TextFunctions.tokens(col(textCol)), merges)
         .as("subwords"))
 
+  /** Unigram-LM tokenizer training (the SentencePiece unigram model,
+    * Kudo 2018 — public literature) via deterministic hard-EM,
+    * completing the canonical trainer trio next to [[bpeMerges]] and
+    * [[wordpieceMerges]].
+    *
+    *  1. Seed: every code-point substring of length ≤ `maxPieceLen` of
+    *     the corpus words, counted with word-frequency multiplicity
+    *     (pure explode/substring builtins over the WORD table); keep
+    *     the `seedFactor`·`vocabSize` best multi-char pieces plus every
+    *     single character (coverage).
+    *  2. `emRounds`× hard-EM: Viterbi-segment each distinct word under
+    *     the current piece log-probs (ONE zero-shuffle pass of the
+    *     [[graft.functions.NativeExprs.UnigramEncode]] kernel over the
+    *     word table — the model rides the expression as a driver
+    *     constant exactly like the BPE merge table), re-count pieces by
+    *     word frequency, drop multi-char pieces the E-step stopped
+    *     using, re-normalize.
+    *  3. Final prune to `vocabSize`: all single chars + the best
+    *     multi-char pieces by (count desc, piece asc).
+    *
+    * Scale shape: the CORPUS is touched exactly once (the word-
+    * frequency agg); everything after runs over the vocabulary-sized
+    * word table, so per-round cost is independent of corpus size (the
+    * same Zipf argument as [[bpeMerges]]). Driver state is the piece
+    * table — `seedFactor`·`vocabSize` bounded, the model constant any
+    * trainer must hold. Determinism: integer counts, explicit
+    * (count desc, piece asc) tie-breaks, and the kernel's longer-
+    * trailing-piece tie rule — partitioning-invariant end to end
+    * (asserted in TokenizerSpec).
+    *
+    * Output: (rank, piece, freq, logp) — EM-attributed frequency and
+    * final re-normalized ln-prob, rank by (freq desc, piece asc).
+    */
+  def unigramTrain(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      emRounds: Int = 2,
+      seedFactor: Int = 4): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(maxPieceLen >= 1, "maxPieceLen must be >= 1")
+    require(emRounds >= 1, "emRounds must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val words = df
+      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // corpus touched once; EM re-reads this table
+
+    // seed counts: substrings via two nested ordinal explodes + the
+    // code-point substring builtin — no UDF
+    val subs = words
+      .withColumn("n", length(col("word")))
+      .select(col("word"), col("freq"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("s"))
+      .select(col("freq"),
+        expr(s"substring(word, s, least($maxPieceLen, n - s + 1))").as("win"))
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(win)), l -> substring(win, 1, l))"))
+          .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+    val seedMulti = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedFactor * vocabSize)
+      .as[(String, Long)].collect()
+    val singles = subs.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+
+    def renorm(cs: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
+      val total = math.max(1L, cs.map(_._2).sum).toDouble
+      (cs.map(_._1), cs.map(c => math.log(c._2.toDouble / total)))
+    }
+
+    var model: Seq[(String, Long)] =
+      (singles ++ seedMulti).sortBy { case (p, c) => (-c, p) }
+    val singleSet = singles.map(_._1).toSet
+    var r = 0
+    while (r < emRounds) {
+      val (pieces, logps) = renorm(model)
+      val counts = words
+        .select(col("freq"),
+          explode(graft.functions.TextFunctions.unigramEncode(
+            array(col("word")), pieces, logps)).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      // singles survive at count >= 1 (coverage floor); multi-char
+      // pieces live on E-step usage alone
+      model = model.flatMap { case (p, _) =>
+        val c = counts.getOrElse(p, 0L)
+        if (singleSet.contains(p)) Some((p, math.max(c, 1L)))
+        else if (c > 0L) Some((p, c))
+        else None
+      }.sortBy { case (p, c) => (-c, p) }
+      r += 1
+    }
+
+    val keptSingles = model.filter(m => singleSet.contains(m._1))
+    val keptMulti = model.filterNot(m => singleSet.contains(m._1))
+      .take(math.max(0, vocabSize - keptSingles.size))
+    val finalModel = (keptSingles ++ keptMulti).sortBy { case (p, c) => (-c, p) }
+    val (_, fl) = renorm(finalModel)
+    finalModel.zip(fl).zipWithIndex
+      .map { case (((p, c), lp), i) => (i + 1L, p, c, lp) }
+      .toDF("rank", "piece", "freq", "logp")
+  }
+
+  /** Apply side of [[unigramTrain]]: Viterbi-encode every document with
+    * the learned vocabulary — a zero-shuffle per-row kernel pass, the
+    * 100 TB tokenization shape (train on the word table once, stream
+    * the corpus through the broadcast-in-closure model).
+    */
+  def unigramEncodeDocs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      pieces: Seq[String],
+      logps: Seq[Double]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.TextFunctions.unigramEncode(
+        graft.functions.TextFunctions.tokens(col(textCol)), pieces, logps)
+        .as("pieces"))
+
   /** Weighted corpus mixing: deterministically subsample each stratum
     * (source/domain) to its target rate. `rates` is a (stratum, rate)
     * table — rate in [0, 1] is the fraction of that stratum's documents

@@ -364,6 +364,16 @@ class PlanSpec extends SparkSuite {
     assert(plan(s).contains("TakeOrderedAndProject"), plan(s).take(800))
   }
 
+  test("unigram encode is a zero-shuffle native-kernel projection") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val enc = graft.ops.CorpusOps.unigramEncodeDocs(docs, "doc_id", "text",
+      Seq("t", "h", "e", "th", "the"), Seq(-3.0, -3.0, -3.0, -1.0, -0.5))
+    val p = plan(enc)
+    assert(!p.contains("Exchange"), p.take(1200))
+    assert(p.contains("graft_unigram_encode"), p.take(1200))
+  }
+
   test("scoped memory scan keeps whole-stage codegen over the filter chain") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
