@@ -94,7 +94,7 @@ object SparkEntry {
     "q_sample_stratified", "q_sample_cluster", "q_sample_kcenter",
     "q_corpus_quantiles",
     "q_filter_adaptive",
-    "q_emb_neardup_lsh", "q_semdedup",
+    "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",
     "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",

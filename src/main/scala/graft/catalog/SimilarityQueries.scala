@@ -114,6 +114,17 @@ object SimilarityQueries {
           col("dup_of"), col("kept"))
         .orderBy(col("vec_id"))
     },
+    "q_proto_prune" -> { (s, dir) =>
+      // D4's density-pruning stage: drop the 20% most prototypical
+      // vectors per IVF cell (cosine to the assigned centroid), keep
+      // the informative lower-density mass
+      val emb = load(s, dir, "embeddings")
+      SimilarityOps.prototypePrune(emb, "vec_id", "embedding",
+          numCells = IvfCells, dropFraction = 0.2)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"),
+          round(col("proto_sim"), 6).as("proto_sim"))
+        .orderBy(col("vec_id"))
+    },
     "q_emb_neardup_exact" -> { (s, dir) =>
       val emb = load(s, dir, "embeddings")
       DedupOps.embeddingNearDupPairs(emb, "vec_id", "embedding",
@@ -425,6 +436,27 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS cosine
          |FROM dedup WHERE rn = 1 ORDER BY query_id, neighbor_id""".stripMargin
 
+    val protoPrune =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+         |         FROM (SELECT e.vec_id, e.v
+         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // $IvfCells) AS stride FROM e) s
+         |               WHERE e.vec_id % s.stride = 0
+         |               ORDER BY e.vec_id LIMIT $IvfCells)),
+         |assigned AS (
+         |  SELECT vec_id, cell, c FROM (
+         |    SELECT e.vec_id, cent.cell, ${cos("e.v", "cent.cv")} AS c,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent) WHERE rn = 1),
+         |counts AS (SELECT cell, count(*) AS n FROM assigned GROUP BY cell),
+         |r AS (SELECT vec_id, cell, c,
+         |      row_number() OVER (PARTITION BY cell ORDER BY c DESC, vec_id ASC) AS rn
+         |  FROM assigned)
+         |SELECT r.vec_id, r.cell::BIGINT AS cell, round(r.c, 6) AS proto_sim
+         |FROM r JOIN counts USING (cell)
+         |WHERE r.rn > ceil(0.2 * counts.n)
+         |ORDER BY r.vec_id""".stripMargin
+
     val semdedup =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
@@ -519,6 +551,7 @@ object SimilarityQueries {
       "q_ann_pq_rerank" -> pqRerank,
       "q_recon_candidates" -> recon,
       "q_semdedup" -> semdedup,
+      "q_proto_prune" -> protoPrune,
       "q_emb_neardup_exact" -> exact,
       "q_emb_neardup_lsh" -> lsh,
       "q_cosine_topk" -> topk,

@@ -80,14 +80,18 @@ object SimilarityOps {
     (assignToCells(corpus, corpusId, corpusEmb, centroids), centroids)
   }
 
-  /** Nearest-centroid assignment: broadcast join + per-vector argmax. */
+  /** Nearest-centroid assignment: broadcast join + per-vector argmax.
+    * `keepSim` retains the winning cosine as `sim` (the
+    * prototypicality score [[prototypePrune]] ranks on).
+    */
   private def assignToCells(
       corpus: DataFrame,
       corpusId: String,
       corpusEmb: String,
-      centroids: DataFrame
-  ): DataFrame =
-    corpus
+      centroids: DataFrame,
+      keepSim: Boolean = false
+  ): DataFrame = {
+    val assigned = corpus
       .crossJoin(broadcast(centroids))
       .withColumn("sim", VectorFunctions.cosineSimilarity(col(corpusEmb), col("cent_emb")))
       .withColumn(
@@ -97,7 +101,53 @@ object SimilarityOps {
         )
       )
       .filter(col("rn") === 1)
-      .drop("rn", "sim", "cent_emb")
+    if (keepSim) assigned.drop("rn", "cent_emb")
+    else assigned.drop("rn", "sim", "cent_emb")
+  }
+
+  /** SSL-prototype pruning — the density-pruning stage of the D4
+    * curation recipe (SemDeDup to kill near-dups, THEN drop the most
+    * prototypical fraction of every cluster; Sorscher et al. 2022,
+    * Tirumala et al. 2023 — public literature): cluster the embedding
+    * space, score each point by cosine to its assigned centroid
+    * (prototypicality), and DROP the top `dropFraction` most
+    * prototypical points per cell — redundant mass near cluster modes
+    * contributes least to training, while the retained lower-density
+    * points carry the information.
+    *
+    * Dataflow: one broadcast centroid join + per-vector argmax (the IVF
+    * assignment), one tiny per-cell count agg joined back broadcast,
+    * and ONE cell-partitioned rank window. Scale contract: the window
+    * sorts within cells only; cell size is corpus/numCells by k-means
+    * balance, so `numCells` is the knob that bounds per-reducer work
+    * (scale it with the corpus exactly as the IVF index does; a
+    * degenerate mega-cell falls to AQE skew handling like every keyed
+    * window here).
+    *
+    * Output: the RETAINED rows — (idCol, cell, proto_sim), where
+    * proto_sim is the cosine to the assigned centroid.
+    */
+  def prototypePrune(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      numCells: Int,
+      dropFraction: Double): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction < 1.0,
+      "dropFraction must be in [0, 1)")
+    val (_, centroids) = ivfIndex(corpus, idCol, embCol, numCells)
+    val assigned = assignToCells(corpus, idCol, embCol, centroids,
+      keepSim = true)
+      .select(col(idCol), col("cell"), col("sim").as("proto_sim"))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    assigned
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("cell"))
+          .orderBy(col("proto_sim").desc, col(idCol).asc)))
+      .join(broadcast(counts), Seq("cell"))
+      .filter(col("rn") > ceil(lit(dropFraction) * col("n")))
+      .drop("rn", "n")
+  }
 
   /** IVF index with Lloyd refinement: seed with the strided centroids,
     * then `lloydIters` rounds of (assign → elementwise-mean recenter).

@@ -235,4 +235,41 @@ class IvfSpec extends SparkSuite {
     assert(s2.skew > SimilarityOps.DefaultIvfSkewWatermark, s"skew after flood: ${s2.skew}")
     assert(s2.recommendRecluster, s"flooded index must recommend re-cluster: $s2")
   }
+
+  test("prototypePrune drops exactly the ceil(frac*n) most prototypical per cell") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val frac = 0.2
+    val kept = SimilarityOps.prototypePrune(emb, "vec_id", "embedding",
+      numCells = 8, dropFraction = frac)
+    val (assigned, _) = SimilarityOps.ivfIndex(emb, "vec_id", "embedding", 8)
+    val cellSizes = assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val keptSizes = kept.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for ((cell, n) <- cellSizes) {
+      val expect = n - math.ceil(frac * n).toLong
+      assert(keptSizes.getOrElse(cell, 0L) == expect,
+        s"cell $cell: kept ${keptSizes.getOrElse(cell, 0L)} of $n, want $expect")
+    }
+    val total = emb.count()
+    assert(kept.count() < total && kept.count() > 0)
+    // dropFraction 0 keeps everything (and exposes every proto_sim)
+    val all = SimilarityOps.prototypePrune(emb, "vec_id", "embedding", 8, 0.0)
+    assert(all.count() == total)
+    // the dropped rows are exactly the TOP-sim ones: per cell, every
+    // kept proto_sim <= every dropped proto_sim
+    val keptIds = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    val byCell = all.collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("proto_sim")))
+      .groupBy(_._1)
+    for ((cell, rows) <- byCell) {
+      val (keptRows, droppedRows) = rows.partition(r => keptIds.contains(r._2))
+      if (keptRows.nonEmpty && droppedRows.nonEmpty) {
+        assert(keptRows.map(_._3).max <= droppedRows.map(_._3).min + 1e-12,
+          s"cell $cell kept a more-prototypical row than one it dropped")
+      }
+    }
+  }
 }
