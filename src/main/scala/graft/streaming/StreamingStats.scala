@@ -77,4 +77,87 @@ object StreamingStats {
           out.iterator
       }
   }
+
+  final case class TsEvent(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String)
+
+  /** Event-time sessionization: like [[sessionize]], but sessions ALSO
+    * close when the event-time watermark passes `last + gapMs` — so an
+    * idle user's final session flushes deterministically once the
+    * stream's own clock proves the gap elapsed, instead of dangling in
+    * state forever (the production shape: state is bounded by ACTIVE
+    * sessions, not by users ever seen). Input needs (user_id, ts
+    * timestamp, event_type); `watermark` bounds accepted disorder.
+    */
+  def sessionizeEventTime(
+      events: DataFrame,
+      gapMs: Long,
+      watermark: String = "10 minutes"
+  ): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[SessionState]
+    implicit val evEnc = Encoders.product[TsEvent]
+    implicit val longEnc = Encoders.scalaLong
+    events
+      .withWatermark("ts", watermark)
+      .as[TsEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, batch: Iterator[TsEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last + gap: the session is closed by time
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n))
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            batch.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+              val ts = e.ts.getTime
+              cur match {
+                case Some(s) if ts - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, ts), n = s.n + 1))
+                case Some(s) =>
+                  out += SessionOut(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // the timeout must sit at-or-past the current watermark
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming heavy-hitter candidates: per tumbling window, the
+    * Misra–Gries summary of the window's token stream
+    * ([[graft.functions.MisraGries]] — the sketch's mergeability is
+    * exactly what lets it run as a streaming aggregation: micro-batch
+    * partials merge into the window's state-store buffer, O(capacity)
+    * per open window). Emits once the watermark closes the window.
+    * Same guarantee as batch: every token above n_window/(capacity+1)
+    * is present with a lower-bound count; re-count candidates exactly
+    * downstream if exact figures are needed
+    * ([[graft.ops.SketchOps.heavyHitters]] pass 2).
+    */
+  def windowedHeavyHitterCandidates(
+      docs: DataFrame,
+      capacity: Int,
+      windowLen: String = "10 minutes",
+      watermark: String = "5 minutes"
+  ): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.SketchFunctions.misraGries(
+        graft.functions.TextFunctions.tokens(col("text")), capacity)
+        .as("candidates"))
+      .select(col("window.start").as("window_start"), col("candidates"))
 }

@@ -69,4 +69,65 @@ class StreamingStatsSpec extends SparkSuite {
       assert(rows.contains((1L, T0, T0 + 30000, 2L)))
     } finally query.stop()
   }
+
+  test("sessionizeEventTime: watermark flushes the idle user's session via timeout") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val events = stream.toDF().toDF("ts", "user_id", "event_type")
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val sessions = StreamingStats.sessionizeEventTime(events,
+      gapMs = 60000, watermark = "1 minute")
+    val query = sessions.writeStream.format("memory").queryName("et_sessions")
+      .outputMode("append").start()
+    try {
+      def t(ms: Long) = new Timestamp(T0 + ms)
+      // user 1 goes idle after two events; user 2 keeps the stream alive
+      stream.addData((t(0), 1L, "a"), (t(30000), 1L, "b"), (t(0), 2L, "x"))
+      query.processAllAvailable()
+      // advance event time via user 2 only: watermark moves past user
+      // 1's last + gap, so the EventTimeTimeout must flush user 1's
+      // session WITHOUT any further user-1 event
+      stream.addData((t(600000), 2L, "y"))
+      query.processAllAvailable()
+      stream.addData((t(1200000), 2L, "z"))
+      query.processAllAvailable()
+      val rows = spark.sql("select * from et_sessions").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows.contains((1L, T0, T0 + 30000, 2L)), rows.toString)
+    } finally query.stop()
+  }
+
+  test("windowedHeavyHitterCandidates: closed window carries its heavy tokens") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "text")
+    val hh = StreamingStats.windowedHeavyHitterCandidates(docs,
+      capacity = 4, windowLen = "10 minutes", watermark = "1 minute")
+    val query = hh.writeStream.format("memory").queryName("hh_win")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      // window 0: "alpha" dominates (6 of 10 tokens) across micro-batches
+      stream.addData((t(1), "alpha alpha beta"), (t(2), "alpha gamma"))
+      query.processAllAvailable()
+      stream.addData((t(3), "alpha alpha delta alpha"))
+      query.processAllAvailable()
+      // push the watermark past window 0 → it closes and emits
+      stream.addData((t(30), "closing tick"))
+      query.processAllAvailable()
+      stream.addData((t(60), "closing tick two"))
+      query.processAllAvailable()
+      val w0 = T0 - (T0 % 600000)
+      val rows = spark.sql("select * from hh_win").collect()
+        .filter(_.getTimestamp(0).getTime == w0)
+      assert(rows.nonEmpty, "window 0 never closed")
+      val cand = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // n=10, capacity=4 → anything above 10/5=2 occurrences guaranteed:
+      // alpha (6) must be present with lower bound within the MG slack
+      assert(cand.contains("alpha"), cand.toString)
+      assert(cand("alpha") <= 6L && cand("alpha") >= 6L - 2L, cand.toString)
+      assert(cand.size <= 4)
+    } finally query.stop()
+  }
 }
