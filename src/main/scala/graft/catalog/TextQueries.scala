@@ -274,6 +274,32 @@ object TextQueries {
         .select(col("doc_id"), col("shuffle_key"), col("shard_id"))
         .orderBy(col("doc_id"))
     },
+    "q_curriculum" -> { (s, dir) =>
+      // curriculum training order WITHOUT a global sort: global length
+      // deciles from the exact-percentile op (one bounded threshold
+      // collect), a composite sort key (decile DESC, seeded shuffle
+      // hash within decile, id for uniqueness), then the two-level
+      // prefix-sum sharder — easy-to-hard ordering with reproducible
+      // intra-level shuffling; composes three round ops end to end
+      val docs = load(s, dir, "documents")
+      val thresholds = graft.ops.QuantileOps.exactPercentiles(
+          docs.withColumn("g", lit("all")), "n_chars", "g",
+          (1 to 9).map(i => (s"p${i * 10}", i * 10)).toMap)
+        .select(col("quantile")).collect().map(_.getLong(0)).sorted
+      val decile = thresholds.map(t => when(col("n_chars") > t, 1).otherwise(0))
+        .reduce(_ + _).cast("long")
+      val keyed = docs
+        .withColumn("decile", decile)
+        .withColumn("curriculum_key", concat(
+          (lit(9L) - col("decile")).cast("string"),
+          md5(concat(lit("cur42:"), col("doc_id").cast("string"))),
+          lpad(col("doc_id").cast("string"), 12, "0")))
+        .withColumn("one", lit(1L))
+      graft.ops.ShardOps.packShards(keyed, "curriculum_key", "one",
+          targetWeight = 16L)
+        .select(col("doc_id"), col("decile"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
     "q_shard_pack" -> { (s, dir) =>
       // pack the corpus into ~1000-token training shards in doc_id
       // order — two-level distributed prefix sum (ShardOps), never a
@@ -836,6 +862,26 @@ object TextQueries {
          |    AS BIGINT) AS shard_id
          |FROM t ORDER BY doc_id""".stripMargin
 
+    val curriculum =
+      s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |r AS (SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY n_chars) AS rn FROM documents),
+         |t(p) AS (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)),
+         |thr AS (SELECT t.p, r.n_chars AS q
+         |  FROM r CROSS JOIN nn JOIN t ON r.rn = (t.p * nn.n + 99) // 100),
+         |b AS (SELECT d.doc_id,
+         |    (SELECT count(*) FROM thr WHERE d.n_chars > thr.q)::BIGINT AS decile
+         |  FROM documents d),
+         |k AS (SELECT doc_id, decile,
+         |    CAST(9 - decile AS VARCHAR)
+         |      || md5('cur42:' || CAST(doc_id AS VARCHAR))
+         |      || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+         |  FROM b)
+         |SELECT doc_id, decile,
+         |  CAST(floor((row_number() OVER (ORDER BY key) - 1) / 16.0) AS BIGINT)
+         |    AS shard_id
+         |FROM k ORDER BY doc_id""".stripMargin
+
     val shardPack =
       s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,
@@ -1195,6 +1241,7 @@ object TextQueries {
       "q_prep_pipeline" -> prepPipeline,
       "q_shard_pack" -> shardPack,
       "q_shuffle_shards" -> shuffleShards,
+      "q_curriculum" -> curriculum,
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
       "q_dedup_clusters" -> clusters,
