@@ -63,9 +63,17 @@ object ImportanceOps {
         explode(TextFunctions.tokens(col("_text"))).as("token"))
       .withColumn("bucket", CorpusOps.hashBucket(col("token"), buckets))
 
-    // one bounded agg builds BOTH LMs: ≤ 2·buckets rows out
+    // one bounded agg builds BOTH LMs: ≤ 2·buckets rows out. The
+    // localCheckpoint is load-bearing for the scan count: bc feeds THREE
+    // consumers (target side, raw side, totals) and Spark re-derives an
+    // unmaterialized subtree per consumer — without it the corpus is
+    // scanned and re-tokenized once per reference (probed: 10 scans /
+    // 8 kernel evaluations in the resample plan). Materializing ≤
+    // 2·buckets rows pins the corpus cost at exactly two tokenize
+    // passes (LM build + per-doc scoring).
     val bc = tokens.groupBy(col("is_target"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val totals = bc.groupBy(col("is_target")).agg(sum(col("cnt")).as("tot"))
     val totWide = totals
       .agg(
