@@ -139,12 +139,15 @@ object SimilarityOps {
     val assigned = assignToCells(corpus, idCol, embCol, centroids,
       keepSim = true)
       .select(col(idCol), col("cell"), col("sim").as("proto_sim"))
-    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    // rank and cell-count ride the SAME cell partitioning (one
+    // exchange, one sort) — a separate count agg would re-derive the
+    // whole assignment subtree (cross-join + argmax shuffle) a second
+    // time, doubling the dominant cost
+    val byCell = Window.partitionBy(col("cell"))
     assigned
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("cell"))
-          .orderBy(col("proto_sim").desc, col(idCol).asc)))
-      .join(broadcast(counts), Seq("cell"))
+        byCell.orderBy(col("proto_sim").desc, col(idCol).asc)))
+      .withColumn("n", count(lit(1)).over(byCell))
       .filter(col("rn") > ceil(lit(dropFraction) * col("n")))
       .drop("rn", "n")
   }

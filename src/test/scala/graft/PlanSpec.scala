@@ -364,6 +364,17 @@ class PlanSpec extends SparkSuite {
     assert(plan(s).contains("TakeOrderedAndProject"), plan(s).take(800))
   }
 
+  test("prototype pruning derives the assignment once (rank + count share the cell exchange)") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val q = SimilarityOps.prototypePrune(emb, "vec_id", "embedding", 4, 0.2)
+    val opt = q.queryExecution.optimizedPlan.toString
+    // one cosine evaluation site = the centroid cross-join appears once;
+    // a second one means the per-cell count re-derived the assignment
+    assert("graft_cosine".r.findAllIn(opt).length == 1,
+      s"assignment subtree duplicated:\n${opt.take(1500)}")
+  }
+
   test("unigram encode is a zero-shuffle native-kernel projection") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
