@@ -47,6 +47,26 @@ object TextQueries {
       .select(col("doc"), col("cluster"), col("is_canonical"))
       .orderBy(col("doc"))
 
+  /** Quality-curriculum composite key shared by q_curriculum and
+    * q_token_budget: global n_chars deciles from the exact-percentile
+    * op (bounded threshold collect), key = decile DESC · seeded hash ·
+    * zero-padded id. Adds (decile, curriculum_key).
+    */
+  private def curriculumKeyed(docs: DataFrame): DataFrame = {
+    val thresholds = graft.ops.QuantileOps.exactPercentiles(
+        docs.withColumn("g", lit("all")), "n_chars", "g",
+        (1 to 9).map(i => (s"p${i * 10}", i * 10)).toMap)
+      .select(col("quantile")).collect().map(_.getLong(0)).sorted
+    val decile = thresholds.map(t => when(col("n_chars") > t, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    docs
+      .withColumn("decile", decile)
+      .withColumn("curriculum_key", concat(
+        (lit(9L) - col("decile")).cast("string"),
+        md5(concat(lit("cur42:"), col("doc_id").cast("string"))),
+        lpad(col("doc_id").cast("string"), 12, "0")))
+  }
+
   /** Bench-only: unigram-LM trainer at a production-ish vocab size
     * (test-gated in TokenizerSpec against a reference implementation;
     * no SQL oracle — Viterbi DP is not reasonably SQL-replayable).
@@ -281,23 +301,26 @@ object TextQueries {
       // hash within decile, id for uniqueness), then the two-level
       // prefix-sum sharder — easy-to-hard ordering with reproducible
       // intra-level shuffling; composes three round ops end to end
-      val docs = load(s, dir, "documents")
-      val thresholds = graft.ops.QuantileOps.exactPercentiles(
-          docs.withColumn("g", lit("all")), "n_chars", "g",
-          (1 to 9).map(i => (s"p${i * 10}", i * 10)).toMap)
-        .select(col("quantile")).collect().map(_.getLong(0)).sorted
-      val decile = thresholds.map(t => when(col("n_chars") > t, 1).otherwise(0))
-        .reduce(_ + _).cast("long")
-      val keyed = docs
-        .withColumn("decile", decile)
-        .withColumn("curriculum_key", concat(
-          (lit(9L) - col("decile")).cast("string"),
-          md5(concat(lit("cur42:"), col("doc_id").cast("string"))),
-          lpad(col("doc_id").cast("string"), 12, "0")))
+      val keyed = curriculumKeyed(load(s, dir, "documents"))
         .withColumn("one", lit(1L))
       graft.ops.ShardOps.packShards(keyed, "curriculum_key", "one",
           targetWeight = 16L)
         .select(col("doc_id"), col("decile"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+    "q_token_budget" -> { (s, dir) =>
+      // exact-budget corpus assembly: walk the corpus best-quality-
+      // first (the curriculum key) and keep every doc that still fits a
+      // 10k-token budget whole — an exact token count, not a rate;
+      // same two-level prefix sum, never a global window
+      val keyed = curriculumKeyed(load(s, dir, "documents"))
+        .withColumn("n_tokens",
+          coalesce(graft.functions.TextFunctions.tokenCount(col("text")),
+            lit(0)).cast("long"))
+      graft.ops.ShardOps.budgetSelect(keyed, "curriculum_key", "n_tokens",
+          budget = 10000L)
+        .select(col("doc_id"), col("decile"), col("n_tokens"),
+          col("budget_used"))
         .orderBy(col("doc_id"))
     },
     "q_shard_pack" -> { (s, dir) =>
@@ -882,6 +905,29 @@ object TextQueries {
          |    AS shard_id
          |FROM k ORDER BY doc_id""".stripMargin
 
+    val tokenBudget =
+      s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+         |r AS (SELECT doc_id, n_chars,
+         |    row_number() OVER (ORDER BY n_chars) AS rn FROM documents),
+         |t(p) AS (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90)),
+         |thr AS (SELECT t.p, r.n_chars AS q
+         |  FROM r CROSS JOIN nn JOIN t ON r.rn = (t.p * nn.n + 99) // 100),
+         |b AS (SELECT d.doc_id, d.text,
+         |    (SELECT count(*) FROM thr WHERE d.n_chars > thr.q)::BIGINT AS decile
+         |  FROM documents d),
+         |k AS (SELECT doc_id, decile,
+         |    coalesce(len($toks), 0)::BIGINT AS n_tokens,
+         |    CAST(9 - decile AS VARCHAR)
+         |      || md5('cur42:' || CAST(doc_id AS VARCHAR))
+         |      || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS key
+         |  FROM b),
+         |c AS (SELECT doc_id, decile, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY key
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS budget_used
+         |  FROM k)
+         |SELECT doc_id, decile, n_tokens, budget_used
+         |FROM c WHERE budget_used <= 10000 ORDER BY doc_id""".stripMargin
+
     val shardPack =
       s"""WITH t AS (SELECT doc_id, len($toks)::BIGINT AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,
@@ -1242,6 +1288,7 @@ object TextQueries {
       "q_shard_pack" -> shardPack,
       "q_shuffle_shards" -> shuffleShards,
       "q_curriculum" -> curriculum,
+      "q_token_budget" -> tokenBudget,
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
       "q_dedup_clusters" -> clusters,

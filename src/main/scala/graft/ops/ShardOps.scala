@@ -118,4 +118,30 @@ object ShardOps {
       .withColumn("seq_pos", greatest(off, col("seq_id") * L) - col("seq_id") * L)
       .drop("__off")
   }
+
+  /** Exact-budget greedy selection: walk the corpus in `keyCol` order
+    * and keep every row that still fits the `budget` of `weightCol`
+    * whole (inclusive prefix sum ≤ budget; the straddling row and
+    * everything after are dropped). With a quality-ordered key this is
+    * the "assemble the best ≤ N-token corpus" step of a training-mix
+    * spec — an exact token budget, not a rate that lands near it.
+    *
+    * Scale shape: the same two-level prefix sum as [[packShards]]
+    * (range partition → bounded per-bucket totals → broadcast offsets +
+    * per-bucket window); never a global single-partition window.
+    * Output: kept rows + `budget_used` (the inclusive prefix).
+    */
+  def budgetSelect(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    withExclusivePrefix(df, keyCol, weightCol, "__exclusive")
+      .withColumn("budget_used",
+        col("__exclusive") + coalesce(col(weightCol).cast("long"), lit(0L)))
+      .filter(col("budget_used") <= budget)
+      .drop("__exclusive")
+  }
 }

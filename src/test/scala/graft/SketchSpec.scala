@@ -118,6 +118,24 @@ class SketchSpec extends SparkSuite {
     assert(d == d.sorted.reverse, d.toString)
   }
 
+  test("budgetSelect keeps whole rows up to the exact budget, drops the straddler") {
+    // rows a..e with weights 4,3,2,5,1 in key order → budget 10 keeps
+    // a(4),b(7),c(9); d(14) straddles and is dropped, e after it too
+    val rows = Seq(("a", 4L), ("b", 3L), ("c", 2L), ("d", 5L), ("e", 1L))
+      .toDF("k", "w")
+    for (parts <- Seq(1, 4)) {
+      val got = graft.ops.ShardOps
+        .budgetSelect(rows.repartition(parts), "k", "w", budget = 10L)
+        .collect().map(r => (r.getString(0), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got == Seq(("a", 4L), ("b", 7L), ("c", 9L)), s"parts=$parts $got")
+    }
+    // budget 0 keeps nothing; exact-fit boundary keeps the fitting row
+    assert(graft.ops.ShardOps.budgetSelect(rows, "k", "w", 0L).count() == 0)
+    val exact = graft.ops.ShardOps.budgetSelect(rows, "k", "w", 7L)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(exact == Seq("a", "b"))
+  }
+
   test("importanceResample: deterministic seeded Gumbel top-k, k honored") {
     val docs = (1L to 100L).map(i =>
       (i, if (i % 3 == 0) "alpha beta gamma" else "xx yy zz", i % 2 == 0))
