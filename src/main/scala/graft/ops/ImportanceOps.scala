@@ -51,48 +51,10 @@ object ImportanceOps {
       isTarget: Column,
       buckets: Int = 1024,
       smoothing: Double = 1.0): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
-    require(smoothing > 0.0, "smoothing must be positive")
-    val spark = df.sparkSession
-
     val tagged = df.select(col(idCol).as("doc"), isTarget.as("is_target"),
       col(textCol).as("_text"))
-    val tokens = tagged
-      .filter(col("_text").isNotNull)
-      .select(col("doc"), col("is_target"),
-        explode(TextFunctions.tokens(col("_text"))).as("token"))
-      .withColumn("bucket", CorpusOps.hashBucket(col("token"), buckets))
-
-    // one bounded agg builds BOTH LMs: ≤ 2·buckets rows out. The
-    // localCheckpoint is load-bearing for the scan count: bc feeds THREE
-    // consumers (target side, raw side, totals) and Spark re-derives an
-    // unmaterialized subtree per consumer — without it the corpus is
-    // scanned and re-tokenized once per reference (probed: 10 scans /
-    // 8 kernel evaluations in the resample plan). Materializing ≤
-    // 2·buckets rows pins the corpus cost at exactly two tokenize
-    // passes (LM build + per-doc scoring).
-    val bc = tokens.groupBy(col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
-    val totals = bc.groupBy(col("is_target")).agg(sum(col("cnt")).as("tot"))
-    val totWide = totals
-      .agg(
-        sum(when(col("is_target"), col("tot")).otherwise(lit(0L))).as("nt"),
-        sum(when(!col("is_target"), col("tot")).otherwise(lit(0L))).as("nr"))
-
-    val allB = spark.range(buckets).select(col("id").as("bucket"))
-    val lam = allB
-      .join(bc.filter(col("is_target")).select(col("bucket"), col("cnt").as("tc")),
-        Seq("bucket"), "left")
-      .join(bc.filter(!col("is_target")).select(col("bucket"), col("cnt").as("rc")),
-        Seq("bucket"), "left")
-      .crossJoin(broadcast(totWide))
-      .select(col("bucket"),
-        (log((coalesce(col("tc"), lit(0L)).cast("double") + lit(smoothing)) /
-             (col("nt").cast("double") + lit(smoothing * buckets))) -
-         log((coalesce(col("rc"), lit(0L)).cast("double") + lit(smoothing)) /
-             (col("nr").cast("double") + lit(smoothing * buckets))))
-          .as("lambda"))
+    val tokens = taggedTokens(tagged, buckets)
+    val lam = lambdaTable(tokens, buckets, smoothing)
 
     val perDoc = tokens
       .join(broadcast(lam), Seq("bucket"))
@@ -104,6 +66,73 @@ object ImportanceOps {
       .select(col("doc"), col("is_target"),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(col("weight"), lit(0.0)).as("weight"))
+  }
+
+  /** The trained model by itself — λ per bucket as a plain array
+    * (index = bucket), e.g. to hand to
+    * [[graft.streaming.StreamingPrep.importanceGate]] as the static
+    * stream-side model. One corpus scan.
+    */
+  def lambdaArray(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      isTarget: Column,
+      buckets: Int = 1024,
+      smoothing: Double = 1.0): Array[Double] = {
+    val tagged = df.select(col(idCol).as("doc"), isTarget.as("is_target"),
+      col(textCol).as("_text"))
+    val lam = lambdaTable(taggedTokens(tagged, buckets), buckets, smoothing)
+    val out = new Array[Double](buckets)
+    lam.collect().foreach(r => out(r.getLong(0).toInt) = r.getDouble(1))
+    out
+  }
+
+  private def taggedTokens(tagged: DataFrame, buckets: Int): DataFrame =
+    tagged
+      .filter(col("_text").isNotNull)
+      .select(col("doc"), col("is_target"),
+        explode(TextFunctions.tokens(col("_text"))).as("token"))
+      .withColumn("bucket", CorpusOps.hashBucket(col("token"), buckets))
+
+  /** λ = log p_target − log p_raw per bucket (buckets rows). The
+    * localCheckpoint on the bucket counts is load-bearing for the scan
+    * count: bc feeds THREE consumers (target side, raw side, totals)
+    * and Spark re-derives an unmaterialized subtree per consumer —
+    * without it the corpus is scanned and re-tokenized once per
+    * reference (probed: 10 scans / 8 kernel evaluations in the
+    * resample plan). Materializing ≤ 2·buckets rows pins the corpus
+    * cost at exactly two tokenize passes (LM build + per-doc scoring).
+    */
+  private def lambdaTable(
+      tokens: DataFrame,
+      buckets: Int,
+      smoothing: Double): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(smoothing > 0.0, "smoothing must be positive")
+    val spark = tokens.sparkSession
+    val bc = tokens.groupBy(col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val totals = bc.groupBy(col("is_target")).agg(sum(col("cnt")).as("tot"))
+    val totWide = totals
+      .agg(
+        sum(when(col("is_target"), col("tot")).otherwise(lit(0L))).as("nt"),
+        sum(when(!col("is_target"), col("tot")).otherwise(lit(0L))).as("nr"))
+
+    val allB = spark.range(buckets).select(col("id").as("bucket"))
+    allB
+      .join(bc.filter(col("is_target")).select(col("bucket"), col("cnt").as("tc")),
+        Seq("bucket"), "left")
+      .join(bc.filter(!col("is_target")).select(col("bucket"), col("cnt").as("rc")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(totWide))
+      .select(col("bucket"),
+        (log((coalesce(col("tc"), lit(0L)).cast("double") + lit(smoothing)) /
+             (col("nt").cast("double") + lit(smoothing * buckets))) -
+         log((coalesce(col("rc"), lit(0L)).cast("double") + lit(smoothing)) /
+             (col("nr").cast("double") + lit(smoothing * buckets))))
+          .as("lambda"))
   }
 
   /** Seeded Gumbel noise in column form: u = (h32 + 0.5) / 2^32 with

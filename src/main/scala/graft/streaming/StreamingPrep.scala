@@ -45,6 +45,41 @@ object StreamingPrep {
     if (redactPii) deduped.withColumn(textCol, PiiOps.redact(t)) else deduped
   }
 
+  /** Streaming DSIR gate: score each document's importance weight
+    * against a STATIC bucket-λ table (trained offline by
+    * [[graft.ops.ImportanceOps.importanceWeights]]' LM build — pass its
+    * λ values here) and keep docs at or above `threshold`. The λ table
+    * rides the plan as an array literal and the whole computation is
+    * stateless per-row builtins (tokens kernel → md5 bucket →
+    * element_at → aggregate-sum), so the gate composes into any
+    * streaming stage with ZERO state — the stream-side twin of the
+    * batch weight op, summing in token order (the batch groupBy may
+    * differ in the last ulps; gate thresholds should not sit on a
+    * document's exact weight).
+    *
+    * Adds `dsir_weight`; filters to weight ≥ threshold.
+    */
+  def importanceGate(
+      docs: DataFrame,
+      textCol: String,
+      lambdas: Array[Double],
+      threshold: Double
+  ): DataFrame = {
+    val buckets = lambdas.length
+    require(buckets > 0, "lambdas must be non-empty")
+    val lamLit = array(lambdas.map(lit): _*)
+    val weight = aggregate(
+      transform(
+        TextFunctions.tokens(col(textCol)),
+        t => element_at(lamLit,
+          (graft.ops.CorpusOps.hashBucket(t, buckets) + lit(1)).cast("int"))),
+      lit(0.0),
+      (acc, x) => acc + x)
+    docs
+      .withColumn("dsir_weight", weight)
+      .filter(col("dsir_weight") >= threshold)
+  }
+
   private def prepRaw(
       docs: DataFrame,
       idCol: String,

@@ -118,6 +118,32 @@ class SketchSpec extends SparkSuite {
     assert(d == d.sorted.reverse, d.toString)
   }
 
+  test("importanceGate matches the batch weights against the exported lambda model") {
+    // target docs carry the alpha vocabulary, raw docs mostly don't —
+    // so raw docs with target vocab (none here) vs off-vocab separate
+    val docs = (1L to 60L).map(i =>
+      (i, if (i % 3 == 0) "alpha beta gamma alpha" else "xx yy zz ww",
+        i % 3 == 0)).toDF("doc_id", "text", "is_t")
+    val lam = ImportanceOps.lambdaArray(docs, "doc_id", "text", col("is_t"),
+      buckets = 128)
+    assert(lam.length == 128)
+    val batch = ImportanceOps.importanceWeights(docs, "doc_id", "text",
+      col("is_t"), buckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // the gate is the stream-side twin: per-row HOF sum over the SAME
+    // model — equal up to summation-order ulps
+    val gated = graft.streaming.StreamingPrep.importanceGate(
+      docs, "text", lam, threshold = Double.MinValue)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("dsir_weight")).toMap
+    assert(gated.size == 60)
+    for ((id, w) <- batch) assert(math.abs(gated(id) - w) < 1e-9, s"doc $id")
+    // threshold actually gates: target-vocab docs (every 3rd) score high
+    val kept = graft.streaming.StreamingPrep.importanceGate(
+      docs, "text", lam, threshold = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.forall(_ % 3 == 0), kept.toString)
+  }
+
   test("budgetSelect keeps whole rows up to the exact budget, drops the straddler") {
     // rows a..e with weights 4,3,2,5,1 in key order → budget 10 keeps
     // a(4),b(7),c(9); d(14) straddles and is dropped, e after it too

@@ -71,4 +71,28 @@ class StreamingPrepSpec extends SparkSuite {
       assert(rows.values.forall(_.endsWith("contact <EMAIL> today")))
     } finally query.stop()
   }
+
+  test("importanceGate composes into a streaming query with zero state") {
+    implicit val sq = spark.sqlContext
+    // model: bucket of "alpha" positive, everything else negative
+    val trainDocs = Seq((1L, "alpha alpha beta", true), (2L, "xx yy zz", false))
+      .toDF("doc_id", "text", "is_t")
+    val lam = graft.ops.ImportanceOps.lambdaArray(
+      trainDocs, "doc_id", "text", $"is_t", buckets = 64)
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "text")
+    val query = StreamingPrep.importanceGate(docs, "text", lam, threshold = 0.0)
+      .writeStream.format("memory").queryName("gate_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      stream.addData((t(1), 10L, "alpha beta alpha"), (t(2), 11L, "xx yy"))
+      query.processAllAvailable()
+      stream.addData((t(3), 12L, "beta alpha"))
+      query.processAllAvailable()
+      val kept = spark.sql("select doc_id from gate_out")
+        .collect().map(_.getLong(0)).toSet
+      assert(kept == Set(10L, 12L), kept.toString)
+    } finally query.stop()
+  }
 }
