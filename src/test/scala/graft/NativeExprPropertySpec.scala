@@ -354,4 +354,60 @@ class NativeExprPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("UnigramEncode kernel == driver-side Viterbi over 200 random (vocab, word) cases") {
+    // random alphabet-3 words + random piece vocabularies with random
+    // log-probs: the kernel's DP (incl. the longer-trailing-piece tie
+    // rule and the unknown-char fallback) must match a straight-line
+    // reference on every case — same algorithm, independently written
+    val wordGen = for {
+      n <- Gen.choose(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val caseGen = for {
+      word <- wordGen
+      nPieces <- Gen.choose(1, 10)
+      pieces <- Gen.listOfN(nPieces, for {
+        l <- Gen.choose(1, 3)
+        cs <- Gen.listOfN(l, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+      // quantized log-probs avoid accidental near-ties from float noise
+      // while still exercising EXACT ties (coarse grid → frequent)
+      lps <- Gen.listOfN(nPieces, Gen.choose(1, 8).map(-_.toDouble))
+    } yield (word, pieces.distinct.zip(lps).toMap)
+    val cases = sample(caseGen, 200, seed = 77L)
+
+    def refViterbi(w: String, lp: Map[String, Double]): Seq[String] = {
+      val maxLen = if (lp.isEmpty) 1 else lp.keys.map(_.length).max
+      val best = Array.fill(w.length + 1)(Double.NegativeInfinity)
+      val back = new Array[Int](w.length + 1)
+      best(0) = 0.0
+      for (i <- 1 to w.length) {
+        for (j <- math.max(0, i - maxLen) until i
+             if best(j) != Double.NegativeInfinity) {
+          lp.get(w.substring(j, i)).foreach { p =>
+            if (best(j) + p > best(i)) { best(i) = best(j) + p; back(i) = j }
+          }
+        }
+        if (best(i) == Double.NegativeInfinity) {
+          best(i) = best(i - 1) + graft.functions.GraftHash.UnigramUnkLogp
+          back(i) = i - 1
+        }
+      }
+      var cur = w.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (cur > 0) { out.prepend(w.substring(back(cur), cur)); cur = back(cur) }
+      out.toSeq
+    }
+
+    cases.foreach { case (word, vocab) =>
+      val (ps, ls) = vocab.toSeq.sortBy(_._1).unzip
+      val got = Seq(Tuple1(word)).toDF("text")
+        .select(graft.functions.TextFunctions.unigramEncode(
+          array(col("text")), ps, ls).as("p"))
+        .collect().head.getSeq[String](0)
+      val want = refViterbi(word, vocab)
+      assert(got == want, s"word=$word vocab=$vocab got=$got want=$want")
+    }
+  }
 }
