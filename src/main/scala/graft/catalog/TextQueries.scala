@@ -294,6 +294,13 @@ object TextQueries {
         .select(col("doc_id"), col("shuffle_key"), col("shard_id"))
         .orderBy(col("doc_id"))
     },
+    "q_chunk_overlap" -> { (s, dir) =>
+      // RAG / window-prep chunking: 64-token chunks, stride 48 (16-token
+      // overlap); per-row explode, zero shuffle
+      graft.ops.CorpusOps.chunkDocuments(load(s, dir, "documents"),
+          "doc_id", "text", chunkSize = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
     "q_curriculum" -> { (s, dir) =>
       // curriculum training order WITHOUT a global sort: global length
       // deciles from the exact-percentile op (one bounded threshold
@@ -905,6 +912,20 @@ object TextQueries {
          |    AS shard_id
          |FROM k ORDER BY doc_id""".stripMargin
 
+    val chunkOverlap =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t
+         |  WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, toks, n,
+         |    unnest(range(0, 1 + (greatest(0, n - 64) + 47) // 48)) AS chunk_id
+         |  FROM n)
+         |SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+         |  least(chunk_id * 48 + 64, n) AS end_tok,
+         |  array_to_string(
+         |    toks[chunk_id * 48 + 1 : least(chunk_id * 48 + 64, n)], ' ')
+         |    AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
     val tokenBudget =
       s"""WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
          |r AS (SELECT doc_id, n_chars,
@@ -1289,6 +1310,7 @@ object TextQueries {
       "q_shuffle_shards" -> shuffleShards,
       "q_curriculum" -> curriculum,
       "q_token_budget" -> tokenBudget,
+      "q_chunk_overlap" -> chunkOverlap,
       "q_text_quality_rules" -> qualityRules,
       "q_text_repetition" -> repetition,
       "q_dedup_clusters" -> clusters,

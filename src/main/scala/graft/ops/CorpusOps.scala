@@ -537,6 +537,50 @@ object CorpusOps {
         graft.functions.TextFunctions.tokens(col(textCol)), pieces, logps)
         .as("pieces"))
 
+  /** Fixed-size token chunking with overlap — the RAG / context-window
+    * prep step ([[graft.ops.ShardOps.packSequences]] is the
+    * no-overlap, doc-spanning packing for pretraining; this is the
+    * per-document sliding window for retrieval corpora and
+    * long-doc windowed training). Chunk k covers token span
+    * [k·stride, min(k·stride+chunkSize, n)), k = 0 ..
+    * ceil(max(0, n−chunkSize)/stride) — the last chunk is the first
+    * whose end reaches the doc end, so no fully-redundant tail chunks;
+    * zero-token docs emit nothing. All integer arithmetic →
+    * deterministic and SQL-replayable.
+    *
+    * Scale shape: one per-row explode bounded by n/stride chunks —
+    * zero shuffle, fuses with the feeding scan; the canonical-token
+    * join makes chunk_text reproducible from the tokenizer contract.
+    *
+    * Output: (idCol, chunk_id, start_tok, end_tok, chunk_text).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    require(stride > 0 && stride <= chunkSize,
+      "stride must be in [1, chunkSize]")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    df
+      .select(col(idCol), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .withColumn("__nchunks", expr(
+        s"CAST(1 + (greatest(0, __n - $chunkSize) + ${stride - 1}) div $stride AS BIGINT)"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), col("__nchunks") - 1L)))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("end_tok",
+        least(col("start_tok") + chunkSize, col("__n").cast("long")))
+      .withColumn("chunk_text",
+        array_join(slice(col("__toks"), (col("start_tok") + 1).cast("int"),
+          (col("end_tok") - col("start_tok")).cast("int")), " "))
+      .drop("__toks", "__n", "__nchunks")
+  }
+
   /** Weighted corpus mixing: deterministically subsample each stratum
     * (source/domain) to its target rate. `rates` is a (stratum, rate)
     * table — rate in [0, 1] is the fraction of that stratum's documents

@@ -118,6 +118,34 @@ class SketchSpec extends SparkSuite {
     assert(d == d.sorted.reverse, d.toString)
   }
 
+  test("chunkDocuments: tiling, overlap, no redundant tail, round-trip") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10
+      (2L, "a b c"), // n=3 < chunkSize → one whole chunk
+      (3L, ""), // zero tokens → no chunks
+      (4L, (1 to 8).map(i => s"x$i").mkString(" "))) // n=8 == chunkSize
+      .toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps
+      .chunkDocuments(docs, "doc_id", "text", chunkSize = 8, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1 (n=10): chunks [0,8), [4,10) — the [8,10) tail is redundant
+    // and must NOT appear
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(t => (t._3, t._4)).toSeq == Seq((0L, 8L), (4L, 10L)))
+    assert(d1.head._5 == (1 to 8).map(i => s"w$i").mkString(" "))
+    assert(d1.last._5 == (5 to 10).map(i => s"w$i").mkString(" "))
+    // short doc: single whole chunk; empty doc: nothing; exact-fit: one
+    assert(got.filter(_._1 == 2L).map(t => (t._3, t._4)).toSeq == Seq((0L, 3L)))
+    assert(!got.exists(_._1 == 3L))
+    assert(got.filter(_._1 == 4L).map(t => (t._3, t._4)).toSeq == Seq((0L, 8L)))
+    // coverage: every token index of doc 1 falls in some chunk
+    val covered = d1.flatMap(t => t._3 until t._4).toSet
+    assert(covered == (0 until 10).map(_.toLong).toSet)
+  }
+
   test("importanceGate matches the batch weights against the exported lambda model") {
     // target docs carry the alpha vocabulary, raw docs mostly don't —
     // so raw docs with target vocab (none here) vs off-vocab separate
