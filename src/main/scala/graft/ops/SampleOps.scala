@@ -168,6 +168,9 @@ object SampleOps {
     *
     * Output: (rank, id, dist) — dist is the squared-L2 farthest
     * distance at selection time (0.0 for the seed), full precision.
+    * Fewer than k rows when the distinct geometry is exhausted (every
+    * remaining point coincides with a chosen center) or the input is
+    * empty — never duplicate centers.
     */
   def kCenterSelect(
       df: DataFrame,
@@ -187,11 +190,16 @@ object SampleOps {
       case d: Double => d
     }.toArray
 
-    val seedRow = pts.orderBy(col("id")).limit(1).head()
+    val seedRows = pts.orderBy(col("id")).limit(1).collect()
+    if (seedRows.isEmpty) {
+      return Seq.empty[(Int, Long, Double)].toDF("rank", "id", "dist")
+    }
+    val seedRow = seedRows.head
     val seed = (seedRow.getLong(0), toArr(seedRow.getSeq[Any](1)))
     val chosen = scala.collection.mutable.ArrayBuffer((seed._1, seed._2, 0.0))
     var i = 1
-    while (i < k) {
+    var exhausted = false
+    while (i < k && !exhausted) {
       val dists = chosen.map { case (_, cv, _) =>
         val cc = cv.map(x => x * x).sum
         VectorFunctions.dotProduct(col("v"), col("v")) -
@@ -200,8 +208,14 @@ object SampleOps {
       val mind = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
       val top = pts.withColumn("d", mind)
         .orderBy(col("d").desc, col("id")).limit(1).head()
-      chosen += ((top.getLong(0), toArr(top.getSeq[Any](1)), top.getDouble(2)))
-      i += 1
+      // max min-distance 0 = every remaining point coincides with a
+      // chosen center (k exceeds the distinct geometry): stop instead
+      // of emitting duplicate centers
+      if (top.getDouble(2) <= 0.0) exhausted = true
+      else {
+        chosen += ((top.getLong(0), toArr(top.getSeq[Any](1)), top.getDouble(2)))
+        i += 1
+      }
     }
     chosen.zipWithIndex
       .map { case ((id, _, d), r) => (r + 1, id, d) }.toSeq

@@ -116,6 +116,18 @@ class SketchSpec extends SparkSuite {
     // selection distances are non-increasing (greedy farthest-point)
     val d = a.drop(1).map(_._3)
     assert(d == d.sorted.reverse, d.toString)
+
+    // exhausted geometry: k larger than the distinct point set stops
+    // early instead of emitting duplicate centers; empty input → empty
+    val dup = Seq((1L, v(0, 0)), (2L, v(0, 0)), (3L, v(5, 5)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ops.SampleOps
+      .kCenterSelect(dup, "vec_id", "embedding", k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 3L), got.toString)
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.SampleOps
+      .kCenterSelect(empty, "vec_id", "embedding", k = 2).count() == 0)
   }
 
   test("chunkDocuments: tiling, overlap, no redundant tail, round-trip") {
