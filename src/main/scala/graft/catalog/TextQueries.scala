@@ -526,6 +526,20 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("keep_bucket"))
         .orderBy(col("doc_id"))
     },
+    "q_mix_epochs" -> { (s, dir) =>
+      // epoch-aware upsampling mix: rate > 1 duplicates docs (floor
+      // whole copies + hash-fraction extras), the Pile/LLaMA mixture
+      // shape; rates derived from the source suffix (0.4 .. 2.4) so
+      // the spec replays in the oracle
+      val docs = load(s, dir, "documents").select(col("doc_id"), col("source"))
+      val rates = docs.select(col("source")).distinct()
+        .withColumn("rate",
+          (pmod(substring(col("source"), 4, 10).cast("long"), lit(5)) + 1) * lit(0.4))
+      graft.ops.CorpusOps.epochMix(docs, "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          col("epoch_copy"))
+        .orderBy(col("doc_id"), col("epoch_copy"))
+    },
     "q_pii_redact" -> { (s, dir) =>
       // PII scrub pass: the corpus text is digit/@-free by construction
       // (checked against all three sf dirs), so deterministic synthetic
@@ -912,6 +926,23 @@ object TextQueries {
          |    AS shard_id
          |FROM k ORDER BY doc_id""".stripMargin
 
+    val mixEpochs =
+      s"""WITH r AS (SELECT source,
+         |  ((substr(source, 4)::BIGINT % 5) + 1) * 0.4 AS rate
+         |  FROM (SELECT DISTINCT source FROM documents)),
+         |d AS (SELECT doc_id, source,
+         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::BIGINT
+         |    AS keep_bucket FROM documents),
+         |c AS (SELECT d.doc_id, d.source,
+         |  floor(r.rate)::BIGINT + CASE WHEN d.keep_bucket <
+         |    floor((r.rate - floor(r.rate)) * 10000)::BIGINT THEN 1 ELSE 0 END
+         |    AS n_copies
+         |  FROM d JOIN r USING (source))
+         |SELECT doc_id, source, n_copies,
+         |  unnest(range(1, n_copies + 1)) AS epoch_copy
+         |FROM c WHERE n_copies > 0
+         |ORDER BY doc_id, epoch_copy""".stripMargin
+
     val chunkOverlap =
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
          |n AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t
@@ -1295,6 +1326,7 @@ object TextQueries {
       "q_decontaminate" -> decontaminate,
       "q_split_assign" -> splitAssign,
       "q_mix_weighted" -> mixWeighted,
+      "q_mix_epochs" -> mixEpochs,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_heavy_hitters" -> heavyHitters,

@@ -608,6 +608,40 @@ object CorpusOps {
       .drop("rate")
   }
 
+  /** Epoch-aware mixing: [[weightedMix]] generalized to rates ABOVE 1 —
+    * the Pile/LLaMA-style mixture spec where a high-quality source is
+    * UPSAMPLED (rate 2.5 = every doc twice, half the docs a third
+    * time). Each doc emits floor(rate) whole copies plus one more when
+    * its keep-bucket falls under the fractional part (the SAME
+    * hash-bucket rule as weightedMix, so rate ≤ 1 degenerates to
+    * exactly weightedMix's selection), tagged `epoch_copy` (1-based)
+    * so downstream shuffling can spread copies across the training
+    * order. Monotone in rate: raising a source's rate never removes a
+    * (doc, copy) already emitted — re-mixes are supersets, the same
+    * re-materialization-free property as weightedMix.
+    *
+    * Scale shape: broadcast rate table, per-row copy-count arithmetic,
+    * one explode bounded by ceil(rate) — zero shuffle, fuses with the
+    * feeding scan.
+    */
+  def epochMix(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: DataFrame): DataFrame = {
+    val r = rates.select(col(strataCol), col("rate"))
+    df.join(broadcast(r), Seq(strataCol))
+      .withColumn("keep_bucket", hashBucket(col(idCol), 10000))
+      .withColumn("n_copies",
+        floor(col("rate")).cast("long") +
+          when(col("keep_bucket") <
+            ((col("rate") - floor(col("rate"))) * 10000).cast("long"), 1L)
+            .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("epoch_copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("rate")
+  }
+
   /** Statistical LM quality scoring, CCNet-style: train a bigram
     * language model ON the corpus itself (or a trusted reference slice)
     * and score every document by its mean add-one-smoothed bigram log

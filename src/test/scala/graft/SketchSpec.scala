@@ -130,6 +130,29 @@ class SketchSpec extends SparkSuite {
       .kCenterSelect(empty, "vec_id", "embedding", k = 2).count() == 0)
   }
 
+  test("epochMix: whole copies + hash fraction, degenerates to weightedMix, monotone") {
+    val docs = (1L to 200L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "src")
+    def rates(m: Map[String, Double]) =
+      m.toSeq.toDF("src", "rate")
+    def emitted(m: Map[String, Double]) = graft.ops.CorpusOps
+      .epochMix(docs, "doc_id", "src", rates(m))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("epoch_copy")))
+      .toSet
+    // integer rate → exactly rate copies of every doc
+    val twoX = emitted(Map("s0" -> 2.0, "s1" -> 2.0))
+    assert(twoX.size == 400 && twoX.map(_._2).max == 2L)
+    // rate <= 1 selects exactly weightedMix's docs, one copy each
+    val half = emitted(Map("s0" -> 0.5, "s1" -> 0.5))
+    val wm = graft.ops.CorpusOps
+      .weightedMix(docs, "doc_id", "src", rates(Map("s0" -> 0.5, "s1" -> 0.5)))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(half.map(_._1) == wm && half.forall(_._2 == 1L))
+    // monotone: raising rates only ADDS (doc, copy) pairs
+    val lo = emitted(Map("s0" -> 0.7, "s1" -> 1.2))
+    val hi = emitted(Map("s0" -> 1.7, "s1" -> 2.9))
+    assert(lo.subsetOf(hi), (lo -- hi).toString)
+  }
+
   test("chunkDocuments: tiling, overlap, no redundant tail, round-trip") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // n=10
