@@ -526,6 +526,35 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("keep_bucket"))
         .orderBy(col("doc_id"))
     },
+    "q_corpus_report" -> { (s, dir) =>
+      // the corpus dataset-card report: scale, vocabulary spread,
+      // duplication and length shape as one (metric, value) table —
+      // one wide agg + the exact-percentile op, all bounded outputs
+      val docs = load(s, dir, "documents")
+      val base = docs.select(
+        coalesce(graft.functions.TextFunctions.tokenCount(col("text")), lit(0))
+          .cast("long").as("nt"),
+        col("lang"), col("source"), col("n_chars"), md5(col("text")).as("h"))
+      val r1 = base.agg(
+        count(lit(1)).cast("double").as("n_docs"),
+        sum(col("nt")).cast("double").as("n_tokens"),
+        round(avg(col("nt")), 6).as("mean_doc_tokens"),
+        countDistinct(col("lang")).cast("double").as("n_langs"),
+        countDistinct(col("source")).cast("double").as("n_sources"),
+        (count(lit(1)) - countDistinct(col("h"))).cast("double")
+          .as("exact_dup_docs")).head()
+      val pcts = graft.ops.QuantileOps.exactPercentiles(
+          docs.withColumn("g", lit("all")), "n_chars", "g",
+          Map("p50_chars" -> 50, "p90_chars" -> 90))
+        .collect().map(r => r.getString(1) -> r.getLong(2).toDouble).toMap
+      import s.implicits._
+      (Seq("n_docs", "n_tokens", "mean_doc_tokens", "n_langs", "n_sources",
+        "exact_dup_docs").zipWithIndex
+        .map { case (m, i) => (m, r1.getDouble(i)) } ++
+        pcts.toSeq)
+        .toDF("metric", "value")
+        .orderBy(col("metric"))
+    },
     "q_mix_epochs" -> { (s, dir) =>
       // epoch-aware upsampling mix: rate > 1 duplicates docs (floor
       // whole copies + hash-fraction extras), the Pile/LLaMA mixture
@@ -925,6 +954,33 @@ object TextQueries {
          |  CAST(floor((row_number() OVER (ORDER BY key) - 1) / 16.0) AS BIGINT)
          |    AS shard_id
          |FROM k ORDER BY doc_id""".stripMargin
+
+    val corpusReport =
+      s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
+         |    coalesce(len($toks), 0)::BIGINT AS nt, md5(text) AS h
+         |  FROM documents),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM t),
+         |base AS (SELECT
+         |    count(*)::DOUBLE AS n_docs,
+         |    sum(nt)::DOUBLE AS n_tokens,
+         |    round(avg(nt), 6) AS mean_doc_tokens,
+         |    count(DISTINCT lang)::DOUBLE AS n_langs,
+         |    count(DISTINCT source)::DOUBLE AS n_sources,
+         |    (count(*) - count(DISTINCT h))::DOUBLE AS exact_dup_docs
+         |  FROM t),
+         |r AS (SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn FROM t)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+         |  UNION ALL SELECT 'n_tokens', n_tokens FROM base
+         |  UNION ALL SELECT 'mean_doc_tokens', mean_doc_tokens FROM base
+         |  UNION ALL SELECT 'n_langs', n_langs FROM base
+         |  UNION ALL SELECT 'n_sources', n_sources FROM base
+         |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM base
+         |  UNION ALL SELECT 'p50_chars', n_chars::DOUBLE FROM r, nn
+         |    WHERE rn = (50 * nn.n + 99) // 100
+         |  UNION ALL SELECT 'p90_chars', n_chars::DOUBLE FROM r, nn
+         |    WHERE rn = (90 * nn.n + 99) // 100)
+         |ORDER BY metric""".stripMargin
 
     val mixEpochs =
       s"""WITH r AS (SELECT source,
@@ -1327,6 +1383,7 @@ object TextQueries {
       "q_split_assign" -> splitAssign,
       "q_mix_weighted" -> mixWeighted,
       "q_mix_epochs" -> mixEpochs,
+      "q_corpus_report" -> corpusReport,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_heavy_hitters" -> heavyHitters,
