@@ -526,6 +526,14 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("keep_bucket"))
         .orderBy(col("doc_id"))
     },
+    "q_memorization_risk" -> { (s, dir) =>
+      // per-doc memorization exposure: fraction of 8-token windows
+      // duplicated anywhere in the corpus — the audit face of
+      // q_dedup_substrings' removal pass
+      graft.ops.DedupOps.memorizationRisk(load(s, dir, "documents"),
+          "doc_id", "text", winLen = 8)
+        .orderBy(col("doc_id"))
+    },
     "q_corpus_report" -> { (s, dir) =>
       // the corpus dataset-card report: scale, vocabulary spread,
       // duplication and length shape as one (metric, value) table —
@@ -954,6 +962,24 @@ object TextQueries {
          |  CAST(floor((row_number() OVER (ORDER BY key) - 1) / 16.0) AS BIGINT)
          |    AS shard_id
          |FROM k ORDER BY doc_id""".stripMargin
+
+    val memorizationRisk =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |w AS (SELECT ne.doc_id,
+         |  md5(array_to_string(ne.toks[u.i : u.i + 7], ' ')) AS h
+         |  FROM (SELECT doc_id, toks FROM t WHERE len(toks) >= 8) ne,
+         |  LATERAL (SELECT unnest(range(1, len(ne.toks) - 8 + 2)) AS i) u),
+         |d AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+         |pd AS (SELECT w.doc_id, count(*)::BIGINT AS n_dup_windows
+         |  FROM w JOIN d USING (h) GROUP BY w.doc_id)
+         |SELECT t.doc_id,
+         |  greatest(len(t.toks) - 8 + 1, 0)::BIGINT AS n_windows,
+         |  coalesce(pd.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+         |  CASE WHEN len(t.toks) >= 8 THEN
+         |    round(coalesce(pd.n_dup_windows, 0)::DOUBLE /
+         |      (len(t.toks) - 8 + 1), 6)
+         |  ELSE 0.0 END AS risk
+         |FROM t LEFT JOIN pd USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
     val corpusReport =
       s"""WITH t AS (SELECT doc_id, lang, source, n_chars,
@@ -1384,6 +1410,7 @@ object TextQueries {
       "q_mix_weighted" -> mixWeighted,
       "q_mix_epochs" -> mixEpochs,
       "q_corpus_report" -> corpusReport,
+      "q_memorization_risk" -> memorizationRisk,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_heavy_hitters" -> heavyHitters,

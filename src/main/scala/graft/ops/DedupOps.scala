@@ -807,4 +807,63 @@ object DedupOps {
               (_, i) => !array_contains(col("_rm"), i))),
           " ").as("clean_text"))
   }
+
+  /** Per-document memorization-risk profile: the fraction of a doc's
+    * `winLen`-token sliding windows that are duplicated ANYWHERE in the
+    * corpus (including repeats within the doc itself) — the per-doc
+    * metric face of [[duplicateSpanRemoval]]'s flag set, and the
+    * memorization-exposure signal of Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better"): high-risk docs are
+    * the ones whose text the model will see many times and can
+    * regurgitate. Use it to AUDIT (rank, report, threshold) where the
+    * removal op would rewrite.
+    *
+    * Dataflow: same shape as the removal pass — tokens checkpointed
+    * once, window hashes computed in-projection (gram strings never
+    * shuffled), ONE hash-keyed count agg with map-side partials, the
+    * duplicated-hash set joined back (right side proportional to
+    * duplicated text, AQE-broadcast on typical rates), one doc-keyed
+    * count. Docs shorter than winLen carry no windows → risk 0.
+    *
+    * Output: (idCol, n_windows, n_dup_windows, risk) — risk =
+    * n_dup/n_windows rounded to 6 dp, 0.0 for window-less docs.
+    */
+  def memorizationRisk(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 8): DataFrame = {
+    require(winLen > 0, "winLen must be positive")
+    val p = df.sparkSession.sessionState.conf.numShufflePartitions
+    val base = df
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("_toks"))
+      .repartition(p, col(idCol))
+      .localCheckpoint() // tokenization runs once for windows + totals
+    val winArr = transform(
+      sequence(lit(0), (size(col("_toks")) - winLen).cast("int")),
+      i => md5(array_join(slice(col("_toks"), i + 1, lit(winLen)), " ")))
+    val wins = base
+      .filter(size(col("_toks")) >= winLen)
+      .select(col(idCol), explode(winArr).as("_wh"))
+    val dups = wins
+      .groupBy(col("_wh"))
+      .agg(count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+      .select(col("_wh"))
+    val perDoc = wins
+      .join(dups, Seq("_wh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_windows"))
+    base
+      .select(col(idCol),
+        greatest(size(col("_toks")) - winLen + 1, lit(0)).cast("long")
+          .as("n_windows"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        when(col("n_windows") > 0,
+          round(coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+            col("n_windows"), 6))
+          .otherwise(lit(0.0)).as("risk"))
+  }
 }

@@ -130,6 +130,29 @@ class SketchSpec extends SparkSuite {
       .kCenterSelect(empty, "vec_id", "embedding", k = 2).count() == 0)
   }
 
+  test("memorizationRisk: planted cross-doc passage raises risk; clean and short docs read 0") {
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, passage + " unique tail one two three four five six"),
+      (2L, passage + " different ending with other words here now"),
+      (3L, "entirely fresh text with no repeats at all okay then"),
+      (4L, "short doc")) // < 8 tokens → no windows
+      .toDF("doc_id", "text")
+    val got = graft.ops.DedupOps
+      .memorizationRisk(docs, "doc_id", "text", winLen = 8)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // docs 1 and 2 share exactly the one p1..p8 window
+    assert(got(1L)._2 == 1L && got(2L)._2 == 1L)
+    assert(got(1L)._3 > 0.0 && got(2L)._3 > 0.0)
+    assert(got(3L) == ((3L, 0L, 0.0))) // 10 tokens → 3 windows, none dup
+    assert(got(4L) == ((0L, 0L, 0.0)))
+    // risk is the exact fraction
+    assert(got(1L)._3 == BigDecimal(1.0 / got(1L)._1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("epochMix: whole copies + hash fraction, degenerates to weightedMix, monotone") {
     val docs = (1L to 200L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "src")
     def rates(m: Map[String, Double]) =
