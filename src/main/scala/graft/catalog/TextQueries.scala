@@ -526,6 +526,14 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("keep_bucket"))
         .orderBy(col("doc_id"))
     },
+    "q_span_corruption" -> { (s, dir) =>
+      // T5-style denoising pairs: 15% seeded-hash masking, adjacent
+      // masks merge to sentinel spans; deterministic, so the objective
+      // data replays bit-identically in the oracle
+      graft.ops.CorpusOps.spanCorruption(load(s, dir, "documents"),
+          "doc_id", "text", rate = 0.15, seed = "t5-42")
+        .orderBy(col("doc"))
+    },
     "q_memorization_risk" -> { (s, dir) =>
       // per-doc memorization exposure: fraction of 8-token windows
       // duplicated anywhere in the corpus — the audit face of
@@ -962,6 +970,43 @@ object TextQueries {
          |  CAST(floor((row_number() OVER (ORDER BY key) - 1) / 16.0) AS BIGINT)
          |    AS shard_id
          |FROM k ORDER BY doc_id""".stripMargin
+
+    val spanCorruption =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |e AS (SELECT doc_id, u.i - 1 AS pos, toks[u.i] AS tok
+         |  FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) u),
+         |m AS (SELECT doc_id, pos, tok,
+         |  (('0x' || substr(md5('t5-42:' || doc_id || ':' || pos), 1, 8))
+         |    ::UBIGINT % 10000)::BIGINT < CAST(0.15 * 10000 AS BIGINT) AS masked
+         |  FROM e),
+         |s AS (SELECT *, masked AND NOT coalesce(
+         |    lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS strt
+         |  FROM m),
+         |s2 AS (SELECT *, sum(CASE WHEN strt THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+         |  FROM s),
+         |p AS (SELECT doc_id, pos, masked, sid,
+         |  CASE WHEN NOT masked THEN tok
+         |       WHEN strt THEN '<extra_id_' || sid || '>' END AS ip,
+         |  CASE WHEN strt THEN '<extra_id_' || sid || '> ' || tok
+         |       WHEN masked THEN tok END AS tp
+         |  FROM s2),
+         |g AS (SELECT doc_id,
+         |  array_to_string(list(ip ORDER BY pos) FILTER (WHERE ip IS NOT NULL), ' ')
+         |    AS input_text,
+         |  array_to_string(list(tp ORDER BY pos) FILTER (WHERE tp IS NOT NULL), ' ')
+         |    AS target_text,
+         |  coalesce(max(sid) FILTER (WHERE masked), -1) + 1 AS n_spans,
+         |  sum(CASE WHEN masked THEN 1 ELSE 0 END)::BIGINT AS n_masked
+         |  FROM p GROUP BY doc_id)
+         |SELECT d.doc_id AS doc,
+         |  coalesce(g.input_text, '') AS input_text,
+         |  coalesce(g.target_text, '') AS target_text,
+         |  coalesce(g.n_spans, 0)::BIGINT AS n_spans,
+         |  coalesce(g.n_masked, 0)::BIGINT AS n_masked
+         |FROM documents d LEFT JOIN g ON g.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 
     val memorizationRisk =
       s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
@@ -1411,6 +1456,7 @@ object TextQueries {
       "q_mix_epochs" -> mixEpochs,
       "q_corpus_report" -> corpusReport,
       "q_memorization_risk" -> memorizationRisk,
+      "q_span_corruption" -> spanCorruption,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_heavy_hitters" -> heavyHitters,

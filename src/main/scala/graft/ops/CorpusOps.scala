@@ -581,6 +581,72 @@ object CorpusOps {
       .drop("__toks", "__n", "__nchunks")
   }
 
+  /** T5/UL2-style span corruption — turn clean documents into
+    * (input, target) denoising pairs: tokens are masked i.i.d. at
+    * `rate` by a seeded hash of (doc, position), adjacent masked
+    * tokens merge into spans, span k is replaced by the sentinel
+    * `<extra_id_k>` in the input, and the target lists each sentinel
+    * followed by the tokens it hides. Fully deterministic (no RNG
+    * state): the same (seed, doc, pos) always masks the same tokens,
+    * so the objective data is reproducible run-to-run and
+    * oracle-checkable — the property a distributed pretraining-prep
+    * pass needs and ad-hoc RNG masking lacks.
+    *
+    * Scale shape: one token explode, two doc-keyed windows (lag for
+    * span starts, running sum for span ids — key-partitioned only),
+    * one doc-keyed ordered rebuild agg. Same shuffle structure as
+    * sessionization; a giant doc is the only hotspot and falls to AQE
+    * like every keyed window here.
+    *
+    * Output: (idCol, input_text, target_text, n_spans, n_masked);
+    * token-less docs emit empty strings and zeros.
+    */
+  def spanCorruption(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rate: Double = 0.15,
+      seed: String = "t5"): DataFrame = {
+    require(rate > 0.0 && rate < 1.0, "rate must be in (0, 1)")
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val e = df
+      .select(col(idCol).as("doc"), posexplode(toks).as(Seq("pos", "tok")))
+      .withColumn("masked",
+        hashBucket(concat(lit(s"$seed:"), col("doc").cast("string"),
+          lit(":"), col("pos").cast("string")), 10000) <
+          (lit(rate) * 10000).cast("long"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("pos"))
+    val s = e
+      .withColumn("strt",
+        col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("sid",
+        sum(when(col("strt"), 1L).otherwise(0L)).over(w) - 1L)
+    val sentinel = concat(lit("<extra_id_"), col("sid").cast("string"), lit(">"))
+    val p = s.select(col("doc"), col("pos"), col("masked"), col("sid"),
+      when(!col("masked"), col("tok"))
+        .when(col("strt"), sentinel).as("ip"),
+      when(col("strt"), concat(sentinel, lit(" "), col("tok")))
+        .when(col("masked"), col("tok")).as("tp"))
+    def joined(piece: Column): Column =
+      array_join(transform(
+        sort_array(collect_list(when(piece.isNotNull,
+          struct(col("pos"), piece.as("s"))))),
+        x => x.getField("s")), " ")
+    val built = p.groupBy(col("doc")).agg(
+      joined(col("ip")).as("input_text"),
+      joined(col("tp")).as("target_text"),
+      (coalesce(max(when(col("masked"), col("sid"))), lit(-1L)) + 1L)
+        .as("n_spans"),
+      sum(col("masked").cast("long")).as("n_masked"))
+    df.select(col(idCol).as("doc"))
+      .join(built, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
+
   /** Weighted corpus mixing: deterministically subsample each stratum
     * (source/domain) to its target rate. `rates` is a (stratum, rate)
     * table — rate in [0, 1] is the fraction of that stratum's documents

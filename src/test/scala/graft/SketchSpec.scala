@@ -130,6 +130,40 @@ class SketchSpec extends SparkSuite {
       .kCenterSelect(empty, "vec_id", "embedding", k = 2).count() == 0)
   }
 
+  test("spanCorruption: sentinels reconstruct the doc; deterministic; rate in band") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    def run() = graft.ops.CorpusOps
+      .spanCorruption(docs, "doc_id", "text", rate = 0.3, seed = "s1")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    val a = run()
+    assert(a == run()) // deterministic, no RNG state
+    val (input, target, nSpans, nMasked) = a(1L)
+    assert(a(2L) == (("", "", 0L, 0L))) // token-less doc
+    assert(nMasked > 0 && nSpans > 0 && nSpans <= nMasked)
+    // every sentinel appears exactly once in input and once in target,
+    // in ascending order
+    val sentinels = (0L until nSpans).map(k => s"<extra_id_$k>")
+    for (s <- sentinels) {
+      assert(input.split(" ").count(_ == s) == 1, s)
+      assert(target.split(" ").count(_ == s) == 1, s)
+    }
+    // splicing each target span back at its sentinel restores the doc
+    val spans = {
+      val parts = target.split(" ")
+      val idx = sentinels.map(s => parts.indexOf(s)) :+ parts.length
+      sentinels.indices.map(i => parts.slice(idx(i) + 1, idx(i + 1)).toSeq)
+    }
+    val restored = input.split(" ").flatMap { t =>
+      val i = sentinels.indexOf(t)
+      if (i >= 0) spans(i) else Seq(t)
+    }.mkString(" ")
+    assert(restored == text)
+    // masked fraction lands near the rate (i.i.d. hash over 60 tokens)
+    assert(nMasked >= 6 && nMasked <= 30, nMasked.toString)
+  }
+
   test("memorizationRisk: planted cross-doc passage raises risk; clean and short docs read 0") {
     val passage = (1 to 8).map(i => s"p$i").mkString(" ")
     val docs = Seq(
