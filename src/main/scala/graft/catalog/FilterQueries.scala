@@ -129,6 +129,24 @@ object FilterQueries {
           col("click_id"), col("click_ms"), col("lag_ms"))
         .orderBy(col("event_id"))
     },
+    "q_asof_tolerance" -> { (s, dir) =>
+      // as-of with a 1 h tolerance (merge_asof semantics): a view whose
+      // latest prior click is older than an hour matches nothing — the
+      // payload nulls out, no fallback (any earlier click is farther)
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ms"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ms", col("ms"))
+      graft.ops.AsofOps
+        .asofJoin(views, clicks, "user_id", "ms", Seq("click_id", "click_ms"),
+          toleranceMs = 3600000L)
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("click_id"), col("click_ms"))
+        .orderBy(col("event_id"))
+    },
     "q_range_join" -> { (s, dir) =>
       // range join: views falling inside each error's 6 h aftermath
       // window, per user — bin-bucketed equi-join (bin = interval
@@ -252,6 +270,16 @@ object FilterQueries {
          |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
          |SELECT v.event_id, v.user_id, v.ms, c.click_id,
          |  c.cms AS click_ms, v.ms - c.cms AS lag_ms
+         |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ms >= c.cms
+         |ORDER BY v.event_id""".stripMargin,
+    "q_asof_tolerance" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+         |v AS (SELECT user_id, event_id, ms FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ms AS cms, max(event_id) AS click_id
+         |      FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+         |SELECT v.event_id, v.user_id, v.ms,
+         |  CASE WHEN v.ms - c.cms <= 3600000 THEN c.click_id END AS click_id,
+         |  CASE WHEN v.ms - c.cms <= 3600000 THEN c.cms END AS click_ms
          |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ms >= c.cms
          |ORDER BY v.event_id""".stripMargin,
     "q_range_join" ->

@@ -36,12 +36,22 @@ object AsofOps {
     * names must not clash with left's) arrive null when no right row
     * precedes.
     */
+  /** `toleranceMs` bounds the match age (pandas/polars `merge_asof`
+    * tolerance): a left row whose latest-prior right row is older than
+    * `tsCol − toleranceMs` gets NULL payload — no fallback exists,
+    * since any earlier right row is farther still. Default unbounded
+    * (classic as-of). Implemented by carrying the matched right
+    * timestamp through the same window — the dataflow stays
+    * join-free, one shuffle.
+    */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       keyCol: String,
       tsCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      toleranceMs: Long = Long.MaxValue): DataFrame = {
+    require(toleranceMs >= 0, "toleranceMs must be non-negative")
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     val leftCols = left.columns.toSeq
     require(payloadCols.forall(!leftCols.contains(_)),
@@ -65,9 +75,15 @@ object AsofOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = rs2.unionByName(ls2)
       .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
+      .withColumn("_asofts",
+        last(when(col("_side") === 0, col("_ats")), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
+    val within =
+      if (toleranceMs == Long.MaxValue) lit(true)
+      else col("_asofts").isNotNull &&
+        (col("_ats") - col("_asofts")) <= toleranceMs
     val outLeft = leftCols.map(c => col("_lrow")(c).as(c))
-    val outPay = payloadCols.map(c => col("_asof")(c).as(c))
+    val outPay = payloadCols.map(c => when(within, col("_asof")(c)).as(c))
     joined.select(outLeft ++ outPay: _*)
   }
 

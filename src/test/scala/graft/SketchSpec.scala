@@ -130,6 +130,24 @@ class SketchSpec extends SparkSuite {
       .kCenterSelect(empty, "vec_id", "embedding", k = 2).count() == 0)
   }
 
+  test("asofJoin tolerance: stale matches null out, in-window and boundary match") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (1L, 1000L, "c"),
+      (2L, 500L, "d")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 90L, "r90"), (1L, 200L, "r200"))
+      .toDF("k", "ts", "p")
+    def run(tol: Long) = graft.ops.AsofOps
+      .asofJoin(left, right, "k", "ts", Seq("p"), toleranceMs = tol)
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    val got = run(100L)
+    assert(got("a") == Some("r90")) // 10 <= 100
+    assert(got("b") == Some("r200")) // 50 <= 100, latest prior
+    assert(got("c") == None) // latest prior is 800 old — no fallback
+    assert(got("d") == None) // key 2 has no right rows at all
+    // exact boundary is inclusive; unbounded keeps classic semantics
+    assert(run(800L)("c") == Some("r200"))
+    assert(run(Long.MaxValue)("c") == Some("r200"))
+  }
+
   test("spanCorruption: sentinels reconstruct the doc; deterministic; rate in band") {
     val text = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
