@@ -147,6 +147,26 @@ object FilterQueries {
           col("click_id"), col("click_ms"))
         .orderBy(col("event_id"))
     },
+    "q_asof_nearest" -> { (s, dir) =>
+      // nearest-direction as-of (merge_asof direction='nearest'): each
+      // view matches the CLOSER of its latest-prior / earliest-later
+      // click, backward winning exact-distance ties; same one-shuffle
+      // union+window dataflow (the forward pass is a second frame on
+      // the same sort)
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ms"))
+        .agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ms", col("ms"))
+      graft.ops.AsofOps
+        .asofJoin(views, clicks, "user_id", "ms", Seq("click_id", "click_ms"),
+          direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("click_id"), col("click_ms"))
+        .orderBy(col("event_id"))
+    },
     "q_range_join" -> { (s, dir) =>
       // range join: views falling inside each error's 6 h aftermath
       // window, per user — bin-bucketed equi-join (bin = interval
@@ -282,6 +302,26 @@ object FilterQueries {
          |  CASE WHEN v.ms - c.cms <= 3600000 THEN c.cms END AS click_ms
          |FROM v ASOF LEFT JOIN c ON v.user_id = c.user_id AND v.ms >= c.cms
          |ORDER BY v.event_id""".stripMargin,
+    "q_asof_nearest" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
+         |v AS (SELECT user_id, event_id, ms FROM e WHERE event_type = 'view'),
+         |c AS (SELECT user_id, ms AS cms, max(event_id) AS click_id
+         |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+         |b AS (SELECT v.event_id, v.user_id, v.ms, c.click_id AS b_id,
+         |      c.cms AS b_ms
+         |      FROM v ASOF LEFT JOIN c
+         |        ON v.user_id = c.user_id AND v.ms >= c.cms),
+         |f AS (SELECT v.event_id, c.click_id AS f_id, c.cms AS f_ms
+         |      FROM v ASOF LEFT JOIN c
+         |        ON v.user_id = c.user_id AND v.ms <= c.cms)
+         |SELECT b.event_id, b.user_id, b.ms,
+         |  CASE WHEN b.b_ms IS NOT NULL AND
+         |    (f.f_ms IS NULL OR b.ms - b.b_ms <= f.f_ms - b.ms)
+         |    THEN b.b_id ELSE f.f_id END AS click_id,
+         |  CASE WHEN b.b_ms IS NOT NULL AND
+         |    (f.f_ms IS NULL OR b.ms - b.b_ms <= f.f_ms - b.ms)
+         |    THEN b.b_ms ELSE f.f_ms END AS click_ms
+         |FROM b JOIN f USING (event_id) ORDER BY b.event_id""".stripMargin,
     "q_range_join" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type FROM events),
          |er AS (SELECT user_id, event_id AS error_id, ms AS start_ms,

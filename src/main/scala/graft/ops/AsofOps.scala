@@ -37,12 +37,17 @@ object AsofOps {
     * precedes.
     */
   /** `toleranceMs` bounds the match age (pandas/polars `merge_asof`
-    * tolerance): a left row whose latest-prior right row is older than
-    * `tsCol − toleranceMs` gets NULL payload — no fallback exists,
-    * since any earlier right row is farther still. Default unbounded
-    * (classic as-of). Implemented by carrying the matched right
-    * timestamp through the same window — the dataflow stays
-    * join-free, one shuffle.
+    * tolerance): a left row whose chosen right row is farther than the
+    * bound gets NULL payload — no fallback exists, since in the match
+    * direction any other candidate is farther still. Default unbounded
+    * (classic as-of). `direction` completes merge_asof parity:
+    * "backward" (default; latest right at-or-before), "forward"
+    * (earliest right at-or-after — at an exact tie the equal-ts right
+    * row matches, distance 0), "nearest" (the closer of the two,
+    * backward winning exact-distance ties). The forward/nearest passes
+    * ride the SAME partitioning and sort as the backward pass (a
+    * second window frame, current-row .. unbounded-following), so the
+    * dataflow stays join-free with one shuffle in every mode.
     */
   def asofJoin(
       left: DataFrame,
@@ -50,8 +55,11 @@ object AsofOps {
       keyCol: String,
       tsCol: String,
       payloadCols: Seq[String],
-      toleranceMs: Long = Long.MaxValue): DataFrame = {
+      toleranceMs: Long = Long.MaxValue,
+      direction: String = "backward"): DataFrame = {
     require(toleranceMs >= 0, "toleranceMs must be non-negative")
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"unknown direction $direction")
     require(payloadCols.nonEmpty, "payloadCols must be non-empty")
     val leftCols = left.columns.toSeq
     require(payloadCols.forall(!leftCols.contains(_)),
@@ -73,17 +81,46 @@ object AsofOps {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_ats").asc, col("_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val joined = rs2.unionByName(ls2)
-      .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
-      .withColumn("_asofts",
+    // forward frame: rows AFTER the current left row in the same sort.
+    // An equal-ts right row sorts BEFORE the left row (side tag), so it
+    // is seen by the BACKWARD pass at distance 0 — which is exactly the
+    // forward-inclusive tie too, handled in the mode selection below.
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ats").asc, col("_side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val both = rs2.unionByName(ls2)
+      .withColumn("_bd", last(col("_pay"), ignoreNulls = true).over(w))
+      .withColumn("_bdts",
         last(when(col("_side") === 0, col("_ats")), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+    val joined = (direction match {
+      case "backward" => both
+      case _ => both
+        .withColumn("_fw", first(col("_pay"), ignoreNulls = true).over(wf))
+        .withColumn("_fwts",
+          first(when(col("_side") === 0, col("_ats")), ignoreNulls = true)
+            .over(wf))
+    }).filter(col("_side") === 1)
+
+    val bdDist = col("_ats") - col("_bdts")
+    val (chosenPay, dist) = direction match {
+      case "backward" => (col("_bd"), bdDist)
+      case "forward" =>
+        // exact tie (distance 0) lives in the backward pass
+        val tie = col("_bdts").isNotNull && bdDist === 0L
+        (when(tie, col("_bd")).otherwise(col("_fw")),
+          when(tie, lit(0L)).otherwise(col("_fwts") - col("_ats")))
+      case "nearest" =>
+        val fwDist = col("_fwts") - col("_ats")
+        val useBd = col("_bdts").isNotNull &&
+          (col("_fwts").isNull || bdDist <= fwDist)
+        (when(useBd, col("_bd")).otherwise(col("_fw")),
+          when(useBd, bdDist).otherwise(fwDist))
+    }
     val within =
-      if (toleranceMs == Long.MaxValue) lit(true)
-      else col("_asofts").isNotNull &&
-        (col("_ats") - col("_asofts")) <= toleranceMs
+      if (toleranceMs == Long.MaxValue) dist.isNotNull
+      else dist.isNotNull && dist <= toleranceMs
     val outLeft = leftCols.map(c => col("_lrow")(c).as(c))
-    val outPay = payloadCols.map(c => when(within, col("_asof")(c)).as(c))
+    val outPay = payloadCols.map(c => when(within, chosenPay(c)).as(c))
     joined.select(outLeft ++ outPay: _*)
   }
 

@@ -148,6 +148,37 @@ class SketchSpec extends SparkSuite {
     assert(run(Long.MaxValue)("c") == Some("r200"))
   }
 
+  test("asofJoin directions: forward takes next-at-or-after, nearest picks the closer side") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (1L, 149L, "m"),
+      (1L, 151L, "n"), (1L, 400L, "z")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 201L, "r201"))
+      .toDF("k", "ts", "p")
+    def run(dir: String, tol: Long = Long.MaxValue) = graft.ops.AsofOps
+      .asofJoin(left, right, "k", "ts", Seq("p"), toleranceMs = tol,
+        direction = dir)
+      .collect().map(r => r.getString(2) -> Option(r.getString(3))).toMap
+    val fw = run("forward")
+    assert(fw("a") == Some("r100")) // exact tie matches at distance 0
+    assert(fw("b") == Some("r201")) // next at-or-after
+    assert(fw("z") == None) // nothing after
+    val nr = run("nearest")
+    assert(nr("a") == Some("r100"))
+    assert(nr("m") == Some("r100")) // 49 back vs 52 forward
+    assert(nr("n") == Some("r201")) // 51 back vs 50 forward
+    assert(nr("b") == Some("r201")) // 100 back vs 1 forward
+    assert(nr("z") == Some("r201")) // only backward exists
+    // equal distances break toward backward
+    val tie = graft.ops.AsofOps.asofJoin(
+      Seq((1L, 150L, "t")).toDF("k", "ts", "tag"),
+      Seq((1L, 100L, "lo"), (1L, 200L, "hi")).toDF("k", "ts", "p"),
+      "k", "ts", Seq("p"), direction = "nearest")
+      .collect().head.getString(3)
+    assert(tie == "lo")
+    // tolerance applies to the chosen direction's distance
+    assert(run("nearest", tol = 10L)("b") == Some("r201"))
+    assert(run("nearest", tol = 10L)("m") == None)
+  }
+
   test("spanCorruption: sentinels reconstruct the doc; deterministic; rate in band") {
     val text = (1 to 60).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
