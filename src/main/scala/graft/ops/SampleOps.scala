@@ -162,9 +162,14 @@ object SampleOps {
     *
     * Scale: cost is k linear scans — the right shape for the
     * tens-to-hundreds of centers a curation pass uses. For k in the
-    * thousands, carry the running min-distance column in a
-    * checkpointed table instead of re-deriving it (one scan per step
-    * either way, but O(1) centers per row); not needed at this k.
+    * thousands set `carryMinDist=true`: the running min-distance rides
+    * a periodically-checkpointed corpus column, so each step evaluates
+    * ONE new-center distance per row instead of i — O(k·n) total work
+    * against the recompute path's O(k²·n/2), trading one materialized
+    * (id, vec, mind) corpus copy in executor storage. Both paths pick
+    * bit-identical centers (`least` is exact comparison over the same
+    * d² doubles; SketchSpec asserts equality), so the oracle-gated
+    * recompute path certifies the carry path too.
     *
     * Output: (rank, id, dist) — dist is the squared-L2 farthest
     * distance at selection time (0.0 for the seed), full precision.
@@ -176,8 +181,11 @@ object SampleOps {
       df: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      carryMinDist: Boolean = false,
+      checkpointEvery: Int = 4): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -189,6 +197,11 @@ object SampleOps {
       case f: Float => f.toDouble
       case d: Double => d
     }.toArray
+    def d2(cv: Array[Double]): Column = {
+      val cc = cv.map(x => x * x).sum
+      VectorFunctions.dotProduct(col("v"), col("v")) -
+        lit(2.0) * VectorFunctions.dotProduct(col("v"), vecLit(cv)) + lit(cc)
+    }
 
     val seedRows = pts.orderBy(col("id")).limit(1).collect()
     if (seedRows.isEmpty) {
@@ -197,23 +210,33 @@ object SampleOps {
     val seedRow = seedRows.head
     val seed = (seedRow.getLong(0), toArr(seedRow.getSeq[Any](1)))
     val chosen = scala.collection.mutable.ArrayBuffer((seed._1, seed._2, 0.0))
+    // carry path: the running min-distance column, re-checkpointed
+    // every `checkpointEvery` steps to keep the least(...) lineage flat
+    var carried = if (carryMinDist) {
+      pts.withColumn("d", d2(seed._2)).localCheckpoint()
+    } else null
     var i = 1
     var exhausted = false
     while (i < k && !exhausted) {
-      val dists = chosen.map { case (_, cv, _) =>
-        val cc = cv.map(x => x * x).sum
-        VectorFunctions.dotProduct(col("v"), col("v")) -
-          lit(2.0) * VectorFunctions.dotProduct(col("v"), vecLit(cv)) + lit(cc)
-      }
-      val mind = if (dists.size == 1) dists.head else least(dists.toSeq: _*)
-      val top = pts.withColumn("d", mind)
-        .orderBy(col("d").desc, col("id")).limit(1).head()
+      val scored =
+        if (carryMinDist) carried
+        else {
+          val dists = chosen.map { case (_, cv, _) => d2(cv) }
+          pts.withColumn("d",
+            if (dists.size == 1) dists.head else least(dists.toSeq: _*))
+        }
+      val top = scored.orderBy(col("d").desc, col("id")).limit(1).head()
       // max min-distance 0 = every remaining point coincides with a
       // chosen center (k exceeds the distinct geometry): stop instead
       // of emitting duplicate centers
       if (top.getDouble(2) <= 0.0) exhausted = true
       else {
-        chosen += ((top.getLong(0), toArr(top.getSeq[Any](1)), top.getDouble(2)))
+        val cv = toArr(top.getSeq[Any](1))
+        chosen += ((top.getLong(0), cv, top.getDouble(2)))
+        if (carryMinDist) {
+          carried = carried.withColumn("d", least(col("d"), d2(cv)))
+          if (i % checkpointEvery == 0) carried = carried.localCheckpoint()
+        }
         i += 1
       }
     }

@@ -117,6 +117,14 @@ class SketchSpec extends SparkSuite {
     val d = a.drop(1).map(_._3)
     assert(d == d.sorted.reverse, d.toString)
 
+    // the carry-min-dist scale path picks bit-identical centers
+    // (least() is exact comparison over the same d² doubles)
+    val carry = graft.ops.SampleOps
+      .kCenterSelect(pts.toDF("vec_id", "embedding").repartition(3),
+        "vec_id", "embedding", k = 4, carryMinDist = true, checkpointEvery = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(carry == a, s"carry=$carry recompute=$a")
+
     // exhausted geometry: k larger than the distinct point set stops
     // early instead of emitting duplicate centers; empty input → empty
     val dup = Seq((1L, v(0, 0)), (2L, v(0, 0)), (3L, v(5, 5)))
