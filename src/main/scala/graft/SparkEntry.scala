@@ -64,7 +64,8 @@ object SparkEntry {
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
     "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _),
     "q_ann_ivfpq" -> (SimilarityQueries.ivfPqBench _),
-    "q_unigram_train" -> (TextQueries.unigramTrainBench _)
+    "q_unigram_train" -> (TextQueries.unigramTrainBench _),
+    "q_unigram_encode" -> (TextQueries.unigramEncodeBench _)
   )
 
   /** Recall-telemetry-only queries: computed by [[Bench]] in the untimed

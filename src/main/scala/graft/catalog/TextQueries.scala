@@ -75,6 +75,23 @@ object TextQueries {
     graft.ops.CorpusOps.unigramTrain(load(s, dir, "documents"),
       "doc_id", "text", vocabSize = 2000, maxPieceLen = 4, emRounds = 2)
 
+  /** Bench-only: full-corpus unigram Viterbi ENCODE with a trained
+    * vocab — the zero-shuffle tokenization rate at sf scale (the
+    * memoized trained model keeps the row honest about encode cost,
+    * not training cost).
+    */
+  private val unigramModelMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Seq[Double])]()
+  def unigramEncodeBench(s: SparkSession, dir: String): DataFrame = {
+    val model = unigramModelMemo.computeIfAbsent(dir, { _ =>
+      val rows = unigramTrainBench(s, dir).collect()
+      (rows.map(_.getString(1)).toSeq, rows.map(_.getDouble(3)).toSeq)
+    })
+    graft.ops.CorpusOps.unigramEncodeDocs(load(s, dir, "documents"),
+        "doc_id", "text", model._1, model._2)
+      .select(col("doc_id"), size(col("pieces")).as("n_pieces"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> { (s, dir) =>
       // per-row text metrics are CPU-bound; spread a single-partition

@@ -160,4 +160,41 @@ object StreamingStats {
         graft.functions.TextFunctions.tokens(col("text")), capacity)
         .as("candidates"))
       .select(col("window.start").as("window_start"), col("candidates"))
+
+  /** Streaming corpus report: the ingest-monitoring face of the batch
+    * dataset-card query (q_corpus_report) — per tumbling window, doc
+    * and token scale, mean tokens, and approximate language spread /
+    * duplicate count. Distinct counts are HLL sketches
+    * (`approx_count_distinct`, rsd 1%) because EXACT distinct
+    * aggregation is unsupported — and unbounded — in a streaming agg;
+    * the batch report owns the exact figures, this face owns the
+    * monitor. One watermarked aggregation; per-open-window state is
+    * counters + two HLL sketches, dropped when the watermark closes
+    * the window. Input needs (ts timestamp, text string).
+    */
+  def windowedCorpusReport(
+      docs: DataFrame,
+      windowLen: String = "10 minutes",
+      watermark: String = "5 minutes"
+  ): DataFrame = {
+    val nt = graft.functions.TextFunctions.tokenCount(col("text"))
+      .cast("long")
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("_nt", coalesce(nt, lit(0L)))
+      .withColumn("_lang", graft.functions.TextFunctions.langId(col("text")))
+      .withColumn("_h", md5(col("text")))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        round(avg(col("_nt")), 6).as("mean_doc_tokens"),
+        approx_count_distinct(col("_lang"), 0.01).as("approx_langs"),
+        greatest(lit(0L),
+          count(lit(1)) - approx_count_distinct(col("_h"), 0.01))
+          .as("approx_dup_docs"))
+      .select(col("window.start").as("window_start"),
+        col("n_docs"), col("n_tokens"), col("mean_doc_tokens"),
+        col("approx_langs"), col("approx_dup_docs"))
+  }
 }

@@ -97,6 +97,36 @@ class StreamingStatsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("windowedCorpusReport: closed window carries scale + dup counters") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "text")
+    val rep = StreamingStats.windowedCorpusReport(docs,
+      windowLen = "10 minutes", watermark = "1 minute")
+    val query = rep.writeStream.format("memory").queryName("report_win")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      stream.addData(
+        (t(1), "alpha beta gamma"),
+        (t(2), "alpha beta gamma"), // exact dup of the first
+        (t(3), "delta epsilon zeta eta"))
+      query.processAllAvailable()
+      stream.addData((t(30), "tick"))
+      query.processAllAvailable()
+      stream.addData((t(60), "tock"))
+      query.processAllAvailable()
+      val w0 = T0 - (T0 % 600000)
+      val rows = spark.sql("select * from report_win").collect()
+        .filter(_.getTimestamp(0).getTime == w0)
+      assert(rows.nonEmpty, "window 0 never closed")
+      val r = rows.head
+      assert(r.getLong(1) == 3L) // n_docs
+      assert(r.getLong(2) == 10L) // n_tokens: 3 + 3 + 4
+      assert(r.getLong(5) == 1L) // one duplicated doc (HLL exact at n=2)
+    } finally query.stop()
+  }
+
   test("windowedHeavyHitterCandidates: closed window carries its heavy tokens") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
