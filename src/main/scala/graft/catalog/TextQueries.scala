@@ -1119,7 +1119,8 @@ object TextQueries {
          |  FROM b),
          |c AS (SELECT doc_id, decile, n_tokens,
          |    sum(n_tokens) OVER (ORDER BY key
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS budget_used
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         |      AS budget_used
          |  FROM k)
          |SELECT doc_id, decile, n_tokens, budget_used
          |FROM c WHERE budget_used <= 10000 ORDER BY doc_id""".stripMargin

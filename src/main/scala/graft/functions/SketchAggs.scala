@@ -89,12 +89,16 @@ case class MisraGries(
         // stored keys must own their bytes
         buf.update(token.clone(), 1L)
       case None =>
-        val dead = mutable.ArrayBuffer.empty[UTF8String]
-        buf.keysIterator.foreach { k =>
+        // sweep over a key snapshot — mutating (even value-only) while a
+        // live keysIterator runs is unspecified for Scala collections
+        val keys = buf.keysIterator.toArray
+        var i = 0
+        while (i < keys.length) {
+          val k = keys(i)
           val c = buf(k) - 1L
-          if (c == 0L) dead += k else buf.update(k, c)
+          if (c == 0L) buf.remove(k) else buf.update(k, c)
+          i += 1
         }
-        dead.foreach(buf.remove)
     }
   }
 
@@ -129,12 +133,14 @@ case class MisraGries(
       val counts = buf.values.toArray
       java.util.Arrays.sort(counts)
       val d = counts(counts.length - capacity - 1) // (capacity+1)-th largest
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      buf.keysIterator.foreach { k =>
+      val keys = buf.keysIterator.toArray // snapshot: no live-iterator mutation
+      var i = 0
+      while (i < keys.length) {
+        val k = keys(i)
         val c = buf(k) - d
-        if (c <= 0L) dead += k else buf.update(k, c)
+        if (c <= 0L) buf.remove(k) else buf.update(k, c)
+        i += 1
       }
-      dead.foreach(buf.remove)
     }
     buf
   }

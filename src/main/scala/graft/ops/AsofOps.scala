@@ -29,10 +29,12 @@ object AsofOps {
     * "latest right per left via join + filter + argmax" duplicates
     * every candidate pair before discarding all but one.
     *
-    * Contract: `right` must be unique per (keyCol, tsCol) — pre-reduce
-    * multiple same-instant rows to one (the ordering of equal-ts right
-    * rows in the union stream is otherwise unspecified, as in any ASOF
-    * engine). Left columns pass through; `payloadCols` (right columns,
+    * Duplicate right rows per (keyCol, tsCol) resolve DETERMINISTICALLY
+    * via a payload-hash tie-break in the window sort (backward picks
+    * the max-xxhash64 payload, forward the min) — re-runs and engines
+    * agree, though which duplicate "wins" is arbitrary-but-stable;
+    * pre-reduce same-instant rows if a specific one must win.
+    * Left columns pass through; `payloadCols` (right columns,
     * names must not clash with left's) arrive null when no right row
     * precedes.
     */
@@ -78,15 +80,20 @@ object AsofOps {
       col(keyCol), col(tsCol).as("_ats"), lit(1).as("_side"),
       lit(null).cast(payType).as("_pay"),
       lrow.as("_lrow"))
+    // deterministic tie-break among right rows sharing (key, ts): a
+    // content hash of the payload struct — without it, last()/first()
+    // over the (_ats, _side)-only sort would pick an arbitrary duplicate
+    // (backward resolves to the max-hash payload, forward to min-hash)
+    val tieKey = xxhash64(col("_pay"))
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ats").asc, col("_side").asc)
+      .orderBy(col("_ats").asc, col("_side").asc, tieKey.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // forward frame: rows AFTER the current left row in the same sort.
     // An equal-ts right row sorts BEFORE the left row (side tag), so it
     // is seen by the BACKWARD pass at distance 0 — which is exactly the
     // forward-inclusive tie too, handled in the mode selection below.
     val wf = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ats").asc, col("_side").asc)
+      .orderBy(col("_ats").asc, col("_side").asc, tieKey.asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val both = rs2.unionByName(ls2)
       .withColumn("_bd", last(col("_pay"), ignoreNulls = true).over(w))

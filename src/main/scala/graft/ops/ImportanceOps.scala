@@ -136,10 +136,15 @@ object ImportanceOps {
   }
 
   /** Seeded Gumbel noise in column form: u = (h32 + 0.5) / 2^32 with
-    * h32 the first 8 md5 hex digits of s"$seed-$doc" — u ∈ (0,1) and
-    * bit-identical in any engine with the same md5/division (the +0.5
-    * and the power-of-two divisor are exact in binary64), then
-    * g = −ln(−ln u).
+    * h32 the first 8 md5 hex digits of s"$seed-$doc" — u ∈ (0,1) is
+    * bit-identical in any engine with the same md5 (the +0.5 and the
+    * power-of-two divisor are exact in binary64). The final
+    * g = −ln(−ln u) is deterministic per engine but only
+    * last-ulp-reproducible ACROSS engines: ln rounding may differ
+    * between libm implementations, so a cross-engine top-k over these
+    * keys can in principle flip on a near-exact tie (u values are
+    * distinct by construction, which makes actual key ties measure-zero
+    * but not impossible after the double ln).
     */
   def gumbelNoise(doc: Column, seed: String): Column = {
     val h = conv(substring(md5(concat(lit(s"$seed-"), doc.cast("string"))), 1, 8),

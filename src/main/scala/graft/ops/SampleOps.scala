@@ -190,12 +190,22 @@ object SampleOps {
     import spark.implicits._
     import graft.functions.VectorFunctions
 
-    val pts = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // idCol must be integral (int/short/long/byte) — cast up front so
+    // getLong below is safe for any of them; a non-integral id type is
+    // rejected here at plan time rather than failing mid-loop
+    val idType = df.schema(idCol).dataType
+    require({
+      import org.apache.spark.sql.types._
+      idType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+    }, s"kCenterSelect idCol must be an integral type, got $idType")
+    val pts = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     def vecLit(c: Array[Double]): Column = array(c.map(lit): _*)
     def toArr(a: Seq[Any]): Array[Double] = a.map {
-      case f: Float => f.toDouble
-      case d: Double => d
+      case n: java.lang.Number => n.doubleValue()
     }.toArray
     def d2(cv: Array[Double]): Column = {
       val cc = cv.map(x => x * x).sum
