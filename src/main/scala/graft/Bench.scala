@@ -156,35 +156,68 @@ object Bench {
     // PageRank/LPA/refinement build can't hide behind a memo-warm
     // second pass. Queries that only READ a memo another query built
     // keep the reference's cached-metrics semantics on both passes.
+    // Per-pass Spark JOB COUNT (VERDICT r10 #2): a row whose wall
+    // varies across quiet series with NO code change is either harness
+    // noise or plan/job nondeterminism (AQE flips, memo-miss re-builds,
+    // driver-side loops taking a different branch). The job count is
+    // the decisive witness: flat jobs + banded wall = host/JIT noise;
+    // banded jobs = the query really did different work, and the memo
+    // attribution says which build it was. Counted via listener;
+    // onJobStart posts are async, so the read polls until two
+    // consecutive samples agree (bounded, outside the timed window).
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+    def stableJobCount(): Long = {
+      var prev = jobCounter.get(); var tries = 0
+      while (tries < 20) {
+        Thread.sleep(10)
+        val cur = jobCounter.get()
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
     var calMid = -1.0
     var calShMid = -1.0
     val midAt = runnable.size / 2
     val results = runnable.zipWithIndex.map { case ((name, fn), i) =>
       if (i == midAt) { calMid = calibrate(); calShMid = calibrateShuffle() }
       graft.trace.MemoLog.currentQuery = name
-      def once(): (Double, Double, Double) = withLoad {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+      def once(): (Double, Double, Double, Long) = {
+        val j0 = stableJobCount()
+        val (t, l, c) = withLoad {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        (t, l, c, stableJobCount() - j0)
       }
-      val (first, best, load, cpu) =
+      val (first, best, load, cpu, jobs1, jobs2) =
         try {
-          val (r1, l1, c1) = once()
+          val (r1, l1, c1, j1) = once()
           val built = graft.trace.MemoLog.memosBuiltBy(name)
           if (built.nonEmpty) graft.trace.MemoLog.clearMemos(built)
-          val (r2, l2, c2) = once()
+          val (r2, l2, c2, j2) = once()
           // load/cpu are attributed to the pass the reported min came
-          // from — "was THIS number contended?" answered per row
+          // from — "was THIS number contended?" answered per row.
+          // BOTH passes' job counts ride the detail file: pass-1 vs
+          // pass-2 divergence separates memo-build jobs from plan
+          // nondeterminism within one run.
           (r1, math.min(r1, r2),
-            if (r1 <= r2) l1 else l2, if (r1 <= r2) c1 else c2)
+            if (r1 <= r2) l1 else l2, if (r1 <= r2) c1 else c2, j1, j2)
         }
         catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            (-1.0, -1.0, -1.0, -1.0)
+            (-1.0, -1.0, -1.0, -1.0, -1L, -1L)
         }
-      (name, first, best, load, cpu)
+      (name, first, best, load, cpu, jobs1, jobs2)
     }
     val calEnd = calibrate()
     val calShEnd = calibrateShuffle()
@@ -241,8 +274,10 @@ object Bench {
         brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
         probe <- ckpt("q_ann_pq_rerank", Seq("query_id", "neighbor_id"))
         both <- ckpt("q_ann_ivfpq", Seq("query_id", "neighbor_id"))
+        bothKm <- ckpt("q_ann_ivfpq_kmeans", Seq("query_id", "neighbor_id"))
       } yield rec("q_ann_pq_rerank", probe, brute, Seq("query_id", "neighbor_id")) ++
-        rec("q_ann_ivfpq", both, brute, Seq("query_id", "neighbor_id"))
+        rec("q_ann_ivfpq", both, brute, Seq("query_id", "neighbor_id")) ++
+        rec("q_ann_ivfpq_kmeans", bothKm, brute, Seq("query_id", "neighbor_id"))
       // θ=0.9 design point over planted twins (the near-dup regime the
       // corpus itself lacks; truth = exact cosine on the planted pairs)
       val design = for {
@@ -284,19 +319,29 @@ object Bench {
     //      evidence the compact line no longer carries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def r2(v: Double): Double = math.rint(v * 100) / 100
-    val qsFull = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map { case (k, _, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qsFirst = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loadJson = results
-      .map { case (k, _, _, l, _) => "\"" + k + "\":" + math.rint(l * 1000) / 1000 }
+      .map { case (k, _, _, l, _, _, _) => "\"" + k + "\":" + math.rint(l * 1000) / 1000 }
       .mkString("{", ",", "}")
     val cpuJson = results
-      .map { case (k, _, _, _, c) => "\"" + k + "\":" + math.rint(c * 100) / 100 }
+      .map { case (k, _, _, _, c, _, _) => "\"" + k + "\":" + math.rint(c * 100) / 100 }
       .mkString("{", ",", "}")
     val flagged = results.collect {
-      case (k, _, _, l, _) if l > LoadFlagBound => k }
+      case (k, _, _, l, _, _, _) if l > LoadFlagBound => k }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-row job counts, both passes (jobs = the pass the min came
+    // from is NOT singled out — pass-1 includes memo builds, pass-2 is
+    // the steady state; a banded wall with flat jobs on both passes is
+    // harness noise, banded jobs is real plan/branch nondeterminism)
+    val jobsJson = results
+      .map { case (k, _, _, _, _, j1, _) => "\"" + k + "\":" + j1 }
+      .mkString("{", ",", "}")
+    val jobs2Json = results
+      .map { case (k, _, _, _, _, _, j2) => "\"" + k + "\":" + j2 }
+      .mkString("{", ",", "}")
     val memoJson = graft.trace.MemoLog.snapshot.toSeq.sortBy(_._1)
       .map { case (m, q) => "\"" + m + "\":\"" + q + "\"" }.mkString("{", ",", "}")
     val recallJson = recalls
@@ -304,8 +349,8 @@ object Bench {
       .mkString("{", ",", "}")
     val calJson =
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"shuffle_start":$calShStart,"shuffle_mid":$calShMid,"shuffle_end":$calShEnd}"""
-    val total = results.collect { case (_, _, v, _, _) if v >= 0 => v }.sum
-    val totalFirst = results.collect { case (_, v, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case (_, _, v, _, _, _, _) if v >= 0 => v }.sum
+    val totalFirst = results.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
     // default detail path is the DRIVER file: harness runs must not
     // clobber the committed quiet yardstick (bench_detail_last.json,
     // VERDICT r8 #2) — quiet recordings opt in explicitly via
@@ -314,7 +359,7 @@ object Bench {
       "tools/bench_detail_driver.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"jobs_pass1":$jobsJson,"jobs_pass2":$jobs2Json,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
       finally w.close()
       System.err.println(s"[bench] full detail written to $detailPath")
     } catch {
@@ -325,7 +370,7 @@ object Bench {
     // grows: 3-decimal times + probes → drop probes → 2-decimal times.
     // The budget leaves ~200 chars for sbt's trailing success line.
     def line(dp: Double => Double, probes: Boolean): String = {
-      val qs = results.map { case (k, _, v, _, _) => "\"" + k + "\":" + dp(v) }
+      val qs = results.map { case (k, _, v, _, _, _, _) => "\"" + k + "\":" + dp(v) }
         .mkString("{", ",", "}")
       val cal =
         if (probes)
@@ -355,7 +400,7 @@ object Bench {
       def footer(foldedN: Int) =
         (if (foldedN > 0) s""","compact_folded_n":$foldedN""" else "") +
           s""","load_flagged_n":${flagged.size},"sf":"$sfDir"}"""
-      val sorted = results.map { case (k, _, v, _, _) => (k, v) }.sortBy(-_._2)
+      val sorted = results.map { case (k, _, v, _, _, _, _) => (k, v) }.sortBy(-_._2)
       val sb = new StringBuilder
       var folded = 0
       var foldSum = 0.0

@@ -63,9 +63,23 @@ object SparkEntry {
     "q_communities_refined_dist" -> (AlgoQueries.refinedShuffledSigmaBench _),
     "q_dedup_clusters_dist" -> (TextQueries.clustersDistBench _),
     "q_ann_ivf_kmeans" -> (SimilarityQueries.ivfKMeansBench _),
-    "q_ann_ivfpq" -> (SimilarityQueries.ivfPqBench _),
+    // renamed from q_ann_ivfpq in r11 when the strided composed path
+    // got an oracle entry under that name: this row keeps the
+    // kmeans-codebook production variant measured
+    "q_ann_ivfpq_kmeans" -> (SimilarityQueries.ivfPqBench _),
+    "q_mmr_largek" -> (SimilarityQueries.mmrLargeKBench _),
+    // carry path at curation k; the O(k²) recompute sibling
+    // (SampleQueries.kCenterRecomputeBench) is deliberately NOT a
+    // per-round row — it reads ~193 s at ANY sf (planning-dominated:
+    // step i's projection carries i literal-centroid kernels), which is
+    // the crossover finding itself. One-off sweep recorded in BASELINE
+    // (graft.tools.KCenterSweep).
+    "q_sample_kcenter_carry" -> (SampleQueries.kCenterCarryBench _),
     "q_unigram_train" -> (TextQueries.unigramTrainBench _),
-    "q_unigram_encode" -> (TextQueries.unigramEncodeBench _)
+    // renamed from q_unigram_encode in r11 when the pinned-oracle
+    // subset query took that name: this row is the FULL-corpus encode
+    // throughput with a runtime-trained model
+    "q_unigram_encode_full" -> (TextQueries.unigramEncodeBench _)
   )
 
   /** Recall-telemetry-only queries: computed by [[Bench]] in the untimed
@@ -100,6 +114,7 @@ object SparkEntry {
     "q_filter_adaptive",
     "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",
+    "q_ann_ivfpq", "q_unigram_encode",
     "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",

@@ -26,11 +26,33 @@ object TimeQuery {
       SparkEntry.benchUntimed)(name)
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
       println(fn(spark, sfDir).queryExecution.optimizedPlan.toString)
+    // per-repeat Spark job count (same async-drain read as Bench): a
+    // banded wall with a flat job count is harness/host noise; a banded
+    // job count is real plan/branch nondeterminism
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
+    def stableJobCount(): Long = {
+      var prev = jobCounter.get(); var tries = 0
+      while (tries < 20) {
+        Thread.sleep(10)
+        val cur = jobCounter.get()
+        if (cur == prev) return cur
+        prev = cur; tries += 1
+      }
+      prev
+    }
     val times = (1 to repeats).map { i =>
+      val j0 = stableJobCount()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val s = (System.nanoTime() - t0) / 1e9
-      println(f"$name run $i: $s%.2f s ($n rows)")
+      val jobs = stableJobCount() - j0
+      println(f"$name run $i: $s%.2f s ($n rows, $jobs jobs)")
       s
     }
     println(f"$name min: ${times.min}%.2f s")

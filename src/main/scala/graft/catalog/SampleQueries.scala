@@ -184,4 +184,25 @@ object SampleQueries {
       "q_filter_adaptive" -> adaptive
     )
   }
+
+  /** Bench-only k-center at curation-scale k: the two spec-equal paths
+    * ([[graft.ops.SampleOps.kCenterSelect]]) timed head-to-head at
+    * k=200 — recompute evaluates i distances per row at step i
+    * (O(k²·n/2) kernel work), carry rides a checkpointed running-min
+    * column (O(k·n) plus checkpoint materializations). The reference's
+    * own k never leaves single digits; these rows record where the
+    * crossover actually sits so the carryMinDist default can be chosen
+    * from data (BASELINE operating-point note).
+    */
+  def kCenterRecomputeBench(s: SparkSession, dir: String): DataFrame =
+    SampleOps.kCenterSelect(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 200)
+      .select(col("rank"), col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("rank"))
+
+  def kCenterCarryBench(s: SparkSession, dir: String): DataFrame =
+    SampleOps.kCenterSelect(load(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 200, carryMinDist = true)
+      .select(col("rank"), col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      .orderBy(col("rank"))
 }

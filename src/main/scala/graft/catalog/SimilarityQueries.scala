@@ -88,6 +88,27 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_ann_ivfpq" -> { (s, dir) =>
+      // the composed 100-TB serving scan: IVF routing bounds WHAT is
+      // probed (6/8 cells), PQ/ADC bounds what a probe READS (~64×
+      // fewer bytes), exact re-rank of the shortlist restores order —
+      // strided codebooks/centroids so the whole composition replays
+      // bit-for-bit in SQL (the kmeans-codebook production variant is
+      // the q_ann_ivfpq_kmeans bench row)
+      val emb = load(s, dir, "embeddings")
+      val (assigned, centroids) =
+        SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = IvfCells)
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        PqSub, PqCodesRerank)
+      val codes = SimilarityOps.pqEncode(assigned, "vec_id", "embedding", cb,
+        passthrough = Seq("cell"))
+      SimilarityOps.pqTopKIvf(codes, "vec_id", emb, "vec_id", "embedding",
+          centroids, emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb,
+          k = 10, nProbe = IvfProbes, shortlist = PqShortlist)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_recon_candidates" -> { (s, dir) =>
       // J12 — reconciliation-candidate join: top-10 per new fact with
       // cosine >= threshold, then dedup across facts (first fact wins,
@@ -200,6 +221,24 @@ object SimilarityQueries {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Bench-only large-k MMR: the distributed carry path
+    * ([[SimilarityOps]]'s driver loop is spec-equal, FixtureSpec) at a
+    * curation-scale k=100 over a 400-candidate pool — the regime where
+    * the driver loop's k·fetchK pairwise evaluations and fetchK-row
+    * collect stop being free. No oracle: the sequential selection is
+    * not SQL-expressible; equality with the oracle-adjacent driver loop
+    * is the correctness story.
+    */
+  def mmrLargeKBench(s: SparkSession, dir: String): DataFrame = {
+    val emb = load(s, dir, "embeddings")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    graft.ops.SearchOps.mmrIterative(emb, "embedding", "vec_id", q,
+        k = 100, lambda = 0.5)
+      .select(col("vec_id"), round(col("score"), 6).as("score"), col("mmr_rank"))
+      .orderBy(col("mmr_rank"))
   }
 
   // ---- design-point near-dup bench (VERDICT r4 #4) -------------------
@@ -424,6 +463,49 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    // composed IVF × PQ replay: the pq_rerank CTEs (strided codebooks,
+    // fixed-order ADC) plus the ivf CTEs (strided centroids, 6/8 probe
+    // routing); ADC scoring is restricted to vectors in probed cells
+    // BEFORE the shortlist — the unused full-cross `scored` CTE from
+    // pqCtes is never referenced, so DuckDB doesn't evaluate it
+    val ivfpq =
+      s"""WITH ${pqCtes(PqCodesRerank)},
+         |cent AS (SELECT row_number() OVER (ORDER BY vec_id) AS cell, v AS cv
+         |         FROM (SELECT e.vec_id, e.v
+         |               FROM e CROSS JOIN (SELECT greatest(1, count(*) // $IvfCells) AS stride FROM e) s
+         |               WHERE e.vec_id % s.stride = 0
+         |               ORDER BY e.vec_id LIMIT $IvfCells)),
+         |acell AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cent.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent) WHERE rn = 1),
+         |routed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT e.vec_id AS query_id, cent.cell,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cos("e.v", "cent.cv")} DESC, cent.cell ASC) AS rn
+         |    FROM e CROSS JOIN cent WHERE e.vec_id < 5) WHERE rn <= $IvfProbes),
+         |iscored AS (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    list_aggregate([ q.dl[m*$PqCodesRerank + c.cl[m+1] + 1]
+         |      for m in range(0, $PqSub) ], 'sum') AS adc
+         |  FROM dtl q JOIN routed r ON r.query_id = q.query_id
+         |  JOIN acell a ON a.cell = r.cell
+         |  JOIN cvl c ON c.vec_id = a.vec_id
+         |  WHERE q.query_id <> c.vec_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rn
+         |  FROM iscored) WHERE rn <= $PqShortlist),
+         |ex AS (SELECT s.query_id, s.neighbor_id, ${cos("qe.v", "ne.v")} AS c
+         |  FROM short s JOIN e qe ON s.query_id = qe.vec_id
+         |  JOIN e ne ON s.neighbor_id = ne.vec_id),
+         |rr AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank
+         |      FROM ex)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+         |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     val recon =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
@@ -549,6 +631,7 @@ object SimilarityQueries {
       "q_ann_ivf" -> ivf,
       "q_ann_pq" -> pq,
       "q_ann_pq_rerank" -> pqRerank,
+      "q_ann_ivfpq" -> ivfpq,
       "q_recon_candidates" -> recon,
       "q_semdedup" -> semdedup,
       "q_proto_prune" -> protoPrune,

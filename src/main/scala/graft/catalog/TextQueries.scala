@@ -347,6 +347,24 @@ object TextQueries {
           col("budget_used"))
         .orderBy(col("doc_id"))
     },
+    "q_unigram_encode" -> { (s, dir) =>
+      // Viterbi-encode the pinned doc subset with the FROZEN model
+      // (UnigramPinnedModel, exported once by tools.UnigramExport) —
+      // the encode is a zero-shuffle native-kernel projection, the
+      // 100 TB tokenization shape; output = piece count + first-16
+      // head + md5 of the full sequence, matching the independent
+      // replay's pinned VALUES oracle (tools/unigram_replay.py)
+      graft.ops.CorpusOps.unigramEncodeDocs(
+          load(s, dir, "documents")
+            .filter(pmod(col("doc_id"), lit(7)) === 0),
+          "doc_id", "text",
+          UnigramPinnedModel.Pieces, UnigramPinnedModel.Logps)
+        .select(col("doc_id"),
+          size(col("pieces")).cast("long").as("n_pieces"),
+          concat_ws(" ", slice(col("pieces"), 1, 16)).as("head_pieces"),
+          md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
+        .orderBy(col("doc_id"))
+    },
     "q_shard_pack" -> { (s, dir) =>
       // pack the corpus into ~1000-token training shards in doc_id
       // order — two-level distributed prefix sum (ShardOps), never a
@@ -1509,9 +1527,100 @@ object TextQueries {
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,
       "q_dedup_ngram_jaccard" -> ngramJaccard,
-      "q_pii_redact" -> piiRedact
+      "q_pii_redact" -> piiRedact,
+      "q_unigram_encode" -> unigramEncodePinned
     )
   }
+
+  /** Pinned oracle for the Viterbi unigram ENCODE: the DP is not
+    * reasonably SQL-replayable, so the expected rows are derived by an
+    * INDEPENDENT from-scratch replay of the documented kernel semantics
+    * (tools/unigram_replay.py — longest-piece-first strictly-greater
+    * tie rule, -100 unk fallback, no Scala code shared) over the
+    * sf0.01 documents subset (doc_id % 7 = 0), encoding with the SAME
+    * frozen model the Spark query uses ([[UnigramPinnedModel]]).
+    * Regenerate with `unigram_replay.py <sf_dir> --sql` only when the
+    * pinned model or subset changes. pieces_md5 covers the FULL piece
+    * sequence; head_pieces keeps a mismatch diagnosable.
+    */
+  private val unigramEncodePinned: String =
+    """SELECT doc_id::BIGINT AS doc_id, n_pieces::BIGINT AS n_pieces,
+        |  head_pieces, pieces_md5
+        |FROM (VALUES
+        |  (0, 44, 'key agg row scan slow fast tabl e valu e part hash valu e tabl e', 'fa5ca2c1d192804398b7b519b8eb99fb'),
+        |  (7, 102, 'batc h wind ow vect or hash fast part wind ow the st ream key co', 'ce96d5dd6ebb4f381f8d2e930896842b'),
+        |  (14, 139, 'st ream s mall agg the g roup st ream line g roup g roup fast', '0be2a98be1743c418236ddef8b0c519a'),
+        |  (21, 56, 'key orde r join cust omer batc h row data cust omer vect or key cust', '10f5f86851bdac073a87614513c21ca8'),
+        |  (28, 92, 'quer y hash key line s park agg fast slow row key filt er wind ow', '15096006c80db20e6ce774a4d27b1b1b'),
+        |  (35, 118, 'filt er join join big agg key filt er a a tabl e big tabl e', '035e5872f1d76ccdeb2fe177891860e7'),
+        |  (42, 83, 'g roup co lumn key wind ow join g roup wind ow scan orde r join', '3a197f60c7b3d5bdff7b659c94655838'),
+        |  (49, 70, 'quer y batc h data batc h slow key co lumn scan sort vect or big', 'e3a2a06521965673e36d4e5388de1873'),
+        |  (56, 149, 'merg e key part vect or data orde r wind ow s park row tabl e', '498fe11a2f94054fe404f044c36ae6d4'),
+        |  (63, 142, 'scan s mall data slow scan quer y row slow big part filt er wind ow', 'daa98c5ecdc961514dd8ed5d52bcf8c3'),
+        |  (70, 141, 'the co lumn cust omer data st ream slow wind ow hash part a line g', 'a490994bdf261769e913ef5adbf69df2'),
+        |  (77, 86, 'a tabl e wind ow key batc h slow co lumn big orde r join fast', '10dcb3b054a7dfc4d24b0e9da772a547'),
+        |  (84, 111, 'hash part orde r hash scan g roup sort data s park cust omer scan quer', '334232af37a7f8b2e6931c9324e1e0f5'),
+        |  (91, 122, 'batc h s mall tabl e s park quer y quer y a agg part join', 'fa859c3353a135d5a822e5e40e93cf39'),
+        |  (98, 151, 's park scan s park tabl e hash batc h vect or key cust omer merg', '075f339c5677d407043f41036a335c05'),
+        |  (105, 88, 'the fast co lumn batc h valu e hash filt er scan sort wind ow data', '78971003d3e79e6ee2aa6595627ae672'),
+        |  (112, 90, 'vect or orde r the scan the vect or wind ow batc h merg e merg', '911715cc6ad3bd9bedd93edafafdbb4d'),
+        |  (119, 23, 'co lumn filt er agg row agg vect or part batc h join g roup scan', '6e694d5d40da243bc4a47a04be7ad21e'),
+        |  (126, 134, 'key hash line the merg e cust omer s park orde r cust omer wind ow', '3e4e529d9fe71747a155146bbc899b6d'),
+        |  (133, 135, 'row cust omer co lumn tabl e fast key vect or s mall scan join vect', '8657fde6bb3dd92d74c2045eb49c2ccd'),
+        |  (140, 44, 'g roup agg big quer y filt er the sort agg valu e sort wind ow', 'b0865c6a16372470cba279c3726c76bc'),
+        |  (147, 121, 'g roup batc h key s mall valu e st ream hash batc h agg cust', 'caede49a1cda9b5c02301182932364f1'),
+        |  (154, 119, 'sort orde r valu e a co lumn slow hash line scan merg e the the', '085b25778aca26406acc0e4cd8f1affe'),
+        |  (161, 127, 'fast join key cust omer the sort tabl e valu e fast join st ream sort', '749a898b6872b6224ecc17664a124f1e'),
+        |  (168, 63, 's mall quer y slow cust omer slow quer y join batc h st ream part', '98952f94bc28a95fe18ff5d41b4b694a'),
+        |  (175, 44, 'g roup g roup orde r fast valu e sort co lumn wind ow g roup', 'bafe81c3f8023be7e86008fc9356537d'),
+        |  (182, 93, 'agg key orde r row vect or batc h cust omer the join quer y g', '6c950561d1eaa59bfcca628d7f7e7d2f'),
+        |  (189, 59, 'g roup wind ow line slow valu e big quer y st ream part valu e', '794ccedffa8e88b7f4aaf0a029d62614'),
+        |  (196, 91, 'filt er big co lumn slow agg batc h quer y merg e valu e scan', '516f5c089ba6f3b95b600a04e18b542f'),
+        |  (203, 34, 'co lumn tabl e line batc h slow quer y valu e scan sort part tabl', 'ab53d2025c45402ff5b5a74562badcbc'),
+        |  (210, 140, 'cust omer batc h wind ow co lumn data orde r s mall vect or fast', 'ef958c3bf476d14ecf90b1dd7eb76c2f'),
+        |  (217, 96, 'tabl e part key sort co lumn key line hash s mall sort vect or the', '546fe3ab64e7b8b42bf7321a78819c3e'),
+        |  (224, 119, 'scan part batc h cust omer g roup join wind ow data scan big co lumn', '7b14a0815b4dc91a9c6ca28970ac4945'),
+        |  (231, 45, 'a part wind ow slow s park tabl e fast filt er data orde r s', '0ac1820cb5bf509e3f9c472e7388a779'),
+        |  (238, 72, 'quer y quer y part slow orde r key valu e fast wind ow merg e', '7da5afd2f7b9a02b33e945c74880255e'),
+        |  (245, 133, 'the s park join st ream a s mall orde r merg e co lumn g', '1cbac3f504f1f3c5b813fe5c0f0dedfa'),
+        |  (252, 67, 's park wind ow filt er valu e key vect or hash scan cust omer sort', '5c2d69337a64dd393c1ce6ecc7ba5576'),
+        |  (259, 68, 'line data slow data a vect or scan cust omer hash wind ow filt er part', '27f723b815e3976d923fc184afd10119'),
+        |  (266, 57, 'line key filt er join g roup the key cust omer merg e cust omer sort', 'c8a8f7b7c90a6ed04f443d74849a0841'),
+        |  (273, 45, 'agg tabl e wind ow scan tabl e part co lumn quer y vect or s', '5fbdebc47288e120acb7ab15a3f3fd71'),
+        |  (280, 124, 'scan wind ow valu e fast agg tabl e st ream data batc h merg e', '15b979053aa09fcbd4b8192c4d919127'),
+        |  (287, 28, 'cust omer merg e sort g roup join the slow s park g roup agg co', '262fa568abdee4b78f176b847dc108a0'),
+        |  (294, 129, 'row hash agg valu e co lumn merg e st ream sort wind ow sort g', '0bf06e40bd57297d4afc1c137eb87848'),
+        |  (301, 141, 'g roup fast fast data row data st ream part st ream hash st ream orde', '37e5b5b206366bea51dced6fb460e6f0'),
+        |  (308, 26, 'batc h scan wind ow valu e filt er join st ream big co lumn hash', '342fc4991ca7bb0d317834b38e4a2cbd'),
+        |  (315, 129, 'g roup s mall data line agg s park row merg e tabl e fast wind', 'a0c690478859ad06443a68883644ddf8'),
+        |  (322, 69, 'tabl e wind ow big co lumn fast co lumn key s mall batc h wind', 'aab10fde2d556f0a4f0c4014bbd3ea4b'),
+        |  (329, 97, 'merg e batc h big row sort hash scan wind ow g roup quer y cust', '067e8a69e5343a05a28e2edb22da2ede'),
+        |  (336, 101, 'tabl e hash cust omer co lumn quer y line scan merg e data orde r', '505294b84039bacd5e887f24c5d345c5'),
+        |  (343, 40, 'row slow data data merg e s mall part data a tabl e the orde r', 'e826c78779aa98888cc718850f43ee6c'),
+        |  (350, 120, 'batc h join sort valu e quer y sort sort st ream fast vect or sort', 'c2044eb1ff2b809d22f4db9da27caffa'),
+        |  (357, 67, 'hash a sort filt er key hash batc h orde r line join part st ream', 'da9114ff7aad96445fd20f51fc01574d'),
+        |  (364, 74, 'fast co lumn co lumn line big batc h orde r orde r part key vect', '82a79da1c9e43d6021ea01a3bf2f5b67'),
+        |  (371, 95, 'wind ow big row wind ow big s mall the co lumn sort agg batc h', '48d92c4349e037a59ade26c68db4ec08'),
+        |  (378, 95, 'sort s mall tabl e scan st ream orde r s park big vect or the', '1f3e528d7919d9f15e09bc9201fe0c99'),
+        |  (385, 106, 'cust omer big scan line cust omer merg e hash scan tabl e a vect or', 'b7ec52033d8b9da57a883045bbbf2c9c'),
+        |  (392, 39, 'vect or g roup co lumn orde r wind ow row key s mall quer y', 'ec58142f87f347c24d58f710ba4ca14a'),
+        |  (399, 84, 'co lumn key sort wind ow st ream row cust omer sort row batc h agg', '8fec4d8748d9cd893916e1144c48fa10'),
+        |  (406, 129, 'tabl e cust omer hash vect or valu e a orde r merg e fast batc', '67b8aa502b9863e5729cbd3c36409349'),
+        |  (413, 120, 'merg e g roup part scan row valu e co lumn batc h the tabl e', 'f0b2a3b964c59ca91c5c91ab353fe3ec'),
+        |  (420, 123, 'fast merg e sort fast fast slow sort scan data g roup g roup tabl e', '40332a48c7e01f770216ec8628dbfdf8'),
+        |  (427, 115, 'a key wind ow s mall data co lumn part part st ream quer y slow', '91780cca64fcbe2fde56e73cbfb97838'),
+        |  (434, 112, 'co lumn quer y key big vect or filt er line fast fast a filt er', '7ee1b931599558e4049f058ebe8e466f'),
+        |  (441, 146, 'slow wind ow s mall filt er merg e orde r orde r s mall g', '18d1b0aec8a0f8cdf8b44e73e93e646d'),
+        |  (448, 75, 'slow line join g roup filt er key sort g roup hash data the the st', '3a3d5248a17eb285a895e9c72e6a7e61'),
+        |  (455, 17, 'tabl e s mall sort orde r s mall hash st ream data big key g', 'd46cd41986f169d11501c0c00d5c1091'),
+        |  (462, 88, 'key line join orde r valu e quer y cust omer sort slow part tabl e', '083ed6526056af18dcf8c2663ddf29be'),
+        |  (469, 17, 'row line batc h part quer y quer y s mall st ream orde r st', '969d718e899ddbeba55a639fd541a8f7'),
+        |  (476, 23, 'hash vect or part s park batc h s mall a quer y join agg hash', '599b0d8057b05cf14427fe4a723a739f'),
+        |  (483, 67, 'join tabl e slow join cust omer a s park agg agg quer y key data', 'adb53253045c6ba33d410e2205911cbb'),
+        |  (490, 73, 'wind ow quer y a the sort part slow the hash hash key co lumn s', '1c904e5ddabd7b3a2497f84adf248aae'),
+        |  (497, 32, 'wind ow st ream vect or merg e co lumn orde r part tabl e cust', '90f145da6018ab9f2d8d05653d80c868')
+        |) AS t(doc_id, n_pieces, head_pieces, pieces_md5)
+        |ORDER BY doc_id""".stripMargin
 
   /** Oracle for q_pii_redact, generated from [[graft.ops.PiiOps.Categories]]
     * so the patterns, replacement tokens, and application order cannot

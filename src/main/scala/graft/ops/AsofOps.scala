@@ -140,9 +140,18 @@ object AsofOps {
     *
     * Scale shape: interval fan-out is ceil(len/binMs)+1 rows per
     * interval; the join is a plain shuffled (or AQE-broadcast)
-    * equi-join on uniform (key, bin) keys. Set `binMs` near the
+    * equi-join on uniform (key, bin) keys. `binMs` should sit near the
     * typical interval length: larger bins mean fewer interval copies
-    * but denser candidate bins. The naive `points.join(intervals,
+    * but denser candidate bins. The DEFAULT (binMs omitted or <= 0)
+    * derives it as the p50 interval length via [[derivedBinMs]] — at
+    * 100× a hand-set bin either fans every interval out across many
+    * bins (too small) or piles a scan's worth of candidates into each
+    * bin (too large), while the median tracks the data itself; pass an
+    * explicit binMs to override when the length distribution is known
+    * to be heavy-tailed and a specific operating point is wanted. Any
+    * positive bin width returns the SAME rows (OpsSpec asserts the
+    * invariance, including for the derived value) — the knob is purely
+    * a performance trade. The naive `points.join(intervals,
     * pt.between(start, end))` plans as BroadcastNestedLoopJoin — a
     * per-key cartesian.
     *
@@ -155,17 +164,40 @@ object AsofOps {
       ptCol: String,
       startCol: String,
       endCol: String,
-      binMs: Long): DataFrame = {
-    require(binMs > 0, "binMs must be positive")
+      binMs: Long = 0L): DataFrame = {
+    val bin = if (binMs > 0) binMs
+      else derivedBinMs(intervals, startCol, endCol)
     val clash = points.columns.toSet.intersect(intervals.columns.toSet) - keyCol
     require(clash.isEmpty, s"column clash: ${clash.mkString(",")}")
     val ib = intervals
       .filter(col(startCol) <= col(endCol))
       .withColumn("_bin",
-        explode(sequence(floor(col(startCol) / binMs), floor(col(endCol) / binMs))))
-    val pb = points.withColumn("_bin", floor(col(ptCol) / binMs))
+        explode(sequence(floor(col(startCol) / bin), floor(col(endCol) / bin))))
+    val pb = points.withColumn("_bin", floor(col(ptCol) / bin))
     pb.join(ib, Seq(keyCol, "_bin"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("_bin")
+  }
+
+  /** Default bin width for [[rangeJoin]]: the exact p50 interval length
+    * (end − start, valid intervals only), clamped to >= 1 — at the
+    * median, a typical interval explodes to ~2 bin copies while a bin
+    * holds a data-scale candidate load. One tiny aggregation over the
+    * interval side ([[graft.ops.QuantileOps.exactPercentiles]], a
+    * bounded single-row collect), so deriving costs one extra job, not
+    * a shuffle of either join side. Empty/degenerate interval sets
+    * fall back to 1 (the join result is empty or tiny there anyway).
+    */
+  def derivedBinMs(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String): Long = {
+    val lens = intervals
+      .filter(col(startCol) <= col(endCol))
+      .select((col(endCol) - col(startCol)).as("_len"), lit("all").as("_g"))
+    val rows = graft.ops.QuantileOps
+      .exactPercentiles(lens, "_len", "_g", Map("p50" -> 50))
+      .select(col("quantile")).collect()
+    if (rows.isEmpty) 1L else math.max(1L, rows.head.getLong(0))
   }
 }

@@ -303,4 +303,71 @@ object SearchOps {
       .toSeq
       .toDF(idCol, "score", "mmr_rank")
   }
+
+  /** Large-k face of [[mmr]] (SURVEY §2.4): the greedy selection runs
+    * as k distributed argmax passes instead of a driver loop over a
+    * collected candidate array. The running diversity penalty
+    * `max sim(d, selected)` rides the candidate DataFrame as a carried
+    * column (the [[graft.ops.SampleOps.kCenterSelect]] carry trick with
+    * `greatest` instead of `least`): each step evaluates ONE
+    * new-center cosine per candidate, takes the
+    * TakeOrderedAndProject(1) argmax of λ·sim − (1−λ)·maxSel with the
+    * same (value desc, id asc) tie-break as the driver loop, and
+    * anti-selects the winner — O(k·fetchK) kernel evaluations, driver
+    * state k·dim floats, no fetchK-row collect.
+    *
+    * Bit-equal to [[mmr]] by construction: relevance and penalty both
+    * come from the same CosineSim kernel, the carried `greatest` chain
+    * evaluates exactly the pairwise maxima the driver loop re-derives
+    * (double max is exact), and the argmax ordering matches the loop's
+    * scan rule (OpsSpec asserts equality on the FixtureSpec geometry
+    * and on real embeddings). Use when k·fetchK rows stop fitting the
+    * driver (reference k ≤ 20 never does; a curation pass at k in the
+    * thousands would).
+    */
+  def mmrIterative(
+      df: DataFrame,
+      embCol: String,
+      idCol: String,
+      query: Array[Float],
+      k: Int,
+      lambda: Double = 0.5,
+      fetchKOpt: Option[Int] = None,
+      checkpointEvery: Int = 8
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fetchK = fetchKOpt.getOrElse(4 * k)
+    var remaining = cosineTopK(df, embCol, idCol, query, fetchK)
+      .select(col(idCol).cast("long").as("_id"), col(embCol).as("_emb"),
+        col("score"))
+      .withColumn("_maxSel", lit(0.0))
+      .localCheckpoint()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var done = false
+    while (selected.length < k && !done) {
+      val v = lit(lambda) * col("score") - lit(1 - lambda) * col("_maxSel")
+      val top = remaining.withColumn("_v", v)
+        .orderBy(col("_v").desc, col("_id").asc).limit(1)
+        .select(col("_id"), col("_emb"), col("score")).collect()
+      if (top.isEmpty) done = true
+      else {
+        val row = top.head
+        val id = row.getLong(0)
+        val emb = row.getSeq[Float](1).toArray
+        selected += ((id, row.getDouble(2)))
+        remaining = remaining.filter(col("_id") =!= id)
+          .withColumn("_maxSel", greatest(col("_maxSel"),
+            VectorFunctions.cosineToQuery(col("_emb"), emb)))
+        if (selected.length % checkpointEvery == 0)
+          remaining = remaining.localCheckpoint()
+      }
+    }
+    selected.zipWithIndex
+      .map { case ((id, score), rank) => (id, score, rank + 1) }
+      .toSeq
+      .toDF(idCol, "score", "mmr_rank")
+  }
 }

@@ -42,6 +42,33 @@ class FixtureSpec extends SparkSuite {
     assert(math.abs(scores(1) - 0.0) < 1e-4)
     assert(math.abs(scores(2) - 0.93970) < 1e-4)
     assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3)) // mmr_rank
+    // the distributed large-k path picks the identical sequence with
+    // identical scores (bit-equal kernels + same tie-break)
+    val iter = graft.ops.SearchOps
+      .mmrIterative(docs, "embedding", "vec_id", Array(1.0f, 0.0f),
+        k = 3, lambda = 0.3)
+      .orderBy(col("mmr_rank")).collect()
+    assert(iter.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq ==
+      out.map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq)
+  }
+
+  test("MMR large-k path equals the driver loop on real embeddings") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // k past the reference bound, fetchK spanning several checkpoints
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy(col("mmr_rank"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+    val loop = canon(graft.ops.SearchOps.mmr(
+      emb, "embedding", "vec_id", q, k = 25, lambda = 0.5))
+    val dist = canon(graft.ops.SearchOps.mmrIterative(
+      emb, "embedding", "vec_id", q, k = 25, lambda = 0.5,
+      checkpointEvery = 4))
+    assert(dist == loop)
+    assert(loop.length == 25)
   }
 
   test("pipeline fixture: q_pipeline_search pinned at sf0.001") {

@@ -682,6 +682,13 @@ class OpsSpec extends SparkSuite {
     assert(run(50L) == expected)    // interval 10 spans multiple bins
     assert(run(1000L) == expected)  // one huge bin — same result
     assert(run(7L) == expected)     // tiny bins — same result, no dup pairs
+    // derived default (p50 interval length): same rows, and the derived
+    // width is the median of {150, 0, 149} = 149
+    assert(AsofOps.derivedBinMs(ivals, "s", "e") == 149L)
+    assert(run(0L) == expected)     // binMs <= 0 -> derive
+    val noIvals = ivals.filter(col("iid") < 0L)
+    assert(AsofOps.derivedBinMs(noIvals, "s", "e") == 1L) // empty fallback
+    assert(AsofOps.rangeJoin(points, noIvals, "k", "pt", "s", "e").count() == 0L)
   }
 
   test("SessionOps: gap boundary is strict, ties break by id, users isolate, summaries aggregate") {

@@ -127,6 +127,73 @@ class StreamingStatsSpec extends SparkSuite {
     } finally query.stop()
   }
 
+  test("windowedCorpusReport parity: streaming HLL figures track the exact batch report within 5%") {
+    // the monitor's contract vs the batch dataset card (q_corpus_report):
+    // counters (n_docs, n_tokens, mean) are EXACT — only the two
+    // distinct-based figures are HLL approximations (rsd 1%), so the
+    // parity bound is 5% relative error (= 5 sigma; at these
+    // cardinalities the sketch is in its exact sparse regime, so the
+    // real deviation is 0, but the CONTRACT is the rsd bound)
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists())
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "text")
+    val rep = StreamingStats.windowedCorpusReport(docs,
+      windowLen = "10 minutes", watermark = "1 minute")
+    val query = rep.writeStream.format("memory").queryName("report_parity")
+      .outputMode("append").start()
+    try {
+      // the whole corpus lands in window 0, split across micro-batches
+      // so partial sketches actually merge through the state store
+      val ts = new Timestamp(T0 + 60000)
+      val (half1, half2) = batchDocs.splitAt(batchDocs.length / 2)
+      stream.addData(half1.map(d => (ts, d._2)).toSeq)
+      query.processAllAvailable()
+      stream.addData(half2.map(d => (ts, d._2)).toSeq)
+      query.processAllAvailable()
+      stream.addData(Seq((new Timestamp(T0 + 30 * 60000), "tick")))
+      query.processAllAvailable()
+
+      val w0 = (T0 + 60000) - ((T0 + 60000) % 600000)
+      val got = spark.sql("select * from report_parity").collect()
+        .filter(_.getTimestamp(0).getTime == w0).head
+
+      // exact batch figures over the same rows, same kernels
+      val batch = spark.createDataFrame(
+          spark.sparkContext.parallelize(batchDocs.toSeq.map(d =>
+            org.apache.spark.sql.Row(d._2))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType))))
+        .withColumn("_nt", coalesce(
+          graft.functions.TextFunctions.tokenCount(col("text")).cast("long"),
+          lit(0L)))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("_nt")).as("n_tokens"),
+          round(avg(col("_nt")), 6).as("mean"),
+          countDistinct(graft.functions.TextFunctions.langId(col("text")))
+            .as("langs"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).as("dups"))
+        .head()
+
+      assert(got.getLong(1) == batch.getLong(0), "n_docs must be exact")
+      assert(got.getLong(2) == batch.getLong(1), "n_tokens must be exact")
+      assert(got.getDouble(3) == batch.getDouble(2), "mean must be exact")
+      def relErr(a: Long, e: Long): Double =
+        if (e == 0L) a.toDouble.abs else math.abs(a - e).toDouble / e
+      assert(relErr(got.getLong(4), batch.getLong(3)) <= 0.05,
+        s"approx_langs ${got.getLong(4)} vs exact ${batch.getLong(3)}")
+      assert(relErr(got.getLong(5), batch.getLong(4)) <= 0.05,
+        s"approx_dup_docs ${got.getLong(5)} vs exact ${batch.getLong(4)}")
+    } finally query.stop()
+  }
+
   test("windowedHeavyHitterCandidates: closed window carries its heavy tokens") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String)]
