@@ -246,6 +246,32 @@ class PlanSpec extends SparkSuite {
     assert(pRange.contains("Join"), pRange.take(2500))
   }
 
+  test("composed IVF x PQ serving scan: broadcasts, banded equi-joins, no cartesian") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val (assigned, centroids) =
+      SimilarityOps.ivfIndex(emb, "vec_id", "embedding", numCells = 8)
+    val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding", 8, 64)
+    val codes = SimilarityOps.pqEncode(assigned, "vec_id", "embedding", cb,
+      passthrough = Seq("cell"))
+    val q = SimilarityOps.pqTopKIvf(codes, "vec_id", emb, "vec_id", "embedding",
+      centroids, emb.filter(col("vec_id") < 5), "vec_id", "embedding", cb,
+      k = 10, nProbe = 6, shortlist = 100)
+    val p = plan(q)
+    // the 100-TB shape: the corpus-sized tables (codes, exact re-rank)
+    // join KEYED (cell / query_id / neighbor_id) with small sides
+    // broadcast; the ONLY nested-loop joins are the two deliberate
+    // numCells-bounded centroid crosses (corpus x centroids assignment,
+    // queries x centroids routing) — a third would mean a code-table or
+    // re-rank join degenerated to all-pairs
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size == 2, p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    // codes and ADC tables come from the native kernels, not HOF trees
+    assert(p.contains("graft_pq_codes"), p.take(2500))
+    assert(p.contains("graft_pq_dtab"), p.take(2500))
+  }
+
   test("substring dedup: hash-keyed agg combines map-side, no cartesian, no single-partition stage") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
