@@ -93,6 +93,19 @@ object TextQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_entropy" -> { (s, dir) =>
+      // compression-ratio-proxy quality axis: char + token Shannon
+      // entropy from ONE kernel pass per row (subexpression
+      // elimination), zero shuffle — low char entropy = character
+      // repetition, low token entropy = template/boilerplate docs
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      docs.select(
+        col("doc_id"),
+        round(TextFunctions.charEntropy(col("text")), 6).as("char_entropy"),
+        round(TextFunctions.tokenEntropy(col("text")), 6).as("token_entropy")
+      ).orderBy(col("doc_id"))
+    },
     "q_text_stats" -> { (s, dir) =>
       // per-row text metrics are CPU-bound; spread a single-partition
       // small-file scan across the session's cores first
@@ -687,6 +700,35 @@ object TextQueries {
          |      + 0.3 * least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0
          |            ELSE len(list_filter(toks, x -> x IN ($stopIn)))::DOUBLE / len(toks) END) * 5.0), 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin
+
+    // Shannon entropies: H = ln(N) − (Σ c·ln c)/N over the token
+    // multiset and over the code points of the concatenated tokens
+    // (pure [a-z0-9], so DuckDB's empty-delimiter string_split matches
+    // the kernel's code-point walk exactly). N ≤ 1 → 0.0 both sides.
+    val textEntropy =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |tok AS (SELECT t.doc_id, u.tok
+         |  FROM t, LATERAL (SELECT unnest(t.toks) AS tok) u),
+         |tc AS (SELECT doc_id, tok, count(*)::DOUBLE AS c
+         |  FROM tok GROUP BY doc_id, tok),
+         |te AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s
+         |  FROM tc GROUP BY doc_id),
+         |ch AS (SELECT t.doc_id, u.c AS ch
+         |  FROM (SELECT doc_id, array_to_string(toks, '') AS j FROM t) t,
+         |       LATERAL (SELECT unnest(string_split(t.j, '')) AS c) u),
+         |cc AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
+         |  FROM ch GROUP BY doc_id, ch),
+         |ce AS (SELECT doc_id, sum(c) AS n, sum(c * ln(c)) AS s
+         |  FROM cc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  round(CASE WHEN coalesce(ce.n, 0) <= 1 THEN 0.0
+         |        ELSE ln(ce.n) - ce.s / ce.n END, 6) AS char_entropy,
+         |  round(CASE WHEN coalesce(te.n, 0) <= 1 THEN 0.0
+         |        ELSE ln(te.n) - te.s / te.n END, 6) AS token_entropy
+         |FROM documents d
+         |LEFT JOIN te ON te.doc_id = d.doc_id
+         |LEFT JOIN ce ON ce.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
 
     val codes = TextFunctions.LangStopwords.keys.toSeq.sorted
     val hitExprs = codes.map { c =>
@@ -1515,6 +1557,7 @@ object TextQueries {
       "q_dedup_keep_best" -> keepBest,
       "q_dedup_simhash_pairs" -> simhashPairs,
       "q_text_stats" -> textStats,
+      "q_text_entropy" -> textEntropy,
       "q_text_langid" -> langid,
       "q_text_fingerprint" -> fingerprint,
       "q_dedup_exact" -> dedupExact,

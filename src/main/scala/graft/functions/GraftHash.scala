@@ -183,6 +183,56 @@ object GraftHash {
         distinctStops.size, subwords))
   }
 
+  /** One-pass Shannon entropies behind [[NativeExprs.EntropyStats]]:
+    * (char_entropy, token_entropy) in nats, H = ln(N) − (Σ c·ln c)/N.
+    * token_entropy is over the canonical token multiset; char_entropy
+    * is over the CODE POINTS OF THE CONCATENATED TOKENS (pure [a-z0-9]
+    * by the tokenizer contract — this is what makes the figure
+    * SQL-replayable without depending on an engine's raw-text
+    * char-splitting semantics). Counts are summed in ascending sorted
+    * order so the fp result is canonical across JVMs/layouts. N = 0 or
+    * 1 → 0.0. Low char entropy flags character-level repetition
+    * (aaaa…), low token entropy flags boilerplate/template docs — the
+    * compression-ratio-proxy quality axis the ratio metrics miss.
+    */
+  def entropyStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    if (text == null) return null
+    val toks = tokenize(text)
+    val tokCounts = new java.util.HashMap[String, Long]()
+    val chCounts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      tokCounts.merge(t, 1L, (a, b) => a + b)
+      var c = 0
+      while (c < t.length) {
+        val cp = t.codePointAt(c)
+        chCounts.merge(cp, 1L, (a, b) => a + b)
+        c += Character.charCount(cp)
+      }
+      i += 1
+    }
+    def entropy(m: java.util.HashMap[_, Long]): Double = {
+      var n = 0L
+      val cs = new Array[Long](m.size)
+      val it = m.values().iterator()
+      var j = 0
+      while (it.hasNext) { val c = it.next(); cs(j) = c; n += c; j += 1 }
+      if (n <= 1L) return 0.0
+      java.util.Arrays.sort(cs)
+      var s = 0.0
+      j = 0
+      while (j < cs.length) {
+        val c = cs(j).toDouble
+        s += c * math.log(c)
+        j += 1
+      }
+      math.log(n.toDouble) - s / n.toDouble
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](entropy(chCounts), entropy(tokCounts)))
+  }
+
   /** First 8 hex chars of md5(bytes) as an unsigned 32-bit value —
     * `conv(substring(md5(t), 1, 8), 16, 10)` with no mask.
     */

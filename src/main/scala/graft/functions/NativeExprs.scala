@@ -429,6 +429,38 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** One-pass Shannon entropy pair (char + token, nats) —
+    * [[GraftHash.entropyStats]]; the compression-ratio-proxy quality
+    * signal. Struct fields extract under subexpression elimination
+    * like [[TokenStats]].
+    */
+  case class EntropyStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("char_entropy", DoubleType, nullable = false),
+      StructField("token_entropy", DoubleType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_entropy_stats"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.entropyStats(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.entropyStats($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): EntropyStats =
+      copy(child = newChild)
+  }
+
   /** One-pass simhash from raw text (tokenize + per-occurrence 32-bit
     * md5-prefix + majority vote) — [[GraftHash.simhashText]]; fuses the
     * interpreted transform(tokens, md5) feeding [[SimHashVotes]].

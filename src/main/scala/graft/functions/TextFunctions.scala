@@ -46,6 +46,25 @@ object TextFunctions {
   def subwordCount(text: Column): Column =
     tokenStats(text).getField("subword_units")
 
+  private def entropyStats(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.EntropyStats(GraftSqlShim.expression(text)))
+  }
+
+  /** Shannon entropy (nats) over the code points of the concatenated
+    * tokens — low values flag character-level repetition; the
+    * compression-ratio proxy axis of quality filtering. One kernel pass
+    * serves both entropy fields via subexpression elimination.
+    */
+  def charEntropy(text: Column): Column =
+    entropyStats(text).getField("char_entropy")
+
+  /** Shannon entropy (nats) over the token multiset — low values flag
+    * template/boilerplate docs whose ratio metrics still look normal.
+    */
+  def tokenEntropy(text: Column): Column =
+    entropyStats(text).getField("token_entropy")
+
   /** Fraction of characters that are punctuation. */
   def punctRatio(text: Column): Column = {
     val total = length(text)

@@ -55,6 +55,45 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("EntropyStats kernel == scala reference over 300 random strings") {
+    val textGen: Gen[String] = for {
+      n <- Gen.frequency(6 -> Gen.choose(0, 40), 2 -> Gen.const(1),
+        1 -> Gen.const(0), 1 -> Gen.choose(100, 200))
+      cs <- Gen.listOfN(n, Gen.frequency(
+        6 -> Gen.alphaNumChar, 2 -> Gen.const(' '), 1 -> Gen.const('a'),
+        1 -> Gen.oneOf('!', '.', ',', '\t', 'é', 'Ж')))
+    } yield cs.mkString
+    val rows = sample(textGen, 300, seed = 1311L)
+    val df = rows.toDF("t")
+
+    // driver-side reference: same tokenizer contract, sorted-count sum
+    def ref(text: String): (Double, Double) = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      def h(counts: Seq[Long]): Double = {
+        val n = counts.sum
+        if (n <= 1L) 0.0
+        else {
+          val s = counts.sorted.map(c => c.toDouble * math.log(c.toDouble)).sum
+          math.log(n.toDouble) - s / n
+        }
+      }
+      val tokCounts = toks.groupBy(identity).map(_._2.length.toLong).toSeq
+      val chCounts = toks.mkString("").toSeq.groupBy(identity)
+        .map(_._2.length.toLong).toSeq
+      (h(chCounts), h(tokCounts))
+    }
+
+    val got = df.select(
+      col("t"),
+      graft.functions.TextFunctions.charEntropy(col("t")).as("ce"),
+      graft.functions.TextFunctions.tokenEntropy(col("t")).as("te")).collect()
+    got.foreach { r =>
+      val (ce, te) = ref(r.getString(0))
+      assert(r.getDouble(1) == ce, s"char: '${r.getString(0)}' ${r.getDouble(1)} vs $ce")
+      assert(r.getDouble(2) == te, s"token: '${r.getString(0)}' ${r.getDouble(2)} vs $te")
+    }
+  }
+
   test("PqCodes/PqDtab kernels == scala reference over 200 random vectors and codebooks") {
     val numSub = 4; val numCodes = 5; val subDim = 3
     val dims = numSub * subDim
