@@ -101,6 +101,44 @@ object DedupOps {
       .select(col(idCol) +:
         (0 until numHashes).map(i => col("sig").getItem(i).as(s"mh_$i")): _*)
 
+  /** Pick (bands, rowsPerBand) for an n-hash MinHash-LSH at a target
+    * Jaccard threshold — the knob a 100-TB dedup run actually has to
+    * set. Among the divisors b of `numHashes`, choose the one whose
+    * S-curve P(s) = 1 − (1 − s^r)^b (r = n/b) minimizes the integrated
+    * detection error against the ideal step at `threshold`: ∫₀ᵗ P(s) ds
+    * (false-candidate mass — wasted verification work) + ∫ₜ¹ (1 − P(s)) ds
+    * (missed-duplicate mass), by midpoint quadrature. This is the MMDS
+    * §3.4 criterion; the (1/b)^(1/r) midpoint rule of thumb lands on
+    * the same divisor except exactly between two grid points. A pure
+    * driver-side function — call once, pass the result to
+    * [[minhashLshPairs]] / [[bandedSignatureStore]] /
+    * [[graft.streaming.StreamingDedup]].
+    *
+    * More bands → curve shifts LEFT (recall up, candidate volume up);
+    * fewer bands → right. At fixed `numHashes` the divisor grid is the
+    * whole search space, so exhaustive scan is exact and O(d(n)·steps).
+    */
+  def lshTuneBands(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1, "numHashes must be positive")
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    val steps = 1000
+    def err(b: Int): Double = {
+      val r = numHashes / b
+      var e = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        e += (if (s < threshold) p else 1.0 - p)
+        i += 1
+      }
+      e / steps
+    }
+    val best = divisors.minBy(err)
+    (best, numHashes / best)
+  }
+
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band, key), emit distinct candidate pairs (a < b) with their exact
     * shingle-Jaccard similarity. This is the scale path: the self-join is

@@ -600,6 +600,27 @@ class OpsSpec extends SparkSuite {
     assert(math.abs(pruned(4L).get - d4p) < 1e-12)
   }
 
+  test("DedupOps.lshTuneBands: minimum-error divisor, monotone in threshold, matches offline reference") {
+    import graft.ops.DedupOps.lshTuneBands
+    // pinned against an independent offline evaluation of the MMDS
+    // S-curve error integral (same quadrature)
+    assert(lshTuneBands(16, 0.5) == ((4, 4)))
+    assert(lshTuneBands(16, 0.2) == ((8, 2)))
+    assert(lshTuneBands(16, 0.8) == ((2, 8)))
+    assert(lshTuneBands(128, 0.5) == ((32, 4)))
+    assert(lshTuneBands(128, 0.8) == ((8, 16)))
+    assert(lshTuneBands(64, 0.35) == ((16, 4)))
+    // lower threshold -> never fewer bands (curve must shift left)
+    val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    val bandsAt = ts.map(t => lshTuneBands(64, t)._1)
+    assert(bandsAt.zip(bandsAt.tail).forall { case (a, b) => a >= b }, bandsAt)
+    // contract: bands divide numHashes, rows = n / bands
+    for (n <- Seq(12, 16, 60); t <- ts) {
+      val (b, r) = lshTuneBands(n, t)
+      assert(n % b == 0 && b * r == n)
+    }
+  }
+
   test("DedupOps.commonSegmentRemoval: shared segments drop, unique tails survive in order") {
     import graft.ops.DedupOps
     val boiler = "one two three four five"
