@@ -86,6 +86,23 @@ class PlanSpec extends SparkSuite {
       .map(_.getInt(0)).toSet == Set(1, 2))
   }
 
+  test("entropy pair is one kernel eval, zero shuffle beyond the spread repartition") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    import graft.functions.TextFunctions
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val q = docs.select(col("doc_id"),
+      round(TextFunctions.charEntropy(col("text")), 6).as("ce"),
+      round(TextFunctions.tokenEntropy(col("text")), 6).as("te"))
+    val p = plan(q)
+    // both fields extract from ONE graft_entropy_stats run per row
+    // (physical-plan subexpression elimination names it subExpr; the
+    // projection must not carry two kernel calls)
+    assert("graft_entropy_stats".r.findAllIn(
+      q.queryExecution.optimizedPlan.toString).size == 2) // logical: one per field
+    assert(!p.contains("Exchange"), p.take(1500)) // row-local, no shuffle
+    assert(p.contains("*(1) Project"), p.take(1500)) // whole-stage codegen'd
+  }
+
   test("prep pipeline stages: langid kernel evaluated once, dedup window on content hash") {
     // the filter→dedup portion of q_prep_pipeline (the final pack
     // checkpoints, so its plan starts at a LogicalRDD): the language +

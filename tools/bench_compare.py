@@ -25,21 +25,26 @@ import sys
 
 
 def minima(series):
-    wall, cpu = {}, {}
+    wall, cpu, jobs = {}, {}, {}
     for p in sorted(glob.glob(f"{series}/run*_detail.json")):
         d = json.load(open(p))
         for k, v in d["queries"].items():
             wall[k] = min(wall.get(k, 1e18), v)
         for k, v in d.get("cpu", {}).items():
             cpu[k] = min(cpu.get(k, 1e18), v)
-    return wall, cpu
+        # job counts per pass: record the SET seen across runs — a
+        # single stable value is the common case; >1 distinct value is
+        # itself the finding (plan/branch nondeterminism)
+        for k, v in d.get("jobs_pass2", {}).items():
+            jobs.setdefault(k, set()).add(v)
+    return wall, cpu, jobs
 
 
 def main():
     a, b = sys.argv[1], sys.argv[2]
     flag = float(sys.argv[3]) if len(sys.argv) > 3 else 1.2
-    wa, ca = minima(a)
-    wb, cb = minima(b)
+    wa, ca, ja = minima(a)
+    wb, cb, jb = minima(b)
     shared = sorted(set(wa) & set(wb))
     if not shared:
         print("no shared rows")
@@ -66,7 +71,16 @@ def main():
             for k in shared if wa[k] > 0.3 and wb[k] / wa[k] / norm > flag]
     print(f"host-normalized regressions > {flag}x (base > 0.3 s): {len(regs)}")
     for r, k, x, y in sorted(regs, reverse=True):
-        print(f"  {k}: {x:.2f} -> {y:.2f}  ({r:.2f}x normalized)")
+        # decisive witness when available (BASELINE s20): flat warm-pass
+        # job counts across A and B => the row did identical work, the
+        # wall delta is window/JIT; differing counts => real change
+        sa, sb = ja.get(k), jb.get(k)
+        if sa and sb:
+            tag = ("jobs flat %s" % sorted(sa)[0]) if sa == sb and len(sa) == 1 \
+                else "jobs A=%s B=%s  <-- REAL CHANGE?" % (sorted(sa), sorted(sb))
+        else:
+            tag = "no job data"
+        print(f"  {k}: {x:.2f} -> {y:.2f}  ({r:.2f}x normalized, {tag})")
 
 
 if __name__ == "__main__":
