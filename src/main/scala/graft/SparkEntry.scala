@@ -104,7 +104,7 @@ object SparkEntry {
     "q_shuffle_shards", "q_curriculum", "q_token_budget", "q_prep_pipeline",
     "q_decontaminate", "q_mix_epochs", "q_corpus_report", "q_seq_pack",
     "q_chunk_overlap",
-    "q_vocab_topk",
+    "q_vocab_topk", "q_vocab_coverage",
     "q_bpe_merges",
     "q_wordpiece_merges",
     "q_bpe_encode", "q_quality_classifier", "q_classifier_train", "q_lm_score",

@@ -486,6 +486,19 @@ object TextQueries {
       graft.ops.CorpusOps.vocabTopK(load(s, dir, "documents"), "doc_id", "text",
         k = 100)
     },
+    "q_vocab_coverage" -> { (s, dir) =>
+      // tokenizer-eval coverage curve: occurrences covered by the
+      // top-k vocab at a k ladder — one corpus-keyed count agg +
+      // TakeOrdered(max k), cumulative sums driver-side (never a
+      // global rank window over the vocabulary)
+      graft.ops.CorpusOps.vocabCoverage(load(s, dir, "documents"),
+          "doc_id", "text", ks = Seq(5, 10, 20, 1000))
+        .select(col("k").cast("long").as("k"),
+          col("covered_tokens"), col("total_tokens"),
+          round(col("coverage"), 6).as("coverage"),
+          round(col("oov_rate"), 6).as("oov_rate"))
+        .orderBy(col("k"))
+    },
     "q_heavy_hitters" -> { (s, dir) =>
       // exact heavy hitters by threshold (tokens above 0.2% of the
       // corpus): mergeable Misra–Gries sketch pass (one sketch-sized row
@@ -700,6 +713,24 @@ object TextQueries {
          |      + 0.3 * least(1.0, (CASE WHEN len(toks) = 0 THEN 0.0
          |            ELSE len(list_filter(toks, x -> x IN ($stopIn)))::DOUBLE / len(toks) END) * 5.0), 6) AS quality
          |FROM t ORDER BY doc_id""".stripMargin
+
+    val vocabCoverage =
+      s"""WITH t AS (SELECT $toks AS toks FROM documents),
+         |tok AS (SELECT u.tok FROM t, LATERAL (SELECT unnest(t.toks) AS tok) u),
+         |tc AS (SELECT tok, count(*)::BIGINT AS tf FROM tok GROUP BY tok),
+         |tot AS (SELECT sum(tf)::BIGINT AS total FROM tc),
+         |r AS (SELECT tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rn
+         |  FROM tc),
+         |kk(k) AS (VALUES (5), (10), (20), (1000)),
+         |cov AS (SELECT kk.k,
+         |    coalesce(sum(r.tf) FILTER (WHERE r.rn <= kk.k), 0)::BIGINT
+         |      AS covered
+         |  FROM kk CROSS JOIN r GROUP BY kk.k)
+         |SELECT cov.k::BIGINT AS k, cov.covered AS covered_tokens,
+         |  tot.total AS total_tokens,
+         |  round(cov.covered::DOUBLE / tot.total, 6) AS coverage,
+         |  round(1.0 - cov.covered::DOUBLE / tot.total, 6) AS oov_rate
+         |FROM cov, tot ORDER BY k""".stripMargin
 
     // Shannon entropies: H = ln(N) − (Σ c·ln c)/N over the token
     // multiset and over the code points of the concatenated tokens
@@ -1537,6 +1568,7 @@ object TextQueries {
       "q_span_corruption" -> spanCorruption,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
+      "q_vocab_coverage" -> vocabCoverage,
       "q_heavy_hitters" -> heavyHitters,
       "q_dsir_weights" -> dsirWeights,
       "q_dsir_sample" -> dsirSample,

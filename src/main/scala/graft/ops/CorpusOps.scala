@@ -255,6 +255,45 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve — the tokenizer-eval metric: for each k
+    * in `ks`, the fraction of corpus token OCCURRENCES covered by the
+    * top-k vocabulary (freq desc, token asc ties) and the implied OOV
+    * rate. Answers "how big must the vocab be" before training a
+    * tokenizer, and profiles an existing one's ceiling.
+    *
+    * Scale shape: ONE token-keyed count aggregation over the corpus
+    * (map-side combinable — the same only-corpus-sized-shuffle contract
+    * as [[vocabTopK]]/[[bpeMerges]]), then TakeOrdered(max ks) pulls
+    * the bounded top slice to the driver and the cumulative sums run
+    * there — no global rank window over the vocabulary (which would
+    * sort a 100-TB corpus's billion-type vocab on one reducer).
+    *
+    * Output: (k, covered_tokens, total_tokens, coverage, oov_rate),
+    * one row per k; ratios are full-precision (callers round).
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val freqs = df.select(
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one corpus pass serves top slice AND total
+    val total = freqs.agg(sum(col("tf"))).head().getLong(0)
+    val top = freqs.orderBy(col("tf").desc, col("token").asc)
+      .limit(ks.max).select(col("tf")).as[Long].collect()
+    val cum = top.scanLeft(0L)(_ + _)
+    ks.sorted.map { k =>
+      val covered = cum(math.min(k, top.length))
+      val cov = if (total == 0L) 0.0 else covered.toDouble / total
+      (k, covered, total, cov, if (total == 0L) 0.0 else 1.0 - cov)
+    }.toDF("k", "covered_tokens", "total_tokens", "coverage", "oov_rate")
+  }
+
   /** Distributed BPE tokenizer training — the canonical next step after
     * [[vocabTopK]] for pretraining prep: learn `numMerges` byte-pair
     * merges from the corpus token stream.

@@ -18,6 +18,21 @@ object SoloVerify {
     spark.sparkContext.setLogLevel("WARN")
     graft.SparkEntry.queries(name)(spark, sfDir)
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    // dump this query's oracle (if any) so check.py runs on outDir as-is
+    graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+        s"{${q(name)}: ${q(sql)}}")
+    }
     spark.stop()
   }
 }

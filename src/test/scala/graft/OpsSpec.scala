@@ -396,6 +396,20 @@ class OpsSpec extends SparkSuite {
     assert(top1.toSeq == Seq("x"))
   }
 
+  test("vocabCoverage: cumulative occurrence coverage, saturates past vocab size") {
+    // counts: a=3, b=2, c=1 → total 6; top-1 covers 3/6, top-2 5/6,
+    // any k ≥ 3 covers all occurrences (oov 0)
+    val docs = Seq((1L, "a a b"), (2L, "b c a")).toDF("doc_id", "text")
+    val got = graft.ops.CorpusOps
+      .vocabCoverage(docs, "doc_id", "text", ks = Seq(2, 1, 10))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1, 3L, 6L, 0.5, 0.5),
+      (2, 5L, 6L, 5.0 / 6, 1 - 5.0 / 6),
+      (10, 6L, 6L, 1.0, 0.0)))
+  }
+
   test("linearQualityScore: sigmoid of mean bucket weight, prior for empty docs") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "delta"))
       .toDF("doc_id", "text")
