@@ -445,6 +445,20 @@ object TextQueries {
         .ngramContamination(train, evalSet, "doc_id", "text", n = 5, minOverlap = 3)
         .orderBy(col("doc_id"))
     },
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      // same fixture as q_decontaminate through the Bloom-prefiltered
+      // scale path: eval grams collapse to a 2^16-bit filter, clean
+      // train docs drop map-side, bloom-hit candidates confirm exactly
+      // — result (and oracle) identical to the exact broadcast path
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val evalSet = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      graft.ops.CorpusOps
+        .ngramContaminationBloom(train, evalSet, "doc_id", "text",
+          n = 5, minOverlap = 3, numBits = 1 << 16, numHashes = 5)
+        .orderBy(col("doc_id"))
+    },
     "q_split_assign" -> { (s, dir) =>
       // deterministic train/val/test carve by id hash — stable under
       // corpus growth, shuffle-free
@@ -1560,6 +1574,8 @@ object TextQueries {
 
     Map(
       "q_decontaminate" -> decontaminate,
+      // bloom path is exact end-to-end: same oracle as the broadcast path
+      "q_decontaminate_bloom" -> decontaminate,
       "q_split_assign" -> splitAssign,
       "q_mix_weighted" -> mixWeighted,
       "q_mix_epochs" -> mixEpochs,

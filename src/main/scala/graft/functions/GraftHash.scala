@@ -233,6 +233,52 @@ object GraftHash {
       Array[Any](entropy(chCounts), entropy(tokCounts)))
   }
 
+  /** Bloom-filter kernels. One md5 per probe yields two independent
+    * 64-bit values (digest bytes 0–7 and 8–15); the k probe positions
+    * come from Kirsch–Mitzenmacher double hashing h1 + i·h2 (public
+    * result: k such combinations preserve the Bloom false-positive
+    * bound). `bits.length * 64` must be a power of two so the position
+    * is a mask, not a mod. Builder ([[bloomInsert]], used by the
+    * mergeable aggregate) and prober ([[bloomMightContain]], called
+    * from generated code) share these positions byte-for-byte.
+    */
+  private def bloomPos(d: Array[Byte], i: Int, mask: Long): Int = {
+    var h1 = 0L; var h2 = 0L
+    var j = 0
+    while (j < 8) {
+      h1 = (h1 << 8) | (d(j) & 0xffL)
+      h2 = (h2 << 8) | (d(j + 8) & 0xffL)
+      j += 1
+    }
+    ((h1 + i.toLong * h2) & mask).toInt
+  }
+
+  def bloomInsert(bits: Array[Long], gram: UTF8String, k: Int): Unit = {
+    val md = tlMd5.get(); md.reset()
+    val d = md.digest(gram.getBytes)
+    val mask = bits.length.toLong * 64L - 1L
+    var i = 0
+    while (i < k) {
+      val p = bloomPos(d, i, mask)
+      bits(p >>> 6) |= (1L << (p & 63))
+      i += 1
+    }
+  }
+
+  def bloomMightContain(bits: Array[Long], gram: UTF8String, k: Int): Boolean = {
+    if (gram == null) return false
+    val md = tlMd5.get(); md.reset()
+    val d = md.digest(gram.getBytes)
+    val mask = bits.length.toLong * 64L - 1L
+    var i = 0
+    while (i < k) {
+      val p = bloomPos(d, i, mask)
+      if ((bits(p >>> 6) & (1L << (p & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** First 8 hex chars of md5(bytes) as an unsigned 32-bit value —
     * `conv(substring(md5(t), 1, 8), 16, 10)` with no mask.
     */

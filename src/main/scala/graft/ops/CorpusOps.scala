@@ -73,6 +73,62 @@ object CorpusOps {
         (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination — [[ngramContamination]]'s scale
+    * path for when the eval-side distinct gram SET outgrows a broadcast
+    * (a full benchmark-suite union at 13-grams runs to GBs; its Bloom
+    * is `numBits/8` bytes no matter how many grams it holds).
+    *
+    * Three stages, EXACT end to end:
+    *   1. build a mergeable Bloom over the eval grams
+    *      ([[graft.functions.BloomBuild]] — one sketch-sized row per
+    *      partition shuffles, never the grams);
+    *   2. probe each train document's grams map-side against the
+    *      driver-constant filter (codegen expression, no shuffle, no
+    *      join) and keep only bloom-hit grams — clean documents drop
+    *      here, which at a real fpp is almost all of them;
+    *   3. confirm the surviving (doc, gram) candidates with an exact
+    *      equi-join against the eval grams. False positives add
+    *      candidate rows to this join and are eliminated by it, so the
+    *      output is row-identical to [[ngramContamination]] (same
+    *      oracle). No broadcast hint on the confirm join: at test scale
+    *      AQE broadcasts it, at 100 TB both sides shuffle on `gram` —
+    *      bounded by true hits + fpp × corpus grams, the fpp knob.
+    *
+    * Sizing: ~10 bits per eval gram → ~1% fpp, ~20 bits → 0.04%
+    * (k = numHashes ≈ 0.7 · bits/entry; 5–7 is right for those rates).
+    */
+  def ngramContaminationBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5,
+      minOverlap: Int = 3,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions
+    val grams = HashFunctions.wordShingles(col(textCol), n)
+    val bloomBytes = eval
+      .select(BloomFunctions.bloomBuild(grams, numBits, numHashes).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val bits = BloomFunctions.fromBytes(bloomBytes)
+    val cands = train
+      .select(col(idCol),
+        filter(grams, g => BloomFunctions.mightContain(g, bits, numHashes))
+          .as("_cand"))
+      .filter(size(col("_cand")) > 0)
+      .select(col(idCol), explode(col("_cand")).as("gram"))
+    val evalGrams = eval.select(explode(grams).as("gram")).distinct()
+    val matched = cands.join(evalGrams, Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_overlap"))
+    train.select(col(idCol))
+      .join(matched, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap).as("contaminated"))
+  }
+
   /** Deterministic train/val/test assignment by id hash: bucket 0–99,
     * `train` below `trainPct`, `val` in the next `valPct`, `test`
     * above. Pure per-row expression — no shuffle, no state, and the

@@ -342,6 +342,36 @@ class OpsSpec extends SparkSuite {
       s"eval gram join should broadcast:\n$plan")
   }
 
+  test("ngramContaminationBloom: row-identical to the exact path, even with forced false positives") {
+    val evalSet = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta"),
+      (101L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix words alpha beta gamma delta epsilon zeta eta suffix"),
+      (2L, "alpha beta gamma delta epsilon completely different tail here"),
+      (3L, "nothing in common with the benchmark at all honestly"),
+      (4L, "one two three four five six seven eight and then some more"))
+      .toDF("doc_id", "text").repartition(3)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+    val exact = canon(graft.ops.CorpusOps
+      .ngramContamination(train, evalSet, "doc_id", "text", n = 5, minOverlap = 3))
+    // realistic sizing: fpp ~0, prefilter drops the clean doc
+    val big = canon(graft.ops.CorpusOps.ngramContaminationBloom(
+      train, evalSet, "doc_id", "text", n = 5, minOverlap = 3,
+      numBits = 1 << 16, numHashes = 5))
+    assert(big == exact)
+    // pathological sizing: 64 bits for ~20 grams saturates the filter,
+    // so clean docs false-positive into the confirm join — the result
+    // must STILL be row-identical (fps cost candidates, not answers)
+    val tiny = canon(graft.ops.CorpusOps.ngramContaminationBloom(
+      train, evalSet, "doc_id", "text", n = 5, minOverlap = 3,
+      numBits = 64, numHashes = 2))
+    assert(tiny == exact)
+  }
+
   test("hashSplit: assignment is stable, in-range, and growth-invariant") {
     val small = (0L until 200L).toDF("doc_id")
     val big = (0L until 400L).toDF("doc_id")

@@ -357,4 +357,36 @@ class SketchSpec extends SparkSuite {
       .collect().map(_.getDouble(2)).toSeq
     assert(keys == keys.sortBy(-_))
   }
+
+  test("BloomBuild: no false negatives, partitioning-invariant bits, plausible fpp") {
+    import graft.functions.{BloomFunctions, GraftHash}
+    val grams = (1 to 500).map(i => s"gram number $i")
+    val docs = grams.grouped(10).zipWithIndex
+      .map { case (g, i) => (i.toLong, g) }.toSeq.toDF("doc_id", "grams")
+    def build(parts: Int, numBits: Int, k: Int): Array[Long] =
+      BloomFunctions.fromBytes(docs.repartition(parts)
+        .agg(BloomFunctions.bloomBuild(col("grams"), numBits, k).as("bf"))
+        .head().getAs[Array[Byte]](0))
+    // merge (bitwise OR) is order/partitioning-independent: identical bits
+    val one = build(1, 1 << 13, 5)
+    assert(build(7, 1 << 13, 5).toSeq == one.toSeq)
+    // every inserted gram probes true (Bloom's no-false-negative side)
+    import org.apache.spark.unsafe.types.UTF8String
+    grams.foreach { g =>
+      assert(GraftHash.bloomMightContain(one, UTF8String.fromString(g), 5))
+    }
+    // 8192 bits / 500 entries ≈ 16 bits/entry, k=5 → fpp well under 5%
+    val misses = (1 to 2000).count { i =>
+      GraftHash.bloomMightContain(one, UTF8String.fromString(s"absent $i"), 5)
+    }
+    assert(misses < 100, s"false-positive rate too high: $misses/2000")
+    // null arrays and null elements are skipped, not inserted
+    val withNulls = Seq((0L, Seq("a", null, "b")), (1L, null))
+      .toDF("doc_id", "grams")
+    val nb = BloomFunctions.fromBytes(withNulls
+      .agg(BloomFunctions.bloomBuild(col("grams"), 1 << 10, 3).as("bf"))
+      .head().getAs[Array[Byte]](0))
+    assert(GraftHash.bloomMightContain(nb, UTF8String.fromString("a"), 3))
+    assert(GraftHash.bloomMightContain(nb, UTF8String.fromString("b"), 3))
+  }
 }
