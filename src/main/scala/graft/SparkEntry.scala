@@ -109,6 +109,7 @@ object SparkEntry {
     "q_bpe_merges",
     "q_wordpiece_merges",
     "q_bpe_encode", "q_quality_classifier", "q_classifier_train", "q_lm_score",
+    "q_quality_buckets",
     "q_heavy_hitters", "q_dsir_weights", "q_dsir_sample",
     "q_sample_stratified", "q_sample_cluster", "q_sample_kcenter",
     "q_corpus_quantiles",

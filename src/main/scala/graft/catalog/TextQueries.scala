@@ -233,6 +233,24 @@ object TextQueries {
           round(col("lm_score"), 6).as("lm_score"))
         .orderBy(col("doc_id"))
     },
+    "q_quality_buckets" -> { (s, dir) =>
+      // CCNet-style curation split: per-language head/middle/tail
+      // terciles of the bigram-LM quality score. Cutoffs via the
+      // two-level exact-percentile selection (broadcast-small table),
+      // assignment per-row — no per-language global sort
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val lang = docs.select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+      val lm = graft.ops.CorpusOps.bigramLmScore(docs, "doc_id", "text")
+      val scored = lang.join(lm.select(col("doc_id"), col("lm_score")),
+        Seq("doc_id"))
+      graft.ops.CorpusOps
+        .qualityBuckets(scored, "doc_id", "lm_score", "lang_pred")
+        .select(col("doc_id"), col("lang_pred"),
+          round(col("lm_score"), 6).as("lm_score"), col("bucket"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_segments" -> { (s, dir) =>
       // boilerplate pass: drop 20-token segments occurring in ≥2
       // distinct docs (on this corpus: exactly the planted duplicate
@@ -844,6 +862,48 @@ object TextQueries {
          |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  round(agg.s, 6) AS lm_score
          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+    // mirror of qualityBuckets over (langId, bigramLmScore): same
+    // pruned LM, same quantize-to-1e-6 longs, same integer-ceil
+    // tercile ranks as exactPercentiles, same <=-cutoff assignment
+    val qualityBuckets =
+      s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |ld AS (SELECT doc_id, list_distinct(toks) AS dt FROM t),
+         |h AS (SELECT doc_id, ${codes.map(c => s"${hitExprs(c)} AS h_$c").mkString(", ")} FROM ld),
+         |lpred AS (SELECT doc_id,
+         |  CASE WHEN ${codes.map(c => s"h_$c").mkString(" + ")} = 0 THEN 'und'
+         |  $caseChain ELSE '${codes.last}' END AS lang_pred FROM h),
+         |bg AS (SELECT doc_id, toks[u.i+1] AS w1, toks[u.i+2] AS w2
+         |  FROM t, LATERAL (SELECT unnest(range(0, len(toks)-1)) AS i) u
+         |  WHERE len(toks) >= 2),
+         |uni AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t)
+         |  GROUP BY w1 ORDER BY c1 DESC, w1 LIMIT 4096),
+         |bi AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |  GROUP BY w1, w2 ORDER BY c2 DESC, w1, w2 LIMIT 16384),
+         |sc AS (SELECT bg.doc_id,
+         |  ln((coalesce(bi.c2, 0) + 1)::DOUBLE / (coalesce(uni.c1, 0) + 4096)) AS lp
+         |  FROM bg LEFT JOIN bi USING (w1, w2) LEFT JOIN uni USING (w1)),
+         |agg AS (SELECT doc_id, avg(lp) AS ls FROM sc GROUP BY doc_id),
+         |scored AS (SELECT t.doc_id, lpred.lang_pred, agg.ls
+         |  FROM t JOIN lpred USING (doc_id) LEFT JOIN agg USING (doc_id)),
+         |q AS (SELECT doc_id, lang_pred, round(ls * 1000000)::BIGINT AS qv
+         |  FROM scored WHERE ls IS NOT NULL),
+         |gn AS (SELECT lang_pred, count(*) AS n FROM q GROUP BY lang_pred),
+         |r AS (SELECT lang_pred, qv,
+         |  row_number() OVER (PARTITION BY lang_pred ORDER BY qv) AS rn FROM q),
+         |cut AS (SELECT r.lang_pred,
+         |    max(CASE WHEN r.rn = (33 * gn.n + 99) // 100 THEN r.qv END) AS c33,
+         |    max(CASE WHEN r.rn = (66 * gn.n + 99) // 100 THEN r.qv END) AS c66
+         |  FROM r JOIN gn USING (lang_pred) GROUP BY r.lang_pred)
+         |SELECT s.doc_id, s.lang_pred, round(s.ls, 6) AS lm_score,
+         |  CASE WHEN s.ls IS NULL THEN 'unscored'
+         |       WHEN q.qv <= cut.c33 THEN 'tail'
+         |       WHEN q.qv <= cut.c66 THEN 'middle'
+         |       ELSE 'head' END AS bucket
+         |FROM scored s LEFT JOIN q USING (doc_id)
+         |LEFT JOIN cut ON s.lang_pred = cut.lang_pred
+         |ORDER BY s.doc_id""".stripMargin
 
     // mirror of commonSegmentRemoval: same 20-token segmentation, same
     // distinct-doc threshold, same space-joined reconstruction; DuckDB
@@ -1614,6 +1674,7 @@ object TextQueries {
       "q_dedup_segments" -> dedupSegments,
       "q_dedup_substrings" -> dedupSubstrings,
       "q_lm_score" -> lmScore,
+      "q_quality_buckets" -> qualityBuckets,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

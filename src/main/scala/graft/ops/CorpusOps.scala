@@ -869,4 +869,53 @@ object CorpusOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("lm_score"))
   }
+
+  /** CCNet-style quality bucketing: split each group (language/source)
+    * into head / middle / tail terciles of a quality score — the
+    * standard shape for "keep the head, sample the middle, drop the
+    * tail" pretraining curation (CCNet, Wenzek et al. 2020, splits by
+    * per-language perplexity terciles; feed [[bigramLmScore]]'s
+    * `lm_score` as the score).
+    *
+    * Scale shape: NOT a per-group ntile — that is a per-group global
+    * sort, one reducer per language at 100 TB. Instead the 33rd/66th
+    * percentile CUTOFFS come from [[QuantileOps.exactPercentiles]]'
+    * two-level value-range selection (two scans + a tiny-table window),
+    * the per-group cutoff table broadcasts, and assignment is a
+    * per-row comparison. Exact, no global sort anywhere.
+    *
+    * The double score is quantized to `round(score · scale)` (long)
+    * before ranking so cutoff comparisons are integer-exact and
+    * oracle-reproducible; `scale` = 1e6 matches the 6-decimal rounding
+    * the score queries ship. Rows with a NULL score (no evidence, e.g.
+    * zero bigrams) get bucket `unscored` and are excluded from the
+    * cutoff computation.
+    *
+    * Output: (idCol, groupCol, scoreCol, bucket) with bucket in
+    * {head, middle, tail, unscored}; higher score = better = head.
+    */
+  def qualityBuckets(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      groupCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val q = round(col(scoreCol) * scale).cast("long")
+    val scored = df.filter(col(scoreCol).isNotNull)
+      .select(col(idCol), col(groupCol), q.as("_q"))
+    val cuts = QuantileOps.exactPercentiles(scored, "_q", groupCol,
+        Map("p33" -> 33, "p66" -> 66))
+      .groupBy(col(groupCol))
+      .agg(
+        max(when(col("p") === "p33", col("quantile"))).as("_c33"),
+        max(when(col("p") === "p66", col("quantile"))).as("_c66"))
+    df.withColumn("_q", q)
+      .join(broadcast(cuts), Seq(groupCol), "left")
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        when(col(scoreCol).isNull, lit("unscored"))
+          .when(col("_q") <= col("_c33"), lit("tail"))
+          .when(col("_q") <= col("_c66"), lit("middle"))
+          .otherwise(lit("head")).as("bucket"))
+  }
 }

@@ -440,6 +440,25 @@ class OpsSpec extends SparkSuite {
       (10, 6L, 6L, 1.0, 0.0)))
   }
 
+  test("qualityBuckets: per-group terciles, null scores unscored, partitioning-invariant") {
+    // group a: 9 scores 1..9 → k33 = ceil(33·9/100) = 3 → c33 = 3,
+    // k66 = ceil(66·9/100) = 6 → c66 = 6: tail {1,2,3}, middle {4,5,6},
+    // head {7,8,9}. group b: single score → both cutoffs = it → tail.
+    val rows = (1 to 9).map(i => (i.toLong, "a", Some(i.toDouble))) ++
+      Seq((10L, "b", Some(5.0)), (11L, "a", Option.empty[Double]))
+    val df = rows.toDF("id", "grp", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.CorpusOps.qualityBuckets(d, "id", "score", "grp")
+        .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val got = run(df)
+    assert((1L to 3L).forall(got(_) == "tail"))
+    assert((4L to 6L).forall(got(_) == "middle"))
+    assert((7L to 9L).forall(got(_) == "head"))
+    assert(got(10L) == "tail")      // degenerate single-row group
+    assert(got(11L) == "unscored")  // null score: excluded from cutoffs
+    assert(run(df.repartition(7)) == got)
+  }
+
   test("linearQualityScore: sigmoid of mean bucket weight, prior for empty docs") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, ""), (3L, "delta"))
       .toDF("doc_id", "text")
