@@ -112,12 +112,12 @@ object CorpusOps {
       .select(BloomFunctions.bloomBuild(grams, numBits, numHashes).as("bf"))
       .head().getAs[Array[Byte]](0)
     val bits = BloomFunctions.fromBytes(bloomBytes)
+    // explode THEN row-filter (not an array `filter` HOF): Generate and
+    // a scalar-predicate Filter both stay inside whole-stage codegen,
+    // where a lambda HOF would fall back to interpreted eval per gram
     val cands = train
-      .select(col(idCol),
-        filter(grams, g => BloomFunctions.mightContain(g, bits, numHashes))
-          .as("_cand"))
-      .filter(size(col("_cand")) > 0)
-      .select(col(idCol), explode(col("_cand")).as("gram"))
+      .select(col(idCol), explode(grams).as("gram"))
+      .filter(BloomFunctions.mightContain(col("gram"), bits, numHashes))
     val evalGrams = eval.select(explode(grams).as("gram")).distinct()
     val matched = cands.join(evalGrams, Seq("gram"))
       .groupBy(col(idCol))

@@ -438,4 +438,41 @@ class PlanSpec extends SparkSuite {
     val p = plan(q)
     assert(p.contains("*(1) Project") && p.contains("*(1) Filter"), p.take(500))
   }
+
+  test("bloom decontamination: codegen'd row probe, no cartesian anywhere") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val evalSet = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+    val train = docs.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+    val p = plan(graft.ops.CorpusOps.ngramContaminationBloom(
+      train, evalSet, "doc_id", "text", numBits = 1 << 16))
+    // the probe is a scalar codegen expression in a row Filter (explode
+    // then filter), NOT an ArrayFilter lambda HOF falling back to
+    // interpreted eval per gram
+    assert(p.contains("graft_bloom_might_contain"), p.take(2000))
+    assert(!p.contains("ArrayFilter"), p.take(2000))
+    // the probe sits in a row Filter directly over the gram Generate
+    // (AQE's initial-plan print has no codegen markers; the row-Filter
+    // + no-ArrayFilter pair is the codegen-safe shape)
+    assert("Filter \\(?graft_bloom_might_contain".r.findFirstIn(p).isDefined,
+      p.take(2500))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("quality buckets: cutoff table broadcasts, no ntile / per-group global sort") {
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+      .select(col("doc_id").as("id"), col("lang").as("grp"),
+        (col("n_chars") * 1.0).as("score"))
+    val p = plan(graft.ops.CorpusOps.qualityBuckets(docs, "id", "score", "grp"))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // no per-group ntile/rank sort of the DATA — the only windows come
+    // from exactPercentiles (group-keyed counts + the by-design
+    // single-partition running sum over its TINY per-(group,bucket)
+    // bounds table, which the percentile plan pin already covers)
+    assert(!p.contains("ntile("), p.take(2000)) // "quantile" != ntile()
+    assert(!"Window \\[row_number".r.findFirstIn(p).exists(_ => true) ||
+      p.contains("_qb"), p.take(2500))
+  }
 }
