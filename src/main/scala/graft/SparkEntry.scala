@@ -97,7 +97,8 @@ object SparkEntry {
     "q_text_stats", "q_text_entropy", "q_text_langid", "q_text_fingerprint",
     "q_text_quality_rules", "q_text_repetition", "q_pii_redact", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
-    "q_dedup_incremental", "q_dedup_incremental_lsh", "q_dedup_segments",
+    "q_dedup_incremental", "q_dedup_incremental_bloom",
+    "q_dedup_incremental_lsh", "q_dedup_segments",
     "q_dedup_substrings", "q_memorization_risk", "q_span_corruption",
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_dedup_keep_best", "q_shard_pack",

@@ -210,6 +210,22 @@ object TextQueries {
           col("is_duplicate"), col("keep"))
         .orderBy(col("doc_id"))
     },
+    "q_dedup_incremental_bloom" -> { (s, dir) =>
+      // same append fixture through the store's Bloom INDEX: batch
+      // hashes that miss the filter never touch the store; bloom-hit
+      // candidates confirm exactly — result identical to the scan path
+      val docs = load(s, dir, "documents")
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      val store = DedupOps.exactDuplicates(corpus, "doc_id", "text")
+        .filter(!col("is_duplicate")).select(col("content_hash"))
+      DedupOps.incrementalExactBloom(batch, store, "doc_id", "text",
+          numBits = 1 << 16, numHashes = 5)
+        .select(col("doc_id"), col("content_hash"), col("dup_in_corpus"),
+          col("is_duplicate"), col("keep"))
+        .orderBy(col("doc_id"))
+    },
     "q_dedup_incremental_lsh" -> { (s, dir) =>
       // near-dup face of the same append: batch-banded signatures
       // broadcast against the corpus band stream, same 32/4/8 scheme as
@@ -1671,6 +1687,8 @@ object TextQueries {
       "q_dedup_exact" -> dedupExact,
       "q_dedup_minhash" -> minhash4,
       "q_dedup_incremental" -> dedupIncremental,
+      // bloom-index path is exact end-to-end: same oracle as the scan path
+      "q_dedup_incremental_bloom" -> dedupIncremental,
       "q_dedup_segments" -> dedupSegments,
       "q_dedup_substrings" -> dedupSubstrings,
       "q_lm_score" -> lmScore,

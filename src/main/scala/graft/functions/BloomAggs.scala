@@ -32,9 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression with the filter attached as a reference object (same
   * driver-constant mechanics as [[NativeExprs.PqCodes]]' codebook).
   *
-  * Input: `array<string>` (a document's grams; null arrays and null
-  * elements are skipped). Output: the bit array as BINARY (big-endian
-  * longs), decoded by [[BloomFunctions.fromBytes]].
+  * Input: `array<string>` (a document's grams) or a scalar `string`
+  * (a hash/key column — one insert per row); nulls are skipped.
+  * Output: the bit array as BINARY (big-endian longs), decoded by
+  * [[BloomFunctions.fromBytes]].
   */
 case class BloomBuild(
     child: Expression,
@@ -58,8 +59,9 @@ case class BloomBuild(
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     child.dataType match {
-      case ArrayType(StringType, _) => TypeCheckSuccess
-      case other => TypeCheckFailure(s"input must be array<string>, got $other")
+      case ArrayType(StringType, _) | StringType => TypeCheckSuccess
+      case other =>
+        TypeCheckFailure(s"input must be array<string> or string, got $other")
     }
   }
 
@@ -68,15 +70,16 @@ case class BloomBuild(
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val arr = v.asInstanceOf[ArrayData]
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i))
-          GraftHash.bloomInsert(buf, arr.getUTF8String(i), numHashes)
-        i += 1
-      }
+    if (v != null) v match {
+      case s: UTF8String => GraftHash.bloomInsert(buf, s, numHashes)
+      case arr: ArrayData =>
+        var i = 0
+        val n = arr.numElements()
+        while (i < n) {
+          if (!arr.isNullAt(i))
+            GraftHash.bloomInsert(buf, arr.getUTF8String(i), numHashes)
+          i += 1
+        }
     }
     buf
   }

@@ -245,6 +245,60 @@ object DedupOps {
       .withColumn("keep", !col("dup_in_corpus") && !col("is_duplicate"))
   }
 
+  /** [[incrementalExact]] against a Bloom INDEX of the store instead of
+    * the store itself — the shape for high-frequency ingest where a
+    * store scan per batch is the cost that matters. The store's
+    * content-hash Bloom is a constant-size artifact (built here inline
+    * by [[graft.functions.BloomBuild]]'s one-pass mergeable aggregation;
+    * in deployment it is built WHEN THE STORE IS WRITTEN, persisted
+    * next to it, and OR-merged on append — so a batch pays zero store
+    * I/O to probe). Batch hashes that miss the Bloom are definitively
+    * clean (no false negatives); only Bloom-hit hashes — true dups
+    * plus fpp × batch false positives — reach the exact confirmation
+    * join against the store, and a batch with NO hits skips the store
+    * entirely. Output is row-identical to [[incrementalExact]]
+    * (same oracle): false positives cost confirm-join candidates,
+    * never answers.
+    */
+  def incrementalExactBloom(
+      batch: DataFrame,
+      store: DataFrame,
+      idCol: String,
+      textCol: String,
+      numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomFunctions
+    val storeBloom = BloomFunctions.fromBytes(
+      store.agg(BloomFunctions
+        .bloomBuild(col("content_hash"), numBits, numHashes).as("bf"))
+        .head().getAs[Array[Byte]](0))
+    val bh = batch
+      .withColumn("content_hash", md5(TextFunctions.normalizedText(col(textCol))))
+    val w = Window.partitionBy(col("content_hash"))
+    val internal = bh
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("keep_id"))
+      .drop("keep_id")
+    val candidates = bh.select(col("content_hash")).distinct()
+      .filter(BloomFunctions.mightContain(col("content_hash"), storeBloom,
+        numHashes))
+      .localCheckpoint() // tiny; gates the store scan below
+    val hits =
+      if (candidates.isEmpty) {
+        // whole batch cleared by the index: zero store I/O this batch
+        candidates.withColumn("dup_in_corpus", lit(true))
+      } else {
+        store.select(col("content_hash"))
+          .join(broadcast(candidates), "content_hash")
+          .distinct()
+          .withColumn("dup_in_corpus", lit(true))
+      }
+    internal
+      .join(broadcast(hits), Seq("content_hash"), "left")
+      .withColumn("dup_in_corpus", coalesce(col("dup_in_corpus"), lit(false)))
+      .withColumn("keep", !col("dup_in_corpus") && !col("is_duplicate"))
+  }
+
   /** Incremental MinHash-LSH near-dup candidates: batch × corpus band
     * join (never batch-internal pairs — [[minhashLshPairs]] on the
     * batch covers those, and the corpus store was self-deduped when it

@@ -618,6 +618,27 @@ class OpsSpec extends SparkSuite {
     assert(got(12L) == ((false, false, true)))  // near-dup ≠ exact dup
     assert(got(13L) == ((false, false, true)))
 
+    // bloom-index path: identical verdicts, including at a saturating
+    // 64-bit filter where every batch hash false-positives into the
+    // confirm join
+    for (bits <- Seq(1 << 16, 64)) {
+      val viaBloom = DedupOps
+        .incrementalExactBloom(batch, store, "doc_id", "text",
+          numBits = bits, numHashes = if (bits == 64) 2 else 5)
+        .select("doc_id", "dup_in_corpus", "is_duplicate", "keep")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+      assert(viaBloom == got, s"numBits=$bits")
+    }
+    // an all-novel batch misses the filter entirely (zero-store-IO path)
+    val novel = Seq(mk(21, "entirely novel text one of a kind"),
+      mk(22, "another entirely novel text nothing shared")).toDF("doc_id", "text")
+    val cleared = DedupOps
+      .incrementalExactBloom(novel, store, "doc_id", "text", 1 << 16, 5)
+      .select("doc_id", "dup_in_corpus", "keep").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2))).toSet
+    assert(cleared == Set((21L, false, true), (22L, false, true)))
+
     // LSH: the cross-set incremental candidates equal the full
     // self-join's pairs restricted to (corpus, batch) sides
     val all = corpus.unionByName(batch)
