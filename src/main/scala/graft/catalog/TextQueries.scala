@@ -249,6 +249,17 @@ object TextQueries {
           round(col("lm_score"), 6).as("lm_score"))
         .orderBy(col("doc_id"))
     },
+    "q_mix_temperature" -> { (s, dir) =>
+      // mT5-style α-sampling spec: per-language rates ∝ n^(α−1) hitting
+      // a fixed char budget; the table epochMix consumes (rates may
+      // exceed 1 = upsampling). One stratum-keyed sum, tiny output
+      graft.ops.CorpusOps.temperatureRates(load(s, dir, "documents"),
+          "lang", totalBudget = 100000.0, alpha = 0.7,
+          weightCol = Some("n_chars"))
+        .select(col("lang"), col("n").cast("long").as("n"),
+          round(col("rate"), 6).as("rate"))
+        .orderBy(col("lang"))
+    },
     "q_quality_buckets" -> { (s, dir) =>
       // CCNet-style curation split: per-language head/middle/tail
       // terciles of the bigram-LM quality score. Cutoffs via the
@@ -878,6 +889,16 @@ object TextQueries {
          |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  round(agg.s, 6) AS lm_score
          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+    // mirror of temperatureRates: same α-sampling closed form over the
+    // same per-language char sums
+    val mixTemperature =
+      s"""WITH c AS (SELECT lang, sum(n_chars)::DOUBLE AS n
+         |  FROM documents GROUP BY lang),
+         |z AS (SELECT sum(pow(n, 0.7)) AS z FROM c)
+         |SELECT c.lang, c.n::BIGINT AS n,
+         |  round(100000.0 * pow(c.n, 0.7 - 1.0) / z.z, 6) AS rate
+         |FROM c, z ORDER BY c.lang""".stripMargin
 
     // mirror of qualityBuckets over (langId, bigramLmScore): same
     // pruned LM, same quantize-to-1e-6 longs, same integer-ceil
@@ -1693,6 +1714,7 @@ object TextQueries {
       "q_dedup_substrings" -> dedupSubstrings,
       "q_lm_score" -> lmScore,
       "q_quality_buckets" -> qualityBuckets,
+      "q_mix_temperature" -> mixTemperature,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

@@ -803,6 +803,41 @@ object CorpusOps {
       .drop("rate")
   }
 
+  /** Temperature-based mixture rates — the mT5/XLM-R "α sampling" spec
+    * that feeds [[weightedMix]]/[[epochMix]]: sample stratum s with
+    * probability ∝ n_s^α, so α = 1 is natural proportions, α → 0 is
+    * uniform-over-strata, and the usual α ≈ 0.3–0.7 upsamples small
+    * (low-resource) strata at the big strata's expense. Solving
+    * Σ rate_s · n_s = totalBudget with rate_s · n_s ∝ n_s^α gives
+    *
+    *   rate_s = totalBudget · n_s^(α−1) / Σ_t n_t^α
+    *
+    * — rates may exceed 1 (upsampling), which is exactly what
+    * [[epochMix]]'s whole-copies + fractional-tail rule consumes.
+    * `weightCol` weights each row's contribution to n_s (token counts
+    * for a token budget; omit for document counts).
+    *
+    * Scale shape: ONE stratum-keyed sum (map-side combinable,
+    * broadcast-small output by the strata contract) + per-row
+    * arithmetic on that tiny table. Output: (strataCol, n, rate),
+    * full-precision rate (callers round for display).
+    */
+  def temperatureRates(
+      df: DataFrame,
+      strataCol: String,
+      totalBudget: Double,
+      alpha: Double = 0.7,
+      weightCol: Option[String] = None): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(totalBudget > 0.0, "totalBudget must be positive")
+    val w = weightCol.map(c => sum(col(c).cast("double")))
+      .getOrElse(count(lit(1)).cast("double"))
+    val counts = df.groupBy(col(strataCol)).agg(w.as("n"))
+    val z = counts.agg(sum(pow(col("n"), alpha))).head().getDouble(0)
+    counts.select(col(strataCol), col("n"),
+      (lit(totalBudget) * pow(col("n"), alpha - 1.0) / lit(z)).as("rate"))
+  }
+
   /** Statistical LM quality scoring, CCNet-style: train a bigram
     * language model ON the corpus itself (or a trusted reference slice)
     * and score every document by its mean add-one-smoothed bigram log

@@ -440,6 +440,33 @@ class OpsSpec extends SparkSuite {
       (10, 6L, 6L, 1.0, 0.0)))
   }
 
+  test("temperatureRates: budget exact, low-resource upsampled, α=1 proportional") {
+    // strata sizes 800 / 150 / 50 docs
+    val rows = (1 to 1000).map(i =>
+      (i.toLong, if (i <= 800) "en" else if (i <= 950) "de" else "sw"))
+    val df = rows.toDF("id", "lang")
+    def rates(alpha: Double) = graft.ops.CorpusOps
+      .temperatureRates(df, "lang", totalBudget = 500.0, alpha = alpha)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val r7 = rates(0.7)
+    // Σ rate·n = budget (the defining constraint)
+    assert(math.abs(r7.values.map { case (n, r) => n * r }.sum - 500.0) < 1e-9)
+    // α<1: smaller strata get strictly higher rates
+    assert(r7("sw")._2 > r7("de")._2 && r7("de")._2 > r7("en")._2)
+    // α=1 is natural proportions: every stratum keeps budget/total
+    val r1 = rates(1.0)
+    r1.values.foreach { case (_, r) => assert(math.abs(r - 0.5) < 1e-12) }
+    // rates > 1 (upsampling) compose with epochMix: sw at α=0.3 should
+    // exceed 1 and emit more copies than it has docs
+    val r3 = graft.ops.CorpusOps
+      .temperatureRates(df, "lang", totalBudget = 900.0, alpha = 0.3)
+    assert(r3.filter(col("lang") === "sw").head().getDouble(2) > 1.0)
+    val mixed = graft.ops.CorpusOps.epochMix(df, "id", "lang",
+      r3.select(col("lang"), col("rate")))
+    assert(mixed.filter(col("lang") === "sw").count() > 50)
+  }
+
   test("qualityBuckets: per-group terciles, null scores unscored, partitioning-invariant") {
     // group a: 9 scores 1..9 → k33 = ceil(33·9/100) = 3 → c33 = 3,
     // k66 = ceil(66·9/100) = 6 → c66 = 6: tail {1,2,3}, middle {4,5,6},
