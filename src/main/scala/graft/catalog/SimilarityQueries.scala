@@ -109,6 +109,21 @@ object SimilarityQueries {
           round(col("cosine"), 6).as("cosine"), col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_ann_sq8" -> { (s, dir) =>
+      // SQ8 scalar quantization: per-dim min/max bounds over the corpus,
+      // one byte-range code per dimension (4× smaller than float32, far
+      // higher fidelity than PQ), asymmetric exact-query-vs-reconstructed
+      // cosine — the first compression rung of a 100-TB serving scan
+      val emb = load(s, dir, "embeddings")
+      val bounds = SimilarityOps.sq8Bounds(emb, "embedding")
+      val codes = SimilarityOps.sq8Encode(emb, "vec_id", "embedding", bounds)
+      SimilarityOps.sq8TopK(codes, "vec_id",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", bounds, k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("sq8_cosine"), 6).as("sq8_cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_recon_candidates" -> { (s, dir) =>
       // J12 — reconciliation-candidate join: top-10 per new fact with
       // cosine >= threshold, then dedup across facts (first fact wins,
@@ -506,6 +521,31 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
          |FROM rr WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    // SQ8 replay: per-dim min/max bounds, half-up byte codes, in-order
+    // reconstruction xhat = mn + code·(span/255) — every operation order
+    // mirrors GraftHash.sq8Codes/sq8Cosine (round is half-away-from-zero
+    // on both sides for the nonnegative argument), so the doubles match
+    // bit-for-bit before the round(…, 6)
+    val sq8 =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dd AS (SELECT unnest(range(1, ${Dims + 1})) AS d),
+         |b AS (SELECT dd.d, min(e.v[dd.d]) AS mn, max(e.v[dd.d]) AS mx
+         |      FROM e, dd GROUP BY dd.d),
+         |cd AS (SELECT e.vec_id, b.d,
+         |    CASE WHEN b.mx - b.mn <= 0 THEN 0
+         |         ELSE least(255, greatest(0,
+         |           CAST(round(((e.v[b.d] - b.mn) / (b.mx - b.mn)) * 255.0) AS INTEGER))) END AS code
+         |  FROM e, b),
+         |xh AS (SELECT cd.vec_id,
+         |    list(b.mn + cd.code * ((b.mx - b.mn) / 255.0) ORDER BY cd.d) AS xv
+         |  FROM cd JOIN b ON cd.d = b.d GROUP BY cd.vec_id),
+         |s AS (SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id, ${cos("q.v", "x.xv")} AS c
+         |      FROM e q JOIN xh x ON q.vec_id < 5 AND q.vec_id <> x.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank FROM s)
+         |SELECT query_id, neighbor_id, round(c, 6) AS sq8_cosine, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     val recon =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
@@ -632,6 +672,7 @@ object SimilarityQueries {
       "q_ann_pq" -> pq,
       "q_ann_pq_rerank" -> pqRerank,
       "q_ann_ivfpq" -> ivfpq,
+      "q_ann_sq8" -> sq8,
       "q_recon_candidates" -> recon,
       "q_semdedup" -> semdedup,
       "q_proto_prune" -> protoPrune,

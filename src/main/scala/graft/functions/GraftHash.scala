@@ -549,6 +549,56 @@ object GraftHash {
     * analysis+codegen on 4096-term trees at 8 × 64 codes) and as the
     * SQL oracle, so result hashes are unchanged.
     */
+  /** SQ8 scalar-quantization encode ([[NativeExprs.Sq8Codes]]): per
+    * dimension, code = round(((x − mn) / (mx − mn)) · 255) clamped to
+    * [0, 255] (0 for a degenerate mn = mx dimension). The argument is
+    * always nonnegative, so JVM half-up rounding equals the oracle's
+    * half-away-from-zero. Reconstruction (in [[sq8Cosine]] and the
+    * oracle) is x̂ = mn + code · ((mx − mn) / 255) — operation order
+    * fixed on both sides so the doubles match bit-for-bit.
+    */
+  def sq8Codes(emb: ArrayData, isFloat: Boolean,
+      mins: Array[Double], maxs: Array[Double]): ArrayData = {
+    if (emb == null) return null
+    val n = mins.length
+    val out = new Array[Int](n)
+    var d = 0
+    while (d < n) {
+      val v = if (isFloat) emb.getFloat(d).toDouble else emb.getDouble(d)
+      val span = maxs(d) - mins(d)
+      out(d) =
+        if (span <= 0.0) 0
+        else {
+          val c = Math.round(((v - mins(d)) / span) * 255.0).toInt
+          if (c < 0) 0 else if (c > 255) 255 else c
+        }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Asymmetric SQ8 cosine ([[NativeExprs.Sq8Cosine]]): exact query vs
+    * reconstructed corpus vector, dot/norms accumulated in dimension
+    * order (mirrors list_dot_product). Zero-norm side → 0.0, matching
+    * [[NativeExprs.CosineSim]]. Caller guarantees lengths == dims.
+    */
+  def sq8Cosine(q: ArrayData, isFloat: Boolean, codes: ArrayData,
+      mins: Array[Double], maxs: Array[Double]): Double = {
+    val n = mins.length
+    var dot = 0.0; var nq = 0.0; var nx = 0.0
+    var d = 0
+    while (d < n) {
+      val qi = if (isFloat) q.getFloat(d).toDouble else q.getDouble(d)
+      val xhat = mins(d) + codes.getInt(d) * ((maxs(d) - mins(d)) / 255.0)
+      dot += qi * xhat
+      nq += qi * qi
+      nx += xhat * xhat
+      d += 1
+    }
+    if (math.sqrt(nq) == 0.0 || math.sqrt(nx) == 0.0) 0.0
+    else dot / (math.sqrt(nq) * math.sqrt(nx))
+  }
+
   def pqCodes(emb: ArrayData, isFloat: Boolean, cb: Array[Double],
       numSub: Int, numCodes: Int, subDim: Int): ArrayData = {
     if (emb == null) return null

@@ -726,6 +726,96 @@ private[functions] object NativeExprs {
       copy(child = newChild)
   }
 
+  /** SQ8 scalar-quantization encode ([[GraftHash.sq8Codes]]): one
+    * int8-range code per dimension against driver-constant per-dim
+    * min/max bounds (same reference-object mechanics as [[PqCodes]]).
+    */
+  case class Sq8Codes(child: Expression, mins: Array[Double],
+      maxs: Array[Double]) extends UnaryExpression {
+    require(mins.length == maxs.length && mins.nonEmpty, "bad bounds")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_sq8_codes"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(child.dataType, "input") match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => TypeCheckSuccess
+      }
+    }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.sq8Codes(input.asInstanceOf[ArrayData], isFloat, mins, maxs)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mnRef = ctx.addReferenceObj("sq8mins", mins, "double[]")
+      val mxRef = ctx.addReferenceObj("sq8maxs", maxs, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.GraftHash.sq8Codes($c, $isFloat, $mnRef, $mxRef)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Sq8Codes =
+      copy(child = newChild)
+  }
+
+  /** Asymmetric SQ8 cosine ([[GraftHash.sq8Cosine]]): exact query
+    * (left, float/double array) against an SQ8-coded corpus vector
+    * (right, array<int>), reconstructed in-kernel from the same
+    * driver-constant bounds. Null on a length mismatch.
+    */
+  case class Sq8Cosine(left: Expression, right: Expression,
+      mins: Array[Double], maxs: Array[Double]) extends BinaryExpression {
+    require(mins.length == maxs.length && mins.nonEmpty, "bad bounds")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_sq8_cosine"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(left.dataType, "left") match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => right.dataType match {
+          case ArrayType(IntegerType, _) => TypeCheckSuccess
+          case other => TypeCheckFailure(s"right must be array<int>, got $other")
+        }
+      }
+    }
+
+    private def isFloat: Boolean =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val q = a.asInstanceOf[ArrayData]
+      val c = b.asInstanceOf[ArrayData]
+      if (q.numElements() != mins.length || c.numElements() != mins.length) null
+      else GraftHash.sq8Cosine(q, isFloat, c, mins, maxs)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val mnRef = ctx.addReferenceObj("sq8mins", mins, "double[]")
+      val mxRef = ctx.addReferenceObj("sq8maxs", maxs, "double[]")
+      val dims = mins.length
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() != $dims || $b.numElements() != $dims) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.GraftHash.sq8Cosine(
+            $a, $isFloat, $b, $mnRef, $mxRef);
+        }
+        """)
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Sq8Cosine =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class MinhashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
     require(numHashes >= 1, "numHashes must be >= 1")

@@ -46,6 +46,18 @@ object VectorFunctions {
     GraftSqlShim.column(NativeExprs.PqDtab(GraftSqlShim.expression(emb),
       cb.flatten.flatten, cb.length, cb(0).length, cb(0)(0).length))
 
+  /** SQ8 codes for a vector against driver-constant per-dim bounds. */
+  def sq8Codes(emb: Column, mins: Array[Double], maxs: Array[Double]): Column =
+    GraftSqlShim.column(NativeExprs.Sq8Codes(
+      GraftSqlShim.expression(emb), mins, maxs))
+
+  /** Asymmetric SQ8 cosine: exact query vs reconstructed coded vector. */
+  def sq8Cosine(query: Column, codes: Column,
+      mins: Array[Double], maxs: Array[Double]): Column =
+    GraftSqlShim.column(NativeExprs.Sq8Cosine(
+      GraftSqlShim.expression(query), GraftSqlShim.expression(codes),
+      mins, maxs))
+
   /** Cosine against a constant query vector (the common search shape). */
   def cosineToQuery(emb: Column, query: Array[Float]): Column = {
     val q = query.map(_.toDouble)

@@ -587,6 +587,76 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** SQ8 per-dimension bounds — the trained artifact of scalar
+    * quantization: (mins, maxs) over the corpus. One dimension-keyed
+    * min/max aggregation; the posexplode partial-aggregates to `dims`
+    * rows per task before the (dims × tasks)-row shuffle, so the corpus
+    * embeddings themselves never move. Output arrays are dims-sized
+    * driver constants (the [[pqCodebooks]] contract).
+    */
+  def sq8Bounds(
+      corpus: DataFrame,
+      embCol: String): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .orderBy(col("d"))
+      .collect()
+    require(rows.nonEmpty, "empty corpus")
+    (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+  }
+
+  /** SQ8 encode: one int8-range code per dimension — 4× smaller than
+    * float32 with far better fidelity than PQ's 4–8 codes/vector; the
+    * standard first compression rung (FAISS SQ8). Zero-shuffle
+    * native-kernel projection, same shape as [[pqEncode]].
+    */
+  def sq8Encode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      bounds: (Array[Double], Array[Double]),
+      passthrough: Seq[String] = Nil): DataFrame =
+    corpus.select(
+      (col(idCol) +: passthrough.map(col)) :+
+        VectorFunctions.sq8Codes(col(embCol), bounds._1, bounds._2)
+          .as("codes"): _*)
+
+  /** SQ8 top-k by asymmetric cosine: exact query vs in-kernel
+    * reconstructed corpus vectors. Same plan shape as [[pqTopK]]
+    * (queries broadcast over the code scan, per-query top-k window);
+    * the code table is what a 100-TB serving scan READS — 64 B/vector
+    * here vs 256 B raw. Compose with IVF cells to bound what is probed,
+    * or re-rank a shortlist exactly as [[pqTopKReranked]] does.
+    */
+  def sq8TopK(
+      codes: DataFrame,
+      codesId: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      bounds: (Array[Double], Array[Double]),
+      k: Int): DataFrame = {
+    val p = codes.sparkSession.sessionState.conf.numShufflePartitions
+    val q = queries.select(col(queryId).as("query_id"), col(queryEmb).as("_q"))
+    val scored = broadcast(q)
+      .crossJoin(codes.select(col(codesId).as("neighbor_id"), col("codes"))
+        .repartition(p))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq8_cosine",
+        VectorFunctions.sq8Cosine(col("_q"), col("codes"),
+          bounds._1, bounds._2))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq8_cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sq8_cosine"),
+        col("rank"))
+  }
+
   /** IVF × PQ — the full production ANN layout, composed from the two
     * halves: IVF routing bounds WHICH cells a query probes
     * (nProbe/C of the corpus), the probed candidates score by ADC over

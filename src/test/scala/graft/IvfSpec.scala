@@ -113,6 +113,47 @@ class IvfSpec extends SparkSuite {
     assert(recallBoth >= 0.6, s"composed IVF x PQ recall too low: $recallBoth")
   }
 
+  test("SQ8: byte codes per dimension, near-lossless recall, tight cosine error") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topkSets(SimilarityOps.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", 10))
+    val bounds = SimilarityOps.sq8Bounds(emb, "embedding")
+    assert(bounds._1.length == 64 && bounds._2.length == 64)
+    assert(bounds._1.zip(bounds._2).forall { case (mn, mx) => mn <= mx })
+    val codes = SimilarityOps.sq8Encode(emb, "vec_id", "embedding", bounds)
+    // the compression contract: one row per vector, 64 byte-range codes
+    val c0 = codes.limit(1).collect().head
+    assert(c0.getSeq[Int](1).length == 64 &&
+      c0.getSeq[Int](1).forall(c => c >= 0 && c <= 255))
+    assert(codes.count() == emb.count())
+    val got = topkSets(SimilarityOps.sq8TopK(codes, "vec_id",
+      queries, "vec_id", "embedding", bounds, k = 10))
+    val recalls = truth.map { case (q, t) =>
+      got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+    val recall = recalls.sum / recalls.size
+    info(f"SQ8 recall@10 = $recall%.3f")
+    // 8 bits/dim is near-lossless (~0.4%% per-dim step): the quantized
+    // ranking should recover essentially the exact top-10
+    assert(recall >= 0.95, s"SQ8 recall too low: $recall")
+    // per-pair cosine error bound: quantized cosine within 0.01 of exact
+    val exact = SimilarityOps.bruteForceTopK(emb, "vec_id", "embedding",
+        queries, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = SimilarityOps.sq8TopK(codes, "vec_id",
+        queries, "vec_id", "embedding", bounds, k = 10)
+      .select(col("query_id"), col("neighbor_id"), col("sq8_cosine")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val errs = for ((k, v) <- approx; e <- exact.get(k)) yield math.abs(v - e)
+    assert(errs.nonEmpty && errs.max < 0.01,
+      f"SQ8 cosine error too large: ${errs.max}%.5f")
+  }
+
   test("incremental append into the partitioned layout == fresh full build") {
     assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
