@@ -124,6 +124,21 @@ object SimilarityQueries {
           col("rank").cast("long").as("rank"))
         .orderBy(col("query_id"), col("rank"))
     },
+    "q_ann_binary" -> { (s, dir) =>
+      // binary quantization, the 32× end of the compression ladder:
+      // per-dim 1e-6-quantized mean thresholds (engine-portable), sign
+      // bits packed into longs, Hamming shortlist + exact cosine re-rank
+      val emb = load(s, dir, "embeddings")
+      val th = SimilarityOps.binaryThresholds(emb, "embedding")
+      val codes = SimilarityOps.binaryEncode(emb, "vec_id", "embedding", th)
+      SimilarityOps.binaryTopKReranked(codes, "vec_id", emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding", th,
+          k = 10, shortlist = PqShortlist)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "q_recon_candidates" -> { (s, dir) =>
       // J12 — reconciliation-candidate join: top-10 per new fact with
       // cosine >= threshold, then dedup across facts (first fact wins,
@@ -546,6 +561,37 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS sq8_cosine, rank::BIGINT AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    // binary-quantization replay: thresholds are floor(µ·1e6 + 0.5)/1e6
+    // on BOTH sides — the quantization absorbs any last-ulp difference
+    // in the mean's summation order between engines, so the sign bits
+    // (and hence Hamming, shortlist, re-rank) are deterministic; the
+    // bit-unpacked 0/1 join replays the packed popcount exactly
+    val bin =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dd AS (SELECT unnest(range(1, ${Dims + 1})) AS d),
+         |th AS (SELECT dd.d, floor(avg(e.v[dd.d]) * 1000000 + 0.5) / 1000000 AS t
+         |       FROM e, dd GROUP BY dd.d),
+         |bits AS (SELECT e.vec_id, th.d,
+         |    CASE WHEN e.v[th.d] > th.t THEN 1 ELSE 0 END AS b
+         |  FROM e, th),
+         |ham AS (
+         |  SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+         |    sum(CASE WHEN qb.b <> cb.b THEN 1 ELSE 0 END) AS h
+         |  FROM bits qb JOIN bits cb ON qb.d = cb.d
+         |  WHERE qb.vec_id < 5 AND qb.vec_id <> cb.vec_id
+         |  GROUP BY qb.vec_id, cb.vec_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY h ASC, neighbor_id ASC) AS rn
+         |  FROM ham) WHERE rn <= $PqShortlist),
+         |ex AS (SELECT s.query_id, s.neighbor_id, ${cos("qe.v", "ne.v")} AS c
+         |  FROM short s JOIN e qe ON s.query_id = qe.vec_id
+         |  JOIN e ne ON s.neighbor_id = ne.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank FROM ex)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     val recon =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
@@ -673,6 +719,7 @@ object SimilarityQueries {
       "q_ann_pq_rerank" -> pqRerank,
       "q_ann_ivfpq" -> ivfpq,
       "q_ann_sq8" -> sq8,
+      "q_ann_binary" -> bin,
       "q_recon_candidates" -> recon,
       "q_semdedup" -> semdedup,
       "q_proto_prune" -> protoPrune,

@@ -599,6 +599,41 @@ object GraftHash {
     else dot / (math.sqrt(nq) * math.sqrt(nx))
   }
 
+  /** Binary-quantization encode ([[NativeExprs.BinCodes]]): bit d of
+    * word d/64 is set iff x(d) > thresholds(d); bits pack LSB-first
+    * into ceil(dims/64) longs. Thresholds are 1e-6-quantized per-dim
+    * means (see SimilarityOps.binaryThresholds), so the comparison is
+    * engine-exact.
+    */
+  def binCodes(emb: ArrayData, isFloat: Boolean,
+      thresholds: Array[Double]): ArrayData = {
+    if (emb == null) return null
+    val n = thresholds.length
+    val words = new Array[Long]((n + 63) >>> 6)
+    var d = 0
+    while (d < n) {
+      val v = if (isFloat) emb.getFloat(d).toDouble else emb.getDouble(d)
+      if (v > thresholds(d)) words(d >>> 6) |= (1L << (d & 63))
+      d += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Packed-word Hamming distance ([[NativeExprs.BinHamming]]):
+    * Σ bitCount(a XOR b) over the word arrays. Caller guarantees equal
+    * lengths (the expression null-guards a mismatch).
+    */
+  def binHamming(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    var h = 0
+    var w = 0
+    while (w < n) {
+      h += java.lang.Long.bitCount(a.getLong(w) ^ b.getLong(w))
+      w += 1
+    }
+    h
+  }
+
   def pqCodes(emb: ArrayData, isFloat: Boolean, cb: Array[Double],
       numSub: Int, numCodes: Int, subDim: Int): ArrayData = {
     if (emb == null) return null

@@ -816,6 +816,82 @@ private[functions] object NativeExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Binary-quantization encode ([[GraftHash.binCodes]]): sign bits vs
+    * driver-constant per-dim thresholds, packed LSB-first into
+    * ceil(dims/64) longs (same reference-object mechanics as
+    * [[Sq8Codes]]).
+    */
+  case class BinCodes(child: Expression, thresholds: Array[Double])
+      extends UnaryExpression {
+    require(thresholds.nonEmpty, "bad thresholds")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_bin_codes"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      checkVec(child.dataType, "input") match {
+        case Some(msg) => TypeCheckFailure(msg)
+        case None => TypeCheckSuccess
+      }
+    }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.binCodes(input.asInstanceOf[ArrayData], isFloat, thresholds)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val thRef = ctx.addReferenceObj("binth", thresholds, "double[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.GraftHash.binCodes($c, $isFloat, $thRef)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): BinCodes =
+      copy(child = newChild)
+  }
+
+  /** Packed-word Hamming distance ([[GraftHash.binHamming]]) between two
+    * array<bigint> code columns. Null on a length mismatch.
+    */
+  case class BinHamming(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def prettyName: String = "graft_bin_hamming"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckSuccess
+        case (l, r) => TypeCheckFailure(s"both sides must be array<bigint>, got $l / $r")
+      }
+    }
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      if (x.numElements() != y.numElements()) null
+      else GraftHash.binHamming(x, y)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = graft.functions.GraftHash.binHamming($a, $b);
+        }
+        """)
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): BinHamming =
+      copy(left = newLeft, right = newRight)
+  }
+
   case class MinhashSig(child: Expression, numHashes: Int)
       extends UnaryExpression {
     require(numHashes >= 1, "numHashes must be >= 1")

@@ -58,6 +58,17 @@ object VectorFunctions {
       GraftSqlShim.expression(query), GraftSqlShim.expression(codes),
       mins, maxs))
 
+  /** Binary-quantization codes: sign bits vs per-dim thresholds, packed
+    * into ceil(dims/64) longs. */
+  def binCodes(emb: Column, thresholds: Array[Double]): Column =
+    GraftSqlShim.column(NativeExprs.BinCodes(
+      GraftSqlShim.expression(emb), thresholds))
+
+  /** Packed-word Hamming distance between two binary-code columns. */
+  def binHamming(a: Column, b: Column): Column =
+    GraftSqlShim.column(NativeExprs.BinHamming(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+
   /** Cosine against a constant query vector (the common search shape). */
   def cosineToQuery(emb: Column, query: Array[Float]): Column = {
     val q = query.map(_.toDouble)

@@ -657,6 +657,86 @@ object SimilarityOps {
         col("rank"))
   }
 
+  /** Binary-quantization thresholds — per-dimension means over the
+    * corpus, quantized to 1e-6 via floor(µ·1e6 + 0.5)/1e6 so the
+    * trained artifact is ENGINE-PORTABLE: a last-ulp difference in the
+    * mean's summation order (Spark partials vs any other engine) cannot
+    * move the quantized threshold, so the sign bits replay exactly.
+    * Same one-agg shape as [[sq8Bounds]]; the embeddings never shuffle.
+    */
+  def binaryThresholds(corpus: DataFrame, embCol: String): Array[Double] =
+    corpus
+      .select(posexplode(col(embCol)).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(avg(col("x").cast("double")).as("mu"))
+      .orderBy(col("d"))
+      .collect()
+      .map(r => math.floor(r.getDouble(1) * 1e6 + 0.5) / 1e6)
+
+  /** Binary encode: 1 bit per dimension (bit = x > threshold), packed
+    * into ceil(dims/64) longs — 32× smaller than float32, the extreme
+    * end of the compression ladder (float32 → SQ8 4× → PQ ~32–64× →
+    * binary 32× at O(1) distance cost). Zero-shuffle kernel projection.
+    */
+  def binaryEncode(
+      corpus: DataFrame,
+      idCol: String,
+      embCol: String,
+      thresholds: Array[Double],
+      passthrough: Seq[String] = Nil): DataFrame =
+    corpus.select(
+      (col(idCol) +: passthrough.map(col)) :+
+        VectorFunctions.binCodes(col(embCol), thresholds).as("codes"): _*)
+
+  /** Binary ANN, the deployable shape: Hamming shortlist over the packed
+    * codes (a popcount per candidate — the cheapest possible distance),
+    * exact cosine re-rank of the shortlist only ([[pqTopKReranked]]
+    * pattern). The code scan reads dims/8 bytes per vector; at 100 TB of
+    * float32 that is a ~3 TB first pass, and the exact re-rank touches
+    * only shortlist × queries raw vectors via a broadcast-keyed join.
+    */
+  def binaryTopKReranked(
+      codes: DataFrame,
+      codesId: String,
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      thresholds: Array[Double],
+      k: Int,
+      shortlist: Int): DataFrame = {
+    val p = codes.sparkSession.sessionState.conf.numShufflePartitions
+    val q = queries.select(col(queryId).as("query_id"),
+      VectorFunctions.binCodes(col(queryEmb), thresholds).as("_qc"))
+    val scored = broadcast(q)
+      .crossJoin(codes.select(col(codesId).as("neighbor_id"), col("codes"))
+        .repartition(p))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", VectorFunctions.binHamming(col("_qc"), col("codes")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val short = scored
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = broadcast(
+        short.join(
+          queries.select(col(queryId).as("query_id"), col(queryEmb).as("q_emb")),
+          Seq("query_id")))
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb")),
+        Seq("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF × PQ — the full production ANN layout, composed from the two
     * halves: IVF routing bounds WHICH cells a query probes
     * (nProbe/C of the corpus), the probed candidates score by ADC over

@@ -154,6 +154,48 @@ class IvfSpec extends SparkSuite {
       f"SQ8 cosine error too large: ${errs.max}%.5f")
   }
 
+  test("binary quantization: packed sign bits, Hamming shortlist + re-rank recovers recall") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topkSets(SimilarityOps.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", 10))
+    val th = SimilarityOps.binaryThresholds(emb, "embedding")
+    assert(th.length == 64)
+    // thresholds are 1e-6-quantized: each is a fixed point of the
+    // quantizer (re-quantizing changes nothing), which is what makes the
+    // artifact engine-portable
+    assert(th.forall(t => math.floor(t * 1e6 + 0.5) / 1e6 == t))
+    val codes = SimilarityOps.binaryEncode(emb, "vec_id", "embedding", th)
+    // the compression contract: 64 dims pack into exactly ONE long
+    val c0 = codes.limit(1).collect().head
+    assert(c0.getSeq[Long](1).length == 1)
+    assert(codes.count() == emb.count())
+    // Hamming is symmetric, zero on self, and bounded by dims
+    val sample = codes.limit(3).collect().map(_.getSeq[Long](1).toArray)
+    import graft.functions.VectorFunctions
+    import spark.implicits._
+    val pairs = Seq((sample(0), sample(0)), (sample(0), sample(1)),
+      (sample(1), sample(0))).toDF("a", "b")
+      .select(VectorFunctions.binHamming(col("a"), col("b")).as("h"))
+      .collect().map(_.getInt(0))
+    assert(pairs(0) == 0 && pairs(1) == pairs(2) && pairs(1) >= 0 && pairs(1) <= 64)
+    val got = topkSets(SimilarityOps.binaryTopKReranked(codes, "vec_id",
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", th,
+      k = 10, shortlist = 100))
+    val recalls = truth.map { case (q, t) =>
+      got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+    val recall = recalls.sum / recalls.size
+    info(f"binary 1-bit/dim + shortlist-100 re-rank recall@10 = $recall%.3f")
+    // 1 bit/dim on the isotropic worst-case corpus: recall tracks the
+    // scanned fraction like PQ does (shortlist 100 of ~600 ≈ 17%), with
+    // the Hamming ordering adding signal on top — floor set accordingly
+    assert(recall >= 0.5, s"binary quantization recall too low: $recall")
+  }
+
   test("incremental append into the partitioned layout == fresh full build") {
     assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
