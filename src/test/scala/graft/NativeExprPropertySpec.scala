@@ -135,6 +135,92 @@ class NativeExprPropertySpec extends SparkSuite {
     }
   }
 
+  test("Sq8Codes/Sq8Cosine kernels == scala reference over 200 random vectors") {
+    val dims = 16
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dims,
+      Gen.frequency(9 -> Gen.choose(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
+    val rows = sample(vecGen, 200, seed = 21L)
+    // random bounds with mn <= mx; dim 3 degenerate (mn == mx), dim 5
+    // deliberately NARROW so some values clamp outside [0, 255]
+    val lo = sample(Gen.choose(-4.0, 0.0), dims, seed = 22L).toArray
+    val hi = lo.zip(sample(Gen.choose(0.1, 4.0), dims, seed = 23L))
+      .map { case (l, s) => l + s }
+    lo(3) = 1.5; hi(3) = 1.5
+    lo(5) = -0.1; hi(5) = 0.1
+
+    def refCodes(v: Seq[Float]): Seq[Int] =
+      (0 until dims).map { d =>
+        val span = hi(d) - lo(d)
+        if (span <= 0.0) 0
+        else {
+          val c = Math.round(((v(d).toDouble - lo(d)) / span) * 255.0).toInt
+          math.max(0, math.min(255, c))
+        }
+      }
+    def refCosine(q: Seq[Float], codes: Seq[Int]): Double = {
+      var dot = 0.0; var nq = 0.0; var nx = 0.0
+      (0 until dims).foreach { d =>
+        val qi = q(d).toDouble
+        val xhat = lo(d) + codes(d) * ((hi(d) - lo(d)) / 255.0)
+        dot += qi * xhat; nq += qi * qi; nx += xhat * xhat
+      }
+      if (math.sqrt(nq) == 0.0 || math.sqrt(nx) == 0.0) 0.0
+      else dot / (math.sqrt(nq) * math.sqrt(nx))
+    }
+
+    val q = sample(vecGen, 1, seed = 24L).head
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v, q) }
+      .toDF("id", "v", "q")
+    val got = df.select(col("id"),
+        VectorFunctions.sq8Codes(col("v"), lo, hi).as("codes"),
+        VectorFunctions.sq8Cosine(col("q"),
+          VectorFunctions.sq8Codes(col("v"), lo, hi), lo, hi).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Int](1), r.getDouble(2)))).toMap
+    rows.zipWithIndex.foreach { case (v, i) =>
+      val rc = refCodes(v)
+      assert(got(i.toLong)._1 == rc, s"sq8 codes mismatch at row $i")
+      assert(got(i.toLong)._2 == refCosine(q, rc), s"sq8 cosine mismatch at row $i")
+    }
+  }
+
+  test("BinCodes/BinHamming kernels == scala reference over 200 random vectors (dims % 64 != 0)") {
+    val dims = 70 // two words, second partial — exercises the tail mask
+    val vecGen: Gen[Seq[Float]] = Gen.listOfN(dims,
+      Gen.frequency(9 -> Gen.choose(-5.0f, 5.0f), 1 -> Gen.const(0.0f)))
+    val rows = sample(vecGen, 200, seed = 31L)
+    val th = sample(Gen.choose(-1.0, 1.0), dims, seed = 32L).toArray
+
+    def refCodes(v: Seq[Float]): Seq[Long] = {
+      val words = new Array[Long]((dims + 63) / 64)
+      (0 until dims).foreach { d =>
+        if (v(d).toDouble > th(d)) words(d / 64) |= (1L << (d % 64))
+      }
+      words.toSeq
+    }
+    def refHamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+
+    val q = rows.head
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v, q) }
+      .toDF("id", "v", "q")
+    val got = df.select(col("id"),
+        VectorFunctions.binCodes(col("v"), th).as("codes"),
+        VectorFunctions.binHamming(
+          VectorFunctions.binCodes(col("q"), th),
+          VectorFunctions.binCodes(col("v"), th)).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getInt(2)))).toMap
+    val qc = refCodes(q)
+    rows.zipWithIndex.foreach { case (v, i) =>
+      val rc = refCodes(v)
+      assert(got(i.toLong)._1 == rc, s"bin codes mismatch at row $i")
+      assert(got(i.toLong)._2 == refHamming(qc, rc), s"hamming mismatch at row $i")
+    }
+    // self-distance is zero through the whole kernel path
+    assert(got(0L)._2 == 0)
+  }
+
   test("SortedIntersectSize == array_intersect size over 300 random sorted sets") {
     val setGen: Gen[Seq[Long]] =
       Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)

@@ -289,6 +289,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("graft_pq_dtab"), p.take(2500))
   }
 
+  test("SQ8 / binary quantization scans: one bounded query broadcast, kernel codes, keyed re-rank joins") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 5)
+
+    val bounds = SimilarityOps.sq8Bounds(emb, "embedding")
+    val pSq8 = plan(SimilarityOps.sq8TopK(
+      SimilarityOps.sq8Encode(emb, "vec_id", "embedding", bounds), "vec_id",
+      queries, "vec_id", "embedding", bounds, k = 10))
+    // one deliberate nested-loop: the k-bounded query broadcast over the
+    // code scan; codes and the asymmetric cosine are native kernels
+    assert(!pSq8.contains("CartesianProduct"), pSq8.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pSq8).size == 1, pSq8.take(2500))
+    assert(pSq8.contains("graft_sq8_codes"), pSq8.take(2500))
+    assert(pSq8.contains("graft_sq8_cosine"), pSq8.take(2500))
+
+    val th = SimilarityOps.binaryThresholds(emb, "embedding")
+    val pBin = plan(SimilarityOps.binaryTopKReranked(
+      SimilarityOps.binaryEncode(emb, "vec_id", "embedding", th), "vec_id",
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", th,
+      k = 10, shortlist = 100))
+    // same single bounded broadcast for the Hamming pass; the exact
+    // re-rank joins are KEYED (query_id / neighbor_id) hash joins — a
+    // second nested-loop would mean the re-rank degenerated to all-pairs
+    assert(!pBin.contains("CartesianProduct"), pBin.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pBin).size == 1, pBin.take(2500))
+    assert(pBin.contains("BroadcastHashJoin"), pBin.take(2500))
+    assert(pBin.contains("graft_bin_codes"), pBin.take(2500))
+    assert(pBin.contains("graft_bin_hamming"), pBin.take(2500))
+  }
+
   test("substring dedup: hash-keyed agg combines map-side, no cartesian, no single-partition stage") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     val docs = spark.read.parquet(s"$SfDir/documents.parquet")
