@@ -297,8 +297,17 @@ object Bench {
         fresh <- ckpt("q_ann_ivf_append_fresh", Seq("query_id", "neighbor_id"))
       } yield rec("q_ann_ivf_append_stale", stale, brute, Seq("query_id", "neighbor_id")) ++
         rec("q_ann_ivf_append_fresh", fresh, brute, Seq("query_id", "neighbor_id"))
+      // quantization ladder (SQ8 raw top-k, binary Hamming + re-rank)
+      // vs brute — the fidelity-per-byte series alongside PQ's
+      val quant = for {
+        brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
+        sq8 <- ckpt("q_ann_sq8", Seq("query_id", "neighbor_id"))
+        bin <- ckpt("q_ann_binary", Seq("query_id", "neighbor_id"))
+      } yield rec("q_ann_sq8", sq8, brute, Seq("query_id", "neighbor_id")) ++
+        rec("q_ann_binary", bin, brute, Seq("query_id", "neighbor_id"))
       emb.getOrElse(Nil) ++ ivf.getOrElse(Nil) ++ ivfKm.getOrElse(Nil) ++
-        pqR.getOrElse(Nil) ++ design.getOrElse(Nil) ++ append.getOrElse(Nil)
+        pqR.getOrElse(Nil) ++ design.getOrElse(Nil) ++ append.getOrElse(Nil) ++
+        quant.getOrElse(Nil)
     } catch {
       // recall is telemetry; a runtime failure here (OOM on the all-pairs
       // baseline, checkpoint read error) must not swallow the timed
