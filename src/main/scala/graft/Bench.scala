@@ -303,8 +303,10 @@ object Bench {
         brute <- ckpt("q_ann_bruteforce", Seq("query_id", "neighbor_id"))
         sq8 <- ckpt("q_ann_sq8", Seq("query_id", "neighbor_id"))
         bin <- ckpt("q_ann_binary", Seq("query_id", "neighbor_id"))
+        trunc <- ckpt("q_ann_truncated", Seq("query_id", "neighbor_id"))
       } yield rec("q_ann_sq8", sq8, brute, Seq("query_id", "neighbor_id")) ++
-        rec("q_ann_binary", bin, brute, Seq("query_id", "neighbor_id"))
+        rec("q_ann_binary", bin, brute, Seq("query_id", "neighbor_id")) ++
+        rec("q_ann_truncated", trunc, brute, Seq("query_id", "neighbor_id"))
       emb.getOrElse(Nil) ++ ivf.getOrElse(Nil) ++ ivfKm.getOrElse(Nil) ++
         pqR.getOrElse(Nil) ++ design.getOrElse(Nil) ++ append.getOrElse(Nil) ++
         quant.getOrElse(Nil)

@@ -118,7 +118,8 @@ object SparkEntry {
     "q_filter_adaptive",
     "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",
-    "q_ann_ivfpq", "q_ann_sq8", "q_ann_binary", "q_unigram_encode",
+    "q_ann_ivfpq", "q_ann_sq8", "q_ann_binary", "q_ann_truncated",
+    "q_unigram_encode",
     "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",

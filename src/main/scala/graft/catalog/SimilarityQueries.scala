@@ -42,6 +42,9 @@ object SimilarityQueries {
   // same codebooks; recall tracks the scanned fraction (BASELINE §15)
   private val PqCodesRerank = 64
   private val PqShortlist = 100
+  // Matryoshka prefix: 16 of 64 dims — the 4× point on the dimension
+  // axis, comparable to SQ8's 4× on the precision axis
+  private val TruncPrefix = 16
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_bruteforce" -> { (s, dir) =>
@@ -134,6 +137,19 @@ object SimilarityQueries {
       SimilarityOps.binaryTopKReranked(codes, "vec_id", emb, "vec_id", "embedding",
           emb.filter(col("vec_id") < 5), "vec_id", "embedding", th,
           k = 10, shortlist = PqShortlist)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cosine"), 6).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "q_ann_truncated" -> { (s, dir) =>
+      // Matryoshka / truncated-dim ANN: coarse cosine over the first 16
+      // of 64 dims (4× fewer bytes, zero trained artifact), exact
+      // full-dim re-rank of the shortlist
+      val emb = load(s, dir, "embeddings")
+      SimilarityOps.truncatedTopKReranked(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+          prefixDims = TruncPrefix, k = 10, shortlist = PqShortlist)
         .select(col("query_id"), col("neighbor_id"),
           round(col("cosine"), 6).as("cosine"),
           col("rank").cast("long").as("rank"))
@@ -592,6 +608,27 @@ object SimilarityQueries {
          |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
          |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+    // truncated-dim replay: DuckDB's 1-based inclusive list slice picks
+    // the same prefix the Spark slice(emb, 1, n) does; coarse and exact
+    // cosines both run the fixed-order accumulation cos() mirrors
+    val trunc =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |pe AS (SELECT vec_id, v[1:$TruncPrefix] AS pv FROM e),
+         |coarse AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.pv", "c.pv")} AS cc
+         |  FROM pe q JOIN pe c ON q.vec_id < 5 AND q.vec_id <> c.vec_id),
+         |short AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, neighbor_id ASC) AS rn
+         |  FROM coarse) WHERE rn <= $PqShortlist),
+         |ex AS (SELECT s.query_id, s.neighbor_id, ${cos("qe.v", "ne.v")} AS c
+         |  FROM short s JOIN e qe ON s.query_id = qe.vec_id
+         |  JOIN e ne ON s.neighbor_id = ne.vec_id),
+         |r AS (SELECT query_id, neighbor_id, c,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id ASC) AS rank FROM ex)
+         |SELECT query_id, neighbor_id, round(c, 6) AS cosine, rank::BIGINT AS rank
+         |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
     val recon =
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${cos("q.v", "c.v")} AS c
@@ -720,6 +757,7 @@ object SimilarityQueries {
       "q_ann_ivfpq" -> ivfpq,
       "q_ann_sq8" -> sq8,
       "q_ann_binary" -> bin,
+      "q_ann_truncated" -> trunc,
       "q_recon_candidates" -> recon,
       "q_semdedup" -> semdedup,
       "q_proto_prune" -> protoPrune,

@@ -737,6 +737,61 @@ object SimilarityOps {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** Matryoshka / truncated-dimension ANN, the deployable shape: coarse
+    * cosine over only the FIRST `prefixDims` dimensions (MRL-style
+    * embeddings front-load information, so a prefix is a trained
+    * coarse code — and even for ordinary embeddings it is an unbiased
+    * random projection), exact full-dim re-rank of the shortlist only.
+    * The third compression axis after precision (SQ8/binary) and
+    * subspace (PQ): the coarse scan reads prefixDims/dims of the bytes
+    * with NO trained artifact at all — nothing to re-train on append.
+    * Composed entirely from builtins (slice) + the cosine kernel; same
+    * plan shape as [[pqTopKReranked]].
+    */
+  def truncatedTopKReranked(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusEmb: String,
+      queries: DataFrame,
+      queryId: String,
+      queryEmb: String,
+      prefixDims: Int,
+      k: Int,
+      shortlist: Int): DataFrame = {
+    require(prefixDims >= 1, "prefixDims must be >= 1")
+    val p = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val q = queries.select(col(queryId).as("query_id"),
+      slice(col(queryEmb), 1, prefixDims).as("_qp"))
+    val scored = broadcast(q)
+      .crossJoin(corpus
+        .select(col(corpusId).as("neighbor_id"),
+          slice(col(corpusEmb), 1, prefixDims).as("_cp"))
+        .repartition(p))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse",
+        VectorFunctions.cosineSimilarity(col("_qp"), col("_cp")))
+    val ws = Window.partitionBy(col("query_id"))
+      .orderBy(col("coarse").desc, col("neighbor_id").asc)
+    val short = scored
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = broadcast(
+        short.join(
+          queries.select(col(queryId).as("query_id"), col(queryEmb).as("q_emb")),
+          Seq("query_id")))
+      .join(corpus.select(col(corpusId).as("neighbor_id"), col(corpusEmb).as("c_emb")),
+        Seq("neighbor_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosineSimilarity(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    exact
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** IVF × PQ — the full production ANN layout, composed from the two
     * halves: IVF routing bounds WHICH cells a query probes
     * (nProbe/C of the corpus), the probed candidates score by ADC over

@@ -196,6 +196,33 @@ class IvfSpec extends SparkSuite {
     assert(recall >= 0.5, s"binary quantization recall too low: $recall")
   }
 
+  test("truncated-dim (Matryoshka) ANN: prefix coarse scan + re-rank recovers recall") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    def topkSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val truth = topkSets(SimilarityOps.bruteForceTopK(
+      emb, "vec_id", "embedding", queries, "vec_id", "embedding", 10))
+    def recallAt(prefix: Int): Double = {
+      val got = topkSets(SimilarityOps.truncatedTopKReranked(
+        emb, "vec_id", "embedding", queries, "vec_id", "embedding",
+        prefixDims = prefix, k = 10, shortlist = 100))
+      truth.map { case (q, t) =>
+        got.get(q).map(g => (g & t).size.toDouble / t.size).getOrElse(0.0) }
+        .sum / truth.size
+    }
+    val r16 = recallAt(16)
+    val r64 = recallAt(64)
+    info(f"truncated recall@10: prefix16=$r16%.3f prefix64=$r64%.3f")
+    // the full-width prefix is exact search (shortlist ordering == exact
+    // ordering), so recall must be 1.0; the 16-dim coarse pass is a
+    // random 4× projection on this isotropic corpus — fraction law floor
+    assert(r64 == 1.0, s"full-prefix truncated search must be exact: $r64")
+    assert(r16 >= 0.5, s"prefix-16 recall too low: $r16")
+  }
+
   test("incremental append into the partitioned layout == fresh full build") {
     assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
