@@ -104,7 +104,8 @@ object SparkEntry {
     "q_dedup_ngram_jaccard", "q_dedup_keep_best", "q_shard_pack",
     "q_shuffle_shards", "q_curriculum", "q_token_budget", "q_prep_pipeline",
     "q_decontaminate", "q_decontaminate_bloom", "q_mix_epochs",
-    "q_mix_temperature",
+    "q_mix_temperature", "q_doremi_weights", "q_select_contrastive",
+    "q_mix_doremi",
     "q_corpus_report", "q_seq_pack",
     "q_chunk_overlap",
     "q_vocab_topk", "q_vocab_coverage",

@@ -705,6 +705,49 @@ object TextQueries {
           col("epoch_copy"))
         .orderBy(col("doc_id"), col("epoch_copy"))
     },
+    "q_doremi_weights" -> { (s, dir) =>
+      // DoReMi domain reweighting: per-source excess loss (bigram LM
+      // trained on the long-doc reference slice vs the whole corpus),
+      // 8 exponentiated-gradient rounds with uniform smoothing; the
+      // oracle replays every round (the classifier-train gate pattern)
+      val docs = load(s, dir, "documents")
+      graft.ops.CorpusOps.doremiWeights(docs, "doc_id", "text", "source",
+          refPred = length(col("text")) > 300, rounds = 8, eta = 1.0,
+          smoothing = 0.1)
+        .orderBy(col("domain"))
+    },
+    "q_select_contrastive" -> { (s, dir) =>
+      // RHO-style data selection: top-200 docs by contrastive excess
+      // loss (reference-LM score minus corpus-LM score, clipped at 0) —
+      // learnable-but-not-learned examples first
+      val docs = load(s, dir, "documents")
+      graft.ops.CorpusOps.contrastiveSelect(docs, "doc_id", "text",
+          refPred = length(col("text")) > 300, k = 200)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy(col("rank"))
+    },
+    "q_mix_doremi" -> { (s, dir) =>
+      // end-to-end DoReMi mixture: learned domain weights → per-source
+      // char-budget rates quantized to basis points (integer on both
+      // engines, so the hash-threshold mix replays exactly) → epoch
+      // mix. Budget 1.5× corpus chars so rates straddle 1 and both the
+      // whole-copy and fractional-tail paths execute.
+      val docs = load(s, dir, "documents")
+      val w = graft.ops.CorpusOps.doremiWeights(docs, "doc_id", "text",
+        "source", refPred = length(col("text")) > 300, rounds = 8,
+        eta = 1.0, smoothing = 0.1)
+      val nch = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("double").as("_nch"))
+      val rates = w.join(nch, w("domain") === nch("source"))
+        .select(col("source"),
+          (floor(lit(150000.0) * col("weight") / col("_nch") * lit(10000.0))
+            .cast("double") / lit(10000.0)).as("rate"))
+      graft.ops.CorpusOps.epochMix(docs.select(col("doc_id"), col("source")),
+          "doc_id", "source", rates)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          col("epoch_copy"))
+        .orderBy(col("doc_id"), col("epoch_copy"))
+    },
     "q_pii_redact" -> { (s, dir) =>
       // PII scrub pass: the corpus text is digit/@-free by construction
       // (checked against all three sf dirs), so deterministic synthetic
@@ -889,6 +932,97 @@ object TextQueries {
          |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  round(agg.s, 6) AS lm_score
          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+    // mirror of CorpusOps.excessLoss: TWO bigram LMs over the same
+    // token stream — proxy trained on everything, reference trained on
+    // the long-doc slice (length > 300, the classifier-train label) —
+    // per-doc excess = max(0, round6(ref) − round6(proxy)). Shared by
+    // the three DoReMi-family oracles below.
+    val excessCte =
+      s"""t AS MATERIALIZED (SELECT doc_id, $toks AS toks,
+         |    length(text) > 300 AS tr FROM documents),
+         |bg AS MATERIALIZED (SELECT doc_id, tr,
+         |    toks[u.i+1] AS w1, toks[u.i+2] AS w2
+         |  FROM t, LATERAL (SELECT unnest(range(0, len(toks)-1)) AS i) u
+         |  WHERE len(toks) >= 2),
+         |uni_p AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t)
+         |  GROUP BY w1 ORDER BY c1 DESC, w1 LIMIT 4096),
+         |bi_p AS (SELECT w1, w2, count(*) AS c2 FROM bg
+         |  GROUP BY w1, w2 ORDER BY c2 DESC, w1, w2 LIMIT 16384),
+         |uni_r AS (SELECT w1, count(*) AS c1
+         |  FROM (SELECT unnest(toks) AS w1 FROM t WHERE tr)
+         |  GROUP BY w1 ORDER BY c1 DESC, w1 LIMIT 4096),
+         |bi_r AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE tr
+         |  GROUP BY w1, w2 ORDER BY c2 DESC, w1, w2 LIMIT 16384),
+         |sc AS (SELECT bg.doc_id,
+         |  ln((coalesce(p2.c2, 0) + 1)::DOUBLE / (coalesce(p1.c1, 0) + 4096)) AS lpp,
+         |  ln((coalesce(r2.c2, 0) + 1)::DOUBLE / (coalesce(r1.c1, 0) + 4096)) AS lpr
+         |  FROM bg LEFT JOIN bi_p p2 USING (w1, w2)
+         |    LEFT JOIN uni_p p1 USING (w1)
+         |    LEFT JOIN bi_r r2 USING (w1, w2)
+         |    LEFT JOIN uni_r r1 USING (w1)),
+         |ex AS MATERIALIZED (SELECT doc_id,
+         |  greatest(0.0, round(round(avg(lpr), 6) - round(avg(lpp), 6), 6)) AS excess
+         |  FROM sc GROUP BY doc_id)""".stripMargin
+
+    // mirror of CorpusOps.doremiWeights: per-domain mean excess, then
+    // 8 unrolled exponentiated-gradient rounds (η=1, smoothing 0.1),
+    // α rounded to 6 decimals per round exactly as the Scala loop does
+    val doremiRounds = 8
+    val doremiSteps = (0 until doremiRounds).map { k =>
+      s"""u$k AS MATERIALIZED (SELECT a.domain,
+         |    a.a * exp(1.0 * coalesce(e.el, 0.0)) AS u
+         |  FROM a$k a JOIN e USING (domain)),
+         |a${k + 1} AS MATERIALIZED (SELECT u.domain,
+         |    round(0.9 * u.u / (SELECT sum(u2.u) FROM u$k u2)
+         |      + 0.1 / (SELECT kk FROM kk), 6) AS a
+         |  FROM u$k u)""".stripMargin
+    }.mkString(",\n")
+    val doremiCte =
+      s"""$excessCte,
+         |e AS MATERIALIZED (SELECT d.source AS domain,
+         |    count(*) AS n_docs, round(avg(ex.excess), 6) AS el
+         |  FROM documents d LEFT JOIN ex USING (doc_id) GROUP BY 1),
+         |kk AS (SELECT count(*)::DOUBLE AS kk FROM e),
+         |a0 AS (SELECT domain, round(1.0 / (SELECT kk FROM kk), 6) AS a FROM e),
+         |$doremiSteps""".stripMargin
+
+    val doremiWeights =
+      s"""WITH $doremiCte
+         |SELECT e.domain, e.n_docs, e.el AS excess_loss,
+         |  a$doremiRounds.a AS weight
+         |FROM e JOIN a$doremiRounds USING (domain)
+         |ORDER BY e.domain""".stripMargin
+
+    val selectContrastive =
+      s"""WITH $excessCte
+         |SELECT row_number() OVER (ORDER BY excess DESC, doc_id) AS rank,
+         |  doc_id, excess
+         |FROM ex ORDER BY rank LIMIT 200""".stripMargin
+
+    // mirror of q_mix_doremi: basis-point-quantized rates from the
+    // learned weights (integer floor on both engines), then the exact
+    // epochMix hash-threshold rule from the mixEpochs oracle
+    val mixDoremi =
+      s"""WITH $doremiCte,
+         |nch AS (SELECT source, sum(n_chars)::DOUBLE AS nch
+         |  FROM documents GROUP BY source),
+         |r AS (SELECT n.source,
+         |    floor(150000.0 * a.a / n.nch * 10000)::BIGINT::DOUBLE / 10000.0 AS rate
+         |  FROM a$doremiRounds a JOIN nch n ON a.domain = n.source),
+         |d AS (SELECT doc_id, source,
+         |  (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT % 10000)::BIGINT
+         |    AS keep_bucket FROM documents),
+         |c AS (SELECT d.doc_id, d.source,
+         |  floor(r.rate)::BIGINT + CASE WHEN d.keep_bucket <
+         |    floor((r.rate - floor(r.rate)) * 10000)::BIGINT THEN 1 ELSE 0 END
+         |    AS n_copies
+         |  FROM d JOIN r USING (source))
+         |SELECT doc_id, source, n_copies,
+         |  unnest(range(1, n_copies + 1)) AS epoch_copy
+         |FROM c WHERE n_copies > 0
+         |ORDER BY doc_id, epoch_copy""".stripMargin
 
     // mirror of temperatureRates: same α-sampling closed form over the
     // same per-language char sums
@@ -1715,6 +1849,9 @@ object TextQueries {
       "q_lm_score" -> lmScore,
       "q_quality_buckets" -> qualityBuckets,
       "q_mix_temperature" -> mixTemperature,
+      "q_doremi_weights" -> doremiWeights,
+      "q_select_contrastive" -> selectContrastive,
+      "q_mix_doremi" -> mixDoremi,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

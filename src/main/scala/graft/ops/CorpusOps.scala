@@ -863,30 +863,41 @@ object CorpusOps {
     *
     * Output: one row per input doc — (idCol, n_bigrams, lm_score =
     * mean log-prob, null for docs with <2 tokens).
+    *
+    * `trainPred`: when set, the count tables are built ONLY from rows
+    * matching the predicate (a trusted reference slice — the CCNet
+    * "train on Wikipedia, score the crawl" shape) while every row is
+    * still scored. Default None = train on the whole input (the
+    * original self-trained behavior, unchanged).
     */
   def bigramLmScore(
       df: DataFrame,
       idCol: String,
       textCol: String,
       vocabTopK: Int = 4096,
-      bigramTopK: Int = 16384): DataFrame = {
+      bigramTopK: Int = 16384,
+      trainPred: Option[Column] = None): DataFrame = {
     require(vocabTopK > 0 && bigramTopK > 0, "model sizes must be positive")
     val p = df.sparkSession.sessionState.conf.numShufflePartitions
     val toks = df
-      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("_t"))
+      .select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_t"),
+        trainPred.getOrElse(lit(true)).as("_train"))
       .repartition(p)
       .localCheckpoint() // feeds unigrams, bigrams, and the final left join
     val uni = toks
+      .filter(col("_train"))
       .select(explode(col("_t")).as("w1"))
       .groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
       .orderBy(col("_c1").desc, col("w1").asc)
       .limit(vocabTopK)
     val bigrams = toks
       .filter(size(col("_t")) >= 2)
-      .select(col(idCol), explode(expr(
+      .select(col(idCol), col("_train"), explode(expr(
         "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_bg"))
-      .select(col(idCol), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+      .select(col(idCol), col("_train"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
     val bi = bigrams
+      .filter(col("_train"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c2"))
       .orderBy(col("_c2").desc, col("w1").asc, col("w2").asc)
       .limit(bigramTopK)
@@ -952,5 +963,150 @@ object CorpusOps {
           .when(col("_q") <= col("_c33"), lit("tail"))
           .when(col("_q") <= col("_c66"), lit("middle"))
           .otherwise(lit("head")).as("bucket"))
+  }
+
+  /** Per-document contrastive excess-loss signal — the quantity both
+    * DoReMi's domain reweighting (Xie et al. 2023) and RHO-style
+    * example selection (Mindermann et al. 2022) rank on:
+    * excess(d) = max(0, L_proxy(d) − L_ref(d)) where L = −mean bigram
+    * log-prob, the proxy LM is trained on the WHOLE corpus and the
+    * reference LM only on the trusted slice (`refPred`); in score
+    * space that is max(0, score_ref − score_proxy). High excess =
+    * text the reference model finds far more predictable than the
+    * corpus-wide model does — learnable signal the current corpus
+    * under-serves. The published methods use neural LM losses; the
+    * pipeline-native stand-in is the same [[bigramLmScore]] statistic
+    * the CCNet-style quality ops already use, which keeps the whole
+    * signal corpus-derived, deterministic, and oracle-replayable.
+    *
+    * Both scores are rounded to 6 decimals before the difference so
+    * the signal is engine-reproducible (Tables.scala conventions).
+    *
+    * Scale shape: two [[bigramLmScore]] passes (each: two map-side
+    * token-keyed count aggs pruned to broadcast-size tables + one
+    * doc-keyed mean) + one id-keyed join. Nothing grows with corpus
+    * size beyond the two linear scans.
+    *
+    * Output: (idCol, excess) — one row per input doc; null excess for
+    * docs with no bigram evidence on either side.
+    */
+  def excessLoss(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      vocabTopK: Int = 4096,
+      bigramTopK: Int = 16384): DataFrame = {
+    val p = bigramLmScore(df, idCol, textCol, vocabTopK, bigramTopK)
+      .select(col(idCol), round(col("lm_score"), 6).as("_sp"))
+    val r = bigramLmScore(df, idCol, textCol, vocabTopK, bigramTopK,
+        trainPred = Some(refPred))
+      .select(col(idCol), round(col("lm_score"), 6).as("_sr"))
+    p.join(r, Seq(idCol))
+      .select(col(idCol),
+        when(col("_sp").isNull || col("_sr").isNull,
+          lit(null).cast("double"))
+          .otherwise(greatest(lit(0.0), round(col("_sr") - col("_sp"), 6)))
+          .as("excess"))
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "Domain
+    * Reweighting with Minimax Optimization"): exponentiated-gradient
+    * updates over domain weights driven by per-domain excess loss,
+    * with uniform smoothing. The published inner loop retrains the
+    * proxy model under each new mixture; this pipeline-native replay
+    * fixes the per-domain excess at the [[excessLoss]] statistic and
+    * replays the EXACT published update rule for `rounds` steps:
+    *
+    *   u_d   = α_d · exp(η · excess_d)
+    *   α'_d  = (1 − c) · u_d / Σ u  +  c / K
+    *
+    * (K = number of domains, c = `smoothing`). With fixed losses the
+    * iteration converges geometrically to a softmax-with-floor over
+    * excess; the update rule, clipping, smoothing, and normalization
+    * are the faithful parts, and every round is replayed by the
+    * DuckDB oracle (q_doremi_weights) with α rounded to 6 decimals per
+    * round — the classifier-train gate pattern.
+    *
+    * Scale shape: the corpus is touched by the two [[excessLoss]]
+    * scans only; the iteration runs on one row per DOMAIN (the
+    * mixture-spec contract — domains are a handful of sources, never
+    * data-scale), so collecting it to the driver is exact and free.
+    *
+    * Output: (domain, n_docs, excess_loss, weight), one row per
+    * domain; weights sum to 1 up to per-domain rounding.
+    */
+  def doremiWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      domainCol: String,
+      refPred: Column,
+      rounds: Int = 8,
+      eta: Double = 1.0,
+      smoothing: Double = 0.1,
+      vocabTopK: Int = 4096,
+      bigramTopK: Int = 16384): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    require(eta > 0.0, "eta must be positive")
+    require(smoothing >= 0.0 && smoothing < 1.0, "smoothing must be in [0, 1)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ex = excessLoss(df, idCol, textCol, refPred, vocabTopK, bigramTopK)
+    val dom = df.select(col(idCol), col(domainCol).cast("string").as("domain"))
+      .join(ex, Seq(idCol), "left")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("excess")), 6).as("excess_loss"))
+      .orderBy(col("domain"))
+    val rows = dom.collect() // one row per domain — bounded by contract
+    val k = rows.length
+    require(k >= 1, "at least one domain required")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val e = rows.map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+    var a = Array.fill(k)(r6(1.0 / k))
+    for (_ <- 1 to rounds) {
+      val u = Array.tabulate(k)(i => a(i) * math.exp(eta * e(i)))
+      val z = u.sum
+      a = Array.tabulate(k)(i =>
+        r6((1.0 - smoothing) * u(i) / z + smoothing / k))
+    }
+    rows.toSeq.zipWithIndex.map { case (r, i) =>
+      (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), a(i))
+    }.toDF("domain", "n_docs", "excess_loss", "weight")
+  }
+
+  /** RHO-style contrastive example selection (Mindermann et al. 2022,
+    * "reducible holdout loss"): rank documents by [[excessLoss]] —
+    * learnable (the reference model predicts them well) but not yet
+    * learned (the corpus-wide model does not) — and keep the top k.
+    * The complement of hard-example mining: noise scores low on BOTH
+    * models and is excluded, already-mastered text scores low excess
+    * and is deprioritized.
+    *
+    * Scale shape: the two excess scans + one TakeOrderedAndProject
+    * (top-k never global-sorts); the rank column is computed on the
+    * k-row result only.
+    *
+    * Output: (rank, idCol, excess) — top k by (excess desc, id asc),
+    * docs without bigram evidence excluded.
+    */
+  def contrastiveSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      refPred: Column,
+      k: Int,
+      vocabTopK: Int = 4096,
+      bigramTopK: Int = 16384): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ex = excessLoss(df, idCol, textCol, refPred, vocabTopK, bigramTopK)
+      .filter(col("excess").isNotNull)
+    ex.orderBy(col("excess").desc, col(idCol).asc).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("excess").desc, col(idCol).asc)))
+      .select(col("rank"), col(idCol), col("excess"))
   }
 }

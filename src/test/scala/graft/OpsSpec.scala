@@ -1104,4 +1104,83 @@ class OpsSpec extends SparkSuite {
     assert(got(bucket("excellent")) > 0.05, got.toString)
     assert(got(bucket("spam")) < -0.05, got.toString)
   }
+
+  test("CorpusOps.bigramLmScore trainPred: counts come only from the train slice, all rows scored") {
+    import graft.ops.CorpusOps
+    val rows = Seq(
+      (1L, "a b a b", true),  // train: bigrams ab ba ab
+      (2L, "a b c", true),    // train: ab bc
+      (3L, "c c c c", false)  // scored but NOT trained on
+    ).toDF("doc_id", "text", "tr")
+    val got = CorpusOps.bigramLmScore(rows, "doc_id", "text",
+        vocabTopK = 8, bigramTopK = 64, trainPred = Some(col("tr")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // train counts: uni a=3 b=3 c=1; bi ab=3 ba=1 bc=1 (cc absent)
+    def lp(bi: Long, uni: Long) = math.log((bi + 1).toDouble / (uni + 8))
+    val d3 = (lp(0, 1) + lp(0, 1) + lp(0, 1)) / 3 // cc unseen, c trained once
+    assert(math.abs(got(3L) - d3) < 1e-12)
+    val d1 = (lp(3, 3) + lp(1, 3) + lp(3, 3)) / 3
+    assert(math.abs(got(1L) - d1) < 1e-12)
+    // default (no trainPred) trains on everything: doc 3's cc bigrams
+    // now have evidence, so its score strictly improves
+    val all = CorpusOps.bigramLmScore(rows, "doc_id", "text",
+        vocabTopK = 8, bigramTopK = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(all(3L) > got(3L))
+  }
+
+  test("CorpusOps.doremiWeights: EG replay matches an independent loop, high-excess domain upweighted, smoothing floor holds") {
+    import graft.ops.CorpusOps
+    // domain A: gibberish relative to the reference slice (high excess
+    // potential); domain B: text matching the reference slice
+    val ref = "the quick brown fox jumps over the lazy dog and runs far " * 8
+    val rows = Seq(
+      (1L, ref, "B"), (2L, ref + " the quick brown fox", "B"),
+      (3L, "zq xv qk jw zz qx vv kk zq xv", "A"),
+      (4L, "zq xv qk jw zz qx vv kk jw qk", "A"),
+      (5L, "the quick brown fox jumps over the lazy dog", "B")
+    ).toDF("doc_id", "text", "dom")
+    val refPred = length(col("text")) > 100
+    val got = CorpusOps.doremiWeights(rows, "doc_id", "text", "dom",
+        refPred, rounds = 4, eta = 1.0, smoothing = 0.1)
+      .orderBy(col("domain")).collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("A", "B"))
+    val w = got.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // weights sum to 1 up to rounding; floor c/K = 0.05 respected
+    assert(math.abs(w.values.sum - 1.0) < 1e-5, w.toString)
+    assert(w.values.forall(_ >= 0.05 - 1e-9), w.toString)
+    // independent replay of the published update from the excess column
+    val e = got.map(r => if (r.isNullAt(2)) 0.0 else r.getDouble(2))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var a = Array.fill(2)(0.5)
+    for (_ <- 1 to 4) {
+      val u = Array.tabulate(2)(i => a(i) * math.exp(e(i)))
+      val z = u.sum
+      a = Array.tabulate(2)(i => r6(0.9 * u(i) / z + 0.05))
+    }
+    assert(got.map(_.getDouble(3)).toSeq == a.toSeq)
+  }
+
+  test("CorpusOps.contrastiveSelect: ranks by clipped excess desc, id tiebreak, k bound, null-evidence excluded") {
+    import graft.ops.CorpusOps
+    val ref = "the quick brown fox jumps over the lazy dog and runs far " * 8
+    val rows = Seq(
+      (1L, ref), (2L, ref + " the quick brown fox"),
+      (3L, "zq xv qk jw zz qx vv kk"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "x") // no bigrams → excluded
+    ).toDF("doc_id", "text")
+    val refPred = length(col("text")) > 100
+    val got = CorpusOps.contrastiveSelect(rows, "doc_id", "text", refPred, k = 3)
+      .orderBy(col("rank")).collect()
+    assert(got.length == 3)
+    assert(got.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(!got.map(_.getLong(1)).contains(5L))
+    val ex = got.map(_.getDouble(2))
+    assert(ex.sameElements(ex.sortBy(-_: Double)), ex.toSeq.toString)
+    assert(ex.forall(_ >= 0.0))
+    // ids are a deterministic tiebreak within equal excess
+    val pairs = got.map(r => (r.getDouble(2), r.getLong(1)))
+    assert(pairs.sameElements(pairs.sortBy { case (e2, id) => (-e2, id) }))
+  }
 }
