@@ -54,6 +54,15 @@ object MiscQueries {
             .cast("long").as("k"))
         .filter(col("k") > 50)
         .orderBy(col("event_id"))
+    },
+    "q_zorder_layout" -> { (s, dir) =>
+      // Z-order (Morton) layout index over two lineitem keys: 16-bit
+      // grid normalization + bit-interleave + 64 z-range buckets, each
+      // reporting the min/max column stats a pushed-down scan prunes
+      // with. Pure integer shift/mask/div arithmetic — the oracle
+      // replays every bit.
+      graft.ops.LayoutOps.zorderStats(load(s, dir, "lineitem"),
+          "l_partkey", "l_suppkey", buckets = 64)
     }
   )
 
@@ -76,6 +85,33 @@ object MiscQueries {
     "q_metadata_json" ->
       """SELECT event_id, regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT AS k
         |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1)::BIGINT > 50
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    // bit-exact replay of LayoutOps: same grid normalization (integer
+    // // division), same magic-mask Morton spread, same z-range cut
+    "q_zorder_layout" ->
+      s"""WITH b AS (SELECT min(l_partkey)::BIGINT AS xlo,
+         |    max(l_partkey)::BIGINT AS xhi,
+         |    min(l_suppkey)::BIGINT AS ylo,
+         |    max(l_suppkey)::BIGINT AS yhi FROM lineitem),
+         |n AS (SELECT l.l_partkey, l.l_suppkey,
+         |  ((l.l_partkey::BIGINT - b.xlo) * 65535) // greatest(1, b.xhi - b.xlo) AS nx,
+         |  ((l.l_suppkey::BIGINT - b.ylo) * 65535) // greatest(1, b.yhi - b.ylo) AS ny
+         |  FROM lineitem l, b),
+         |z AS (SELECT l_partkey, l_suppkey,
+         |  (${sqlSpread16("nx")} | (${sqlSpread16("ny")} << 1)) AS zv FROM n)
+         |SELECT (zv * 64) // 4294967296 AS bucket, count(*)::BIGINT AS n,
+         |  min(l_partkey)::BIGINT AS min1, max(l_partkey)::BIGINT AS max1,
+         |  min(l_suppkey)::BIGINT AS min2, max(l_suppkey)::BIGINT AS max2
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
   )
+
+  /** DuckDB mirror of LayoutOps.spread16 — the magic-mask Morton
+    * cascade as a SQL expression over a (small) named input expr.
+    */
+  private def sqlSpread16(e: String): String = {
+    val a = s"((($e) | (($e) << 8)) & 16711935)"
+    val b = s"(($a | ($a << 4)) & 252645135)"
+    val c = s"(($b | ($b << 2)) & 858993459)"
+    s"(($c | ($c << 1)) & 1431655765)"
+  }
 }
