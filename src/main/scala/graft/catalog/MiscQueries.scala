@@ -63,6 +63,21 @@ object MiscQueries {
       // replays every bit.
       graft.ops.LayoutOps.zorderStats(load(s, dir, "lineitem"),
           "l_partkey", "l_suppkey", buckets = 64)
+    },
+    "q_salted_join" -> { (s, dir) =>
+      // skew-salted shuffle join: MG-sketch detection flags every
+      // suppkey (uniform ~1% each > phi 0.5%), so the whole join runs
+      // through the salted (key, salt) path — and must still be
+      // row-identical to the plain join the oracle runs
+      val li = load(s, dir, "lineitem")
+      val sup = load(s, dir, "supplier")
+        .withColumnRenamed("s_suppkey", "l_suppkey")
+      graft.ops.SkewOps.saltedJoin(li, sup, "l_suppkey",
+          saltFactor = 8, phi = 0.005)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("nationkey"))
     }
   )
 
@@ -102,7 +117,14 @@ object MiscQueries {
          |SELECT (zv * 64) // 4294967296 AS bucket, count(*)::BIGINT AS n,
          |  min(l_partkey)::BIGINT AS min1, max(l_partkey)::BIGINT AS max1,
          |  min(l_suppkey)::BIGINT AS min2, max(l_suppkey)::BIGINT AS max2
-         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the salted join must be row-multiset-identical to the plain join
+    "q_salted_join" ->
+      """SELECT s.s_nationkey::BIGINT AS nationkey,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(l.l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1 ORDER BY nationkey""".stripMargin
   )
 
   /** DuckDB mirror of LayoutOps.spread16 — the magic-mask Morton

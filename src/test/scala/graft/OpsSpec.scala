@@ -1183,4 +1183,43 @@ class OpsSpec extends SparkSuite {
     val pairs = got.map(r => (r.getDouble(2), r.getLong(1)))
     assert(pairs.sameElements(pairs.sortBy { case (e2, id) => (-e2, id) }))
   }
+
+  test("SkewOps.heavyKeys: planted skew found with exact counts, strict phi cut, layout-invariant") {
+    import graft.ops.SkewOps
+    // key 7 owns 50% of rows, key 8 owns 25%, the rest are singletons
+    val rows = (Seq.fill(60)(7L) ++ Seq.fill(30)(8L) ++ (100L until 130L))
+      .toDF("k")
+    val got = SkewOps.heavyKeys(rows, "k", phi = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("7" -> 60L, "8" -> 30L))
+    // strictly-above: a key at EXACTLY phi·n is not heavy
+    val exact = (Seq.fill(20)(1L) ++ (200L until 280L)).toDF("k") // 20 of 100 = 0.2
+    assert(SkewOps.heavyKeys(exact, "k", phi = 0.2).count() == 0)
+    val again = SkewOps.heavyKeys(rows.repartition(7), "k", phi = 0.2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
+
+  test("SkewOps.saltedJoin: row-multiset equals the plain join, salted path engaged, light keys untouched") {
+    import graft.ops.SkewOps
+    val big = ((1 to 500).map(i => (7L, s"h$i")) ++
+      (1 to 40).map(i => (i.toLong + 100, s"l$i"))).toDF("k", "payload")
+    val right = ((100L to 141L) :+ 7L).map(k => (k, s"dim$k")).toDF("k", "dim")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "payload", "dim").collect()
+        .map(_.toString).sorted.toSeq
+    val plain = canon(big.join(right, Seq("k")))
+    val salted = SkewOps.saltedJoin(big, right, "k", saltFactor = 4, phi = 0.3)
+    assert(canon(salted) == plain)
+    // detection found key 7 only → the join runs on (k, _salt)
+    assert(salted.queryExecution.analyzed.toString.contains("_salt"))
+    // explicit heavy list skips detection and still matches
+    val explicit = SkewOps.saltedJoin(big, right, "k", saltFactor = 4,
+      heavy = Some(Seq("7")))
+    assert(canon(explicit) == plain)
+    // no heavy keys → falls back to the plain join
+    val none = SkewOps.saltedJoin(big.filter(col("k") =!= 7L), right, "k",
+      saltFactor = 4, phi = 0.9)
+    assert(!none.queryExecution.analyzed.toString.contains("_salt"))
+  }
 }
