@@ -103,7 +103,7 @@ object SparkEntry {
     "q_dedup_simhash", "q_dedup_simhash_pairs", "q_dedup_clusters",
     "q_dedup_ngram_jaccard", "q_dedup_keep_best", "q_shard_pack",
     "q_shuffle_shards", "q_curriculum", "q_token_budget", "q_prep_pipeline",
-    "q_zorder_layout", "q_salted_join",
+    "q_zorder_layout", "q_salted_join", "q_bucketed_join",
     "q_decontaminate", "q_decontaminate_bloom", "q_mix_epochs",
     "q_mix_temperature", "q_doremi_weights", "q_select_contrastive",
     "q_mix_doremi",

@@ -78,6 +78,26 @@ object MiscQueries {
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy(col("nationkey"))
+    },
+    "q_bucketed_join" -> { (s, dir) =>
+      // pay the fact-table shuffle ONCE at write: both sides bucketed
+      // on the join key, then the join itself is exchange-free (the
+      // shuffle-free property is asserted in SourcesSpec; this gate
+      // checks the bucketed path returns the same rows as a plain join)
+      import graft.sources.BucketedTables
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bucketed").toString
+      BucketedTables.writeBucketed(load(s, dir, "lineitem"),
+        "graft_bj_lineitem", s"$base/li", Seq("l_orderkey"), numBuckets = 8)
+      BucketedTables.writeBucketed(
+        load(s, dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey"),
+        "graft_bj_orders", s"$base/ord", Seq("l_orderkey"), numBuckets = 8)
+      BucketedTables.colocatedJoin(s, "graft_bj_lineitem",
+          "graft_bj_orders", Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
     }
   )
 
@@ -118,6 +138,12 @@ object MiscQueries {
          |  min(l_partkey)::BIGINT AS min1, max(l_partkey)::BIGINT AS max1,
          |  min(l_suppkey)::BIGINT AS min2, max(l_suppkey)::BIGINT AS max2
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // the bucketed co-located join must return the plain join's rows
+    "q_bucketed_join" ->
+      """SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
+        |  sum(l.l_quantity)::BIGINT AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY o.o_orderpriority""".stripMargin,
     // the salted join must be row-multiset-identical to the plain join
     "q_salted_join" ->
       """SELECT s.s_nationkey::BIGINT AS nationkey,
