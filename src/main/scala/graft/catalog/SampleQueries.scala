@@ -63,6 +63,16 @@ object SampleQueries {
       QuantileOps.exactPercentiles(docs, "n_chars", "source", Percentiles)
         .orderBy(col("source"), col("p"))
     },
+    "q_quantile_approx" -> { (s, dir) =>
+      // single-pass sketch percentiles with the verified error
+      // contract: the within_bound column (estimate's exact rank
+      // interval intersects target ± ceil(n/accuracy)) is the
+      // deterministic gate output — true on every row for ANY merge
+      // order iff the sketch honors its guarantee
+      val docs = load(s, dir, "documents")
+      QuantileOps.approxPercentilesChecked(docs, "n_chars", "lang",
+          Map("p50" -> 50, "p90" -> 90, "p99" -> 99), accuracy = 1000)
+    },
     "q_filter_adaptive" -> { (s, dir) =>
       // adaptive per-source gate: drop docs below their OWN source's
       // p10 length — the dynamic-threshold pattern (a fixed global
@@ -176,11 +186,21 @@ object SampleQueries {
          |ORDER BY rank""".stripMargin
     }
 
+    // the sketch VALUE is merge-order-dependent by nature; the
+    // deterministic contract is the bound check itself (n and the
+    // all-true within_bound column) — a broken sketch reds this row
+    val quantileApprox =
+      """WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t(p) AS (VALUES ('p50'), ('p90'), ('p99'))
+        |SELECT g.lang, t.p, g.n, TRUE AS within_bound
+        |FROM g CROSS JOIN t ORDER BY g.lang, t.p""".stripMargin
+
     Map(
       "q_sample_stratified" -> stratified,
       "q_sample_cluster" -> cluster,
       "q_sample_kcenter" -> kcenter,
       "q_corpus_quantiles" -> quantiles,
+      "q_quantile_approx" -> quantileApprox,
       "q_filter_adaptive" -> adaptive
     )
   }

@@ -104,4 +104,69 @@ object QuantileOps {
 
     picked.unionByName(flat)
   }
+
+  /** Single-pass approximate per-group percentiles with a VERIFIED
+    * error contract — the sketch path for when even [[exactPercentiles]]'
+    * two scans are one too many (ad-hoc profiling over the full 100 TB).
+    *
+    * Estimation is Spark's builtin `percentile_approx` (a mergeable
+    * Greenwald–Khanna-style summary, codegen'd, one scan for ALL
+    * requested percentiles). Because a sketch estimate depends on merge
+    * order, the VALUE is not layout-reproducible — so the op spends one
+    * more (broadcast-joined, map-side) pass computing each estimate's
+    * EXACT attainable rank interval and reports whether it intersects
+    * the target rank ± the sketch's guaranteed tolerance
+    * (ceil(n/accuracy), floored at 1). That check IS the deterministic,
+    * oracle-gateable output: any layout, any merge order, a correct
+    * sketch yields `within_bound = true` for every row, and a broken
+    * one goes red in the gate.
+    *
+    * Output: one row per (group, label) — (groupCol, p, n,
+    * within_bound), n = non-null group rows. Target rank
+    * k = ceil(pct·n/100), the [[exactPercentiles]] convention.
+    */
+  def approxPercentilesChecked(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      percentiles: Map[String, Int],
+      accuracy: Int = 10000): DataFrame = {
+    require(accuracy > 0, "accuracy must be positive")
+    require(percentiles.values.forall(p => p > 0 && p <= 100),
+      "percentiles must be integer percents in (0, 100]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val df0 = df.filter(col(valueCol).isNotNull)
+    val v = col(valueCol).cast("long")
+    val pcts = percentiles.toSeq.sortBy(_._2)
+    val ests = df0.groupBy(col(groupCol))
+      .agg(
+        percentile_approx(v, array(pcts.map(p => lit(p._2 / 100.0)): _*),
+          lit(accuracy)).as("_ests"),
+        count(lit(1)).as("n"))
+      .select(col(groupCol), col("n"),
+        posexplode(col("_ests")).as(Seq("_i", "_est")))
+      .withColumn("p", element_at(array(pcts.map(x => lit(x._1)): _*),
+        col("_i") + 1))
+      .withColumn("_pct", element_at(array(pcts.map(x => lit(x._2)): _*),
+        col("_i") + 1))
+      .withColumn("_k", expr("(_pct * n + 99) div 100"))
+      .drop("_i", "_pct")
+    // exact attainable-rank interval of each estimate: one broadcast of
+    // the tiny (group, p, est) table against the data, one map-side agg
+    val ranked = df0.select(col(groupCol), v.as("_v"))
+      .join(broadcast(ests.select(col(groupCol), col("p"), col("_est"))),
+        Seq(groupCol))
+      .groupBy(col(groupCol), col("p"))
+      .agg(
+        sum(when(col("_v") < col("_est"), 1L).otherwise(0L)).as("_lo"),
+        sum(when(col("_v") <= col("_est"), 1L).otherwise(0L)).as("_hi"))
+    ests.join(ranked, Seq(groupCol, "p"))
+      .withColumn("_tol",
+        greatest(lit(1L), expr(s"(n + ${accuracy - 1}) div $accuracy")))
+      .select(col(groupCol), col("p"), col("n"),
+        (col("_lo") + 1 <= col("_k") + col("_tol") &&
+          col("_hi") >= col("_k") - col("_tol")).as("within_bound"))
+      .orderBy(col(groupCol), col("p"))
+  }
 }

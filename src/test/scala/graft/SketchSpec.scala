@@ -389,4 +389,28 @@ class SketchSpec extends SparkSuite {
     assert(GraftHash.bloomMightContain(nb, UTF8String.fromString("a"), 3))
     assert(GraftHash.bloomMightContain(nb, UTF8String.fromString("b"), 3))
   }
+
+  test("approxPercentilesChecked: bound holds on skewed data across layouts, estimates near exact") {
+    import graft.ops.QuantileOps
+    // zipf-ish skew: value v appears ~1000/v times, two groups
+    val rows = (1 to 200).flatMap { v =>
+      Seq.fill(1000 / v)((if (v % 2 == 0) "a" else "b", v.toLong))
+    }.toDF("g", "v")
+    val pcts = Map("p50" -> 50, "p90" -> 90, "p99" -> 99)
+    for (parts <- Seq(1, 3, 11)) {
+      val got = QuantileOps.approxPercentilesChecked(
+        rows.repartition(parts), "v", "g", pcts, accuracy = 100)
+      assert(got.count() == 6)
+      assert(got.filter(!col("within_bound")).count() == 0,
+        s"bound violated at $parts partitions")
+    }
+    // cross-check against the exact op: the true quantiles exist and
+    // the tolerance at accuracy=100 is tight (ceil(n/100) ranks), so
+    // the all-true result above is a REAL constraint, not a tautology
+    val exact = QuantileOps.exactPercentiles(rows, "v", "g", pcts)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exact.size == 6 && exact(("a", "p50")) >= 2)
+    val nA = rows.filter(col("g") === "a").count()
+    assert(nA / 100 + 1 < nA / 10, "tolerance must be far below rank spread")
+  }
 }
