@@ -95,6 +95,7 @@ object SparkEntry {
 
   def benchQueries: Seq[String] = Seq(
     "q_text_stats", "q_text_entropy", "q_text_langid", "q_text_fingerprint",
+    "q_text_normalize",
     "q_text_quality_rules", "q_text_repetition", "q_pii_redact", "q_betweenness",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_lsh_pairs",
     "q_dedup_incremental", "q_dedup_incremental_bloom",

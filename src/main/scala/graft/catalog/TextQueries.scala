@@ -705,6 +705,28 @@ object TextQueries {
           col("epoch_copy"))
         .orderBy(col("doc_id"), col("epoch_copy"))
     },
+    "q_text_normalize" -> { (s, dir) =>
+      // Unicode NFC canonicalization gate: the corpus text is ASCII by
+      // construction, so combining-mark variants are planted per
+      // doc_id residue (the q_pii_redact pattern); the oracle plants
+      // byte-identical strings and normalizes with DuckDB's utf8proc
+      // NFC — cross-library agreement on the composed form is the gate
+      val docs = load(s, dir, "documents")
+      val r = pmod(col("doc_id"), lit(5L))
+      val planted =
+        when(r === 0, concat(col("text"), lit(" Café")))
+          .when(r === 1, concat(col("text"), lit(" Ångström")))
+          .when(r === 2, concat(col("text"), lit(" 각")))
+          .when(r === 3, concat(col("text"), lit(" éclair")))
+          .otherwise(col("text"))
+      val norm = graft.functions.TextFunctions.nfcNormalize(planted)
+      docs.select(col("doc_id"),
+          length(planted).cast("long").as("n_before"),
+          length(norm).cast("long").as("n_after"),
+          (norm =!= planted).as("changed"),
+          md5(norm).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
     "q_doremi_weights" -> { (s, dir) =>
       // DoReMi domain reweighting: per-source excess loss (bigram LM
       // trained on the long-doc reference slice vs the whole corpus),
@@ -932,6 +954,27 @@ object TextQueries {
          |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  round(agg.s, 6) AS lm_score
          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+    // mirror of q_text_normalize: identical planted byte sequences,
+    // DuckDB's utf8proc NFC vs the JVM Normalizer — composed-form
+    // agreement is the gate (escapes keep the source ASCII-auditable)
+    val textNormalize = {
+      val p0 = " Café"
+      val p1 = " A" + "̊" + "ngstro" + "̈" + "m"
+      val p2 = " 각"
+      val p3 = " éclair"
+      s"""WITH p AS (SELECT doc_id, CASE doc_id % 5
+         |  WHEN 0 THEN text || '$p0'
+         |  WHEN 1 THEN text || '$p1'
+         |  WHEN 2 THEN text || '$p2'
+         |  WHEN 3 THEN text || '$p3'
+         |  ELSE text END AS t FROM documents),
+         |n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM p)
+         |SELECT doc_id, length(t)::BIGINT AS n_before,
+         |  length(nt)::BIGINT AS n_after, nt <> t AS changed,
+         |  md5(nt) AS norm_md5
+         |FROM n ORDER BY doc_id""".stripMargin
+    }
 
     // mirror of CorpusOps.excessLoss: TWO bigram LMs over the same
     // token stream — proxy trained on everything, reference trained on
@@ -1852,6 +1895,7 @@ object TextQueries {
       "q_doremi_weights" -> doremiWeights,
       "q_select_contrastive" -> selectContrastive,
       "q_mix_doremi" -> mixDoremi,
+      "q_text_normalize" -> textNormalize,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

@@ -67,6 +67,20 @@ object GraftHash {
     new GenericArrayData(
       tokenize(text).map(t => UTF8String.fromString(t): AnyRef))
 
+  /** Unicode NFC canonical composition ([[NativeExprs.NfcNormalize]]):
+    * the pre-dedup canonicalization step — visually identical texts
+    * that differ only in combining-mark encoding (e + U+0301 vs é)
+    * hash apart without it. ASCII fast path: `Normalizer.isNormalized`
+    * is O(n) with no allocation, and real corpora are overwhelmingly
+    * already-NFC, so the common row costs one scan.
+    */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** Word n-gram shingles WITH multiplicity
     * ([[NativeExprs.WordShinglesAllExpr]]); count < n → one shingle of
     * all tokens space-joined (possibly the empty string).

@@ -495,6 +495,35 @@ private[functions] object NativeExprs {
   /** Canonical token array, natively tokenized — [[GraftHash.tokens]];
     * replaces the interpreted filter(split(lower)) HOF pair.
     */
+  /** Unicode NFC canonical composition — [[GraftHash.nfcNormalize]].
+    * Codegen'd scalar so the canonicalization pass stays inside
+    * whole-stage codegen with the dedup hashing that consumes it.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_nfc"
+
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+      child.dataType match {
+        case StringType => TypeCheckSuccess
+        case other => TypeCheckFailure(s"input must be string, got $other")
+      }
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      GraftHash.nfcNormalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftHash.nfcNormalize($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+  }
+
   case class Tokens(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = child.nullable

@@ -22,6 +22,16 @@ object TextFunctions {
     GraftSqlShim.column(NativeExprs.Tokens(GraftSqlShim.expression(text)))
   }
 
+  /** Unicode NFC canonicalization (codegen'd) — run before any
+    * content-hash dedup so combining-mark encoding variants of the
+    * same text collide. Mirrors DuckDB's `nfc_normalize`
+    * (q_text_normalize gates the cross-engine agreement).
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.NfcNormalize(GraftSqlShim.expression(text)))
+  }
+
   /** One-pass native token statistics (NativeExprs.TokenStats): every
     * scalar token metric below is a field extraction, and repeated calls
     * in one projection collapse to a single kernel run per row via

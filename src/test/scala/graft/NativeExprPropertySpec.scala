@@ -535,4 +535,34 @@ class NativeExprPropertySpec extends SparkSuite {
       assert(got == want, s"word=$word vocab=$vocab got=$got want=$want")
     }
   }
+
+  test("NfcNormalize == java.text.Normalizer over 300 random combining-mark strings; idempotent; codegen == interpreted") {
+    val marks = Seq("́", "̈", "̊", "̧", "")
+    val bases = Seq("a", "e", "o", "u", "C", "A", "n", " ", "1",
+      "é", "ᄀ", "ᅡ", "ᆨ")
+    val strGen: Gen[String] = for {
+      n <- Gen.choose(0, 24)
+      parts <- Gen.listOfN(n, for {
+        b <- Gen.oneOf(bases); m <- Gen.oneOf(marks)
+      } yield b + m)
+    } yield parts.mkString
+    val rows = sample(strGen, 300, seed = 7L)
+    val got = rows.toDF("s")
+      .select(graft.functions.TextFunctions.nfcNormalize(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    rows.zip(got).foreach { case (s, n) =>
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(n == want, s"input=${s.map(_.toInt)}")
+      // idempotence: normalizing the normalized form is the identity
+      assert(java.text.Normalizer.isNormalized(n, java.text.Normalizer.Form.NFC))
+    }
+    // interpreted path (nullSafeEval) agrees with codegen
+    import org.apache.spark.unsafe.types.UTF8String
+    rows.foreach { s =>
+      val viaEval = graft.functions.GraftHash
+        .nfcNormalize(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      assert(viaEval == want)
+    }
+  }
 }
