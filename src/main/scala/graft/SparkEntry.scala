@@ -119,7 +119,7 @@ object SparkEntry {
     "q_sample_stratified", "q_sample_cluster", "q_sample_kcenter",
     "q_corpus_quantiles", "q_quantile_approx",
     "q_filter_adaptive",
-    "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune",
+    "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune", "q_pair_mining",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_ivfpq", "q_ann_sq8", "q_ann_binary", "q_ann_truncated",
     "q_unigram_encode",

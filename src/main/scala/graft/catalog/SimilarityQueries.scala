@@ -206,6 +206,19 @@ object SimilarityQueries {
         .select(col("doc_a"), col("doc_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("doc_a"), col("doc_b"))
     },
+    "q_pair_mining" -> { (s, dir) =>
+      // contrastive triplets from the corpus's own near-dup structure:
+      // positive = strongest LSH-confirmed partner, negative =
+      // hash-picked vector rejected against the FULL partner set
+      val emb = load(s, dir, "embeddings")
+      SimilarityOps.minePairs(emb, "vec_id", "embedding",
+          threshold = NearDupThreshold, dims = Dims,
+          bands = LshBands, rowsPerBand = LshRows)
+        .select(col("anchor"), col("positive"),
+          round(col("pos_cos"), 6).as("pos_cos"),
+          col("negative"), round(col("neg_cos"), 6).as("neg_cos"))
+        .orderBy(col("anchor"))
+    },
     "q_cosine_topk" -> { (s, dir) =>
       // V1 — cosine top-k against a constant query vector (the stored
       // embedding of vec_id = 0, collected once driver-side)
@@ -709,6 +722,40 @@ object SimilarityQueries {
          |WHERE ${cos("a.v", "b.v")} >= $NearDupThreshold
          |ORDER BY doc_a, doc_b""".stripMargin
 
+    // mirror of SimilarityOps.minePairs over the same banded pair CTE:
+    // positive = max-cosine partner (tie → smaller id), negative = first
+    // md5-bucket candidate j that is neither the anchor nor any partner
+    val pairMining =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |banded AS ($bandSelects),
+         |pr AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+         |       FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc < r.doc),
+         |pc AS (SELECT p.doc_a, p.doc_b, ${cos("a.v", "b.v")} AS cosine
+         |       FROM pr p JOIN e a ON p.doc_a = a.vec_id JOIN e b ON p.doc_b = b.vec_id
+         |       WHERE ${cos("a.v", "b.v")} >= $NearDupThreshold),
+         |sym AS (SELECT doc_a AS anchor, doc_b AS partner, cosine FROM pc
+         |        UNION ALL SELECT doc_b, doc_a, cosine FROM pc),
+         |pos AS (SELECT anchor, partner AS positive, cosine AS pos_cos,
+         |        row_number() OVER (PARTITION BY anchor
+         |          ORDER BY cosine DESC, partner) AS rn FROM sym),
+         |nn AS (SELECT count(*)::UBIGINT AS n FROM embeddings),
+         |cand AS (SELECT p.anchor, p.positive, p.pos_cos, u.j,
+         |    ((('0x' || substr(md5(p.anchor::VARCHAR || '-' || u.j::VARCHAR), 1, 8))::UBIGINT
+         |      % (SELECT n FROM nn))::BIGINT) AS cand
+         |  FROM pos p, LATERAL (SELECT unnest(range(0, 8)) AS j) u
+         |  WHERE p.rn = 1),
+         |neg AS (SELECT c.anchor, c.positive, c.pos_cos, c.cand,
+         |    row_number() OVER (PARTITION BY c.anchor ORDER BY c.j) AS rn
+         |  FROM cand c
+         |  LEFT JOIN (SELECT DISTINCT anchor, partner FROM sym) s
+         |    ON c.anchor = s.anchor AND c.cand = s.partner
+         |  WHERE s.anchor IS NULL AND c.cand <> c.anchor)
+         |SELECT g.anchor, g.positive, round(g.pos_cos, 6) AS pos_cos,
+         |  g.cand AS negative, round(${cos("va.v", "vn.v")}, 6) AS neg_cos
+         |FROM neg g JOIN e va ON g.anchor = va.vec_id
+         |JOIN e vn ON g.cand = vn.vec_id
+         |WHERE g.rn = 1 ORDER BY g.anchor""".stripMargin
+
     val topk =
       s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
          |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -763,6 +810,7 @@ object SimilarityQueries {
       "q_proto_prune" -> protoPrune,
       "q_emb_neardup_exact" -> exact,
       "q_emb_neardup_lsh" -> lsh,
+      "q_pair_mining" -> pairMining,
       "q_cosine_topk" -> topk,
       "q_mmr" -> mmr
     )

@@ -846,4 +846,82 @@ object SimilarityOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Contrastive pair mining for embedding-model training: turn the
+    * corpus's own near-duplicate structure into (anchor, positive,
+    * negative) triplets — positives are the strongest LSH-confirmed
+    * near-dup partner (the standard "mine positives from duplicates"
+    * trick when no labels exist), negatives are deterministic
+    * hash-picked corpus vectors rejected against the anchor's ENTIRE
+    * near-dup partner set, so a negative is never an unlabeled
+    * positive.
+    *
+    * Positive: for each id appearing in [[DedupOps.embeddingNearDupPairs]]
+    * output, the partner with max cosine (tie → smaller id).
+    * Negative: candidates j = 0..negCands−1 map to
+    * id = md5-bucket(anchor‖"-"‖j) over the dense id space [0, n);
+    * the first candidate that is neither the anchor nor ANY near-dup
+    * partner survives (anchors with all candidates rejected are
+    * dropped — raise negCands). Dense ids are a CONTRACT (ids 0..n−1,
+    * the embeddings-table shape); remap upstream if sparse.
+    *
+    * Scale shape: the banded pair join is the only corpus-keyed
+    * exchange (inherited from the LSH op); mining adds one anchor-keyed
+    * window over pair rows (|pairs| ≪ corpus), a bounded ×negCands
+    * explode, one anti-join against pair rows, and two id-keyed joins
+    * to fetch vectors for the cosine columns.
+    *
+    * Output: (anchor, positive, pos_cos, negative, neg_cos), one row
+    * per anchor, ordered by anchor.
+    */
+  def minePairs(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      threshold: Double,
+      dims: Int,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      negCands: Int = 8): DataFrame = {
+    require(negCands >= 1, "negCands must be >= 1")
+    val n = df.count() // dense-id contract: ids are exactly [0, n)
+    require(n > 0, "empty input")
+    val pairs = DedupOps.embeddingNearDupPairs(df, idCol, embCol,
+      threshold, dims, bands, rowsPerBand)
+    val sym = pairs
+      .select(col("doc_a").as("anchor"), col("doc_b").as("partner"), col("cosine"))
+      .unionByName(pairs
+        .select(col("doc_b").as("anchor"), col("doc_a").as("partner"), col("cosine")))
+    val posW = Window.partitionBy(col("anchor"))
+      .orderBy(col("cosine").desc, col("partner").asc)
+    val pos = sym.withColumn("_rn", row_number().over(posW))
+      .filter(col("_rn") === 1)
+      .select(col("anchor"), col("partner").as("positive"),
+        col("cosine").as("pos_cos"))
+    val cand = pos
+      .select(col("anchor"), col("positive"), col("pos_cos"),
+        explode(sequence(lit(0), lit(negCands - 1))).as("_j"))
+      .withColumn("_cand", CorpusOps.hashBucket(
+        concat(col("anchor").cast("string"), lit("-"), col("_j").cast("string")),
+        n.toInt))
+    val negW = Window.partitionBy(col("anchor")).orderBy(col("_j").asc)
+    val neg = cand
+      .join(sym.select(col("anchor"), col("partner").as("_cand")),
+        Seq("anchor", "_cand"), "left_anti")
+      .filter(col("_cand") =!= col("anchor"))
+      .withColumn("_rn", row_number().over(negW))
+      .filter(col("_rn") === 1)
+      .select(col("anchor"), col("positive"), col("pos_cos"),
+        col("_cand").as("negative"))
+    val vecs = df.select(col(idCol).as("_vid"), col(embCol).as("_v"))
+    neg
+      .join(vecs.withColumnRenamed("_vid", "anchor")
+        .withColumnRenamed("_v", "_va"), Seq("anchor"))
+      .join(vecs.withColumnRenamed("_vid", "negative")
+        .withColumnRenamed("_v", "_vn"), Seq("negative"))
+      .select(col("anchor"), col("positive"), col("pos_cos"),
+        col("negative"),
+        VectorFunctions.cosineSimilarity(col("_va"), col("_vn")).as("neg_cos"))
+      .orderBy(col("anchor"))
+  }
 }

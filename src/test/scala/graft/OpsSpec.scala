@@ -1222,4 +1222,39 @@ class OpsSpec extends SparkSuite {
       saltFactor = 4, phi = 0.9)
     assert(!none.queryExecution.analyzed.toString.contains("_salt"))
   }
+
+  test("SimilarityOps.minePairs: positives from own cluster, negatives never partners, margins separate") {
+    import graft.ops.SimilarityOps
+    // two tight clusters on orthogonal axes + isolated noise vectors;
+    // dense ids 0..9 (the contract)
+    val dims = 8
+    def v(axis: Int, eps: Double, at: Int) =
+      Array.tabulate(dims)(i =>
+        (if (i == axis) 1.0f else 0.0f) + (if (i == at) eps.toFloat else 0.0f))
+    val rows = Seq(
+      (0L, v(0, 0.01, 3)), (1L, v(0, 0.02, 3)), (2L, v(0, 0.015, 4)), // cluster A
+      (3L, v(1, 0.01, 5)), (4L, v(1, 0.02, 5)),                       // cluster B
+      (5L, v(2, 0.0, 0)), (6L, v(3, 0.0, 0)), (7L, v(4, 0.0, 0)),
+      (8L, v(5, 0.0, 0)), (9L, v(6, 0.0, 0))
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.minePairs(rows, "vec_id", "embedding",
+        threshold = 0.9, dims = dims, bands = 1, rowsPerBand = 1, negCands = 8)
+      .collect()
+    assert(got.nonEmpty)
+    val partners = Map(0L -> Set(1L, 2L), 1L -> Set(0L, 2L), 2L -> Set(0L, 1L),
+      3L -> Set(4L), 4L -> Set(3L))
+    got.foreach { r =>
+      val (a, p, pc, n, nc) = (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))
+      assert(partners(a).contains(p), s"anchor $a positive $p")
+      assert(!partners(a).contains(n) && n != a, s"anchor $a negative $n")
+      assert(pc > 0.9 && nc < 0.5, s"margin violated: $pc vs $nc")
+    }
+    // deterministic under relayout
+    val again = SimilarityOps.minePairs(rows.repartition(5), "vec_id",
+        "embedding", threshold = 0.9, dims = dims, bands = 1,
+        rowsPerBand = 1, negCands = 8)
+      .collect().map(_.toString).toSeq
+    assert(again == got.map(_.toString).toSeq)
+  }
 }
