@@ -217,6 +217,14 @@ object Bench {
               s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
             (-1.0, -1.0, -1.0, -1.0, -1L, -1L)
         }
+      // untimed inter-query GC: Spark's ContextCleaner frees dead
+      // broadcasts / localCheckpoint blocks only when the JVM collects
+      // their references, so a long timed list otherwise accumulates
+      // block-manager pressure that inflates LATE rows (r11: flat job
+      // counts, rising wall+cpu on the driver-loop extras). Outside the
+      // timed window — comparability of the per-row numbers improves,
+      // nothing timed changes.
+      System.gc()
       (name, first, best, load, cpu, jobs1, jobs2)
     }
     val calEnd = calibrate()

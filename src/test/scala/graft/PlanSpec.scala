@@ -506,4 +506,39 @@ class PlanSpec extends SparkSuite {
     assert(!"Window \\[row_number".r.findFirstIn(p).exists(_ => true) ||
       p.contains("_qb"), p.take(2500))
   }
+
+  test("z-order stats: pure projection arithmetic, one bucket agg, no join anywhere") {
+    assume(new java.io.File(s"$SfDir/lineitem.parquet").exists())
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+    val p = plan(graft.ops.LayoutOps.zorderStats(li, "l_partkey", "l_suppkey", 16))
+    assert(!p.contains("Join"), p.take(2000))
+    // z-value + bucket are per-row integer arithmetic fused into the
+    // scan projection; the only exchanges are the bucket agg + order
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p.take(2000))
+  }
+
+  test("salted join: shuffles on (key, salt), no cartesian, heavy set broadcasts") {
+    assume(new java.io.File(s"$SfDir/lineitem.parquet").exists())
+    val li = spark.read.parquet(s"$SfDir/lineitem.parquet")
+    val sup = spark.read.parquet(s"$SfDir/supplier.parquet")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val j = graft.ops.SkewOps.saltedJoin(li, sup, "l_suppkey",
+      saltFactor = 4, phi = 0.005)
+    val p = plan(j)
+    assert(p.contains("_salt"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(2000))
+    // heavy-key membership rides a broadcast, not a shuffle
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("pair mining: banded equi-joins and broadcasts only, no cartesian") {
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val p = plan(graft.ops.SimilarityOps.minePairs(emb, "vec_id", "embedding",
+      threshold = 0.3, dims = 64, bands = 8, rowsPerBand = 8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      p.take(3000))
+  }
 }
