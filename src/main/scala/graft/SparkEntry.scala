@@ -75,6 +75,18 @@ object SparkEntry {
     // the crossover finding itself. One-off sweep recorded in BASELINE
     // (graft.tools.KCenterSweep).
     "q_sample_kcenter_carry" -> (SampleQueries.kCenterCarryBench _),
+    // no-split histogram best-fit packing; spec-gated (independent
+    // doc-by-doc simulator equality) — the solver is a data-dependent
+    // loop, not SQL-replayable (the unigram-train precedent)
+    "q_pack_bins" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.ShardOps.packBins(
+          Tables.load(s, dir, "documents"), "doc_id", "n_chars",
+          seqLen = 1024L)
+        .groupBy(col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("fill"))
+        .orderBy(col("bin_id"))
+    }),
     "q_unigram_train" -> (TextQueries.unigramTrainBench _),
     // renamed from q_unigram_encode in r11 when the pinned-oracle
     // subset query took that name: this row is the FULL-corpus encode

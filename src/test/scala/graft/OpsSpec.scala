@@ -1223,6 +1223,62 @@ class OpsSpec extends SparkSuite {
     assert(!none.queryExecution.analyzed.toString.contains("_salt"))
   }
 
+  test("ShardOps.packBins: worked example, equality with a doc-by-doc best-fit simulator, invariants, layout-invariant") {
+    import graft.ops.ShardOps
+    import scala.collection.mutable
+    // worked example: lengths 5,4,3,3,2,1 at capacity 8 → 3 bins
+    val ex = Seq((0L, 5L), (1L, 4L), (2L, 3L), (3L, 3L), (4L, 2L), (5L, 1L))
+      .toDF("id", "n")
+    val exGot = ShardOps.packBins(ex, "id", "n", 8L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(exGot == Map(0L -> ((0L, 0)), 1L -> ((1L, 0)), 2L -> ((0L, 1)),
+      3L -> ((1L, 1)), 4L -> ((2L, 0)), 5L -> ((1L, 2))), exGot.toString)
+
+    // random corpus vs an INDEPENDENT doc-by-doc simulator of the same
+    // policy (best fit, FIFO class entry, lowest id)
+    val rng = new scala.util.Random(7)
+    val docs = (0L until 300L).map(id => (id, 1L + rng.nextInt(64).toLong))
+    val cap = 64L
+    val got = ShardOps.packBins(docs.toDF("id", "n"), "id", "n", cap)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    final case class Bin(id: Long, var res: Long, var slots: Int, var entry: Long)
+    val bins = mutable.ArrayBuffer.empty[Bin]
+    var seq = 0L; var nextId = 0L
+    val expect = mutable.Map.empty[Long, (Long, Int)]
+    for ((id, l) <- docs.sortBy { case (i, l) => (-l, i) }) {
+      val cands = bins.filter(_.res >= l)
+      if (cands.isEmpty) {
+        val b = Bin(nextId, cap - l, 1, { seq += 1; seq }); nextId += 1
+        bins += b; expect(id) = (b.id, 0)
+      } else {
+        val minRes = cands.map(_.res).min
+        val b = cands.filter(_.res == minRes).minBy(x => (x.entry, x.id))
+        expect(id) = (b.id, b.slots)
+        b.res -= l; b.slots += 1; b.entry = { seq += 1; seq }
+      }
+    }
+    assert(got == expect.toMap)
+    // invariants: fill ≤ cap, dense bins, dense slots, every doc placed
+    val byBin = docs.toMap
+    val fills = got.toSeq.groupBy(_._2._1)
+      .map { case (b, xs) => b -> xs.map(x => byBin(x._1)).sum }
+    assert(fills.values.forall(_ <= cap))
+    assert(got.size == docs.size)
+    val binIds = got.values.map(_._1).toSet
+    assert(binIds == (0L until binIds.size).toSet)
+    got.toSeq.groupBy(_._2._1).foreach { case (_, xs) =>
+      assert(xs.map(_._2._2).sorted == (0 until xs.size))
+    }
+    // lower bound on quality: within 30% of the fractional optimum
+    val lb = math.ceil(docs.map(_._2).sum.toDouble / cap)
+    assert(binIds.size <= math.ceil(lb * 1.3), s"${binIds.size} bins vs lb $lb")
+    // deterministic under relayout
+    val again = ShardOps.packBins(docs.toDF("id", "n").repartition(11),
+        "id", "n", cap)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getInt(4)))).toMap
+    assert(again == got)
+  }
+
   test("SimilarityOps.minePairs: positives from own cluster, negatives never partners, margins separate") {
     import graft.ops.SimilarityOps
     // two tight clusters on orthogonal axes + isolated noise vectors;
