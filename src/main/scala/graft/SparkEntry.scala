@@ -129,7 +129,7 @@ object SparkEntry {
     "q_quality_buckets",
     "q_heavy_hitters", "q_dsir_weights", "q_dsir_sample",
     "q_sample_stratified", "q_sample_cluster", "q_sample_kcenter",
-    "q_corpus_quantiles", "q_quantile_approx",
+    "q_corpus_quantiles", "q_quantile_approx", "q_distinct_approx",
     "q_filter_adaptive",
     "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune", "q_pair_mining",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",

@@ -73,6 +73,16 @@ object SampleQueries {
       QuantileOps.approxPercentilesChecked(docs, "n_chars", "lang",
           Map("p50" -> 50, "p90" -> 90, "p99" -> 99), accuracy = 1000)
     },
+    "q_distinct_approx" -> { (s, dir) =>
+      // HLL++ distinct vocabulary per source with the verified
+      // contract: exact count ships (deterministic), within_bound
+      // gates the sketch against 5σ of its configured rsd
+      val docs = load(s, dir, "documents")
+      val toks = docs.select(col("source"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      graft.ops.SketchOps.approxDistinctChecked(toks, "tok", "source",
+        rsd = 0.05)
+    },
     "q_filter_adaptive" -> { (s, dir) =>
       // adaptive per-source gate: drop docs below their OWN source's
       // p10 length — the dynamic-threshold pattern (a fixed global
@@ -195,12 +205,22 @@ object SampleQueries {
         |SELECT g.lang, t.p, g.n, TRUE AS within_bound
         |FROM g CROSS JOIN t ORDER BY g.lang, t.p""".stripMargin
 
+    // exact distinct count is the deterministic payload; the contract
+    // column is what a broken/mis-configured HLL would red
+    val distinctApprox =
+      s"""WITH t AS (SELECT source, unnest(${Tables.sqlTokens("text")}) AS tok
+         |  FROM documents)
+         |SELECT source, count(DISTINCT tok)::BIGINT AS n_distinct,
+         |  TRUE AS within_bound
+         |FROM t GROUP BY source ORDER BY source""".stripMargin
+
     Map(
       "q_sample_stratified" -> stratified,
       "q_sample_cluster" -> cluster,
       "q_sample_kcenter" -> kcenter,
       "q_corpus_quantiles" -> quantiles,
       "q_quantile_approx" -> quantileApprox,
+      "q_distinct_approx" -> distinctApprox,
       "q_filter_adaptive" -> adaptive
     )
   }

@@ -76,4 +76,44 @@ object SketchOps {
       .filter(col("cnt").cast("double") > lit(phi) * lit(n.toDouble))
       .orderBy(col("token"))
   }
+
+  /** Per-group approximate distinct count with a VERIFIED error
+    * contract — the [[graft.ops.QuantileOps.approxPercentilesChecked]]
+    * pattern applied to cardinality: estimation is Spark's builtin
+    * HyperLogLog++ (`approx_count_distinct`, mergeable, one scan,
+    * O(1/rsd²) state per group), and the op ALSO computes the exact
+    * distinct count to report whether the estimate sits within
+    * `sigmas` standard errors (rsd is HLL++'s relative standard
+    * deviation). The exact side is affordable at gate scale and
+    * optional at 100 TB — there the estimate ships alone, and THIS op
+    * is the harness that proves the sketch configuration honest before
+    * you rely on it.
+    *
+    * The HLL++ estimate itself is deterministic for a fixed value SET
+    * (register maxes are order-independent), but the CONTRACT column
+    * is what the oracle gates: a broken sketch or a mis-set rsd reds
+    * the row for any layout.
+    *
+    * Output: (groupCol, n_distinct — exact, within_bound) ordered.
+    */
+  def approxDistinctChecked(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      rsd: Double = 0.05,
+      sigmas: Double = 5.0): DataFrame = {
+    require(rsd > 0.0 && rsd < 1.0, "rsd must be in (0, 1)")
+    require(sigmas > 0.0, "sigmas must be positive")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(
+        approx_count_distinct(col(valueCol), rsd).as("_a"),
+        countDistinct(col(valueCol)).as("n_distinct"))
+      .select(col(groupCol), col("n_distinct"),
+        (abs(col("_a") - col("n_distinct")).cast("double") <=
+          greatest(lit(1.0),
+            lit(sigmas * rsd) * col("n_distinct").cast("double")))
+          .as("within_bound"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -390,6 +390,26 @@ class SketchSpec extends SparkSuite {
     assert(GraftHash.bloomMightContain(nb, UTF8String.fromString("b"), 3))
   }
 
+  test("approxDistinctChecked: exact side exact, bound holds across layouts and cardinalities") {
+    import graft.ops.SketchOps
+    val data = (0 until 20000).map { i =>
+      if (i % 2 == 0) ("a", s"v${i % 4999}") else ("b", s"w${i % 37}")
+    }
+    val expectA = data.filter(_._1 == "a").map(_._2).distinct.size.toLong
+    val expectB = data.filter(_._1 == "b").map(_._2).distinct.size.toLong
+    for (parts <- Seq(1, 7)) {
+      val got = SketchOps.approxDistinctChecked(
+          data.toDF("g", "v").repartition(parts), "v", "g", rsd = 0.05)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got("a")._1 == expectA && got("b")._1 == expectB)
+      assert(got.values.forall(_._2), got.toString)
+    }
+    // nulls excluded, tolerance floor of 1 keeps tiny groups honest
+    val tiny = Seq(("g", "x"), ("g", null), ("g", "y")).toDF("g", "v")
+    val t = SketchOps.approxDistinctChecked(tiny, "v", "g").collect()
+    assert(t.head.getLong(1) == 2L && t.head.getBoolean(2))
+  }
+
   test("approxPercentilesChecked: bound holds on skewed data across layouts, estimates near exact") {
     import graft.ops.QuantileOps
     // zipf-ish skew: value v appears ~1000/v times, two groups
