@@ -120,7 +120,7 @@ object SparkEntry {
     "q_decontaminate", "q_decontaminate_bloom", "q_mix_epochs",
     "q_mix_temperature", "q_doremi_weights", "q_select_contrastive",
     "q_mix_doremi",
-    "q_corpus_report", "q_seq_pack",
+    "q_corpus_report", "q_corpus_drift", "q_seq_pack",
     "q_chunk_overlap",
     "q_vocab_topk", "q_vocab_coverage",
     "q_bpe_merges",

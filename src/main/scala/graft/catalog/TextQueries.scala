@@ -705,6 +705,17 @@ object TextQueries {
           col("epoch_copy"))
         .orderBy(col("doc_id"), col("epoch_copy"))
     },
+    "q_corpus_drift" -> { (s, dir) =>
+      // distribution-drift monitor: the zh slice vs the rest of the
+      // corpus over 1024 hashed token buckets — KL(batch‖ref) + TVD,
+      // vocabulary-unbounded state; a continuous pipeline runs this
+      // between intake batches before touching mixture weights
+      val docs = load(s, dir, "documents")
+      graft.ops.ImportanceOps.distributionDrift(
+        docs.filter(col("lang") =!= "zh"),
+        docs.filter(col("lang") === "zh"),
+        "text", buckets = 1024)
+    },
     "q_text_normalize" -> { (s, dir) =>
       // Unicode NFC canonicalization gate: the corpus text is ASCII by
       // construction, so combining-mark variants are planted per
@@ -954,6 +965,31 @@ object TextQueries {
          |SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
          |  round(agg.s, 6) AS lm_score
          |FROM t LEFT JOIN agg USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+    // mirror of ImportanceOps.distributionDrift: same md5 buckets,
+    // same Laplace smoothing over the full spine, same metric forms
+    val corpusDrift =
+      s"""WITH t AS (SELECT lang = 'zh' AS is_batch, unnest($toks) AS token
+         |  FROM documents),
+         |bc AS (SELECT is_batch,
+         |    (('0x' || substr(md5(token), 1, 8))::UBIGINT % 1024)::BIGINT AS bucket,
+         |    count(*) AS cnt FROM t GROUP BY 1, 2),
+         |tot AS (SELECT
+         |    sum(CASE WHEN NOT is_batch THEN cnt ELSE 0 END)::DOUBLE AS nr,
+         |    sum(CASE WHEN is_batch THEN cnt ELSE 0 END)::DOUBLE AS nb FROM bc),
+         |s AS (SELECT g.bucket, r.cnt AS cr, b.cnt AS cb
+         |  FROM range(0, 1024) g(bucket)
+         |  LEFT JOIN (SELECT bucket, cnt FROM bc WHERE NOT is_batch) r USING (bucket)
+         |  LEFT JOIN (SELECT bucket, cnt FROM bc WHERE is_batch) b USING (bucket)),
+         |p AS (SELECT
+         |    (coalesce(cr, 0) + 1.0) / (tot.nr + 1.0 * 1024) AS pr,
+         |    (coalesce(cb, 0) + 1.0) / (tot.nb + 1.0 * 1024) AS pb
+         |  FROM s, tot)
+         |SELECT (SELECT nr FROM tot)::BIGINT AS ref_tokens,
+         |  (SELECT nb FROM tot)::BIGINT AS batch_tokens,
+         |  round(sum(pb * ln(pb / pr)), 6) AS kl,
+         |  round(sum(abs(pb - pr)) / 2.0, 6) AS tvd
+         |FROM p""".stripMargin
 
     // mirror of q_text_normalize: identical planted byte sequences,
     // DuckDB's utf8proc NFC vs the JVM Normalizer — composed-form
@@ -1896,6 +1932,7 @@ object TextQueries {
       "q_select_contrastive" -> selectContrastive,
       "q_mix_doremi" -> mixDoremi,
       "q_text_normalize" -> textNormalize,
+      "q_corpus_drift" -> corpusDrift,
       "q_dedup_incremental_lsh" -> lshIncremental,
       "q_dedup_lsh_pairs" -> lshPairs,
       "q_dedup_simhash" -> simhash,

@@ -173,4 +173,65 @@ object ImportanceOps {
       .orderBy(col("key").desc, col("doc"))
       .limit(k)
   }
+
+  /** Corpus distribution-drift monitor: KL(batch ‖ ref) and total
+    * variation distance between two corpora's token distributions over
+    * the same hashed buckets the DSIR LMs use — the continuous-pipeline
+    * check "did today's intake shift from the reference mix" that
+    * gates a mixture-weight refresh or a retrain, without ever
+    * materializing a vocabulary.
+    *
+    * Both distributions are Laplace-smoothed over the full bucket
+    * spine (p_b = (c_b + smoothing) / (n + smoothing·buckets)), so KL
+    * is finite even where a side saw no mass, and the hashing makes
+    * the comparison vocabulary-unbounded: state is `buckets` rows
+    * regardless of corpus size.
+    *
+    * Scale shape: ONE (side, bucket) count agg over both token streams
+    * (map-side combinable, ≤ 2·buckets rows out) + arithmetic on the
+    * bucket spine. Nothing else touches the data.
+    *
+    * Output: one row — (ref_tokens, batch_tokens, kl, tvd), metrics
+    * rounded to 6 decimals (Tables.scala conventions).
+    */
+  def distributionDrift(
+      ref: DataFrame,
+      batch: DataFrame,
+      textCol: String,
+      buckets: Int = 1024,
+      smoothing: Double = 1.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(smoothing > 0.0, "smoothing must be positive")
+    val spark = ref.sparkSession
+    val tagged = ref.select(lit(false).as("is_batch"), col(textCol).as("_text"))
+      .unionByName(
+        batch.select(lit(true).as("is_batch"), col(textCol).as("_text")))
+    val bc = tagged
+      .filter(col("_text").isNotNull)
+      .select(col("is_batch"),
+        explode(TextFunctions.tokens(col("_text"))).as("token"))
+      .withColumn("bucket", CorpusOps.hashBucket(col("token"), buckets))
+      .groupBy(col("is_batch"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint() // feeds totals + both spine joins once
+    val tot = bc.agg(
+      sum(when(!col("is_batch"), col("cnt")).otherwise(lit(0L))).as("nr"),
+      sum(when(col("is_batch"), col("cnt")).otherwise(lit(0L))).as("nb"))
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+      .join(bc.filter(!col("is_batch")).select(col("bucket"), col("cnt").as("cr")),
+        Seq("bucket"), "left")
+      .join(bc.filter(col("is_batch")).select(col("bucket"), col("cnt").as("cb")),
+        Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+    val pr = (coalesce(col("cr"), lit(0L)) + smoothing) /
+      (col("nr") + smoothing * buckets)
+    val pb = (coalesce(col("cb"), lit(0L)) + smoothing) /
+      (col("nb") + smoothing * buckets)
+    spine
+      .agg(
+        max(col("nr")).as("ref_tokens"),
+        max(col("nb")).as("batch_tokens"),
+        round(sum(pb * log(pb / pr)), 6).as("kl"),
+        round(sum(abs(pb - pr)) / 2.0, 6).as("tvd"))
+  }
 }

@@ -1279,6 +1279,24 @@ class OpsSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("ImportanceOps.distributionDrift: zero on identical corpora, positive on disjoint, layout-invariant") {
+    import graft.ops.ImportanceOps
+    val a = Seq.tabulate(50)(i => s"alpha beta gamma delta token$i").toDF("text")
+    val sameDrift = ImportanceOps.distributionDrift(a, a, "text", buckets = 256)
+      .head()
+    assert(sameDrift.getDouble(2) == 0.0 && sameDrift.getDouble(3) == 0.0)
+    assert(sameDrift.getLong(0) == sameDrift.getLong(1))
+    val b = Seq.tabulate(50)(i => s"zulu yankee xray whiskey other$i").toDF("text")
+    val d = ImportanceOps.distributionDrift(a, b, "text", buckets = 256).head()
+    // disjoint vocab drifts hard; Laplace mass (256 buckets vs ~250
+    // tokens) dampens the raw numbers, so the floor is conservative
+    assert(d.getDouble(2) > 0.3, s"kl ${d.getDouble(2)}")
+    assert(d.getDouble(3) > 0.3 && d.getDouble(3) <= 1.0)
+    val d2 = ImportanceOps.distributionDrift(a.repartition(5), b.repartition(3),
+      "text", buckets = 256).head()
+    assert(d2.getDouble(2) == d.getDouble(2) && d2.getDouble(3) == d.getDouble(3))
+  }
+
   test("SimilarityOps.minePairs: positives from own cluster, negatives never partners, margins separate") {
     import graft.ops.SimilarityOps
     // two tight clusters on orthogonal axes + isolated noise vectors;
