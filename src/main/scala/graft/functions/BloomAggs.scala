@@ -144,6 +144,83 @@ case class BloomMightContain(
       newChild: Expression): BloomMightContain = copy(child = newChild)
 }
 
+/** Mergeable hashed-bucket histogram: aggregate a token-array column
+  * into a fixed `buckets`-slot count vector (md5 buckets, matching
+  * [[graft.ops.CorpusOps.hashBucket]] and the DSIR LMs). The streaming
+  * building block for distribution monitoring — ONE aggregation yields
+  * the whole per-group distribution, so a windowed streaming query can
+  * compute KL/TVD against a static reference without the second
+  * (bucket-keyed) aggregation streaming forbids. Merge is elementwise
+  * add → map-side partials; one `buckets`-long row per group shuffles,
+  * never tokens.
+  */
+case class BucketCountsAgg(
+    child: Expression,
+    buckets: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_bucket_counts"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(s"input must be array<string>, got $other")
+    }
+  }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](buckets)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val b = (GraftHash.md5Prefix32(arr.getUTF8String(i).getBytes)
+            % buckets).toInt
+          buf(b) += 1L
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] =
+    BloomFunctions.toBytes(buf)
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] =
+    BloomFunctions.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BucketCountsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BucketCountsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BucketCountsAgg =
+    copy(child = newChildren.head)
+}
+
 /** Column-API face of the Bloom sketch. */
 object BloomFunctions {
 
@@ -161,6 +238,14 @@ object BloomFunctions {
   def mightContain(gram: Column, bits: Array[Long], numHashes: Int): Column =
     GraftSqlShim.column(
       BloomMightContain(GraftSqlShim.expression(gram), bits, numHashes))
+
+  /** Aggregate an `array<string>` token column into a `buckets`-slot
+    * md5-bucket count vector; see [[BucketCountsAgg]].
+    */
+  def bucketCounts(tokens: Column, buckets: Int): Column =
+    GraftSqlShim.column(
+      BucketCountsAgg(GraftSqlShim.expression(tokens), buckets)
+        .toAggregateExpression())
 
   /** Big-endian long packing for the BINARY sketch value. */
   def toBytes(bits: Array[Long]): Array[Byte] = {

@@ -174,6 +174,23 @@ object ImportanceOps {
       .limit(k)
   }
 
+  /** The reference half of drift monitoring exported as a plain count
+    * vector (index = bucket) — ONE scan reduced by the mergeable
+    * [[graft.functions.BucketCountsAgg]]; hand it to
+    * [[graft.streaming.StreamingStats.windowedDriftMonitor]] as the
+    * static stream-side model (the [[lambdaArray]] pattern).
+    */
+  def bucketCountsArray(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int = 1024): Array[Long] = {
+    require(buckets > 0, "buckets must be positive")
+    df.filter(col(textCol).isNotNull)
+      .select(TextFunctions.tokens(col(textCol)).as("_t"))
+      .agg(graft.functions.BloomFunctions.bucketCounts(col("_t"), buckets))
+      .head().getSeq[Long](0).toArray
+  }
+
   /** Corpus distribution-drift monitor: KL(batch ‖ ref) and total
     * variation distance between two corpora's token distributions over
     * the same hashed buckets the DSIR LMs use — the continuous-pipeline

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -196,5 +196,61 @@ object StreamingStats {
       .select(col("window.start").as("window_start"),
         col("n_docs"), col("n_tokens"), col("mean_doc_tokens"),
         col("approx_langs"), col("approx_dup_docs"))
+  }
+
+  /** Streaming distribution-drift monitor: per event-time window,
+    * KL(window ‖ ref) and total-variation distance of the hashed
+    * token-bucket distribution against a STATIC reference count vector
+    * (train it batch-side with
+    * [[graft.ops.ImportanceOps.bucketCountsArray]]) — the streaming
+    * face of [[graft.ops.ImportanceOps.distributionDrift]], for gating
+    * mixture refreshes as intake arrives.
+    *
+    * Streaming shape: the whole per-window distribution comes out of
+    * ONE aggregation (the mergeable
+    * [[graft.functions.BucketCountsAgg]] — map-side partials, one
+    * `buckets`-long row per window shuffles), and the metric
+    * arithmetic is per-row HOFs over the two fixed-length arrays — no
+    * second (bucket-keyed) aggregation, which streaming forbids, so
+    * the query runs in ordinary append mode behind the watermark.
+    *
+    * Metric values match the batch op on the same rows up to HOF-vs-agg
+    * summation order (≤ 1 ulp before the 6-decimal round;
+    * StreamingStatsSpec pins the parity).
+    *
+    * Output per closed window: (window_start, batch_tokens, kl, tvd).
+    */
+  def windowedDriftMonitor(
+      docs: DataFrame,
+      refCounts: Array[Long],
+      windowLen: String = "10 minutes",
+      watermark: String = "5 minutes",
+      smoothing: Double = 1.0
+  ): DataFrame = {
+    require(refCounts.nonEmpty, "refCounts must be non-empty")
+    require(smoothing > 0.0, "smoothing must be positive")
+    val buckets = refCounts.length
+    val nr = refCounts.sum.toDouble
+    val refLit = array(refCounts.map(lit): _*)
+    val s = smoothing
+    def pb(c: Column): Column =
+      (c.cast("double") + s) / (col("batch_tokens").cast("double") + s * buckets)
+    def pr(r: Column): Column = (r.cast("double") + s) / (nr + s * buckets)
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("_t", graft.functions.TextFunctions.tokens(col("text")))
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.BloomFunctions.bucketCounts(col("_t"), buckets)
+        .as("_wc"))
+      .withColumn("batch_tokens",
+        aggregate(col("_wc"), lit(0L), (a, x) => a + x))
+      .withColumn("kl", round(aggregate(
+        zip_with(col("_wc"), refLit, (c, r) => pb(c) * log(pb(c) / pr(r))),
+        lit(0.0), (a, x) => a + x), 6))
+      .withColumn("tvd", round(aggregate(
+        zip_with(col("_wc"), refLit, (c, r) => abs(pb(c) - pr(r))),
+        lit(0.0), (a, x) => a + x) / 2.0, 6))
+      .select(col("window.start").as("window_start"),
+        col("batch_tokens"), col("kl"), col("tvd"))
   }
 }

@@ -227,4 +227,54 @@ class StreamingStatsSpec extends SparkSuite {
       assert(cand.size <= 4)
     } finally query.stop()
   }
+
+  test("windowedDriftMonitor: ref-like window reads low, shifted window high, values match the batch op") {
+    import graft.ops.ImportanceOps
+    val refTexts = Seq.fill(20)("alpha beta gamma delta epsilon")
+    val refCounts = ImportanceOps.bucketCountsArray(
+      refTexts.toDF("text"), "text", buckets = 256)
+    assert(refCounts.sum == 100L)
+
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String)]
+    val docs = stream.toDF().toDF("ts", "text")
+    val mon = StreamingStats.windowedDriftMonitor(docs, refCounts,
+      windowLen = "10 minutes", watermark = "1 minute")
+    val query = mon.writeStream.format("memory").queryName("drift_win")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      // window 0 ≈ the reference mix; window 1 = disjoint vocabulary
+      stream.addData((t(1), "alpha beta gamma delta epsilon"),
+        (t(2), "alpha beta gamma delta epsilon"))
+      query.processAllAvailable()
+      stream.addData((t(11), "zulu yankee xray whiskey victor"),
+        (t(12), "zulu yankee xray whiskey victor"))
+      query.processAllAvailable()
+      stream.addData((t(40), "tick"))
+      query.processAllAvailable()
+      stream.addData((t(70), "tock"))
+      query.processAllAvailable()
+      val w0 = T0 - (T0 % 600000)
+      val rows = spark.sql("select * from drift_win").collect()
+        .map(r => r.getTimestamp(0).getTime ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(rows.contains(w0) && rows.contains(w0 + 600000), rows.toString)
+      val (n0, kl0, tvd0) = rows(w0)
+      val (n1, kl1, tvd1) = rows(w0 + 600000)
+      assert(n0 == 10L && n1 == 10L)
+      assert(kl1 > kl0 + 0.05, s"shifted window must drift harder: $kl0 vs $kl1")
+      assert(tvd1 > tvd0)
+      // parity with the batch op on the same rows (round-6 absorbs the
+      // HOF-vs-agg summation order)
+      val batch = ImportanceOps.distributionDrift(
+          refTexts.toDF("text"),
+          Seq.fill(2)("zulu yankee xray whiskey victor").toDF("text"),
+          "text", buckets = 256)
+        .head()
+      assert(math.abs(batch.getDouble(2) - kl1) <= 2e-6,
+        s"batch ${batch.getDouble(2)} vs stream $kl1")
+      assert(math.abs(batch.getDouble(3) - tvd1) <= 2e-6)
+    } finally query.stop()
+  }
 }
