@@ -2,52 +2,51 @@ package graft
 
 import graft.functions.GraftFunctions
 
-/** The SQL face of the native kernels: registry wiring, literal-arg
-  * extraction, agreement with the Column API, codegen'd plan.
+/** Round-11 additions to the SQL function surface (the base registry is
+  * covered by OpsSpec's "native kernels are SQL-callable" test):
+  * graft_nfc / graft_entropy, plan nativeness, literal-arg rejection,
+  * and the extensions-hook wiring.
   */
 class SqlFunctionsSpec extends SparkSuite {
 
   import spark.implicits._
 
-  test("graft_* SQL functions: registered, correct, same kernel as the Column API") {
+  test("graft_nfc / graft_entropy SQL additions: correct, same kernel as the Column API, codegen'd plan") {
     GraftFunctions.register(spark)
-    val cos = spark.sql(
-      "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
-      .head().getDouble(0)
-    assert(math.abs(cos - 1.0) < 1e-12)
-    val toks = spark.sql("SELECT graft_tokens('Hello, World! 42') AS t")
-      .head().getSeq[String](0)
-    assert(toks == Seq("hello", "world", "42"))
     // NFC: decomposed e + combining acute composes to one code point
-    val dec = "Café"
+    val dec = "Cafe" + "\u0301"
     val n = spark.sql(s"SELECT length(graft_nfc('$dec')) AS l, length('$dec') AS l0")
       .head()
     assert(n.getInt(0) == 4 && n.getInt(1) == 5)
-    // literal int args reach the expression constructor
-    val sh = spark.sql("SELECT graft_simhash('the quick brown fox', 32) AS h")
-      .head().getLong(0)
-    val viaCol = Seq("the quick brown fox").toDF("s")
-      .select(graft.functions.HashFunctions.simhash(
-        org.apache.spark.sql.functions.col("s"), 32))
-      .head().getLong(0)
-    assert(sh == viaCol)
-    // plan stays native (the kernel name appears, no UDF wrapper)
-    val plan = spark.sql("SELECT graft_cosine(array(1.0D), array(1.0D))")
+    // entropy fields agree with the Column API kernel
+    val viaSql = spark.sql(
+      "SELECT graft_entropy('aabb ccdd aabb').char_entropy AS ce, " +
+        "graft_entropy('aabb ccdd aabb').token_entropy AS te").head()
+    val viaCol = Seq("aabb ccdd aabb").toDF("s")
+      .select(
+        graft.functions.TextFunctions.charEntropy(
+          org.apache.spark.sql.functions.col("s")).as("ce"),
+        graft.functions.TextFunctions.tokenEntropy(
+          org.apache.spark.sql.functions.col("s")).as("te"))
+      .head()
+    assert(viaSql.getDouble(0) == viaCol.getDouble(0))
+    assert(viaSql.getDouble(1) == viaCol.getDouble(1))
+    // plan stays native (kernel name present, no UDF wrapper)
+    val plan = spark.sql("SELECT graft_nfc('x')")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("graft_cosine"), plan.take(400))
+    assert(plan.contains("graft_nfc"), plan.take(400))
     // non-literal model-size arg is rejected with a clear error
     val err = intercept[Exception] {
-      spark.sql("SELECT graft_simhash('x', length('yy'))").collect()
+      spark.sql("SELECT graft_minhash_sig(array(1L), length('yy'))").collect()
     }
     assert(err.getMessage.contains("integer literal"), err.getMessage)
   }
 
-  test("GraftSparkExtensions injects the same builders (config-based deploy path)") {
-    // the extensions hook wires the identical builder list; applying it
-    // to a fresh SparkSessionExtensions must not throw and must accept
-    // every builder (smoke of the injection shape — the behavior itself
-    // is covered above via the shared registry path)
+  test("GraftSparkExtensions injects the full builder list (config-based deploy path)") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.functions.GraftSparkExtensions().apply(ext)
+    assert(GraftFunctions.functions.map(_._1).distinct.size ==
+      GraftFunctions.functions.size)
+    assert(GraftFunctions.functions.exists(_._1 == "graft_nfc"))
   }
 }
