@@ -138,7 +138,8 @@ object SparkEntry {
     "q_cosine_topk", "q_recon_candidates",
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",
-    "q_group_by_session", "q_sessionize", "q_asof_join", "q_asof_tolerance",
+    "q_group_by_session", "q_sessionize", "q_funnel", "q_retention",
+    "q_asof_join", "q_asof_tolerance",
     "q_asof_nearest", "q_range_join",
     "q_stats",
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",

@@ -79,6 +79,19 @@ object MiscQueries {
           sum(col("l_quantity")).cast("long").as("sum_qty"))
         .orderBy(col("nationkey"))
     },
+    "q_funnel" -> { (s, dir) =>
+      // ordered view→click→purchase funnel: step i counts only when
+      // first reached strictly after step i−1's first reach; one
+      // user-keyed shuffle reused by the co-partitioned step joins
+      graft.ops.FunnelOps.funnel(load(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"))
+    },
+    "q_retention" -> { (s, dir) =>
+      // weekly signup-cohort retention (floor(epoch/604800) weeks —
+      // integer arithmetic both engines replay exactly)
+      graft.ops.FunnelOps.retention(load(s, dir, "events"),
+        "user_id", "event_type", "ts", cohortType = "signup")
+    },
     "q_bucketed_join" -> { (s, dir) =>
       // pay the fact-table shuffle ONCE at write: both sides bucketed
       // on the join key, then the join itself is exchange-free (the
@@ -138,6 +151,40 @@ object MiscQueries {
          |  min(l_partkey)::BIGINT AS min1, max(l_partkey)::BIGINT AS max1,
          |  min(l_suppkey)::BIGINT AS min2, max(l_suppkey)::BIGINT AS max2
          |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin,
+    // mirror of FunnelOps.funnel: correlated first-reach mins
+    "q_funnel" ->
+      """WITH u1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM u1)::BIGINT AS n1,
+        |  (SELECT count(*) FROM u2)::BIGINT AS n2,
+        |  (SELECT count(*) FROM u3)::BIGINT AS n3)
+        |SELECT 1::BIGINT AS step, 'view' AS step_name, n1 AS n_users,
+        |  round(n1::DOUBLE / n1, 6) AS conversion FROM n
+        |UNION ALL SELECT 2::BIGINT, 'click', n2, round(n2::DOUBLE / n1, 6) FROM n
+        |UNION ALL SELECT 3::BIGINT, 'purchase', n3, round(n3::DOUBLE / n1, 6) FROM n
+        |ORDER BY step""".stripMargin,
+    // mirror of FunnelOps.retention: same integer week arithmetic
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    floor(epoch(ts))::BIGINT // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM e
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |sz AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY 1),
+        |r AS (SELECT c.cw, a.wk - c.cw AS week_offset,
+        |    count(*) AS n_active
+        |  FROM a JOIN c USING (user_id) WHERE a.wk >= c.cw GROUP BY 1, 2)
+        |SELECT r.cw AS cohort_week, r.week_offset, r.n_active,
+        |  sz.cohort_size,
+        |  round(r.n_active::DOUBLE / sz.cohort_size, 6) AS retention
+        |FROM r JOIN sz USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     // the bucketed co-located join must return the plain join's rows
     "q_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,
