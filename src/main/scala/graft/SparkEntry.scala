@@ -139,13 +139,15 @@ object SparkEntry {
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",
     "q_group_by_session", "q_sessionize", "q_funnel", "q_retention",
-    "q_asof_join", "q_asof_tolerance",
+    "q_transitions", "q_top_paths",
+    "q_asof_join", "q_asof_tolerance", "q_interval_join",
     "q_asof_nearest", "q_range_join",
     "q_stats",
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
     "q_score_boost", "q_score_composite",
     "q_pagerank", "q_communities", "q_modularity",
+    "q_clustering", "q_triangles",
     "q_communities_refined", "q_modularity_refined", "q_score_crosssession",
     "q_pipeline_search"
   )

@@ -102,6 +102,33 @@ object AlgoQueries {
       })
     }
 
+  /** Part co-purchase edges: parts sharing an order. The self-join is
+    * order-keyed with pair fan-out bounded by lineitems-per-order
+    * (≤7), so the edge build is one equi-join, never a cartesian;
+    * [[GraphAlgorithms.canonicalEdges]] dedups downstream.
+    */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = load(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+  }
+
+  // q_clustering / q_triangles share one wedge-join run (the
+  // cached-metrics pattern): the census is an agg over the per-node
+  // output, so the second query costs one tiny scan
+  private val triMemo = scala.collection.mutable.Map[String, DataFrame]()
+  registerClear("triangles", triMemo)
+  private def clusteringOf(s: SparkSession, dir: String): DataFrame =
+    triMemo.synchronized {
+      triMemo.getOrElseUpdate(s.sparkContext.applicationId + dir, {
+        graft.trace.MemoLog.record("triangles")
+        GraphAlgorithms.localClustering(coPurchaseEdges(s, dir))
+          .localCheckpoint()
+      })
+    }
+
   /** per-customer next-order chain edges for custkey < 30 (the graph
     * whose betweenness is closed-form: position·(len−pos) on a chain).
     */
@@ -159,6 +186,18 @@ object AlgoQueries {
     },
     "q_modularity_refined" -> { (s, dir) =>
       modularityOf(s, dir, "refined", refinedOf)
+    },
+    "q_clustering" -> { (s, dir) =>
+      // per-node triangle counts + local clustering coefficient over
+      // the part co-purchase graph (degree-oriented wedge join)
+      clusteringOf(s, dir)
+        .select(col("node"), col("triangles"), col("degree"), col("lcc"))
+        .orderBy(col("node"))
+    },
+    "q_triangles" -> { (s, dir) =>
+      // whole-graph census: triangles, wedges, global clustering
+      // coefficient — an agg over the memoized per-node run
+      GraphAlgorithms.triangleCensus(clusteringOf(s, dir))
     },
     "q_score_crosssession" -> { (s, dir) =>
       // R3 — cross-session boost from cached metric columns: pagerank of
@@ -374,6 +413,46 @@ object AlgoQueries {
          |LEFT JOIN bc ON o.o_orderkey = bc.node
          |ORDER BY o.o_orderkey""".stripMargin
 
+    // triangle mirror: canonical (a<b) co-purchase edges; each triangle
+    // {p<q<r} found once as x=(p,q) ⋈ y=(q,r) ⋈ z=(p,r)
+    val triCtes =
+      """e0 AS (SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+        |    greatest(l1.l_partkey, l2.l_partkey) AS b
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_partkey <> l2.l_partkey),
+        |deg AS (SELECT node, count(*)::BIGINT AS degree FROM
+        |    (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        |  GROUP BY 1),
+        |tris AS (SELECT x.a AS p, x.b AS q, y.b AS r
+        |  FROM e0 x JOIN e0 y ON x.b = y.a
+        |  JOIN e0 z ON z.a = x.a AND z.b = y.b),
+        |pt AS (SELECT node, count(*)::BIGINT AS triangles FROM
+        |    (SELECT p AS node FROM tris UNION ALL SELECT q FROM tris
+        |     UNION ALL SELECT r FROM tris)
+        |  GROUP BY 1)""".stripMargin
+
+    val clustering =
+      s"""WITH $triCtes
+         |SELECT d.node, coalesce(pt.triangles, 0)::BIGINT AS triangles,
+         |  d.degree,
+         |  CASE WHEN d.degree < 2 THEN 0.0
+         |    ELSE round(2.0 * coalesce(pt.triangles, 0)::DOUBLE /
+         |      (d.degree * (d.degree - 1))::DOUBLE, 6) END AS lcc
+         |FROM deg d LEFT JOIN pt USING (node)
+         |ORDER BY d.node""".stripMargin
+
+    val triangles =
+      s"""WITH $triCtes,
+         |tot AS (SELECT (SELECT count(*) FROM tris)::BIGINT AS n_triangles,
+         |  (SELECT sum(degree * (degree - 1) // 2) FROM deg)::BIGINT
+         |    AS n_wedges)
+         |SELECT n_triangles, n_wedges,
+         |  CASE WHEN n_wedges = 0 THEN 0.0
+         |    ELSE round(3.0 * n_triangles::DOUBLE / n_wedges::DOUBLE, 6)
+         |  END AS global_cc
+         |FROM tot""".stripMargin
+
     Map(
       "q_pagerank" -> pagerank,
       "q_betweenness" -> betweenness,
@@ -381,6 +460,8 @@ object AlgoQueries {
       "q_modularity" -> modularity,
       "q_communities_refined" -> communitiesRefined,
       "q_modularity_refined" -> modularityRefined,
+      "q_clustering" -> clustering,
+      "q_triangles" -> triangles,
       "q_score_crosssession" -> crossSession
     )
   }

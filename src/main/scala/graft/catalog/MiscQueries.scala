@@ -92,6 +92,43 @@ object MiscQueries {
       graft.ops.FunnelOps.retention(load(s, dir, "events"),
         "user_id", "event_type", "ts", cohortType = "signup")
     },
+    "q_transitions" -> { (s, dir) =>
+      // event-transition matrix: one user-keyed lead window (event_id
+      // breaks ts ties deterministically) + a |types|²-bounded count
+      graft.ops.FunnelOps.transitions(load(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id")
+    },
+    "q_top_paths" -> { (s, dir) =>
+      // first-3-event path census, top 20 (count desc, path asc);
+      // per-user collect bounded by pathLen, never the event list
+      graft.ops.FunnelOps.topPaths(load(s, dir, "events"),
+        "user_id", "event_type", "ts", "event_id", pathLen = 3, topK = 20)
+    },
+    "q_interval_join" -> { (s, dir) =>
+      // interval×interval overlap join (shipments in flight together
+      // per supplier): interval = [shipdate_day, +quantity days]; the
+      // bin width is DERIVED (p50 length) — the join emits each pair
+      // once via the overlap-start-bin rule, no distinct pass
+      val days = datediff(col("l_shipdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val iv = load(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1996)
+        .select(col("l_suppkey").as("k"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+          days.as("s"), (days + col("l_quantity").cast("int")).as("e"))
+      val left = iv.select(col("k"), col("iid").as("a_id"),
+        col("s").as("a_s"), col("e").as("a_e"))
+      val right = iv.select(col("k"), col("iid").as("b_id"),
+        col("s").as("b_s"), col("e").as("b_e"))
+      graft.ops.AsofOps.intervalJoin(left, right, "k",
+          "a_s", "a_e", "b_s", "b_e")
+        .filter(col("a_id") < col("b_id"))
+        .groupBy(col("k").as("suppkey"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(least(col("a_e"), col("b_e")) -
+            greatest(col("a_s"), col("b_s")) + 1), 6).as("avg_overlap_days"))
+        .orderBy(col("suppkey"))
+    },
     "q_bucketed_join" -> { (s, dir) =>
       // pay the fact-table shuffle ONCE at write: both sides bucketed
       // on the join key, then the join itself is exchange-free (the
@@ -185,6 +222,42 @@ object MiscQueries {
         |  round(r.n_active::DOUBLE / sz.cohort_size, 6) AS retention
         |FROM r JOIN sz USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // mirror of FunnelOps.transitions: same lead window + tie-break
+    "q_transitions" ->
+      """WITH s AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt FROM events),
+        |c AS (SELECT event_type AS from_type, nxt AS to_type,
+        |    count(*)::BIGINT AS n_transitions
+        |  FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  round(n_transitions::DOUBLE /
+        |    (sum(n_transitions) OVER (PARTITION BY from_type))::DOUBLE, 6)
+        |    AS share
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    // mirror of FunnelOps.topPaths: ordered string_agg over rn<=3
+    "q_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |    AS path FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path ASC LIMIT 20""".stripMargin,
+    // mirror of the interval overlap join: plain inequality self-join
+    "q_interval_join" ->
+      """WITH iv AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS iid,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT AS s,
+        |    (l_shipdate::DATE - DATE '1970-01-01')::BIGINT
+        |      + l_quantity::INT AS e
+        |  FROM lineitem WHERE year(l_shipdate) = 1996)
+        |SELECT a.k AS suppkey, count(*)::BIGINT AS n_pairs,
+        |  round(avg(least(a.e, b.e) - greatest(a.s, b.s) + 1), 6)
+        |    AS avg_overlap_days
+        |FROM iv a JOIN iv b ON a.k = b.k AND a.iid < b.iid
+        |  AND a.s <= b.e AND b.s <= a.e
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the bucketed co-located join must return the plain join's rows
     "q_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,

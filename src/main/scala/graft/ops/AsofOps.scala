@@ -179,6 +179,62 @@ object AsofOps {
       .drop("_bin")
   }
 
+  /** Interval-overlap join: all pairs (left interval, right interval)
+    * under the same key with `ls <= re && rs <= le` — the third
+    * temporal join (as-of = point↔latest, range = point∈interval,
+    * this = interval×interval), used for concurrency analytics
+    * ("shipments in flight together", overlapping sessions,
+    * conflicting bookings).
+    *
+    * Dataflow: BOTH sides fan out to their covered bins (the
+    * [[rangeJoin]] explode), then ONE (key, bin) equi-join with the
+    * overlap residual. An overlapping pair shares every bin in the
+    * overlap region, so to emit each pair EXACTLY once without a
+    * distinct pass, a pair is kept only in the bin containing the
+    * overlap's start, `floor(greatest(ls, rs) / bin)` — that bin is
+    * covered by both sides by construction, and it is unique per pair.
+    *
+    * Scale shape: fan-out is ceil(len/bin)+1 per interval per side;
+    * the join shuffles on uniform (key, bin) keys — no nested loop,
+    * no dedup shuffle. `binMs` defaults to the p50 length over BOTH
+    * sides' intervals ([[derivedBinMs]] on the union — one tiny agg);
+    * any positive bin returns identical rows (OpsSpec asserts it).
+    * The half-fan-out alternative (each side fanned in one of two
+    * orientation joins, partitioned by start-bin order) trades one
+    * join for two; at typical p50-bin fan-out (~2-3×) the single
+    * shuffle wins.
+    *
+    * Column names must be disjoint except `keyCol` (shared equi-key).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      lStartCol: String,
+      lEndCol: String,
+      rStartCol: String,
+      rEndCol: String,
+      binMs: Long = 0L): DataFrame = {
+    val clash = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(clash.isEmpty, s"column clash: ${clash.mkString(",")}")
+    val bin = if (binMs > 0) binMs
+      else derivedBinMs(
+        left.select(col(lStartCol).as("_s"), col(lEndCol).as("_e"))
+          .unionByName(
+            right.select(col(rStartCol).as("_s"), col(rEndCol).as("_e"))),
+        "_s", "_e")
+    def fanned(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s) <= col(e))
+      .withColumn("_bin",
+        explode(sequence(floor(col(s) / bin), floor(col(e) / bin))))
+    fanned(left, lStartCol, lEndCol)
+      .join(fanned(right, rStartCol, rEndCol), Seq(keyCol, "_bin"))
+      .filter(col(lStartCol) <= col(rEndCol) &&
+        col(rStartCol) <= col(lEndCol) &&
+        col("_bin") === floor(greatest(col(lStartCol), col(rStartCol)) / bin))
+      .drop("_bin")
+  }
+
   /** Default bin width for [[rangeJoin]]: the exact p50 interval length
     * (end − start, valid intervals only), clamped to >= 1 — at the
     * median, a typical interval explodes to ~2 bin copies while a bin

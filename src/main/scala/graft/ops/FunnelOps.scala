@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Classic event-stream product analytics over the events table:
@@ -59,6 +60,74 @@ object FunnelOps {
         round(col("n_users").cast("double") /
           col("_n1").cast("double"), 6).as("conversion"))
       .orderBy(col("step"))
+  }
+
+  /** Event-transition matrix: counts of consecutive (from_type →
+    * to_type) pairs within each user's time-ordered stream, with a
+    * unique id column breaking timestamp ties so the ordering (and
+    * therefore the counts) is deterministic on any layout or engine.
+    *
+    * Scale shape: one user-keyed shuffle + per-user local sort (the
+    * lag window), then a (from, to)-keyed count agg — map-side
+    * combinable, and the result is |event types|² rows at most, so the
+    * final exchange is tiny regardless of corpus size. No per-user
+    * event collection.
+    *
+    * Output: (from_type, to_type, n_transitions, share round6 of the
+    * from_type's outgoing total), ordered by (from_type, to_type).
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    val counts = events
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("_next").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val w2 = Window.partitionBy(col("from_type"))
+    counts
+      .select(col("from_type"), col("to_type"), col("n_transitions"),
+        round(col("n_transitions").cast("double") /
+          sum(col("n_transitions")).over(w2).cast("double"), 6).as("share"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Top event paths: each user's first `pathLen` events (time order,
+    * id tie-break) joined into a "a>b>c" path string, counted, top
+    * `topK` paths by (count desc, path asc — deterministic).
+    *
+    * Scale shape: the user-keyed rank window shares the transitions
+    * shuffle shape; the per-user collect is bounded by `pathLen`
+    * (array_sort on ≤pathLen structs, never the full event list); the
+    * path count agg is map-side combinable and TakeOrdered bounds the
+    * result.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      typeCol: String,
+      tsCol: String,
+      idCol: String,
+      pathLen: Int,
+      topK: Int): DataFrame = {
+    require(pathLen >= 1 && topK >= 1, "pathLen and topK must be >= 1")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol).asc, col(idCol).asc)
+    events
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= pathLen)
+      .groupBy(col(userCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_rn"), col(typeCol).as("_t")))),
+        x => x.getField("_t")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(topK)
   }
 
   /** Cohort retention: users are cohorted by the WEEK of their first

@@ -461,4 +461,42 @@ class AlgoSpec extends SparkSuite {
     assert(second.nonEmpty)
     assert(second.map(_._3).max > first.map(_._3).max)
   }
+
+  test("localClustering/triangleStats: K4, star, square+diagonal, multi/self/directed edge canonicalization") {
+    // K4 (complete on 1..4): 4 triangles, every node in 3, lcc = 1.0.
+    // Edge list is deliberately dirty: duplicates, both orientations,
+    // and a self-loop — canonicalEdges must absorb all of it.
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+        (2L, 4L), (3L, 4L), (3L, 4L), (2L, 2L))
+      .toDF("src", "dst")
+    val lc4 = GraphAlgorithms.localClustering(k4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(lc4.keySet == Set(1L, 2L, 3L, 4L))
+    assert(lc4.values.forall(_ == ((3L, 3L, 1.0))))
+    val st4 = GraphAlgorithms.triangleStats(k4).collect().head
+    assert((st4.getLong(0), st4.getLong(1), st4.getDouble(2)) ==
+      ((4L, 12L, 1.0)))
+
+    // star K1,5: zero triangles — the hub's wedges must not explode
+    // into counted triangles, and lcc is 0 everywhere (leaves deg 1)
+    val star = (2L to 6L).map(i => (1L, i)).toDF("src", "dst")
+    val stStar = GraphAlgorithms.triangleStats(star).collect().head
+    assert(stStar.getLong(0) == 0L)
+    assert(stStar.getLong(1) == 10L) // C(5,2) hub wedges
+    assert(stStar.getDouble(2) == 0.0)
+
+    // square 1-2-3-4 + diagonal 1-3: two triangles sharing edge 1-3
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val lcSq = GraphAlgorithms.localClustering(sq).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(lcSq(1L) == ((2L, 3L, 0.666667)))
+    assert(lcSq(3L) == ((2L, 3L, 0.666667)))
+    assert(lcSq(2L) == ((1L, 2L, 1.0)))
+    assert(lcSq(4L) == ((1L, 2L, 1.0)))
+    val stSq = GraphAlgorithms.triangleStats(sq).collect().head
+    assert(stSq.getLong(0) == 2L)
+  }
 }

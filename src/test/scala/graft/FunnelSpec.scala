@@ -49,6 +49,43 @@ class FunnelSpec extends SparkSuite {
     assert(out.head.getDouble(3) === 1.0)
   }
 
+  test("transitions: lead pairs per user, ts ties broken by id, shares per from_type") {
+    // u1: a(1) b(2) a(3) -> a>b, b>a ; u2: ts tie at 5 resolved by id
+    // order (id 20 then 21): b>b, then b>c at 6
+    val events = Seq(
+      ("u1", "a", 1L, 10L), ("u1", "b", 2L, 11L), ("u1", "a", 3L, 12L),
+      ("u2", "b", 5L, 20L), ("u2", "b", 5L, 21L), ("u2", "c", 6L, 22L),
+      ("u3", "z", 9L, 30L) // single event: no transition
+    ).map { case (u, t, s, i) => (u, t, ts(s), i) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = FunnelOps.transitions(events, "user_id", "event_type",
+        "ts", "event_id")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // from_type b has 3 outgoing transitions total (across users), so
+    // each b>* share is 1/3
+    assert(out.toSeq === Seq(
+      ("a", "b", 1L, 1.0),
+      ("b", "a", 1L, 0.333333), ("b", "b", 1L, 0.333333),
+      ("b", "c", 1L, 0.333333)
+    ).sortBy(t => (t._1, t._2)))
+  }
+
+  test("topPaths: first-pathLen prefix, deterministic count-desc/path-asc order") {
+    val events = Seq(
+      ("u1", "a", 1L, 1L), ("u1", "b", 2L, 2L), ("u1", "c", 3L, 3L),
+      ("u1", "d", 4L, 4L), // 4th event ignored at pathLen=3
+      ("u2", "a", 1L, 5L), ("u2", "b", 2L, 6L), ("u2", "c", 3L, 7L),
+      ("u3", "a", 1L, 8L), ("u3", "b", 2L, 9L), // short path kept
+      ("u4", "x", 1L, 10L)
+    ).map { case (u, t, s, i) => (u, t, ts(s), i) }
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = FunnelOps.topPaths(events, "user_id", "event_type", "ts",
+        "event_id", pathLen = 3, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a>b>c", 2L), ("a>b", 1L)))
+  }
+
   test("retention: cohort by first signup week, offsets >= 0 only") {
     val wk = 604800L
     // uA signs up week 0, active weeks 0,1,3; uB signs up week 0,

@@ -823,6 +823,32 @@ class OpsSpec extends SparkSuite {
     assert(AsofOps.rangeJoin(points, noIvals, "k", "pt", "s", "e").count() == 0L)
   }
 
+  test("AsofOps.intervalJoin: exactly-once pairs, inclusive overlap, key isolation, bin invariance") {
+    import graft.ops.AsofOps
+    val left = Seq((1L, 0L, 100L, 200L), (1L, 1L, 250L, 260L),
+        (1L, 2L, 150L, 300L), (2L, 3L, 100L, 200L))
+      .toDF("k", "a_id", "a_s", "a_e")
+    val right = Seq((1L, 10L, 200L, 240L), (1L, 11L, 0L, 99L),
+        (1L, 12L, 260L, 500L), (2L, 13L, 201L, 300L))
+      .toDF("k", "b_id", "b_s", "b_e")
+    // expected via the naive predicate: ls<=re && rs<=le, same key
+    val expected = Set((0L, 10L), // touch at 200 (inclusive)
+      (2L, 10L), (2L, 12L),       // 150-300 overlaps both
+      (1L, 12L))                  // touch at 260
+      // (3,13): 100-200 vs 201-300 do NOT touch; (0,11): 99 < 100
+    def run(bin: Long) = AsofOps.intervalJoin(left, right, "k",
+        "a_s", "a_e", "b_s", "b_e", bin)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(run(50L).toSet == expected)
+    assert(run(50L).length == expected.size)   // no duplicate pair rows
+    assert(run(7L).toSet == expected)          // tiny bins, still unique
+    assert(run(7L).length == expected.size)
+    assert(run(10000L).toSet == expected)      // one huge bin
+    assert(run(0L).toSet == expected)          // derived default
+    assert(run(0L).length == expected.size)
+  }
+
   test("SessionOps: gap boundary is strict, ties break by id, users isolate, summaries aggregate") {
     import graft.ops.SessionOps
     val rows = Seq(
