@@ -147,7 +147,8 @@ object SparkEntry {
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
     "q_score_boost", "q_score_composite",
     "q_pagerank", "q_communities", "q_modularity",
-    "q_clustering", "q_triangles",
+    "q_clustering", "q_triangles", "q_components", "q_kcore",
+    "q_link_prediction", "q_tfidf_keywords",
     "q_communities_refined", "q_modularity_refined", "q_score_crosssession",
     "q_pipeline_search"
   )

@@ -105,15 +105,30 @@ object AlgoQueries {
   /** Part co-purchase edges: parts sharing an order. The self-join is
     * order-keyed with pair fan-out bounded by lineitems-per-order
     * (≤7), so the edge build is one equi-join, never a cartesian;
-    * [[GraphAlgorithms.canonicalEdges]] dedups downstream.
+    * [[GraphAlgorithms.canonicalEdges]] dedups downstream. `everyNth`
+    * keeps only orders with orderkey % n == 0 — the sparsifier the
+    * component/core/link-prediction queries use to get a graph with
+    * real structure (many components, a peelable degree distribution)
+    * instead of the dense near-clique the full graph is.
     */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private def coPurchaseEdges(s: SparkSession, dir: String,
+      everyNth: Long = 1L): DataFrame = {
     val li = load(s, dir, "lineitem")
+      .filter(col("l_orderkey") % everyNth === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
   }
+
+  // the DuckDB mirror of the sparsified co-purchase edge build
+  private def coPurchaseSql(everyNth: Long): String =
+    s"""SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+       |    greatest(l1.l_partkey, l2.l_partkey) AS b
+       |  FROM lineitem l1 JOIN lineitem l2
+       |    ON l1.l_orderkey = l2.l_orderkey
+       |   AND l1.l_partkey <> l2.l_partkey
+       |  WHERE l1.l_orderkey % $everyNth = 0""".stripMargin
 
   // q_clustering / q_triangles share one wedge-join run (the
   // cached-metrics pattern): the census is an agg over the per-node
@@ -198,6 +213,28 @@ object AlgoQueries {
       // whole-graph census: triangles, wedges, global clustering
       // coefficient — an agg over the memoized per-node run
       GraphAlgorithms.triangleCensus(clusteringOf(s, dir))
+    },
+    "q_components" -> { (s, dir) =>
+      // weakly connected components of the sparsified (every-100th-
+      // order) co-purchase graph via alternating large-star/small-star
+      // contraction; component label = min node id (engine-independent)
+      GraphAlgorithms.connectedComponents(coPurchaseEdges(s, dir, 100L))
+        .orderBy(col("node"))
+    },
+    "q_kcore" -> { (s, dir) =>
+      // 6-core of the every-20th-order co-purchase graph (10 peel
+      // rounds at sf0.01): nodes of the maximal subgraph with min
+      // degree >= 6, with their in-core degrees
+      GraphAlgorithms.kCore(coPurchaseEdges(s, dir, 20L), k = 6)
+        .orderBy(col("node"))
+    },
+    "q_link_prediction" -> { (s, dir) =>
+      // top-50 predicted links on the sparse co-purchase graph:
+      // common-neighbor / Adamic-Adar / Jaccard over non-adjacent
+      // two-hop pairs (wedge join + anti-join, no cap needed at this
+      // density)
+      GraphAlgorithms.linkPrediction(coPurchaseEdges(s, dir, 100L),
+        topK = 50)
     },
     "q_score_crosssession" -> { (s, dir) =>
       // R3 — cross-session boost from cached metric columns: pagerank of
@@ -453,9 +490,77 @@ object AlgoQueries {
          |  END AS global_cc
          |FROM tot""".stripMargin
 
+    // components mirror: transitive closure by recursive UNION (the
+    // dedup is the termination), then min-reach per node — independent
+    // of the star-contraction algorithm under test
+    val components =
+      s"""WITH RECURSIVE
+         |e0 AS (${coPurchaseSql(100L)}),
+         |sym AS (SELECT a AS u, b AS v FROM e0
+         |  UNION ALL SELECT b AS u, a AS v FROM e0),
+         |r AS (
+         |  SELECT DISTINCT u AS node, u AS reach FROM sym
+         |  UNION
+         |  SELECT r.node, s.v AS reach FROM r JOIN sym s ON r.reach = s.u)
+         |SELECT node, min(reach) AS component FROM r GROUP BY node
+         |ORDER BY node""".stripMargin
+
+    // k-core mirror: synchronous peeling replayed as a recursive CTE —
+    // each iteration keeps nodes whose degree within the previous
+    // iteration's survivor set is >= k; 16 rounds covers the sf0.01
+    // peeling depth (10) with slack, and extra rounds are no-ops once
+    // the set is stable
+    val kcore =
+      s"""WITH RECURSIVE
+         |e0 AS (${coPurchaseSql(20L)}),
+         |sym AS (SELECT a AS u, b AS v FROM e0
+         |  UNION ALL SELECT b AS u, a AS v FROM e0),
+         |alive AS (
+         |  SELECT DISTINCT u AS node, 0 AS it FROM sym
+         |  UNION ALL
+         |  SELECT d.node, d.it + 1 AS it
+         |  FROM (SELECT s.u AS node, x.it AS it, count(*) AS deg
+         |        FROM sym s JOIN alive x ON x.node = s.u
+         |        JOIN alive y ON y.node = s.v
+         |        GROUP BY s.u, x.it) d
+         |  WHERE d.deg >= 6 AND d.it < 16)
+         |SELECT a.node, count(*)::BIGINT AS degree
+         |FROM alive a JOIN sym s ON s.u = a.node
+         |JOIN alive a2 ON a2.node = s.v AND a2.it = 16
+         |WHERE a.it = 16
+         |GROUP BY a.node ORDER BY a.node""".stripMargin
+
+    // link-prediction mirror: wedge join + anti-join + per-pair aggs,
+    // written directly from the score definitions
+    val linkPred =
+      s"""WITH e0 AS (${coPurchaseSql(100L)}),
+         |sym AS (SELECT a AS u, b AS v FROM e0
+         |  UNION ALL SELECT b AS u, a AS v FROM e0),
+         |deg AS (SELECT u AS node, count(*)::BIGINT AS degree
+         |  FROM sym GROUP BY 1),
+         |wdg AS (SELECT s1.u AS u, s1.v AS v, s2.v AS w
+         |  FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v),
+         |cand AS (SELECT wdg.v, wdg.w, wdg.u FROM wdg
+         |  LEFT JOIN e0 ON e0.a = wdg.v AND e0.b = wdg.w
+         |  WHERE e0.a IS NULL),
+         |sc AS (SELECT c.v, c.w, count(*)::BIGINT AS common_neighbors,
+         |    sum(1.0 / ln(d.degree::DOUBLE)) AS aa
+         |  FROM cand c JOIN deg d ON d.node = c.u GROUP BY 1, 2)
+         |SELECT sc.v AS node_a, sc.w AS node_b, sc.common_neighbors,
+         |  round(sc.aa, 6) AS adamic_adar,
+         |  round(sc.common_neighbors::DOUBLE /
+         |    (dv.degree + dw.degree - sc.common_neighbors)::DOUBLE, 6)
+         |    AS jaccard
+         |FROM sc JOIN deg dv ON dv.node = sc.v
+         |JOIN deg dw ON dw.node = sc.w
+         |ORDER BY adamic_adar DESC, node_a, node_b LIMIT 50""".stripMargin
+
     Map(
       "q_pagerank" -> pagerank,
       "q_betweenness" -> betweenness,
+      "q_components" -> components,
+      "q_kcore" -> kcore,
+      "q_link_prediction" -> linkPred,
       "q_communities" -> lpa,
       "q_modularity" -> modularity,
       "q_communities_refined" -> communitiesRefined,

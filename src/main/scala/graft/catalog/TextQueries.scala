@@ -566,6 +566,12 @@ object TextQueries {
       graft.ops.SketchOps.heavyHitters(load(s, dir, "documents"), "text",
         phi = 0.002)
     },
+    "q_tfidf_keywords" -> { (s, dir) =>
+      // per-doc TF-IDF keyword extraction: top 5 tokens per document by
+      // tf·ln(N/df), round6 before the rank cut, token asc tie-break
+      graft.ops.CorpusOps.tfidfKeywords(load(s, dir, "documents"),
+        "doc_id", "text", topK = 5)
+    },
     "q_dsir_weights" -> { (s, dir) =>
       // DSIR importance weights: target LM = English docs, raw LM = the
       // rest; hashed-unigram bag LMs, per-doc log-ratio sum
@@ -1827,6 +1833,24 @@ object TextQueries {
          |FROM tok GROUP BY token
          |ORDER BY tf DESC, token LIMIT 100""".stripMargin
 
+    // mirror of CorpusOps.tfidfKeywords: same tokenizer, raw ln(N/df)
+    // idf, round6 BEFORE the per-doc rank so the cut matches
+    val tfidfKeywords =
+      s"""WITH tok AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+         |  FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*)::BIGINT AS doc_freq
+         |  FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         |sc AS (SELECT tf.doc_id AS doc, tf.token, tf.tf, dfq.doc_freq,
+         |    round(tf.tf::DOUBLE * ln(n.n / dfq.doc_freq::DOUBLE), 6)
+         |      AS tfidf
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc
+         |    ORDER BY tfidf DESC, token) AS rk FROM sc)
+         |SELECT doc, rk::BIGINT AS rk, token, tf, doc_freq, tfidf
+         |FROM r WHERE rk <= 5 ORDER BY doc, rk""".stripMargin
+
     val heavyHitters =
       s"""WITH tok AS (SELECT unnest($toks) AS token
          |    FROM documents WHERE text IS NOT NULL),
@@ -1894,6 +1918,7 @@ object TextQueries {
       "q_span_corruption" -> spanCorruption,
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
+      "q_tfidf_keywords" -> tfidfKeywords,
       "q_vocab_coverage" -> vocabCoverage,
       "q_heavy_hitters" -> heavyHitters,
       "q_dsir_weights" -> dsirWeights,

@@ -311,6 +311,50 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Per-document TF-IDF keywords — the classic corpus-statistics
+    * keyword extractor: each document's top `topK` tokens by
+    * tf · ln(N / df), where df is the token's document frequency and N
+    * the corpus size. The raw (unsmoothed) idf, so corpus-universal
+    * tokens score exactly 0 and drop to the rank floor.
+    *
+    * Scale shape: one (doc, token)-keyed tf aggregation (map-side
+    * combinable), one token-keyed df aggregation over the tf rows (the
+    * type-level table, not the corpus), the one-row corpus count
+    * broadcast by crossJoin, then a doc-partitioned rank window whose
+    * partitions are bounded by tokens-per-document — no global window,
+    * no vocabulary sort. Scores round to 6 decimals BEFORE the rank
+    * ordering so the top-k cut is engine-stable (token asc breaks ties).
+    *
+    * Output: (doc, rk, token, tf, doc_freq, tfidf), topK rows per doc,
+    * ordered (doc, rk).
+    */
+  def tfidfKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val tf = df.select(col(idCol).as("doc"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val n = df.agg(count(lit(1)).cast("double").as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("token").asc)
+    tf.join(dfreq, Seq("token")).crossJoin(n)
+      .select(col("doc"), col("token"), col("tf"), col("doc_freq"),
+        round(col("tf").cast("double") *
+          log(col("_n") / col("doc_freq").cast("double")), 6).as("tfidf"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= topK)
+      .select(col("doc"), col("rk"), col("token"), col("tf"),
+        col("doc_freq"), col("tfidf"))
+      .orderBy(col("doc"), col("rk"))
+  }
+
   /** Vocabulary coverage curve — the tokenizer-eval metric: for each k
     * in `ks`, the fraction of corpus token OCCURRENCES covered by the
     * top-k vocabulary (freq desc, token asc ties) and the implied OOV

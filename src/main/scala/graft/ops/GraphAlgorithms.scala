@@ -854,4 +854,196 @@ object GraphAlgorithms {
           round(lit(3.0) * col("n_triangles").cast("double") /
             col("n_wedges").cast("double"), 6)).as("global_cc"))
   }
+
+  /** Rounds the most recent [[connectedComponents]] /[[kCore]] call on
+    * this JVM executed before its fixpoint check fired (bench/test
+    * telemetry, same contract as [[lastRefineRounds]]).
+    */
+  @volatile var lastCcRounds: Int = -1
+  @volatile var lastKCoreRounds: Int = -1
+
+  /** Weakly connected components by alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") — converges in O(log n) rounds regardless
+    * of graph DIAMETER, unlike min-label flooding whose round count is
+    * the diameter (a 100×-scale path graph floods for 10⁶ rounds; this
+    * contracts it in ~20).
+    *
+    * One round = large-star (every node links its greater neighbors to
+    * its neighborhood minimum) then small-star (every node re-links its
+    * smaller neighbors and itself to their minimum); each half is one
+    * node-keyed min aggregation + one join back to the edge list — no
+    * neighbor-list collection anywhere, so a 10⁷-degree hub costs a
+    * combinable min, not memory. The fixpoint test is a count+hash-sum
+    * fingerprint of the edge set (one tiny agg per round), and lineage
+    * is cut per round with released checkpoints.
+    *
+    * Output: (node, component) for every node incident to an edge,
+    * where component = the minimum node id in the node's component
+    * (deterministic, engine-independent).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val und = canonicalEdges(edges)
+    val nodes0 = und.select(col("a").as("node")).unionAll(
+        und.select(col("b").as("node")))
+      .distinct().localCheckpoint()
+
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v")).unionAll(
+        e.select(col("b").as("u"), col("a").as("v")))
+    // large-star: m(u) = min(Γ(u) ∪ {u}); emit (m, v) for v ∈ Γ(u), v > u
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val m = s.groupBy(col("u")).agg(min(col("v")).as("_mv"))
+        .select(col("u"), least(col("_mv"), col("u")).as("m"))
+      s.filter(col("v") > col("u")).join(m, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    // small-star: over strictly-smaller neighbors Γ<(u), m = min;
+    // emit (m, v) for v ∈ Γ<(u) and (m, u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e).filter(col("v") < col("u"))
+      val m = s.groupBy(col("u")).agg(min(col("v")).as("m"))
+      s.join(m, Seq("u"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(m.select(col("m").as("a"), col("u").as("b")))
+        .filter(col("a") =!= col("b")).distinct()
+    }
+    def fingerprint(e: DataFrame): (Long, String) = {
+      // hash-sum in decimal(38,0): order-free and overflow-free (the
+      // long sum would trip ANSI overflow on a handful of rows)
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+    }
+
+    var (cur, release) = Checkpoints.withRelease(und)
+    var fp = fingerprint(cur)
+    var rounds = 0
+    var converged = cur.isEmpty
+    while (!converged && rounds < maxRounds) {
+      val (next, nextRelease) = Checkpoints.withRelease(smallStar(largeStar(cur)))
+      val nfp = fingerprint(next)
+      release(); cur = next; release = nextRelease
+      converged = nfp == fp
+      fp = nfp
+      rounds += 1
+    }
+    lastCcRounds = rounds
+    // fixpoint edge set is a star per component: (min, other). Components
+    // = star membership; nodes absent from the stars map to themselves
+    // (they ARE their component's minimum).
+    val stars = cur.select(col("b").as("node"), col("a").as("component"))
+    nodes0.join(stars, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
+  /** The k-core: the maximal subgraph in which every node has degree
+    * >= k, by iterative peeling (each round drops all nodes whose
+    * degree within the surviving subgraph is < k, until a round drops
+    * nothing). The peeling order is irrelevant to the result — the
+    * k-core is unique — so the synchronous all-at-once round is both
+    * the deterministic and the distributed-friendly formulation.
+    *
+    * Scale shape: each round is one node-keyed degree aggregation
+    * (map-side combinable) + two anti-joins of the edge list against
+    * the dropped-node set (AQE broadcasts it when small); lineage is
+    * cut per round with released checkpoints. Round COUNT is the
+    * peeling depth of the graph (typically O(10) on real degree
+    * distributions; bounded by `maxRounds`).
+    *
+    * Output: (node, core_degree) for the k-core's nodes, where
+    * core_degree is the node's degree WITHIN the core.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+    var (cur, release) = Checkpoints.withRelease(canonicalEdges(edges))
+    var rounds = 0
+    var done = false
+    while (!done && rounds < maxRounds) {
+      val bad = degrees(cur).filter(col("degree") < k)
+        .select(col("node")).localCheckpoint()
+      if (bad.isEmpty) done = true
+      else {
+        val (next, nextRelease) = Checkpoints.withRelease(
+          cur.join(bad.select(col("node").as("a")), Seq("a"), "left_anti")
+            .join(bad.select(col("node").as("b")), Seq("b"), "left_anti")
+            .select(col("a"), col("b")))
+        release(); cur = next; release = nextRelease
+        rounds += 1
+      }
+      Checkpoints.release(bad)
+    }
+    lastKCoreRounds = rounds
+    degrees(cur)
+  }
+
+  /** Link prediction over an undirected graph: for every NON-adjacent
+    * two-hop pair, the three classic neighborhood-overlap scores —
+    * common-neighbor count, Adamic–Adar (Σ 1/ln(deg(center)) over the
+    * shared neighbors, down-weighting promiscuous centers), and Jaccard
+    * (|Γ(v)∩Γ(w)| / |Γ(v)∪Γ(w)|) — top `topK` by (Adamic–Adar desc,
+    * pair asc).
+    *
+    * Scale shape: the triangle machinery's wedge join (one self-join on
+    * the center) generates candidates, minus one anti-join against the
+    * edge set to keep non-adjacent pairs only. Unlike triangle counting
+    * the wedge CANNOT be degree-oriented away (both sides of every
+    * candidate pair are needed), so a hub's deg² candidate fan-out is
+    * real — `maxCenterDegree` caps it, the standard mitigation: a
+    * 10⁶-degree center contributes 1/ln(10⁶) ≈ 0.07 per pair to scores
+    * whose signal terms are ≥ 1/ln(maxDeg), and its pairs are the
+    * least-informative ones, so capping changes rankings negligibly
+    * while removing the quadratic term (0 = no cap). Scores round to 6
+    * decimals so float-sum ordering is engine-stable.
+    *
+    * Output: (node_a, node_b, common_neighbors, adamic_adar, jaccard),
+    * node_a < node_b, ordered (adamic_adar desc, node_a, node_b),
+    * `topK` rows.
+    */
+  def linkPrediction(
+      edges: DataFrame,
+      topK: Int,
+      maxCenterDegree: Int = 0): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val und = canonicalEdges(edges).localCheckpoint()
+    val deg = und.select(col("a").as("node")).unionAll(
+        und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint()
+    val centers =
+      if (maxCenterDegree > 0) deg.filter(col("degree") <= maxCenterDegree)
+      else deg
+    // wedges v—u—w (v < w) through each eligible center u, carrying the
+    // center's degree for the Adamic–Adar term
+    val s = und.select(col("a").as("u"), col("b").as("v")).unionAll(
+        und.select(col("b").as("u"), col("a").as("v")))
+      .join(centers.select(col("node").as("u"), col("degree").as("du")),
+        Seq("u"))
+    val wedges = s.join(s.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val cand = wedges.join(
+      und.select(col("a").as("v"), col("b").as("w")),
+      Seq("v", "w"), "left_anti")
+    val scored = cand.groupBy(col("v"), col("w"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(lit(1.0) / log(col("du").cast("double"))).as("_aa"))
+    scored
+      .join(deg.select(col("node").as("v"), col("degree").as("dv")), Seq("v"))
+      .join(deg.select(col("node").as("w"), col("degree").as("dw")), Seq("w"))
+      .select(col("v").as("node_a"), col("w").as("node_b"),
+        col("common_neighbors"),
+        round(col("_aa"), 6).as("adamic_adar"),
+        round(col("common_neighbors").cast("double") /
+          (col("dv") + col("dw") - col("common_neighbors")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("adamic_adar").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+  }
 }

@@ -499,4 +499,73 @@ class AlgoSpec extends SparkSuite {
     val stSq = GraphAlgorithms.triangleStats(sq).collect().head
     assert(stSq.getLong(0) == 2L)
   }
+
+  test("connectedComponents: min labels, dirty edges, sub-diameter round count on a path") {
+    // two components {1,2,3} and {10,11}; dirty input (dup, reversed,
+    // self-loop) must canonicalize away
+    val e = Seq((2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (10L, 11L),
+        (1L, 1L)).toDF("src", "dst")
+    val cc = GraphAlgorithms.connectedComponents(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // a 24-node path: star contraction must converge in far fewer
+    // rounds than the diameter (23) — the reason it beats min-label
+    // flooding at scale
+    val path = (1L until 24L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ccPath = GraphAlgorithms.connectedComponents(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(ccPath.length == 24 && ccPath.forall(_._2 == 1L))
+    assert(GraphAlgorithms.lastCcRounds > 0 &&
+      GraphAlgorithms.lastCcRounds <= 8,
+      s"rounds=${GraphAlgorithms.lastCcRounds}")
+
+    assert(GraphAlgorithms.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+  }
+
+  test("kCore: peel cascade, empty core, k=1 identity") {
+    // K4 on 1..4 + node 5 hung off {1,2} + pendant 6-5: k=3 peels 6
+    // (deg 1), which drops 5 to deg 2 so round 2 peels it too — a
+    // genuine cascade leaving exactly the K4 at degree 3
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+        (3L, 4L), (5L, 1L), (5L, 2L), (6L, 5L)).toDF("src", "dst")
+    val core3 = GraphAlgorithms.kCore(e, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // k=4: the K4's nodes all have in-core degree 3 < 4 — empty core
+    assert(GraphAlgorithms.kCore(e, 4).isEmpty)
+
+    // k=1 keeps every non-isolated node with its full simple degree
+    val core1 = GraphAlgorithms.kCore(e, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core1 == Map(1L -> 4L, 2L -> 4L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 1L))
+  }
+
+  test("linkPrediction: scores on path/cycle, adjacency excluded, center cap") {
+    // path 1-2-3: the only candidate is (1,3) through center 2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val p = GraphAlgorithms.linkPrediction(path, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(p.toSeq == Seq((1L, 3L, 1L, 1.442695, 1.0))) // 1/ln(2)
+
+    // 4-cycle: (1,3) and (2,4) each close through TWO degree-2 centers;
+    // adjacent pairs must not appear
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val c = GraphAlgorithms.linkPrediction(cyc, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(c.toSet == Set((1L, 3L, 2L, 2.88539, 1.0),
+      (2L, 4L, 2L, 2.88539, 1.0))) // 2/ln(2)
+
+    // star: every leaf pair goes through the hub; capping the center
+    // degree below the hub's removes all candidates
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(GraphAlgorithms.linkPrediction(star, topK = 100).count() == 10L)
+    assert(GraphAlgorithms.linkPrediction(star, topK = 100,
+      maxCenterDegree = 4).isEmpty)
+  }
 }

@@ -426,6 +426,32 @@ class OpsSpec extends SparkSuite {
     assert(top1.toSeq == Seq("x"))
   }
 
+  test("tfidfKeywords: tf*ln(N/df) scores, per-doc rank, token tie-break, universal tokens floor") {
+    // df: apple 1, banana 2, cherry 2, date 1; N = 3
+    val docs = Seq((1L, "apple banana apple"), (2L, "banana cherry"),
+      (3L, "cherry date cherry date")).toDF("doc_id", "text")
+    val out = graft.ops.CorpusOps.tfidfKeywords(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "apple", 2L, 1L, 2.197225),   // 2*ln(3)
+      (1L, 2L, "banana", 1L, 2L, 0.405465),  // ln(3/2)
+      (2L, 1L, "banana", 1L, 2L, 0.405465),  // tie with cherry: token asc
+      (2L, 2L, "cherry", 1L, 2L, 0.405465),
+      (3L, 1L, "date", 2L, 1L, 2.197225),
+      (3L, 2L, "cherry", 2L, 2L, 0.81093)))  // 2*ln(3/2)
+    // a token in EVERY doc scores exactly 0 and ranks below any
+    // non-universal token
+    val univ = Seq((1L, "the apple"), (2L, "the pear"))
+      .toDF("doc_id", "text")
+    val u = graft.ops.CorpusOps.tfidfKeywords(univ, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(5)))
+    assert(u.toSeq == Seq(
+      (1L, 1L, "apple", 0.693147), (1L, 2L, "the", 0.0),
+      (2L, 1L, "pear", 0.693147), (2L, 2L, "the", 0.0)))
+  }
+
   test("vocabCoverage: cumulative occurrence coverage, saturates past vocab size") {
     // counts: a=3, b=2, c=1 → total 6; top-1 covers 3/6, top-2 5/6,
     // any k ≥ 3 covers all occurrences (oov 0)

@@ -263,6 +263,35 @@ class PlanSpec extends SparkSuite {
     assert(pRange.contains("Join"), pRange.take(2500))
   }
 
+  test("interval-overlap join and link prediction plan as equi-joins, never a nested loop; tfidf's only cross join is the one-row N broadcast") {
+    assume(new java.io.File(s"$SfDir/events.parquet").exists())
+    val ev = spark.read.parquet(s"$SfDir/events.parquet")
+    val l = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("a_id"),
+        col("event_id").as("a_s"), (col("event_id") + 10L).as("a_e"))
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("b_id"),
+        col("event_id").as("b_s"), (col("event_id") + 10L).as("b_e"))
+    val pIv = plan(graft.ops.AsofOps.intervalJoin(l, r, "user_id",
+      "a_s", "a_e", "b_s", "b_e", 16L))
+    assert(!pIv.contains("BroadcastNestedLoopJoin"), pIv.take(2500))
+    assert(!pIv.contains("CartesianProduct"), pIv.take(2500))
+    assert(pIv.contains("Join"), pIv.take(2500))
+
+    val edges = ev.select(col("user_id").as("src"),
+      (col("event_id") % 50L).as("dst"))
+    val pLp = plan(graft.ops.GraphAlgorithms.linkPrediction(edges, topK = 10))
+    assert(!pLp.contains("BroadcastNestedLoopJoin"), pLp.take(2500))
+    assert(!pLp.contains("CartesianProduct"), pLp.take(2500))
+
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val pTf = plan(graft.ops.CorpusOps.tfidfKeywords(docs, "doc_id", "text", 5))
+    // exactly one nested-loop: the single-row corpus-count crossJoin —
+    // anything more means a real join degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pTf).size <= 1, pTf.take(2500))
+    assert(!pTf.contains("CartesianProduct"), pTf.take(2500))
+  }
+
   test("composed IVF x PQ serving scan: broadcasts, banded equi-joins, no cartesian") {
     assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
     val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
