@@ -130,7 +130,7 @@ object SparkEntry {
     "q_heavy_hitters", "q_dsir_weights", "q_dsir_sample",
     "q_sample_stratified", "q_sample_cluster", "q_sample_kcenter",
     "q_corpus_quantiles", "q_quantile_approx", "q_distinct_approx",
-    "q_filter_adaptive",
+    "q_filter_adaptive", "q_outliers_mad",
     "q_emb_neardup_lsh", "q_semdedup", "q_proto_prune", "q_pair_mining",
     "q_ann_bruteforce", "q_ann_ivf", "q_ann_pq", "q_ann_pq_rerank",
     "q_ann_ivfpq", "q_ann_sq8", "q_ann_binary", "q_ann_truncated",
@@ -139,7 +139,7 @@ object SparkEntry {
     "q_mmr", "q_bm25", "q_rrf", "q_hybrid",
     "q_filter_timerange", "q_filter_predicates", "q_latest_per_key",
     "q_group_by_session", "q_sessionize", "q_funnel", "q_retention",
-    "q_transitions", "q_top_paths",
+    "q_transitions", "q_top_paths", "q_rolling_window",
     "q_asof_join", "q_asof_tolerance", "q_interval_join",
     "q_asof_nearest", "q_range_join",
     "q_stats",

@@ -203,6 +203,14 @@ object FilterQueries {
           col("end_ts").as("end_ms"), col("duration_ms"))
         .orderBy(col("user_id"), col("session_idx"))
     },
+    "q_rolling_window" -> { (s, dir) =>
+      // trailing 7-day per-user activity features: RANGE-frame window,
+      // tie-symmetric so no id tie-break is needed for determinism
+      graft.ops.FunnelOps.rollingFeatures(events(s, dir),
+          "user_id", "ms", "value", "event_id",
+          windowMs = 7L * 86400000L)
+        .orderBy(col("event_id"))
+    },
     "q_group_by_session" -> { (s, dir) =>
       // A3 — group-by-session with chronological order inside each group
       // (ids joined to a string so the compare is array-free)
@@ -347,6 +355,17 @@ object FilterQueries {
          |  (max(ms) - min(ms))::BIGINT AS duration_ms
          |FROM x GROUP BY user_id, session_idx
          |ORDER BY user_id, session_idx""".stripMargin,
+    // mirror of FunnelOps.rollingFeatures: same RANGE frame over ms
+    "q_rolling_window" ->
+      s"""WITH b AS (SELECT user_id, event_id, epoch_ms(ts) AS ms, value
+         |  FROM events)
+         |SELECT user_id, event_id, ms,
+         |  count(*) OVER w AS n_window,
+         |  round(sum(value) OVER w, 6) AS window_value
+         |FROM b
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+         |  RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
     "q_group_by_session" ->
       s"""SELECT user_id,
          |  array_to_string(list(event_id::VARCHAR ORDER BY epoch_ms(ts), event_id), ',') AS event_ids,

@@ -63,6 +63,16 @@ object SampleQueries {
       QuantileOps.exactPercentiles(docs, "n_chars", "source", Percentiles)
         .orderBy(col("source"), col("p"))
     },
+    "q_outliers_mad" -> { (s, dir) =>
+      // robust length-outlier detection: |n_chars − median(source)| >
+      // 3·MAD(source) — all-integer decision (two nearest-rank medians),
+      // so the flag set is bit-stable across engines
+      val docs = load(s, dir, "documents")
+      QuantileOps.madOutliers(docs, "n_chars", "source", k = 3)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy(col("doc_id"))
+    },
     "q_quantile_approx" -> { (s, dir) =>
       // single-pass sketch percentiles with the verified error
       // contract: the within_bound column (estimate's exact rank
@@ -219,6 +229,29 @@ object SampleQueries {
       "q_sample_cluster" -> cluster,
       "q_sample_kcenter" -> kcenter,
       "q_corpus_quantiles" -> quantiles,
+      // mirror of QuantileOps.madOutliers: nearest-rank p50 twice
+      // (identical k = ceil(n/2) arithmetic), integer flag rule
+      "q_outliers_mad" ->
+        """WITH s AS (SELECT source, count(*) AS n FROM documents
+          |    GROUP BY 1),
+          |r AS (SELECT doc_id, source, n_chars,
+          |    row_number() OVER (PARTITION BY source ORDER BY n_chars)
+          |      AS rn FROM documents),
+          |med AS (SELECT r.source, r.n_chars AS med FROM r
+          |  JOIN s USING (source) WHERE r.rn = (50 * s.n + 99) // 100),
+          |dev AS (SELECT d.doc_id, d.source, d.n_chars, med.med,
+          |    abs(d.n_chars - med.med) AS dev
+          |  FROM documents d JOIN med USING (source)),
+          |r2 AS (SELECT source, dev,
+          |    row_number() OVER (PARTITION BY source ORDER BY dev) AS rn
+          |  FROM dev),
+          |mad AS (SELECT r2.source, r2.dev AS mad FROM r2
+          |  JOIN s USING (source) WHERE r2.rn = (50 * s.n + 99) // 100)
+          |SELECT dev.doc_id, dev.source, dev.n_chars, dev.med,
+          |  mad.mad, dev.dev
+          |FROM dev JOIN mad USING (source)
+          |WHERE dev.dev > 3 * mad.mad
+          |ORDER BY dev.doc_id""".stripMargin,
       "q_quantile_approx" -> quantileApprox,
       "q_distinct_approx" -> distinctApprox,
       "q_filter_adaptive" -> adaptive

@@ -130,6 +130,42 @@ object FunnelOps {
       .limit(topK)
   }
 
+  /** Rolling trailing-window features per event: for every event row,
+    * the count of the user's events and the (round6) sum of their
+    * `valueCol` within the trailing `windowMs` — the standard
+    * activity-rate / velocity feature for abuse detection and
+    * engagement scoring.
+    *
+    * The frame is a RANGE frame over the millisecond timestamp, so
+    * timestamp ties are symmetric (every equal-ts row is in every
+    * equal-ts row's frame) and the result is independent of tie order —
+    * deterministic without an id tie-break, on any engine.
+    *
+    * Scale shape: one user-keyed shuffle + per-user local sort (the
+    * shape shared with sessionize/transitions — pipelines reuse the
+    * exchange); the running frame is computed in one pass per
+    * partition, never a per-row rescan. A hot user is one partition's
+    * sort, handled by AQE skew like every keyed window here.
+    *
+    * Output: one row per event — (userCol, idCol, tsMsCol, n_window,
+    * window_value).
+    */
+  def rollingFeatures(
+      events: DataFrame,
+      userCol: String,
+      tsMsCol: String,
+      valueCol: String,
+      idCol: String,
+      windowMs: Long): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsMsCol).cast("long"))
+      .rangeBetween(-windowMs, 0)
+    events.select(col(userCol), col(idCol), col(tsMsCol),
+      count(lit(1)).over(w).as("n_window"),
+      round(sum(col(valueCol)).over(w), 6).as("window_value"))
+  }
+
   /** Cohort retention: users are cohorted by the WEEK of their first
     * `cohortType` event; a cohort's week-k retention is the share of
     * its users with ANY event in cohort_week + k. Weeks are

@@ -169,4 +169,41 @@ object QuantileOps {
           col("_hi") >= col("_k") - col("_tol")).as("within_bound"))
       .orderBy(col(groupCol), col("p"))
   }
+
+  /** Robust per-group outlier detection by median absolute deviation:
+    * a row is an outlier when |value − median(group)| > k · MAD(group),
+    * MAD = median of the absolute deviations. The robust alternative
+    * to z-scores for corpus curation — a mean/stddev rule moves WITH
+    * the outliers it's supposed to catch; the two medians don't.
+    *
+    * Both medians are [[exactPercentiles]]' nearest-rank p50, so the
+    * whole decision is integer arithmetic on an integral `valueCol` —
+    * no float boundary anywhere, bit-identical across engines. MAD = 0
+    * (over half the group at the median) degrades gracefully: any
+    * deviation at all is flagged.
+    *
+    * Scale shape: two exactPercentiles passes (each two scans + a
+    * tiny boundary-bucket window) and two broadcast joins of the
+    * group-sized median tables — the data is never shuffled or sorted.
+    * Inherits the exactPercentiles contract: `groupCol` cardinality is
+    * broadcast-small.
+    *
+    * Output: the outlier rows (all input columns + med, mad, dev).
+    */
+  def madOutliers(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val med = exactPercentiles(df, valueCol, groupCol, Map("p50" -> 50))
+      .select(col(groupCol), col("quantile").as("med"))
+    val dev = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("dev", abs(col(valueCol).cast("long") - col("med")))
+    val mad = exactPercentiles(dev, "dev", groupCol, Map("p50" -> 50))
+      .select(col(groupCol), col("quantile").as("mad"))
+    dev.join(broadcast(mad), Seq(groupCol))
+      .filter(col("dev") > lit(k.toLong) * col("mad"))
+  }
 }

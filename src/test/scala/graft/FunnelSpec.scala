@@ -86,6 +86,25 @@ class FunnelSpec extends SparkSuite {
     assert(out.toSeq === Seq(("a>b>c", 2L), ("a>b", 1L)))
   }
 
+  test("rollingFeatures: trailing range frame, symmetric ties, per-user isolation") {
+    val events = Seq(
+      ("u1", 0L, 1L, 10.0), ("u1", 1000L, 2L, 20.0), ("u1", 2000L, 3L, 5.0),
+      ("u2", 5000L, 4L, 1.0), ("u2", 5000L, 5L, 2.0), // ts tie
+      ("u3", 900L, 6L, 7.0)                           // other user at overlapping ts
+    ).toDF("user_id", "ms", "event_id", "value")
+    val out = FunnelOps.rollingFeatures(events, "user_id", "ms", "value",
+        "event_id", windowMs = 1500L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((1L, 10.0)))
+    assert(out(2L) == ((2L, 30.0)))        // 0 is within [-500, 1000]
+    assert(out(3L) == ((2L, 25.0)))        // 0 aged out of [500, 2000]
+    // equal-ts rows see each other symmetrically — no tie-break needed
+    assert(out(4L) == ((2L, 3.0)))
+    assert(out(5L) == ((2L, 3.0)))
+    assert(out(6L) == ((1L, 7.0)))         // users isolate
+  }
+
   test("retention: cohort by first signup week, offsets >= 0 only") {
     val wk = 604800L
     // uA signs up week 0, active weeks 0,1,3; uB signs up week 0,

@@ -954,6 +954,26 @@ class OpsSpec extends SparkSuite {
     }
   }
 
+  test("madOutliers: integer median/MAD rule, zero-MAD degeneracy, quiet groups") {
+    import graft.ops.QuantileOps
+    val rows =
+      // g1: 4-at-median + one spike — MAD 0, so ANY deviation flags
+      Seq((1L, "g1", 10L), (2L, "g1", 10L), (3L, "g1", 10L),
+        (4L, "g1", 10L), (5L, "g1", 100L),
+        // g2: med 3, devs sorted [0,1,1,2,97] → MAD 1; only 97 > 3·1
+        (6L, "g2", 1L), (7L, "g2", 2L), (8L, "g2", 3L),
+        (9L, "g2", 4L), (10L, "g2", 100L),
+        // g3: tight group — nothing beyond 3·MAD
+        (11L, "g3", 5L), (12L, "g3", 6L), (13L, "g3", 7L))
+      .toDF("id", "grp", "v")
+    val out = QuantileOps.madOutliers(rows, "v", "grp", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"), r.getAs[Long]("dev")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((5L, 10L, 0L, 90L), (10L, 3L, 1L, 97L)))
+  }
+
   test("CorpusOps.bpeMerges equals a driver-side reference BPE trainer") {
     import spark.implicits._
     // repetition-heavy corpus: forces multi-char merges, adjacent-run
