@@ -122,7 +122,7 @@ object SparkEntry {
     "q_mix_doremi",
     "q_corpus_report", "q_corpus_drift", "q_seq_pack",
     "q_chunk_overlap",
-    "q_vocab_topk", "q_vocab_coverage",
+    "q_vocab_topk", "q_vocab_coverage", "q_pmi_collocations",
     "q_bpe_merges",
     "q_wordpiece_merges",
     "q_bpe_encode", "q_quality_classifier", "q_classifier_train", "q_lm_score",
@@ -141,7 +141,7 @@ object SparkEntry {
     "q_group_by_session", "q_sessionize", "q_funnel", "q_retention",
     "q_transitions", "q_top_paths", "q_rolling_window",
     "q_asof_join", "q_asof_tolerance", "q_interval_join",
-    "q_asof_nearest", "q_range_join",
+    "q_asof_nearest", "q_range_join", "q_band_join", "q_rollup",
     "q_stats",
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",

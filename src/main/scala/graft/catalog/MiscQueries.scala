@@ -129,6 +129,41 @@ object MiscQueries {
             greatest(col("a_s"), col("b_s")) + 1), 6).as("avg_overlap_days"))
         .orderBy(col("suppkey"))
     },
+    "q_band_join" -> { (s, dir) =>
+      // epsilon band join (near-equal line-item prices per supplier):
+      // one (key, bucket) equi-join with 3x fan-out on one side only —
+      // never a per-key cartesian; symmetric self-join halved by id
+      val li = load(s, dir, "lineitem")
+        .select(col("l_suppkey").as("k"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+          col("l_extendedprice").as("v"))
+      val left = li.select(col("k"), col("iid").as("a_id"),
+        col("v").as("a_v"))
+      val right = li.select(col("k"), col("iid").as("b_id"),
+        col("v").as("b_v"))
+      graft.ops.AsofOps.bandJoin(left, right, "k", "a_v", "b_v", eps = 1.0)
+        .filter(col("a_id") < col("b_id"))
+        .select(col("k").as("suppkey"), col("a_id"), col("b_id"),
+          col("a_v"), col("b_v"))
+        .orderBy(col("suppkey"), col("a_id"), col("b_id"))
+    },
+    "q_rollup" -> { (s, dir) =>
+      // hierarchical subtotals (year > priority > grand total) with
+      // explicit grouping flags so subtotal NULLs are unambiguous;
+      // integer-only aggregates keep the compare float-free
+      load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("priority", col("o_orderpriority"))
+        .rollup(col("o_year"), col("priority"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          grouping(col("o_year")).cast("long").as("gy"),
+          grouping(col("priority")).cast("long").as("gp"))
+        .select(col("o_year"), col("priority"), col("n"), col("n_cust"),
+          col("gy"), col("gp"))
+        .orderBy(col("gy"), col("gp"), col("o_year").asc_nulls_first,
+          col("priority").asc_nulls_first)
+    },
     "q_bucketed_join" -> { (s, dir) =>
       // pay the fact-table shuffle ONCE at write: both sides bucketed
       // on the join key, then the join itself is exchange-free (the
@@ -258,6 +293,27 @@ object MiscQueries {
         |FROM iv a JOIN iv b ON a.k = b.k AND a.iid < b.iid
         |  AND a.s <= b.e AND b.s <= a.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mirror of the band join: plain inequality self-join
+    "q_band_join" ->
+      """WITH x AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS iid,
+        |    l_extendedprice AS v FROM lineitem)
+        |SELECT a.k AS suppkey, a.iid AS a_id, b.iid AS b_id,
+        |  a.v AS a_v, b.v AS b_v
+        |FROM x a JOIN x b ON a.k = b.k AND a.iid < b.iid
+        |  AND abs(a.v - b.v) <= 1.0
+        |ORDER BY suppkey, a_id, b_id""".stripMargin,
+    // mirror of the rollup: GROUPING flags disambiguate subtotal NULLs
+    "q_rollup" ->
+      """WITH o AS (SELECT year(o_orderdate)::BIGINT AS o_year,
+        |    o_orderpriority AS priority, o_custkey FROM orders)
+        |SELECT o_year, priority, count(*)::BIGINT AS n,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |  grouping(o_year)::BIGINT AS gy,
+        |  grouping(priority)::BIGINT AS gp
+        |FROM o GROUP BY ROLLUP (o_year, priority)
+        |ORDER BY gy, gp, o_year NULLS FIRST, priority NULLS FIRST"""
+        .stripMargin,
     // the bucketed co-located join must return the plain join's rows
     "q_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,

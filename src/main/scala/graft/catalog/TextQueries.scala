@@ -572,6 +572,13 @@ object TextQueries {
       graft.ops.CorpusOps.tfidfKeywords(load(s, dir, "documents"),
         "doc_id", "text", topK = 5)
     },
+    "q_pmi_collocations" -> { (s, dir) =>
+      // collocation mining: top-50 adjacent-pair PMI at bigram count
+      // >= 5 — bigrams built in-projection, two count aggs, no
+      // token-stream self-join
+      graft.ops.CorpusOps.pmiCollocations(load(s, dir, "documents"),
+        "text", minCount = 5L, topK = 50)
+    },
     "q_dsir_weights" -> { (s, dir) =>
       // DSIR importance weights: target LM = English docs, raw LM = the
       // rest; hashed-unigram bag LMs, per-doc log-ratio sum
@@ -1851,6 +1858,27 @@ object TextQueries {
          |SELECT doc, rk::BIGINT AS rk, token, tf, doc_freq, tfidf
          |FROM r WHERE rk <= 5 ORDER BY doc, rk""".stripMargin
 
+    // mirror of CorpusOps.pmiCollocations: same tokenizer, bigrams by
+    // index comprehension (NOT the distinct shingle helper — PMI needs
+    // every occurrence), identical PMI formula and round6-before-cut
+    val pmiCollocations =
+      s"""WITH tok AS (SELECT $toks AS t FROM documents),
+         |uni AS (SELECT unnest(t) AS w FROM tok),
+         |uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY 1),
+         |nt AS (SELECT count(*)::DOUBLE AS n FROM uni),
+         |bg AS (SELECT unnest([t[i] || ' ' || t[i+1]
+         |    for i in range(1, len(t))]) AS b FROM tok),
+         |bc AS (SELECT split_part(b, ' ', 1) AS w1,
+         |    split_part(b, ' ', 2) AS w2, count(*)::BIGINT AS c12
+         |  FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT count(*)::DOUBLE AS n FROM bg)
+         |SELECT w1, w2, c12,
+         |  round(ln(c12::DOUBLE * nt.n * nt.n /
+         |    (nb.n * u1.c::DOUBLE * u2.c::DOUBLE)), 6) AS pmi
+         |FROM bc JOIN uc u1 ON u1.w = bc.w1
+         |JOIN uc u2 ON u2.w = bc.w2 CROSS JOIN nt CROSS JOIN nb
+         |WHERE c12 >= 5 ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin
+
     val heavyHitters =
       s"""WITH tok AS (SELECT unnest($toks) AS token
          |    FROM documents WHERE text IS NOT NULL),
@@ -1919,6 +1947,7 @@ object TextQueries {
       "q_seq_pack" -> seqPack,
       "q_vocab_topk" -> vocabTopK,
       "q_tfidf_keywords" -> tfidfKeywords,
+      "q_pmi_collocations" -> pmiCollocations,
       "q_vocab_coverage" -> vocabCoverage,
       "q_heavy_hitters" -> heavyHitters,
       "q_dsir_weights" -> dsirWeights,

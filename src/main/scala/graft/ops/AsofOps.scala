@@ -235,6 +235,42 @@ object AsofOps {
       .drop("_bin")
   }
 
+  /** Epsilon band join: all pairs (left row, right row) under the same
+    * key with |lVal − rVal| <= eps — the 1-D numeric similarity join
+    * (near-equal prices, timestamps-as-values, scores), the fourth
+    * member of the temporal/numeric join family (as-of, range,
+    * interval-overlap, band).
+    *
+    * Dataflow: the LEFT side keeps its one bucket floor(v/eps); the
+    * RIGHT side fans out to its bucket ±1; ONE (key, bucket) equi-join
+    * + the |Δ| <= eps residual. |lv − rv| <= eps implies the two
+    * buckets differ by at most 1, so the fan-out covers every match;
+    * and a pair meets in exactly ONE fanned copy (the one landing on
+    * the left row's unique bucket) — exactly-once without a distinct
+    * pass. The naive inequality join is a per-key cartesian; this is a
+    * uniform-keyed equi-join with 3× fan-out on one side only.
+    *
+    * Column names must be disjoint except `keyCol`.
+    */
+  def bandJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      lValCol: String,
+      rValCol: String,
+      eps: Double): DataFrame = {
+    require(eps > 0.0, "eps must be positive")
+    val clash = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(clash.isEmpty, s"column clash: ${clash.mkString(",")}")
+    val lb = left.withColumn("_bin", floor(col(lValCol) / eps).cast("long"))
+    val rBin = floor(col(rValCol) / eps).cast("long")
+    val rb = right.withColumn("_bin",
+      explode(array(rBin - 1, rBin, rBin + 1)))
+    lb.join(rb, Seq(keyCol, "_bin"))
+      .filter(abs(col(lValCol) - col(rValCol)) <= eps)
+      .drop("_bin")
+  }
+
   /** Default bin width for [[rangeJoin]]: the exact p50 interval length
     * (end − start, valid intervals only), clamped to >= 1 — at the
     * median, a typical interval explodes to ~2 bin copies while a bin

@@ -355,6 +355,58 @@ object CorpusOps {
       .orderBy(col("doc"), col("rk"))
   }
 
+  /** Collocation extraction by pointwise mutual information over
+    * adjacent token pairs: PMI(w1,w2) = ln( P(w1,w2) / (P(w1)·P(w2)) )
+    * with the joint from bigram counts (c12/NB) and the marginals from
+    * unigram counts (c/NT). `minCount` floors the bigram count (PMI's
+    * classic failure mode is rare-pair noise — two hapaxes that
+    * co-occur once score the corpus maximum), topK rows by (pmi desc,
+    * pair asc), pmi round6 so float-division order is engine-stable.
+    *
+    * Scale shape: bigrams are materialized IN-PROJECTION per document
+    * (zip of the token array with its own tail — the token stream is
+    * never self-joined), so the corpus pays one bigram-keyed count agg
+    * and one unigram-keyed count agg, both map-side combinable; the
+    * marginal tables are type-level and join back broadcast-small; the
+    * two totals are one-row crossJoins. TakeOrdered bounds the output.
+    *
+    * Output: (w1, w2, c12, pmi), topK rows.
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long,
+      topK: Int): DataFrame = {
+    require(minCount >= 1 && topK >= 1, "minCount and topK must be >= 1")
+    val toks = df.select(
+      graft.functions.TextFunctions.tokens(col(textCol)).as("_t"))
+    val uni = toks.select(explode(col("_t")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nt = uni.agg(count(lit(1)).cast("double").as("_nt"))
+    // slice lengths clamp at 0 so empty/one-token docs yield an empty
+    // bigram array (a negative slice length is a runtime error)
+    val bgLen = greatest(lit(0), size(col("_t")) - 1)
+    val bg = toks.select(explode(zip_with(
+        slice(col("_t"), lit(1), bgLen),
+        slice(col("_t"), lit(2), bgLen),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_b"))
+      .select(col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val bc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val nb = bg.agg(count(lit(1)).cast("double").as("_nb"))
+    bc.filter(col("c12") >= minCount)
+      .join(broadcast(uc.select(col("w").as("w1"), col("c").as("_c1"))),
+        Seq("w1"))
+      .join(broadcast(uc.select(col("w").as("w2"), col("c").as("_c2"))),
+        Seq("w2"))
+      .crossJoin(nt).crossJoin(nb)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("_nt") * col("_nt") /
+          (col("_nb") * col("_c1").cast("double") *
+            col("_c2").cast("double"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Vocabulary coverage curve — the tokenizer-eval metric: for each k
     * in `ks`, the fraction of corpus token OCCURRENCES covered by the
     * top-k vocabulary (freq desc, token asc ties) and the implied OOV

@@ -875,6 +875,43 @@ class OpsSpec extends SparkSuite {
     assert(run(0L).length == expected.size)
   }
 
+  test("AsofOps.bandJoin: inclusive |eps| boundary, cross-bucket pairs exactly once, key isolation") {
+    import graft.ops.AsofOps
+    val left = Seq((1L, 0L, 10.0), (1L, 1L, 20.0), (2L, 2L, 10.0))
+      .toDF("k", "a_id", "a_v")
+    val right = Seq(
+      (1L, 10L, 11.0),  // |10-11| = eps exactly (inclusive), crosses a bucket edge
+      (1L, 11L, 8.95),  // |10-8.95| > 1 — out
+      (1L, 12L, 19.5),  // matches 20.0 within the same bucket
+      (2L, 13L, 10.4)   // key 2 only
+    ).toDF("k", "b_id", "b_v")
+    val got = AsofOps.bandJoin(left, right, "k", "a_v", "b_v", eps = 1.0)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Set((0L, 10L), (1L, 12L), (2L, 13L))
+    assert(got.toSet == expected)
+    assert(got.length == expected.size) // one row per pair, no dup from fan-out
+  }
+
+  test("CorpusOps.pmiCollocations: formula, minCount floor, deterministic cut") {
+    // corpus: "a b" ×3, "c d" ×1, "b c" ×1 as adjacent pairs
+    val docs = Seq((1L, "a b. a b! c d"), (2L, "a b c")).toDF("doc_id", "text")
+    // unigrams: a=3 b=3 c=2 d=1, NT=9; bigrams: (a,b)=3 (b,c)=1 (c,d)=1
+    // ... but doc1 "a b a b c d" has bigrams (a,b),(b,a),(a,b),(b,c),(c,d)
+    // and doc2 (a,b),(b,c): NB=7, c12(a,b)=3, (b,a)=1, (b,c)=2, (c,d)=1
+    val out = graft.ops.CorpusOps.pmiCollocations(docs, "text",
+        minCount = 2L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    // pmi(a,b) = ln(3*81/(7*3*3)) = ln(243/63); pmi(b,c) = ln(2*81/(7*3*2))
+    def pmi(c12: Long, c1: Long, c2: Long): Double =
+      BigDecimal(math.log(c12.toDouble * 81.0 / (7.0 * c1 * c2)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.toSeq == Seq(
+      ("a", "b", 3L, pmi(3, 3, 3)),
+      ("b", "c", 2L, pmi(2, 3, 2))).sortBy(-_._4))
+  }
+
   test("SessionOps: gap boundary is strict, ties break by id, users isolate, summaries aggregate") {
     import graft.ops.SessionOps
     val rows = Seq(
