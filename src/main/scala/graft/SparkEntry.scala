@@ -142,11 +142,12 @@ object SparkEntry {
     "q_transitions", "q_top_paths", "q_rolling_window",
     "q_asof_join", "q_asof_tolerance", "q_interval_join",
     "q_asof_nearest", "q_range_join", "q_band_join", "q_rollup",
+    "q_pivot",
     "q_stats",
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",
     "q_score_boost", "q_score_composite",
-    "q_pagerank", "q_communities", "q_modularity",
+    "q_pagerank", "q_ppr", "q_communities", "q_modularity",
     "q_clustering", "q_triangles", "q_components", "q_kcore",
     "q_link_prediction", "q_tfidf_keywords",
     "q_communities_refined", "q_modularity_refined", "q_score_crosssession",

@@ -16,6 +16,9 @@ object AlgoQueries {
 
   private val PrIters = 20
   private val Damping = 0.85
+  // q_ppr teleport set: the first five order nodes of the contains
+  // graph (present at every sf — orderkeys 1..5 all ship line items)
+  private val PprSources = Seq(1L, 2L, 3L, 4L, 5L)
   private val LpaRounds = 5
   private val RefineRounds = 16
   private val RefineClasses = 4
@@ -185,6 +188,14 @@ object AlgoQueries {
         .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
         .orderBy(col("node"))
     },
+    "q_ppr" -> { (s, dir) =>
+      // personalized PageRank from a 5-order seed set over the contains
+      // graph: proximity-to-sources, not global importance
+      GraphAlgorithms.personalizedPageRank(containsEdges(s, dir),
+          PprSources, PrIters, Damping)
+        .select(col("node"), round(col("ppr"), 6).as("ppr"))
+        .orderBy(col("node"))
+    },
     "q_betweenness" -> { (s, dir) =>
       chainBetweennessOf(s, dir)
         .select(col("node"), round(col("betweenness"), 6).as("betweenness"))
@@ -258,6 +269,28 @@ object AlgoQueries {
     // constants (1.0 - 0.85 differs from the literal 0.15 by one ulp)
     val reset = (1.0 - Damping).toString
     val damp = Damping.toString
+
+    // PPR mirror: identical recursion with the teleport mass on the
+    // seed set; reset value 1/|S| interpolated as the exact double
+    val pprReset = (1.0 / PprSources.size).toString
+    val pprSet = PprSources.mkString(", ")
+    val ppr =
+      s"""WITH RECURSIVE
+         |e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst FROM lineitem),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+         |od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src),
+         |pr AS (
+         |  SELECT node, CASE WHEN node IN ($pprSet) THEN CAST($pprReset AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS rank, 0 AS it FROM nodes
+         |  UNION ALL
+         |  SELECT n.node, $reset * (CASE WHEN n.node IN ($pprSet) THEN CAST($pprReset AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) + $damp * coalesce(cs.s, 0.0) AS rank, curit.it + 1 AS it
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(pr.rank / od.odeg) AS s
+         |             FROM pr JOIN e ON pr.node = e.src JOIN od ON od.src = e.src
+         |             GROUP BY e.dst) cs ON n.node = cs.node
+         |  CROSS JOIN (SELECT max(it) AS it FROM pr) curit
+         |  WHERE curit.it < $PrIters)
+         |SELECT node, round(rank, 6) AS ppr FROM pr WHERE it = $PrIters
+         |ORDER BY node""".stripMargin
 
     val pagerank =
       s"""WITH RECURSIVE
@@ -557,6 +590,7 @@ object AlgoQueries {
 
     Map(
       "q_pagerank" -> pagerank,
+      "q_ppr" -> ppr,
       "q_betweenness" -> betweenness,
       "q_components" -> components,
       "q_kcore" -> kcore,

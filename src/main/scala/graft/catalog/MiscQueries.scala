@@ -147,6 +147,19 @@ object MiscQueries {
           col("a_v"), col("b_v"))
         .orderBy(col("suppkey"), col("a_id"), col("b_id"))
     },
+    "q_pivot" -> { (s, dir) =>
+      // wide-format per-user event-type counts: an EXPLICIT value list
+      // (the deterministic-schema contract — value discovery would make
+      // the output schema data-dependent), one groupBy-pivot agg
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = load(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy(col("user_id"))
+    },
     "q_rollup" -> { (s, dir) =>
       // hierarchical subtotals (year > priority > grand total) with
       // explicit grouping flags so subtotal NULLs are unambiguous;
@@ -303,6 +316,17 @@ object MiscQueries {
         |FROM x a JOIN x b ON a.k = b.k AND a.iid < b.iid
         |  AND abs(a.v - b.v) <= 1.0
         |ORDER BY suppkey, a_id, b_id""".stripMargin,
+    // mirror of the pivot: conditional aggregation (the portable form)
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase')::BIGINT
+        |    AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup')::BIGINT
+        |    AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // mirror of the rollup: GROUPING flags disambiguate subtotal NULLs
     "q_rollup" ->
       """WITH o AS (SELECT year(o_orderdate)::BIGINT AS o_year,

@@ -98,6 +98,65 @@ object GraphAlgorithms {
     ranks.select(col("node"), col("rank").as("pagerank"))
   }
 
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * concentrated on a source set instead of spread uniformly —
+    * rank⁰(v) = reset(v); rankᵗ⁺¹(v) = (1−d)·reset(v) +
+    * d·Σ rankᵗ(u)/outdeg(u), reset(v) = 1/|S| for v ∈ S else 0. The
+    * relevance-propagation primitive: scores measure proximity to the
+    * sources through the link structure (recommendation seeds, memory
+    * anchors), not global importance. Dangling mass is dropped exactly
+    * as in the base formulation, and the fixed iteration count keeps
+    * the result engine-replayable.
+    *
+    * Scale shape: identical to [[pageRank]] — one dst-keyed
+    * contribution shuffle per iteration over the co-partitioned
+    * checkpointed edge table; the reset column is a broadcast-free
+    * per-row expression (the source set is a literal IN list, contract:
+    * driver-small).
+    *
+    * Output: (node, ppr) for every node of the graph.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      sources: Seq[Long],
+      iters: Int = 20,
+      damping: Double = 0.85): DataFrame = {
+    require(sources.nonEmpty, "sources must be non-empty")
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val outdeg = e0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val (e, releaseE) = Checkpoints.withRelease(
+      e0.join(outdeg, "src").repartition(col("src")))
+    val (nodes, releaseNodes) = Checkpoints.withRelease(
+      e0.select(col("src").as("node"))
+        .unionByName(e0.select(col("dst").as("node")))
+        .distinct()
+        .repartition(col("node")))
+    val reset = when(col("node").isin(sources: _*),
+      lit(1.0 / sources.size)).otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", reset)
+    var releaseLast: () => Unit = null
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
+        .groupBy(col("node"))
+        .agg(sum(col("c")).as("in_sum"))
+      val next = nodes
+        .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * reset +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+      if (i % 2 == 0 || i == iters) {
+        val (ck, rel) = Checkpoints.withRelease(next)
+        if (releaseLast != null) releaseLast()
+        releaseLast = rel
+        ranks = ck
+      } else ranks = next
+    }
+    if (iters >= 1) { releaseE(); releaseNodes() }
+    ranks.select(col("node"), col("rank").as("ppr"))
+  }
+
   /** G2 — exact betweenness centrality (Brandes). Two physical plans,
     * one semantics:
     *

@@ -500,6 +500,33 @@ class AlgoSpec extends SparkSuite {
     assert(stSq.getLong(0) == 2L)
   }
 
+  test("personalizedPageRank: matches a driver-side replay, mass concentrates at sources") {
+    val es = Seq(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L, 4L -> 3L)
+    val sources = Seq(1L)
+    // driver replay of the exact recurrence (same constants, same
+    // dangling-mass semantics)
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val outN = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val reset = nodes.map(n =>
+      n -> (if (sources.contains(n)) 1.0 / sources.size else 0.0)).toMap
+    var rank = reset
+    for (_ <- 1 to 20) {
+      val in = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for ((u, vs) <- outN; v <- vs) in(v) += rank(u) / vs.size
+      rank = nodes.map(n =>
+        n -> ((1.0 - 0.85) * reset(n) + 0.85 * in(n))).toMap
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = GraphAlgorithms.personalizedPageRank(
+        edges(es: _*), sources, iters = 20)
+      .collect().map(r => r.getLong(0) -> r6(r.getDouble(1))).toMap
+    assert(got == rank.map { case (n, v) => n -> r6(v) })
+    // proximity semantics: the source outranks the node farthest from it
+    assert(got(1L) > got(4L))
+  }
+
   test("connectedComponents: min labels, dirty edges, sub-diameter round count on a path") {
     // two components {1,2,3} and {10,11}; dirty input (dup, reversed,
     // self-loop) must canonicalize away
