@@ -571,6 +571,84 @@ class AlgoSpec extends SparkSuite {
       5L -> 3L, 6L -> 1L))
   }
 
+  test("random graphs: components/kCore/clustering/linkPrediction equal driver-side references") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 4) {
+      val n = 25 + rnd.nextInt(30)
+      val m = 40 + rnd.nextInt(100)
+      val pairs = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val df = pairs.toDF("src", "dst")
+      val simple = pairs.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val nodes = simple.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val adj = {
+        val mm = scala.collection.mutable.Map[Long, Set[Long]]()
+          .withDefaultValue(Set.empty)
+        for ((a, b) <- simple) { mm(a) += b; mm(b) += a }
+        mm
+      }
+
+      // components: union-find with min-id labels
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- simple) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val refCc = nodes.map(v => v -> find(v)).toMap
+      val gotCc = GraphAlgorithms.connectedComponents(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotCc == refCc, s"components trial $trial")
+
+      // kCore(3): synchronous peel
+      var alive = nodes.toSet
+      var changed = true
+      while (changed) {
+        val drop = alive.filter(u => adj(u).count(alive) < 3)
+        changed = drop.nonEmpty; alive --= drop
+      }
+      val refCore = alive.map(u => u -> adj(u).count(alive).toLong).toMap
+      val gotCore = GraphAlgorithms.kCore(df, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotCore == refCore, s"kCore trial $trial")
+
+      // clustering: brute-force neighbor-pair closure
+      val refTri = nodes.map { u =>
+        val nb = adj(u).toSeq
+        val t = (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          if adj(nb(i)).contains(nb(j))
+        } yield 1).size.toLong
+        u -> (t, adj(u).size.toLong)
+      }.toMap
+      val gotTri = GraphAlgorithms.localClustering(df).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(gotTri == refTri, s"clustering trial $trial")
+
+      // link prediction: brute-force non-adjacent two-hop pairs
+      val refLp = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        v = nodes(i); w = nodes(j)
+        if !adj(v).contains(w)
+        common = adj(v).intersect(adj(w))
+        if common.nonEmpty
+      } yield {
+        val aa = common.toSeq.map(u => 1.0 / math.log(adj(u).size.toDouble)).sum
+        val jac = common.size.toDouble / (adj(v).size + adj(w).size - common.size)
+        (v, w) -> (common.size.toLong, r6(aa), r6(jac))
+      }).toMap
+      val gotLp = GraphAlgorithms.linkPrediction(df, topK = 10000).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(gotLp == refLp, s"linkPrediction trial $trial")
+    }
+  }
+
   test("linkPrediction: scores on path/cycle, adjacency excluded, center cap") {
     // path 1-2-3: the only candidate is (1,3) through center 2
     val path = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
