@@ -149,7 +149,7 @@ object SparkEntry {
     "q_score_boost", "q_score_composite",
     "q_pagerank", "q_ppr", "q_communities", "q_modularity",
     "q_clustering", "q_triangles", "q_components", "q_kcore",
-    "q_link_prediction", "q_tfidf_keywords",
+    "q_harmonic", "q_link_prediction", "q_tfidf_keywords",
     "q_communities_refined", "q_modularity_refined", "q_score_crosssession",
     "q_pipeline_search"
   )

@@ -239,6 +239,20 @@ object AlgoQueries {
       GraphAlgorithms.kCore(coPurchaseEdges(s, dir, 20L), k = 6)
         .orderBy(col("node"))
     },
+    "q_harmonic" -> { (s, dir) =>
+      // harmonic centrality from the 8 lowest node ids of the sparse
+      // co-purchase graph (a deterministic root SAMPLE — the
+      // Brandes-Pich treatment; full-V roots is just the degenerate
+      // sample): multi-root level-synchronous BFS, one wave per depth
+      val e = coPurchaseEdges(s, dir, 100L)
+      val und = GraphAlgorithms.canonicalEdges(e)
+      val roots = und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .distinct().orderBy(col("node")).limit(8)
+        .collect().map(_.getAs[Number](0).longValue).toSeq
+      GraphAlgorithms.harmonicCentrality(e, roots)
+        .orderBy(col("node"))
+    },
     "q_link_prediction" -> { (s, dir) =>
       // top-50 predicted links on the sparse co-purchase graph:
       // common-neighbor / Adamic-Adar / Jaccard over non-adjacent
@@ -563,6 +577,30 @@ object AlgoQueries {
          |WHERE a.it = 16
          |GROUP BY a.node ORDER BY a.node""".stripMargin
 
+    // harmonic mirror: recursive BFS (UNION dedup terminates the walk
+    // expansion; min(dist) per (root, node) recovers shortest paths),
+    // same lowest-8 root rule and depth cap
+    val harmonic =
+      s"""WITH RECURSIVE
+         |e0 AS (${coPurchaseSql(100L)}),
+         |sym AS (SELECT a AS u, b AS v FROM e0
+         |  UNION ALL SELECT b AS u, a AS v FROM e0),
+         |nodes AS (SELECT DISTINCT u AS node FROM sym),
+         |roots AS (SELECT node AS root FROM nodes ORDER BY node LIMIT 8),
+         |bfs AS (
+         |  SELECT root, root AS node, 0 AS dist FROM roots
+         |  UNION
+         |  SELECT b.root, s.v AS node, b.dist + 1 AS dist
+         |  FROM bfs b JOIN sym s ON b.node = s.u
+         |  WHERE b.dist < 30),
+         |d AS (SELECT root, node, min(dist) AS dist FROM bfs
+         |  GROUP BY 1, 2)
+         |SELECT n.node,
+         |  round(coalesce(sum(CASE WHEN d.dist > 0 THEN 1.0 / d.dist END),
+         |    0.0), 6) AS harmonic
+         |FROM nodes n LEFT JOIN d ON d.node = n.node
+         |GROUP BY n.node ORDER BY n.node""".stripMargin
+
     // link-prediction mirror: wedge join + anti-join + per-pair aggs,
     // written directly from the score definitions
     val linkPred =
@@ -594,6 +632,7 @@ object AlgoQueries {
       "q_betweenness" -> betweenness,
       "q_components" -> components,
       "q_kcore" -> kcore,
+      "q_harmonic" -> harmonic,
       "q_link_prediction" -> linkPred,
       "q_communities" -> lpa,
       "q_modularity" -> modularity,

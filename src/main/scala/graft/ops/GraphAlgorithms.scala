@@ -1043,6 +1043,71 @@ object GraphAlgorithms {
     degrees(cur)
   }
 
+  /** Harmonic centrality from a root set: H(v) = Σ_{r ∈ roots, r ≠ v}
+    * 1 / d(r, v) over an undirected graph (unreachable pairs contribute
+    * 0 — harmonic is the closeness variant that is well-defined on
+    * disconnected graphs, which is why it's the one worth shipping).
+    * At scale the root set is a sample and the caller scales by
+    * |V|/|roots| (the Brandes–Pich treatment betweenness already uses).
+    *
+    * Dataflow: level-synchronous multi-root BFS carried as ONE
+    * (root, node, dist) DataFrame — all |roots| traversals advance in
+    * the same wave: per depth, one frontier×edges equi-join, one
+    * anti-join against the seen set, one (root, node) min-agg; lineage
+    * cut per wave with released checkpoints. Depth count = graph
+    * eccentricity bound (`maxDepth` caps it). No per-root loop, no
+    * adjacency collection.
+    *
+    * Output: (node, harmonic round6) for every node incident to an
+    * edge, ordered by nothing (callers sort).
+    */
+  def harmonicCentrality(
+      edges: DataFrame,
+      roots: Seq[Long],
+      maxDepth: Int = 30): DataFrame = {
+    require(roots.nonEmpty, "roots must be non-empty")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = canonicalEdges(edges)
+    val (sym, releaseSym) = Checkpoints.withRelease(
+      und.select(col("a").as("u"), col("b").as("v")).unionAll(
+        und.select(col("b").as("u"), col("a").as("v")))
+        .repartition(col("u")))
+    // checkpointed separately: the returned plan reads `nodes` AFTER
+    // sym's blocks are released (same discipline as pageRank's statics)
+    val nodes = sym.select(col("u").as("node")).distinct().localCheckpoint()
+    val seed = roots.toDF("root")
+      .join(nodes.select(col("node").as("root")), Seq("root"))
+      .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
+    var (dist, releaseDist) = Checkpoints.withRelease(seed)
+    var (frontier, releaseFrontier) = Checkpoints.withRelease(seed)
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      val expanded = frontier.join(sym, frontier("node") === sym("u"))
+        .select(col("root"), col("v").as("node"),
+          (col("dist") + 1L).as("dist"))
+        .join(dist.select(col("root"), col("node")),
+          Seq("root", "node"), "left_anti")
+        .groupBy(col("root"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+      val (nf, relNf) = Checkpoints.withRelease(expanded)
+      val (nd, relNd) = Checkpoints.withRelease(dist.unionByName(nf))
+      releaseFrontier(); releaseDist()
+      frontier = nf; releaseFrontier = relNf
+      dist = nd; releaseDist = relNd
+      depth += 1
+    }
+    val out = nodes
+      .join(dist.filter(col("dist") > 0L)
+          .groupBy(col("node"))
+          .agg(sum(lit(1.0) / col("dist").cast("double")).as("_h")),
+        Seq("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("_h"), lit(0.0)), 6).as("harmonic"))
+    releaseSym(); releaseFrontier()
+    out
+  }
+
   /** Link prediction over an undirected graph: for every NON-adjacent
     * two-hop pair, the three classic neighborhood-overlap scores —
     * common-neighbor count, Adamic–Adar (Σ 1/ln(deg(center)) over the

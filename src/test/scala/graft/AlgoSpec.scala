@@ -571,6 +571,23 @@ class AlgoSpec extends SparkSuite {
       5L -> 3L, 6L -> 1L))
   }
 
+  test("harmonicCentrality: closed-form path, self excluded, unreachable contributes zero") {
+    // path 1-2-3-4-5 plus isolated edge 10-11; roots {1, 5}
+    val e = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 10L -> 11L)
+    val h = GraphAlgorithms.harmonicCentrality(e, Seq(1L, 5L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(3L) == 1.0)        // 1/2 + 1/2
+    assert(h(2L) == 1.333333)   // 1/1 + 1/3
+    assert(h(4L) == 1.333333)
+    assert(h(1L) == 0.25)       // self excluded; 1/4 from root 5
+    assert(h(5L) == 0.25)
+    assert(h(10L) == 0.0 && h(11L) == 0.0) // unreachable from all roots
+    // a root absent from the graph is ignored rather than poisoning BFS
+    val h2 = GraphAlgorithms.harmonicCentrality(e, Seq(1L, 99L)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h2(2L) == 1.0)
+  }
+
   test("random graphs: components/kCore/clustering/linkPrediction equal driver-side references") {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
