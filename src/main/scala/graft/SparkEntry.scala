@@ -142,7 +142,7 @@ object SparkEntry {
     "q_transitions", "q_top_paths", "q_rolling_window",
     "q_asof_join", "q_asof_tolerance", "q_interval_join",
     "q_asof_nearest", "q_range_join", "q_band_join", "q_rollup",
-    "q_pivot",
+    "q_pivot", "q_cube",
     "q_stats",
     "q_graph_expand", "q_graph_two_hop", "q_graph_var_paths",
     "q_graph_merge", "q_graph_topology", "q_graph_reinforcement",

@@ -177,6 +177,23 @@ object MiscQueries {
         .orderBy(col("gy"), col("gp"), col("o_year").asc_nulls_first,
           col("priority").asc_nulls_first)
     },
+    "q_cube" -> { (s, dir) =>
+      // the cube face of q_rollup: all four grouping sets (year ×
+      // priority, year, priority, grand total) — same grouping-flag and
+      // NULLS FIRST discipline, integer-only aggregates
+      load(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("priority", col("o_orderpriority"))
+        .cube(col("o_year"), col("priority"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          grouping(col("o_year")).cast("long").as("gy"),
+          grouping(col("priority")).cast("long").as("gp"))
+        .select(col("o_year"), col("priority"), col("n"), col("n_cust"),
+          col("gy"), col("gp"))
+        .orderBy(col("gy"), col("gp"), col("o_year").asc_nulls_first,
+          col("priority").asc_nulls_first)
+    },
     "q_bucketed_join" -> { (s, dir) =>
       // pay the fact-table shuffle ONCE at write: both sides bucketed
       // on the join key, then the join itself is exchange-free (the
@@ -336,6 +353,17 @@ object MiscQueries {
         |  grouping(o_year)::BIGINT AS gy,
         |  grouping(priority)::BIGINT AS gp
         |FROM o GROUP BY ROLLUP (o_year, priority)
+        |ORDER BY gy, gp, o_year NULLS FIRST, priority NULLS FIRST"""
+        .stripMargin,
+    // mirror of the cube: GROUP BY CUBE with the same flag columns
+    "q_cube" ->
+      """WITH o AS (SELECT year(o_orderdate)::BIGINT AS o_year,
+        |    o_orderpriority AS priority, o_custkey FROM orders)
+        |SELECT o_year, priority, count(*)::BIGINT AS n,
+        |  count(DISTINCT o_custkey)::BIGINT AS n_cust,
+        |  grouping(o_year)::BIGINT AS gy,
+        |  grouping(priority)::BIGINT AS gp
+        |FROM o GROUP BY CUBE (o_year, priority)
         |ORDER BY gy, gp, o_year NULLS FIRST, priority NULLS FIRST"""
         .stripMargin,
     // the bucketed co-located join must return the plain join's rows
