@@ -1109,7 +1109,7 @@ final class MemoryManager(
     }
 
   /** Exact Brandes below the node bound; above it, pivot-sampled roots
-    * (deterministic stride over the node ordering) with the |V|/|S|
+    * (deterministic md5-ordered draw over the node ids) with the |V|/|S|
     * Brandes–Pich scale-up — the write path's metric refresh stays
     * bounded at O(|S|·E) instead of O(V·E) on a grown graph.
     */
@@ -1124,11 +1124,10 @@ final class MemoryManager(
     if (n <= config.betweennessExactMaxNodes)
       GraphAlgorithms.betweenness(ge, knownCounts = Some((n, mUpper)))
     else {
-      val s = config.betweennessSampleRoots.toLong
-      val stride = math.max(1L, n / s)
-      // deterministic pivots strided across the id space — a filter +
-      // TakeOrderedAndProject, never a global window over the node set
-      val roots = GraphOps.samplePivots(nodes, stride, config.betweennessSampleRoots)
+      // deterministic md5-ordered pivots (uniform over the id space,
+      // engine-replayable) — one TakeOrderedAndProject, never a global
+      // window over the node set
+      val roots = GraphOps.samplePivots(nodes, config.betweennessSampleRoots)
       val actualRoots = roots.count().toDouble
       val sampled = GraphAlgorithms.betweenness(ge, Some(roots),
         knownCounts = Some((n, mUpper)))

@@ -240,17 +240,41 @@ object AlgoQueries {
         .orderBy(col("node"))
     },
     "q_harmonic" -> { (s, dir) =>
-      // harmonic centrality from the 8 lowest node ids of the sparse
-      // co-purchase graph (a deterministic root SAMPLE — the
-      // Brandes-Pich treatment; full-V roots is just the degenerate
-      // sample): multi-root level-synchronous BFS, one wave per depth
+      // harmonic centrality from an 8-root deterministic HASH sample of
+      // the sparse co-purchase graph (the Brandes-Pich treatment;
+      // full-V roots is just the degenerate sample): roots are the 8
+      // lowest-md5 node ids — a uniform pseudo-random draw with no
+      // ingest-order bias, replayed exactly by the oracle's
+      // md5(node::VARCHAR) ordering. Multi-root level-synchronous BFS,
+      // one wave per depth.
       val e = coPurchaseEdges(s, dir, 100L)
       val und = GraphAlgorithms.canonicalEdges(e)
       val roots = und.select(col("a").as("node"))
         .unionAll(und.select(col("b").as("node")))
-        .distinct().orderBy(col("node")).limit(8)
+        .distinct()
+        .orderBy(md5(col("node").cast("string")).asc, col("node").asc)
+        .limit(8)
         .collect().map(_.getAs[Number](0).longValue).toSeq
       GraphAlgorithms.harmonicCentrality(e, roots)
+        .orderBy(col("node"))
+    },
+    "q_betweenness_sampled" -> { (s, dir) =>
+      // the Brandes-Pich pivot path gated end-to-end: md5-ordered
+      // 16-root draw (GraphOps.samplePivots — the exact sampler the
+      // write path's metric refresh uses above betweennessExactMaxNodes),
+      // sampled Brandes, |V|/|S| scale-up. The oracle replays the draw
+      // (same md5 ordering) and the chain closed form: from a root at
+      // position i, node at position j>i carries dependency (len-j).
+      val e = chainEdges(s, dir)
+      val nodes = e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node"))).distinct()
+      val roots = graft.ops.GraphOps.samplePivots(nodes, 16)
+      val n = nodes.count()
+      val k = math.max(1L, roots.count())
+      GraphAlgorithms.betweenness(e, Some(roots), knownCounts = Some((n, n)))
+        .select(col("node"),
+          round(col("betweenness") * lit(n.toDouble / k.toDouble), 6)
+            .as("betweenness"))
         .orderBy(col("node"))
     },
     "q_link_prediction" -> { (s, dir) =>
@@ -337,6 +361,24 @@ object AlgoQueries {
          |SELECT c.o_orderkey AS node,
          |  round(((c.pos - 1) * (c.len - c.pos))::DOUBLE / ((nn.n - 1) * (nn.n - 2)), 6) AS betweenness
          |FROM chain c CROSS JOIN nn ORDER BY node""".stripMargin
+
+    // sampled-pivot mirror: the same md5-ordered 16-root draw the Spark
+    // side takes (samplePivots), then the chain closed form per root —
+    // a root at position i contributes (len - j) to every same-chain
+    // node at position j > i — normalized by (n-1)(n-2) and scaled by
+    // n/|roots| (Brandes-Pich)
+    val betweennessSampled =
+      s"""WITH $chainCte,
+         |roots AS (SELECT o_custkey, pos FROM chain
+         |  ORDER BY md5(o_orderkey::VARCHAR), o_orderkey LIMIT 16),
+         |kk AS (SELECT count(*) AS k FROM roots)
+         |SELECT c.o_orderkey AS node,
+         |  round(coalesce(sum(CASE WHEN r.pos < c.pos THEN c.len - c.pos END), 0)::DOUBLE
+         |    / ((nn.n - 1) * (nn.n - 2)) * (nn.n::DOUBLE / kk.k), 6) AS betweenness
+         |FROM chain c CROSS JOIN nn CROSS JOIN kk
+         |LEFT JOIN roots r ON r.o_custkey = c.o_custkey
+         |GROUP BY c.o_orderkey, c.pos, c.len, nn.n, kk.k
+         |ORDER BY node""".stripMargin
 
     val lpa =
       s"""WITH RECURSIVE
@@ -579,14 +621,15 @@ object AlgoQueries {
 
     // harmonic mirror: recursive BFS (UNION dedup terminates the walk
     // expansion; min(dist) per (root, node) recovers shortest paths),
-    // same lowest-8 root rule and depth cap
+    // same lowest-8-md5 root rule and depth cap
     val harmonic =
       s"""WITH RECURSIVE
          |e0 AS (${coPurchaseSql(100L)}),
          |sym AS (SELECT a AS u, b AS v FROM e0
          |  UNION ALL SELECT b AS u, a AS v FROM e0),
          |nodes AS (SELECT DISTINCT u AS node FROM sym),
-         |roots AS (SELECT node AS root FROM nodes ORDER BY node LIMIT 8),
+         |roots AS (SELECT node AS root FROM nodes
+         |  ORDER BY md5(node::VARCHAR), node LIMIT 8),
          |bfs AS (
          |  SELECT root, root AS node, 0 AS dist FROM roots
          |  UNION
@@ -630,6 +673,7 @@ object AlgoQueries {
       "q_pagerank" -> pagerank,
       "q_ppr" -> ppr,
       "q_betweenness" -> betweenness,
+      "q_betweenness_sampled" -> betweennessSampled,
       "q_components" -> components,
       "q_kcore" -> kcore,
       "q_harmonic" -> harmonic,

@@ -311,31 +311,22 @@ object GraphOps {
   }
 
   /** Deterministic pivot sampling for approximate whole-graph metrics
-    * (Brandes–Pich roots): hash-stride over the node ids, capped at
-    * `maxRoots`, ordered by hash so the kept subset is a uniform
-    * pseudo-random draw. Hashing matters: raw `node % stride` is biased
-    * when ids carry structure (the engine's global keys are id*8+code —
-    * an even stride would categorically exclude odd label codes), and
-    * ordering by raw id would concentrate pivots on the oldest nodes.
-    * Plans as filter + TakeOrderedAndProject — no global window, one
-    * scan regardless of graph size. Falls back to the lowest-hash
-    * `maxRoots` nodes if the stride filter somehow matches nothing.
+    * (Brandes–Pich roots): the `maxRoots` lowest-md5 node ids. Hashing
+    * matters: ordering by raw id would concentrate pivots on the oldest
+    * nodes (ingest-order bias — the engine's global keys are id*8+code,
+    * so low ids are also label-correlated); md5 of the id string is a
+    * uniform pseudo-random draw that BOTH engines can replay (DuckDB's
+    * `md5(node::VARCHAR)` produces the identical lowercase hex, so an
+    * oracle can regenerate the exact root set — q_betweenness_sampled).
+    * Plans as one TakeOrderedAndProject (per-partition top-K heap, no
+    * global sort) — one scan regardless of graph size.
     */
-  def samplePivots(nodes: DataFrame, stride: Long, maxRoots: Int): DataFrame = {
-    val h = abs(xxhash64(col("node")))
-    // materialize the (≤ maxRoots-row) sample once: the emptiness probe,
-    // the caller's count, and the betweenness run all reuse it instead
-    // of re-executing the scan
-    val strided = nodes
-      .filter(pmod(h, lit(math.max(1L, stride))) === 0)
-      .orderBy(h.asc, col("node").asc)
+  def samplePivots(nodes: DataFrame, maxRoots: Int): DataFrame =
+    // materialize the (≤ maxRoots-row) sample once: the caller's count
+    // and the betweenness run reuse it instead of re-executing the scan
+    nodes
+      .orderBy(md5(col("node").cast("string")).asc, col("node").asc)
       .limit(maxRoots)
       .select(col("node").as("root"))
       .localCheckpoint()
-    if (strided.isEmpty)
-      nodes.orderBy(h.asc, col("node").asc).limit(maxRoots)
-        .select(col("node").as("root"))
-        .localCheckpoint()
-    else strided
-  }
 }
