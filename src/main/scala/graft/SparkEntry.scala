@@ -22,7 +22,8 @@ object SparkEntry {
       (AlgoQueries.queries, AlgoQueries.oracle),
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (MiscQueries.queries, MiscQueries.oracle),
-      (SampleQueries.queries, SampleQueries.oracle)
+      (SampleQueries.queries, SampleQueries.oracle),
+      (UrlQueries.queries, UrlQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

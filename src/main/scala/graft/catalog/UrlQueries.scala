@@ -1,0 +1,158 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{UrlFunctions, UrlKernels}
+import Tables._
+
+/** URL/domain-level curation queries — the CCNet/RefinedWeb stage
+  * upstream of text quality: canonicalize URLs, extract registrable
+  * domains, aggregate and filter at domain level. The documents table
+  * has no URL column, so both engines synthesize the same deterministic
+  * URL per doc (the MultimodalQueries deterministic-fake pattern): five
+  * variants covering mixed-case scheme/host, default and non-default
+  * ports, tracking params, fragments, empty paths, and a multi-part
+  * public suffix.
+  *
+  * Scale shape: normalization/domain extraction are fused zero-shuffle
+  * row kernels; q_domain_filter is one domain-keyed partial-agg shuffle
+  * over tiny (domain, count) pairs plus a broadcast-back of the
+  * (blocklist ∪ over-cap) domain set — the corpus is scanned once and
+  * never re-shuffled, which is the shape that survives 100 TB.
+  */
+object UrlQueries {
+
+  /** Domains curated out regardless of volume (the editorial blocklist). */
+  private val Blocklist = Seq("src0.com")
+
+  /** Deterministic per-doc URL, identical in Spark and the DuckDB
+    * oracle. Variants by doc_id % 5 (see object doc).
+    */
+  private def urlExpr: Column = {
+    val id = col("doc_id")
+    val v = pmod(id, lit(5L))
+    when(v === 0, concat(lit("HTTP://WWW."), upper(col("source")),
+        lit(".COM:80/articles/"), id.cast("string"),
+        lit("?utm_source=feed&id="), pmod(id, lit(97L)).cast("string"),
+        lit("#top")))
+      .when(v === 1, concat(lit("https://News."), col("source"),
+        lit(".co.uk:443/world/politics?b=2&a=1&utm_campaign=x")))
+      .when(v === 2, concat(lit("http://"), col("source"),
+        lit(".org:8080/Path/Sub/?fbclid=abc"), id.cast("string")))
+      .when(v === 3, concat(lit("https://cdn."), upper(col("source")),
+        lit(".IO?ref=home&z=9&gclid=g"), id.cast("string")))
+      .otherwise(concat(
+        lit("http://ads.tracker.net/click?utm_medium=cpc&cid="),
+        id.cast("string")))
+  }
+
+  private val urlSql =
+    """CASE doc_id % 5
+      |  WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/articles/' || doc_id::VARCHAR || '?utm_source=feed&id=' || (doc_id % 97)::VARCHAR || '#top'
+      |  WHEN 1 THEN 'https://News.' || source || '.co.uk:443/world/politics?b=2&a=1&utm_campaign=x'
+      |  WHEN 2 THEN 'http://' || source || '.org:8080/Path/Sub/?fbclid=abc' || doc_id::VARCHAR
+      |  WHEN 3 THEN 'https://cdn.' || upper(source) || '.IO?ref=home&z=9&gclid=g' || doc_id::VARCHAR
+      |  ELSE 'http://ads.tracker.net/click?utm_medium=cpc&cid=' || doc_id::VARCHAR
+      |END""".stripMargin
+
+  // interpolated from the SAME constants the kernel uses, so the oracle
+  // and the engine can't drift on the suffix/tracker sets
+  private val suffixList =
+    UrlKernels.MultiPartSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val trackerList =
+    "['fbclid', 'gclid', 'msclkid', 'ref', 'ref_src', 'igshid', 'mc_eid']"
+  private val blockList = Blocklist.map(s => s"'$s'").mkString(", ")
+
+  /** The registrable-domain CASE over (host, ls = labels, nl = |ls|). */
+  private val domainSql =
+    s"""CASE WHEN nl <= 2 THEN host
+       |  WHEN list_contains($suffixList, ls[nl-1] || '.' || ls[nl])
+       |    THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
+       |  ELSE ls[nl-1] || '.' || ls[nl] END""".stripMargin
+
+  /** Shared oracle prelude: synthesized url -> host (lowercased,
+    * port-stripped) + label array, per doc.
+    */
+  private val hostCtes =
+    s"""d AS (SELECT doc_id, n_chars, source FROM documents),
+       |u AS (SELECT doc_id, n_chars, $urlSql AS url FROM d),
+       |p1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+       |p2 AS (SELECT doc_id, n_chars, nofrag,
+       |    lower(split_part(nofrag, '://', 1)) AS scheme,
+       |    split_part(nofrag, '://', 2) AS rest FROM p1),
+       |p3 AS (SELECT *, split_part(split_part(rest, '/', 1), '?', 1) AS hostport FROM p2),
+       |p4 AS (SELECT *, substr(rest, length(hostport) + 1) AS pathq,
+       |    lower(split_part(hostport, ':', 1)) AS host,
+       |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port
+       |  FROM p3),
+       |lab AS (SELECT *, string_split(host, '.') AS ls,
+       |    len(string_split(host, '.')) AS nl FROM p4)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_url_normalize" -> { (s, dir) =>
+      // canonical URL + registrable domain per doc: three fused
+      // zero-shuffle row kernels (normalize / host / domain), one scan
+      val docs = load(s, dir, "documents")
+      val host = UrlFunctions.urlHost(urlExpr)
+      docs.select(col("doc_id"),
+          UrlFunctions.urlNormalize(urlExpr).as("url_norm"),
+          UrlFunctions.registrableDomain(host).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+    "q_domain_filter" -> { (s, dir) =>
+      // domain-level curation: per-domain doc counts (tiny agg), then
+      // drop docs whose domain is blocklisted OR holds > 5% of the
+      // corpus (the spam/mega-domain cap); the bad-domain set is
+      // broadcast back — one corpus scan + one tiny shuffle
+      val docs = load(s, dir, "documents")
+      val withDom = docs.select(col("doc_id"),
+        UrlFunctions.registrableDomain(UrlFunctions.urlHost(urlExpr))
+          .as("domain"))
+      val stats = withDom.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+      val total = withDom.agg(count(lit(1)).as("total"))
+      val bad = stats.crossJoin(broadcast(total))
+        .filter(col("n_docs") * 20 > col("total") ||
+          col("domain").isin(Blocklist: _*))
+        .select(col("domain"))
+      withDom.join(broadcast(bad), Seq("domain"), "left_anti")
+        .select(col("doc_id"), col("domain"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_url_normalize" ->
+      s"""WITH $hostCtes,
+         |p5 AS (SELECT *,
+         |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         |           OR (scheme = 'https' AND port = '443')
+         |      THEN '' ELSE ':' || port END AS portnorm,
+         |    CASE WHEN split_part(pathq, '?', 1) = '' THEN '/'
+         |      ELSE split_part(pathq, '?', 1) END AS path,
+         |    CASE WHEN contains(pathq, '?')
+         |      THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
+         |  FROM lab),
+         |p6 AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
+         |    p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+         |      AND NOT list_contains($trackerList, split_part(p, '=', 1)))) AS kept
+         |  FROM p5)
+         |SELECT doc_id,
+         |  scheme || '://' || host || portnorm || path ||
+         |    CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+         |      ELSE '' END AS url_norm,
+         |  $domainSql AS domain
+         |FROM p6 ORDER BY doc_id""".stripMargin,
+    "q_domain_filter" ->
+      s"""WITH $hostCtes,
+         |dom AS (SELECT doc_id, $domainSql AS domain FROM lab),
+         |stats AS (SELECT domain, count(*) AS n_docs FROM dom GROUP BY 1),
+         |tot AS (SELECT count(*) AS total FROM dom),
+         |bad AS (SELECT domain FROM stats CROSS JOIN tot
+         |  WHERE n_docs * 20 > total OR domain IN ($blockList))
+         |SELECT doc_id, domain FROM dom
+         |WHERE domain NOT IN (SELECT domain FROM bad)
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1073,4 +1073,72 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): UnigramEncode =
       copy(child = newChild)
   }
+
+  private def checkString(dt: DataType)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    dt match {
+      case StringType => TypeCheckSuccess
+      case other => TypeCheckFailure(s"input must be string, got $other")
+    }
+  }
+
+  /** URL canonicalization ([[UrlKernels.normalize]]): lowercase
+    * scheme/host, default-port and fragment strip, tracking-param
+    * removal + bytewise param sort — the CCNet/RefinedWeb URL stage as
+    * one fused zero-shuffle row kernel.
+    */
+  case class UrlNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_url_normalize"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkString(child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      UrlKernels.normalize(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.normalize($c)")
+    override protected def withNewChildInternal(newChild: Expression): UrlNormalize =
+      copy(child = newChild)
+  }
+
+  /** Lowercase host extraction ([[UrlKernels.host]]). */
+  case class UrlHost(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_url_host"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkString(child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      UrlKernels.host(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.UrlKernels.host($c)")
+    override protected def withNewChildInternal(newChild: Expression): UrlHost =
+      copy(child = newChild)
+  }
+
+  /** Registrable-domain extraction from a host
+    * ([[UrlKernels.registrableDomain]]): last two labels, or three over
+    * the fixed multi-part public-suffix set.
+    */
+  case class RegistrableDomain(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_registrable_domain"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkString(child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      UrlKernels.registrableDomain(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.UrlKernels.registrableDomain($c)")
+    override protected def withNewChildInternal(newChild: Expression): RegistrableDomain =
+      copy(child = newChild)
+  }
 }

@@ -1,0 +1,29 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlShim
+
+/** Column surface for the URL-curation kernels ([[UrlKernels]] via the
+  * [[NativeExprs]] codegen expressions) — the domain-level curation
+  * stage (URL canonicalization, registrable-domain extraction) a
+  * pre-training pipeline runs before text quality. All three are fused
+  * zero-shuffle row kernels that stay inside whole-stage codegen.
+  */
+object UrlFunctions {
+
+  /** Canonical URL: lowercase scheme/host, fragment + default-port
+    * strip, tracking params removed, surviving params sorted bytewise.
+    */
+  def urlNormalize(url: Column): Column =
+    GraftSqlShim.column(NativeExprs.UrlNormalize(GraftSqlShim.expression(url)))
+
+  /** Lowercase host of a URL (bare hosts pass through). */
+  def urlHost(url: Column): Column =
+    GraftSqlShim.column(NativeExprs.UrlHost(GraftSqlShim.expression(url)))
+
+  /** Registrable domain of a host: last two labels, or last three over
+    * the fixed multi-part public-suffix set ([[UrlKernels.MultiPartSuffixes]]).
+    */
+  def registrableDomain(host: Column): Column =
+    GraftSqlShim.column(NativeExprs.RegistrableDomain(GraftSqlShim.expression(host)))
+}
