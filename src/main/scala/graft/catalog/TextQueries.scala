@@ -423,6 +423,30 @@ object TextQueries {
           md5(concat_ws(" ", col("pieces"))).as("pieces_md5"))
         .orderBy(col("doc_id"))
     },
+    "q_unigram_seed" -> { (s, dir) =>
+      // the unigram trainer's SEEDING pass (step 1 of unigramTrain):
+      // word-freq-weighted substring counts, every single char + the
+      // top multi-char pieces — pure explode/substring builtins, one
+      // corpus scan, replayed end-to-end in SQL
+      graft.ops.CorpusOps.unigramSeed(load(s, dir, "documents"), "text",
+          vocabSize = 500)
+        .orderBy(col("cnt").desc, col("piece").asc)
+    },
+    "q_unigram_train_round" -> { (s, dir) =>
+      // ROUND 1 of the unigram trainer itself (emRounds=1, vocab bound
+      // not binding): seed + one hard-EM re-count + survival floor +
+      // rank. The oracle re-derives the word table and the re-count in
+      // SQL; only the per-word Viterbi segmentation comes from the
+      // pinned independent replay (UnigramTrainPinned /
+      // tools/unigram_train_replay.py). logp is excluded: its ln() is
+      // the one engine-divergent operation (ulp-level libm differences)
+      // and it is derivable from freq.
+      graft.ops.CorpusOps.unigramTrain(load(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 100000, maxPieceLen = 4,
+          emRounds = 1, seedFactor = 4)
+        .select(col("rank"), col("piece"), col("freq"))
+        .orderBy(col("rank"))
+    },
     "q_shard_pack" -> { (s, dir) =>
       // pack the corpus into ~1000-token training shards in doc_id
       // order — two-level distributed prefix sum (ShardOps), never a
@@ -1992,8 +2016,61 @@ object TextQueries {
       "q_dedup_simhash" -> simhash,
       "q_dedup_ngram_jaccard" -> ngramJaccard,
       "q_pii_redact" -> piiRedact,
-      "q_unigram_encode" -> unigramEncodePinned
+      "q_unigram_encode" -> unigramEncodePinned,
+      "q_unigram_seed" -> unigramSeed,
+      "q_unigram_train_round" -> unigramTrainRound
     )
+  }
+
+  /** Pure-SQL replay of the unigram trainer's seeding pass: tokenize,
+    * explode every substring of length ≤ 4 with word-frequency
+    * multiplicity, keep all single chars + the top 4·500 multi-char
+    * pieces by (count desc, piece asc) — the same constants as
+    * q_unigram_train_round's frozen seed.
+    */
+  private def unigramSeed: String = {
+    val toks = sqlTokens("text")
+    s"""WITH words AS (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+       |pieces AS (
+       |  SELECT piece, sum(freq)::BIGINT AS cnt FROM (
+       |    SELECT freq, unnest(flatten([[substring(word, s, l)
+       |        for l in range(1, least(4, length(word) - s + 1) + 1)]
+       |        for s in range(1, length(word) + 1)])) AS piece
+       |    FROM words)
+       |  GROUP BY 1),
+       |singles AS (SELECT piece, cnt FROM pieces WHERE length(piece) = 1),
+       |multi AS (SELECT piece, cnt FROM pieces WHERE length(piece) > 1
+       |  ORDER BY cnt DESC, piece LIMIT 2000)
+       |SELECT piece, cnt FROM singles
+       |UNION ALL SELECT piece, cnt FROM multi
+       |ORDER BY cnt DESC, piece""".stripMargin
+  }
+
+  /** Round-1 replay of the unigram trainer: the word-frequency table,
+    * the freq-weighted piece re-count, the single-char survival floor,
+    * and the (freq desc, piece asc) ranking are all SQL over corpus
+    * data; the per-word Viterbi segmentation joins in from the pinned
+    * independent replay ([[UnigramTrainPinned]]).
+    */
+  private def unigramTrainRound: String = {
+    val toks = sqlTokens("text")
+    s"""WITH words AS (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+       |seg AS (SELECT * FROM ${UnigramTrainPinned.SegMapValues}),
+       |counts AS (SELECT s.piece, sum(w.freq)::BIGINT AS cnt
+       |  FROM words w JOIN seg s ON w.word = s.word GROUP BY 1),
+       |chars AS (SELECT DISTINCT unnest(
+       |    [substring(word, s, 1) for s in range(1, length(word) + 1)]) AS piece
+       |  FROM words),
+       |survived AS (
+       |  SELECT c.piece, greatest(coalesce(k.cnt, 0), 1)::BIGINT AS freq
+       |  FROM chars c LEFT JOIN counts k ON c.piece = k.piece
+       |  UNION ALL
+       |  SELECT piece, cnt AS freq FROM counts WHERE length(piece) > 1)
+       |SELECT row_number() OVER (ORDER BY freq DESC, piece)::BIGINT AS rank,
+       |  piece, freq
+       |FROM survived ORDER BY rank""".stripMargin
   }
 
   /** Pinned oracle for the Viterbi unigram ENCODE: the DP is not

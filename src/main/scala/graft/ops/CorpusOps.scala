@@ -648,40 +648,16 @@ object CorpusOps {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val words = df
-      .select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
-        .as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .localCheckpoint() // corpus touched once; EM re-reads this table
+    val words = unigramWords(df, textCol)
+    val (seedSingles, seedMulti) =
+      unigramSeedModel(words, vocabSize, maxPieceLen, seedFactor)
 
-    // seed counts: substrings via two nested ordinal explodes + the
-    // code-point substring builtin — no UDF
-    val subs = words
-      .withColumn("n", length(col("word")))
-      .select(col("word"), col("freq"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("s"))
-      .select(col("freq"),
-        expr(s"substring(word, s, least($maxPieceLen, n - s + 1))").as("win"))
-      .select(col("freq"),
-        explode(expr("transform(sequence(1, length(win)), l -> substring(win, 1, l))"))
-          .as("piece"))
-      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
-      .localCheckpoint()
-    val seedMulti = subs.filter(length(col("piece")) > 1)
-      .orderBy(col("cnt").desc, col("piece").asc)
-      .limit(seedFactor * vocabSize)
-      .as[(String, Long)].collect()
-    val singles = subs.filter(length(col("piece")) === 1)
-      .as[(String, Long)].collect()
-
-    def renorm(cs: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
-      val total = math.max(1L, cs.map(_._2).sum).toDouble
-      (cs.map(_._1), cs.map(c => math.log(c._2.toDouble / total)))
-    }
+    def renorm(cs: Seq[(String, Long)]): (Seq[String], Seq[Double]) =
+      unigramRenorm(cs)
 
     var model: Seq[(String, Long)] =
-      (singles ++ seedMulti).sortBy { case (p, c) => (-c, p) }
-    val singleSet = singles.map(_._1).toSet
+      (seedSingles ++ seedMulti).sortBy { case (p, c) => (-c, p) }
+    val singleSet = seedSingles.map(_._1).toSet
     var r = 0
     while (r < emRounds) {
       val (pieces, logps) = renorm(model)
@@ -710,6 +686,85 @@ object CorpusOps {
     finalModel.zip(fl).zipWithIndex
       .map { case (((p, c), lp), i) => (i + 1L, p, c, lp) }
       .toDF("rank", "piece", "freq", "logp")
+  }
+
+  /** Collected seed model of [[unigramTrain]]: (singles, topMulti) —
+    * the exact driver state round 1 starts from. Shared by the trainer
+    * and [[graft.tools.UnigramSeedExport]] (which freezes it for the
+    * q_unigram_train_round pinned replay), so tool and trainer cannot
+    * drift.
+    */
+  private[graft] def unigramSeedModel(
+      words: DataFrame,
+      vocabSize: Int,
+      maxPieceLen: Int,
+      seedFactor: Int): (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val subs = unigramSeedCounts(words, maxPieceLen)
+    val seedMulti = subs.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece").asc)
+      .limit(seedFactor * vocabSize)
+      .as[(String, Long)].collect().toSeq
+    val singles = subs.filter(length(col("piece")) === 1)
+      .as[(String, Long)].collect().toSeq
+    (singles, seedMulti)
+  }
+
+  /** Count → (pieces, ln-prob) re-normalization of [[unigramTrain]]. */
+  private[graft] def unigramRenorm(
+      cs: Seq[(String, Long)]): (Seq[String], Seq[Double]) = {
+    val total = math.max(1L, cs.map(_._2).sum).toDouble
+    (cs.map(_._1), cs.map(c => math.log(c._2.toDouble / total)))
+  }
+
+  /** Corpus word-frequency table — the ONE corpus scan every unigram
+    * stage shares; localCheckpointed so seeding/EM re-read the
+    * vocabulary-sized word table, never the corpus.
+    */
+  private[graft] def unigramWords(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(graft.functions.TextFunctions.tokens(col(textCol)))
+        .as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+
+  /** Seeding substring counts of [[unigramTrain]]: every code-point
+    * substring of length ≤ `maxPieceLen` of the corpus words, counted
+    * with word-frequency multiplicity — two nested ordinal explodes +
+    * the code-point substring builtin, no UDF. Output (piece, cnt).
+    */
+  private[graft] def unigramSeedCounts(
+      words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .withColumn("n", length(col("word")))
+      .select(col("word"), col("freq"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("s"))
+      .select(col("freq"),
+        expr(s"substring(word, s, least($maxPieceLen, n - s + 1))").as("win"))
+      .select(col("freq"),
+        explode(expr("transform(sequence(1, length(win)), l -> substring(win, 1, l))"))
+          .as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint()
+
+  /** The seed VOCABULARY of [[unigramTrain]] as a DataFrame: every
+    * single character plus the `seedFactor`·`vocabSize` best multi-char
+    * substrings by (count desc, piece asc) — exactly the model state the
+    * trainer's round 1 starts from, exposed so the seeding pass is
+    * oracle-gated end-to-end (q_unigram_seed replays the whole thing in
+    * pure SQL: tokenize, substring-explode, count, rank, cut).
+    */
+  def unigramSeed(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxPieceLen: Int = 4,
+      seedFactor: Int = 4): DataFrame = {
+    val subs = unigramSeedCounts(unigramWords(df, textCol), maxPieceLen)
+    subs.filter(length(col("piece")) === 1)
+      .unionByName(subs.filter(length(col("piece")) > 1)
+        .orderBy(col("cnt").desc, col("piece").asc)
+        .limit(seedFactor * vocabSize))
   }
 
   /** Apply side of [[unigramTrain]]: Viterbi-encode every document with
