@@ -166,56 +166,103 @@ object Bench {
     // onJobStart posts are async, so the read polls until two
     // consecutive samples agree (bounded, outside the timed window).
     val jobCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Per-row SPILL columns (VERDICT r11 #1/#2): the r11 exhibit was
+    // q_clustering reading 3.6× its quiet wall with 4× cpu under host
+    // memory pressure — real extra work the load fraction cannot see.
+    // Spill bytes are the direct witness: a pressure-inflated row shows
+    // memory/disk spill where the quiet run shows none, separating
+    // "executor memory was contended" from "the code regressed".
+    // Accumulated from completed stages' task metrics (async like the
+    // job counter; read via the same stable-polling pattern).
+    val spillMemCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spillDiskCounter = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCounter.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = s.stageInfo.taskMetrics
+          if (m != null) {
+            spillMemCounter.addAndGet(m.memoryBytesSpilled)
+            spillDiskCounter.addAndGet(m.diskBytesSpilled)
+          }
+        }
       })
-    def stableJobCount(): Long = {
-      var prev = jobCounter.get(); var tries = 0
+    def stableCount(c: java.util.concurrent.atomic.AtomicLong): Long = {
+      var prev = c.get(); var tries = 0
       while (tries < 20) {
         Thread.sleep(10)
-        val cur = jobCounter.get()
+        val cur = c.get()
         if (cur == prev) return cur
         prev = cur; tries += 1
       }
       prev
     }
+    def stableJobCount(): Long = stableCount(jobCounter)
+    // Committed quiet-wall reference (VERDICT r11 #1): the per-row walls
+    // promoted from the last zero-flagged closing series. Any row whose
+    // min-of-2 busts its band gets ONE automatic end-of-run re-time (see
+    // below), so a transiently loaded driver window can never again
+    // produce an artifact that reads as a 3.6× regression without the
+    // artifact itself carrying the re-timed quiet value or the
+    // load/cpu/spill evidence that the inflation was real and sustained.
+    val quietWalls: Map[String, Double] = try {
+      val src = scala.io.Source.fromFile("tools/bench_walls.json")
+      try {
+        val txt = src.mkString
+        """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } finally src.close()
+    } catch { case _: Throwable => Map.empty }
+    val RetimeFactor = 1.5
+    val RetimeSlackSec = 0.5
+    val RetimeCap = 24 // a fully-loaded run must not double its own wall
+    def bustsBand(name: String, wall: Double): Boolean =
+      quietWalls.get(name).exists(w =>
+        wall > math.max(w * RetimeFactor, w + RetimeSlackSec))
+    case class Row(name: String, first: Double, best: Double, load: Double,
+      cpu: Double, jobs1: Long, jobs2: Long, spillMem: Long, spillDisk: Long)
     var calMid = -1.0
     var calShMid = -1.0
     val midAt = runnable.size / 2
-    val results = runnable.zipWithIndex.map { case ((name, fn), i) =>
+    def runOnce(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Long, Long, Long) = {
+      val j0 = stableJobCount()
+      val sm0 = spillMemCounter.get(); val sd0 = spillDiskCounter.get()
+      val (t, l, c) = withLoad {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val j1 = stableJobCount() - j0
+      (t, l, c, j1,
+        stableCount(spillMemCounter) - sm0, stableCount(spillDiskCounter) - sd0)
+    }
+    val results0 = runnable.zipWithIndex.map { case ((name, fn), i) =>
       if (i == midAt) { calMid = calibrate(); calShMid = calibrateShuffle() }
       graft.trace.MemoLog.currentQuery = name
-      def once(): (Double, Double, Double, Long) = {
-        val j0 = stableJobCount()
-        val (t, l, c) = withLoad {
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        }
-        (t, l, c, stableJobCount() - j0)
-      }
-      val (first, best, load, cpu, jobs1, jobs2) =
+      val row =
         try {
-          val (r1, l1, c1, j1) = once()
+          val (r1, l1, c1, j1, sm1, sd1) = runOnce(name, fn)
           val built = graft.trace.MemoLog.memosBuiltBy(name)
           if (built.nonEmpty) graft.trace.MemoLog.clearMemos(built)
-          val (r2, l2, c2, j2) = once()
-          // load/cpu are attributed to the pass the reported min came
-          // from — "was THIS number contended?" answered per row.
+          val (r2, l2, c2, j2, sm2, sd2) = runOnce(name, fn)
+          // load/cpu/spill are attributed to the pass the reported min
+          // came from — "was THIS number contended?" answered per row.
           // BOTH passes' job counts ride the detail file: pass-1 vs
           // pass-2 divergence separates memo-build jobs from plan
           // nondeterminism within one run.
-          (r1, math.min(r1, r2),
-            if (r1 <= r2) l1 else l2, if (r1 <= r2) c1 else c2, j1, j2)
+          if (r1 <= r2) Row(name, r1, r1, l1, c1, j1, j2, sm1, sd1)
+          else Row(name, r1, r2, l2, c2, j1, j2, sm2, sd2)
         }
         catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
-            (-1.0, -1.0, -1.0, -1.0, -1L, -1L)
+            Row(name, -1.0, -1.0, -1.0, -1.0, -1L, -1L, -1L, -1L)
         }
       // untimed inter-query GC: Spark's ContextCleaner frees dead
       // broadcasts / localCheckpoint blocks only when the JVM collects
@@ -225,7 +272,43 @@ object Bench {
       // timed window — comparability of the per-row numbers improves,
       // nothing timed changes.
       System.gc()
-      (name, first, best, load, cpu, jobs1, jobs2)
+      row
+    }
+    // End-of-run re-time of band-busting rows: by now any transient
+    // spike mid-list has had the whole remaining run to pass, so a row
+    // that re-times into band was window noise (the re-timed value is
+    // the honest min), and a row still busting carries sustained-load
+    // or real-regression evidence in its load/cpu/spill columns.
+    // Memo accounting holds here too: a memo-BUILDING row's reported
+    // min is build-inclusive, so its re-time clears the memos it built
+    // before re-running (a warm-memo re-time would under-read exactly
+    // the rows this machinery exists to adjudicate); memo READERS
+    // re-time against warm memos — the same state their min measured.
+    // Cap bounds the extra wall on a fully-loaded host; slowest
+    // inflation ratios get the slots.
+    val retimeCandidates = results0
+      .filter(r => r.best >= 0 && bustsBand(r.name, r.best))
+      .sortBy(r => -(r.best / math.max(1e-9, quietWalls(r.name))))
+    val retimed = retimeCandidates.take(RetimeCap).flatMap { r =>
+      runnable.find(_._1 == r.name).map { case (name, fn) =>
+        graft.trace.MemoLog.currentQuery = name
+        val built = graft.trace.MemoLog.memosBuiltBy(name)
+        if (built.nonEmpty) graft.trace.MemoLog.clearMemos(built)
+        val (t, l, c, j, sm, sd) =
+          try runOnce(name, fn)
+          catch { case _: Throwable => (-1.0, -1.0, -1.0, -1L, -1L, -1L) }
+        System.gc()
+        name -> (r.best, t, l, c, j, sm, sd)
+      }
+    }.toMap
+    // pass-1/pass-2 job counts keep their meaning; the re-time pass's
+    // own jobs/load/cpu live in the retimed audit map
+    val results = results0.map { r =>
+      retimed.get(r.name) match {
+        case Some((_, t, l, c, _, sm, sd)) if t >= 0 && t < r.best =>
+          Row(r.name, r.first, t, l, c, r.jobs1, r.jobs2, sm, sd)
+        case _ => r
+      }
     }
     val calEnd = calibrate()
     val calShEnd = calibrateShuffle()
@@ -338,28 +421,45 @@ object Bench {
     //      evidence the compact line no longer carries.
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def r2(v: Double): Double = math.rint(v * 100) / 100
-    val qsFull = results.map { case (k, _, v, _, _, _, _) => "\"" + k + "\":" + v }
+    val qsFull = results.map(r => "\"" + r.name + "\":" + r.best)
       .mkString("{", ",", "}")
-    val qsFirst = results.map { case (k, v, _, _, _, _, _) => "\"" + k + "\":" + v }
+    val qsFirst = results.map(r => "\"" + r.name + "\":" + r.first)
       .mkString("{", ",", "}")
     val loadJson = results
-      .map { case (k, _, _, l, _, _, _) => "\"" + k + "\":" + math.rint(l * 1000) / 1000 }
+      .map(r => "\"" + r.name + "\":" + math.rint(r.load * 1000) / 1000)
       .mkString("{", ",", "}")
     val cpuJson = results
-      .map { case (k, _, _, _, c, _, _) => "\"" + k + "\":" + math.rint(c * 100) / 100 }
+      .map(r => "\"" + r.name + "\":" + math.rint(r.cpu * 100) / 100)
       .mkString("{", ",", "}")
-    val flagged = results.collect {
-      case (k, _, _, l, _, _, _) if l > LoadFlagBound => k }
+    // spill columns ride the detail file in full; the compact line
+    // carries the total (0 on a quiet run — any nonzero total says
+    // memory pressure shaped this artifact)
+    val spillJson = results
+      .map(r => "\"" + r.name + "\":[" + r.spillMem + "," + r.spillDisk + "]")
+      .mkString("{", ",", "}")
+    val spillTotal = results.collect {
+      case r if r.spillMem > 0 || r.spillDisk > 0 =>
+        math.max(r.spillMem, 0L) + math.max(r.spillDisk, 0L) }.sum
+    val flagged = results.collect { case r if r.load > LoadFlagBound => r.name }
     val flaggedJson = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // re-time audit trail: before/after walls for every band-busting
+    // row that got the end-of-run slot; rows still above band after
+    // re-timing are named so the artifact adjudicates itself
+    val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":[" + r3(v._1) + "," + r3(v._2) + "]" }
+      .mkString("{", ",", "}")
+    val stillBusted = results.collect {
+      case r if r.best >= 0 && bustsBand(r.name, r.best) => r.name }
+    val stillBustedJson = stillBusted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-row job counts, both passes (jobs = the pass the min came
     // from is NOT singled out — pass-1 includes memo builds, pass-2 is
     // the steady state; a banded wall with flat jobs on both passes is
     // harness noise, banded jobs is real plan/branch nondeterminism)
     val jobsJson = results
-      .map { case (k, _, _, _, _, j1, _) => "\"" + k + "\":" + j1 }
+      .map(r => "\"" + r.name + "\":" + r.jobs1)
       .mkString("{", ",", "}")
     val jobs2Json = results
-      .map { case (k, _, _, _, _, _, j2) => "\"" + k + "\":" + j2 }
+      .map(r => "\"" + r.name + "\":" + r.jobs2)
       .mkString("{", ",", "}")
     val memoJson = graft.trace.MemoLog.snapshot.toSeq.sortBy(_._1)
       .map { case (m, q) => "\"" + m + "\":\"" + q + "\"" }.mkString("{", ",", "}")
@@ -368,8 +468,8 @@ object Bench {
       .mkString("{", ",", "}")
     val calJson =
       s"""{"start":$calStart,"mid":$calMid,"end":$calEnd,"shuffle_start":$calShStart,"shuffle_mid":$calShMid,"shuffle_end":$calShEnd}"""
-    val total = results.collect { case (_, _, v, _, _, _, _) if v >= 0 => v }.sum
-    val totalFirst = results.collect { case (_, v, _, _, _, _, _) if v >= 0 => v }.sum
+    val total = results.collect { case r if r.best >= 0 => r.best }.sum
+    val totalFirst = results.collect { case r if r.first >= 0 => r.first }.sum
     // default detail path is the DRIVER file: harness runs must not
     // clobber the committed quiet yardstick (bench_detail_last.json,
     // VERDICT r8 #2) — quiet recordings opt in explicitly via
@@ -378,7 +478,7 @@ object Bench {
       "tools/bench_detail_driver.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"jobs_pass1":$jobsJson,"jobs_pass2":$jobs2Json,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"spill":$spillJson,"spill_total":$spillTotal,"retimed":$retimedJson,"band_busted":$stillBustedJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"jobs_pass1":$jobsJson,"jobs_pass2":$jobs2Json,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
       finally w.close()
       System.err.println(s"[bench] full detail written to $detailPath")
     } catch {
@@ -389,16 +489,18 @@ object Bench {
     // grows: 3-decimal times + probes → drop probes → 2-decimal times.
     // The budget leaves ~200 chars for sbt's trailing success line.
     def line(dp: Double => Double, probes: Boolean): String = {
-      val qs = results.map { case (k, _, v, _, _, _, _) => "\"" + k + "\":" + dp(v) }
+      val qs = results.map(r => "\"" + r.name + "\":" + dp(r.best))
         .mkString("{", ",", "}")
       val cal =
         if (probes)
           Seq(calStart, calMid, calEnd, calShStart, calShMid, calShEnd)
             .map(r2).mkString(""","cal":[""", ",", "]")
         else ""
-      // flagged-row count always rides the compact line (2–8 chars);
-      // the names live in the detail file
-      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)},"load_flagged_n":${flagged.size}$cal,"detail":"$detailPath","sf":"$sfDir"}"""
+      // self-adjudication counters always ride the compact line:
+      // flagged rows, re-timed rows, rows still above their quiet band
+      // after the re-time, and total spill bytes (the names and
+      // before/after walls live in the detail file)
+      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)},"load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"spill_total":$spillTotal$cal,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     // Last ladder rungs for a timed list that has outgrown full
     // per-row precision (the 80-row r9 list at 2 decimals is ~2005
@@ -418,8 +520,8 @@ object Bench {
       val header = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
       def footer(foldedN: Int) =
         (if (foldedN > 0) s""","compact_folded_n":$foldedN""" else "") +
-          s""","load_flagged_n":${flagged.size},"sf":"$sfDir"}"""
-      val sorted = results.map { case (k, _, v, _, _, _, _) => (k, v) }.sortBy(-_._2)
+          s""","load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"spill_total":$spillTotal,"sf":"$sfDir"}"""
+      val sorted = results.map(r => (r.name, r.best)).sortBy(-_._2)
       val sb = new StringBuilder
       var folded = 0
       var foldSum = 0.0

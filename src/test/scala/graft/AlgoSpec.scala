@@ -498,6 +498,28 @@ class AlgoSpec extends SparkSuite {
     assert(lcSq(4L) == ((1L, 2L, 1.0)))
     val stSq = GraphAlgorithms.triangleStats(sq).collect().head
     assert(stSq.getLong(0) == 2L)
+
+    // the wedge-volume pressure bound is oracle-neutral: forcing one
+    // wedge row per closure task (maximal repartition) must produce the
+    // identical per-node table, and the chosen partition count must
+    // actually respond to the bound
+    val forced = GraphAlgorithms.localClustering(k4, wedgeRowsPerTask = 1L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(forced == lc4)
+    // K5 oriented by id: outdegs 4,3,2,1 -> Σ C(od,2) = 6+3+1 = 10
+    // oriented wedges; at 1 row/task the closure join must widen to 10
+    val k5 = (1L to 5L).flatMap(i => (i + 1 to 5L).map(i -> _))
+      .toDF("src", "dst")
+    val lcK5 = GraphAlgorithms.localClustering(k5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(lcK5.values.forall(_ == ((6L, 1.0)))) // K5: every node in C(4,2) tris
+    val lcK5f = GraphAlgorithms.localClustering(k5, wedgeRowsPerTask = 1L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(lcK5f == lcK5)
+    assert(GraphAlgorithms.lastWedgeParts == 10)
   }
 
   test("personalizedPageRank: matches a driver-side replay, mass concentrates at sources") {
