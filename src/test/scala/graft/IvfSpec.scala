@@ -382,4 +382,25 @@ class IvfSpec extends SparkSuite {
       }
     }
   }
+
+  test("compression ladder on clustered embeddings: every path clears its clustered-geometry floor") {
+    // Every §22 recall number is from the isotropic worst case, where a
+    // shortlist path's recall is pinned to its scanned fraction. Real
+    // embedding corpora are clustered; this pins the measured claim
+    // that clustered geometry TIGHTENS the coarse orderings (BASELINE
+    // §22 addendum: at sf0.1/5% shortlist, blend 0.5 lifts binary
+    // 0.575->0.81, truncated 0.425->0.80, pq 0.69->0.83). Floors here
+    // are set under the sf0.01 measured values (0.99/1.0/0.96/1.0/0.97)
+    // with slack for codebook/threshold sensitivity.
+    assume(new java.io.File(s"$SfDir/embeddings.parquet").exists())
+    val emb = spark.read.parquet(s"$SfDir/embeddings.parquet")
+    val corpus = graft.tools.ClusteredRecallProbe
+      .clusteredCorpus(emb, clusters = 8, blend = 0.5)
+    val rs = graft.tools.ClusteredRecallProbe.ladderRecalls(corpus).toMap
+    rs.foreach { case (p, r) => info(f"$p%-10s clustered recall@10 = $r%.3f") }
+    val floors = Map("sq8" -> 0.9, "binary" -> 0.85, "truncated" -> 0.8,
+      "pq_rerank" -> 0.85, "ivfpq" -> 0.8)
+    for ((p, floor) <- floors)
+      assert(rs(p) >= floor, s"$p clustered recall ${rs(p)} below floor $floor")
+  }
 }
