@@ -571,6 +571,14 @@ class AlgoSpec extends SparkSuite {
 
     assert(GraphAlgorithms.connectedComponents(
       Seq.empty[(Long, Long)].toDF("src", "dst")).isEmpty)
+
+    // wave fusion is result-neutral: unfused (fuse=1) and deeper fusion
+    // (fuse=3) equal the default on the path graph
+    val cc1 = GraphAlgorithms.connectedComponents(path, fuse = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cc3 = GraphAlgorithms.connectedComponents(path, fuse = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc1 == ccPath.toMap && cc3 == ccPath.toMap)
   }
 
   test("kCore: peel cascade, empty core, k=1 identity") {
@@ -582,6 +590,15 @@ class AlgoSpec extends SparkSuite {
     val core3 = GraphAlgorithms.kCore(e, 3).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(core3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+
+    // wave fusion is result-neutral — the cascade (6 peels in round 1,
+    // 5 in round 2) lands in ONE fused action at fuse=2 and must still
+    // equal the unfused peel
+    val core3f1 = GraphAlgorithms.kCore(e, 3, fuse = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val core3f3 = GraphAlgorithms.kCore(e, 3, fuse = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3f1 == core3 && core3f3 == core3)
 
     // k=4: the K4's nodes all have in-core degree 3 < 4 — empty core
     assert(GraphAlgorithms.kCore(e, 4).isEmpty)
