@@ -565,4 +565,87 @@ class NativeExprPropertySpec extends SparkSuite {
       assert(viaEval == want)
     }
   }
+
+  test("UrlNormalize/UrlHost/RegistrableDomain == Spark-builtin formulation over 300 random URLs") {
+    // independent reference: the same normalization rules written from
+    // Spark builtins (the Column-level sibling of the DuckDB oracle) —
+    // a kernel bug (wrong scan bound, missed tracker, unsorted params)
+    // would diverge somewhere in this space
+    import org.apache.spark.sql.Column
+    val labelG = Gen.oneOf("ex", "News", "A", "sub2", "WWW", "bbc", "Tr8")
+    val hostG = for {
+      n <- Gen.choose(1, 3)
+      ls <- Gen.listOfN(n, labelG)
+      sfx <- Gen.oneOf("", ".co.uk", ".com", ".IO", ".uk")
+    } yield ls.mkString(".") + sfx
+    val paramG = Gen.oneOf("a=1", "B=2", "utm_source=x", "utm_x", "fbclid=z",
+      "ref=h", "k", "", "a=1=2", "gclid=9", "Z=y")
+    val urlG = for {
+      scheme <- Gen.oneOf("http", "https", "HTTP", "Https", "ftp")
+      host <- hostG
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/x/y/", "/p.q")
+      ps <- Gen.listOf(paramG)
+      q <- Gen.oneOf("", "?")
+      frag <- Gen.oneOf("", "#f", "#a#b", "#")
+      query = if (ps.nonEmpty) "?" + ps.mkString("&") else q
+    } yield s"$scheme://$host$port$path$query$frag"
+    val urls = sample(urlG, 300, seed = 7L)
+    val df = urls.toDF("u")
+      .withColumn("nofrag", regexp_replace(col("u"), "#.*", ""))
+      .withColumn("scheme", lower(substring_index(col("nofrag"), "://", 1)))
+      .withColumn("rest", expr("substring(nofrag, instr(nofrag, '://') + 3)"))
+      .withColumn("hostport",
+        substring_index(substring_index(col("rest"), "/", 1), "?", 1))
+      .withColumn("pathq", expr("substring(rest, length(hostport) + 1)"))
+      .withColumn("host", lower(substring_index(col("hostport"), ":", 1)))
+      .withColumn("port", when(expr("instr(hostport, ':')") > 0,
+        expr("substring(hostport, instr(hostport, ':') + 1)")).otherwise(""))
+      .withColumn("portnorm", when(col("port") === "" ||
+          (col("scheme") === "http" && col("port") === "80") ||
+          (col("scheme") === "https" && col("port") === "443"), "")
+        .otherwise(concat(lit(":"), col("port"))))
+      .withColumn("path", when(substring_index(col("pathq"), "?", 1) === "",
+        "/").otherwise(substring_index(col("pathq"), "?", 1)))
+      .withColumn("query", when(expr("instr(pathq, '?')") > 0,
+        expr("substring(pathq, instr(pathq, '?') + 1)")).otherwise(""))
+    val trackers = array(Seq("fbclid", "gclid", "msclkid", "ref", "ref_src",
+      "igshid", "mc_eid").map(lit): _*)
+    def pname(p: Column): Column = split(p, "=").getItem(0)
+    val withKept = df.withColumn("kept", array_sort(filter(
+      split(col("query"), "&"), p => p =!= "" &&
+        !p.startsWith("utm_") && // bare utm_x params have name == p
+        !pname(p).startsWith("utm_") &&
+        !array_contains(trackers, pname(p)))))
+    val suffixes = array(graft.functions.UrlKernels.MultiPartSuffixes
+      .toSeq.map(lit): _*)
+    val checked = withKept
+      .withColumn("want_norm", concat(col("scheme"), lit("://"), col("host"),
+        col("portnorm"), col("path"),
+        when(size(col("kept")) > 0,
+          concat(lit("?"), array_join(col("kept"), "&"))).otherwise("")))
+      .withColumn("ls", split(col("host"), "\\."))
+      .withColumn("nl", size(col("ls")))
+      .withColumn("want_dom", when(col("nl") <= 2, col("host"))
+        .when(array_contains(suffixes,
+            concat_ws(".", slice(col("ls"), -2, 2))) && col("nl") >= 3,
+          concat_ws(".", slice(col("ls"), -3, 3)))
+        .otherwise(concat_ws(".", slice(col("ls"), -2, 2))))
+      .select(col("u"),
+        graft.functions.UrlFunctions.urlNormalize(col("u")).as("got_norm"),
+        col("want_norm"),
+        graft.functions.UrlFunctions.urlHost(col("u")).as("got_host"),
+        col("host").as("want_host"),
+        graft.functions.UrlFunctions.registrableDomain(col("host")).as("got_dom"),
+        col("want_dom"))
+      .collect()
+    checked.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"normalize ${r.getString(0)}: got ${r.getString(1)} want ${r.getString(2)}")
+      assert(r.getString(3) == r.getString(4),
+        s"host ${r.getString(0)}: got ${r.getString(3)} want ${r.getString(4)}")
+      assert(r.getString(5) == r.getString(6),
+        s"domain ${r.getString(0)}: got ${r.getString(5)} want ${r.getString(6)}")
+    }
+  }
 }
