@@ -212,7 +212,13 @@ object Bench {
       val src = scala.io.Source.fromFile("tools/bench_walls.json")
       try {
         val txt = src.mkString
-        """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
+        // walls are sf-specific: the "_sf" tag must match this run's
+        // dir, or banding/re-timing is disabled (an sf0.001 smoke run
+        // must not re-time rows against sf0.1 walls)
+        val sfTag = """"_sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        if (!sfTag.contains(sfDir)) Map.empty
+        else """"([^"]+)"\s*:\s*([0-9.Ee+-]+)""".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } finally src.close()
     } catch { case _: Throwable => Map.empty }
