@@ -100,6 +100,33 @@ object UrlQueries {
           UrlFunctions.registrableDomain(host).as("domain"))
         .orderBy(col("doc_id"))
     },
+    "q_domain_quality" -> { (s, dir) =>
+      // the RefinedWeb domain-prior stage: per-domain Gopher pass rate
+      // (the q_text_quality_rules battery aggregated at registrable-
+      // domain level) + the integer-exact keep rule (pass on ≥ half the
+      // domain's docs — n_pass·2 ≥ n_docs, no float compare). One
+      // corpus scan (quality kernels are zero-shuffle row passes), one
+      // tiny domain-keyed agg; at 100 TB the output is domains, not
+      // docs.
+      import graft.functions.TextFunctions
+      val docs = load(s, dir, "documents")
+      val t = col("text")
+      val passes = TextFunctions.gopherWordCountOk(t, lo = 20) &&
+        TextFunctions.gopherMeanLenOk(t) &&
+        TextFunctions.gopherSymbolRatio(t) < 0.1 &&
+        TextFunctions.gopherStopHits(t) >= 2
+      docs.select(
+          UrlFunctions.registrableDomain(UrlFunctions.urlHost(urlExpr))
+            .as("domain"),
+          passes.cast("long").as("pass"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pass")).as("n_pass"))
+        .select(col("domain"), col("n_docs"), col("n_pass"),
+          round(col("n_pass").cast("double") / col("n_docs"), 6)
+            .as("pass_rate"),
+          (col("n_pass") * 2 >= col("n_docs")).as("kept"))
+        .orderBy(col("domain"))
+    },
     "q_domain_filter" -> { (s, dir) =>
       // domain-level curation: per-domain doc counts (tiny agg), then
       // drop docs whose domain is blocklisted OR holds > 5% of the
@@ -123,6 +150,36 @@ object UrlQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_domain_quality" -> {
+      // the Gopher-battery CTE mirrors q_text_quality_rules' oracle
+      // (same rules, same constants), aggregated per domain; the keep
+      // rule is integer arithmetic so both engines decide identically
+      val toks = Tables.sqlTokens("text")
+      val stopIn = graft.functions.TextFunctions.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH $hostCtes,
+         |dom AS (SELECT doc_id, $domainSql AS domain FROM lab),
+         |t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::BIGINT AS n_words,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE list_aggregate(list_transform(toks, x -> length(x)::DOUBLE), 'sum') / len(toks) END AS mean_len,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE (length(text) - length(translate(text, '#@~', '')))::DOUBLE / len(toks) END AS symbol_ratio,
+         |  len(list_filter(list_distinct(toks), x -> x IN ($stopIn)))::BIGINT AS stop_hits
+         |  FROM t),
+         |p AS (SELECT doc_id,
+         |  CASE WHEN (n_words >= 20 AND n_words <= 100000)
+         |    AND (mean_len >= 3.0 AND mean_len <= 10.0)
+         |    AND symbol_ratio < 0.1 AND stop_hits >= 2
+         |    THEN 1 ELSE 0 END AS pass FROM m)
+         |SELECT d.domain, count(*)::BIGINT AS n_docs,
+         |  sum(p.pass)::BIGINT AS n_pass,
+         |  round(sum(p.pass)::DOUBLE / count(*), 6) AS pass_rate,
+         |  (sum(p.pass) * 2 >= count(*)) AS kept
+         |FROM dom d JOIN p ON d.doc_id = p.doc_id
+         |GROUP BY d.domain ORDER BY d.domain""".stripMargin
+    },
     "q_url_normalize" ->
       s"""WITH $hostCtes,
          |p5 AS (SELECT *,
