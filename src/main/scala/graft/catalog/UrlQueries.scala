@@ -10,10 +10,14 @@ import Tables._
   * upstream of text quality: canonicalize URLs, extract registrable
   * domains, aggregate and filter at domain level. The documents table
   * has no URL column, so both engines synthesize the same deterministic
-  * URL per doc (the MultimodalQueries deterministic-fake pattern): five
-  * variants covering mixed-case scheme/host, default and non-default
-  * ports, tracking params, fragments, empty paths, and a multi-part
-  * public suffix.
+  * URL per doc (the MultimodalQueries deterministic-fake pattern):
+  * eight variants covering mixed-case scheme/host, default and
+  * non-default ports, tracking params, fragments, empty paths, and the
+  * Public Suffix List edge space — a ccTLD second-level (co.uk), a
+  * private-section suffix (github.io), a wildcard TLD (*.bd), and an
+  * exception rule (!city.kawasaki.jp). The oracle replays the full PSL
+  * algorithm in SQL over the rule lists interpolated from
+  * [[graft.functions.PublicSuffixList.builtin]].
   *
   * Scale shape: normalization/domain extraction are fused zero-shuffle
   * row kernels; q_domain_filter is one domain-keyed partial-agg shuffle
@@ -27,11 +31,14 @@ object UrlQueries {
   private val Blocklist = Seq("src0.com")
 
   /** Deterministic per-doc URL, identical in Spark and the DuckDB
-    * oracle. Variants by doc_id % 5 (see object doc).
+    * oracle. Variants by doc_id % 8 (see object doc); v5–v7 exercise
+    * the Public Suffix List beyond plain two-label domains: a
+    * private-section suffix (github.io), a wildcard TLD (*.bd), and an
+    * exception rule (!city.kawasaki.jp).
     */
   private def urlExpr: Column = {
     val id = col("doc_id")
-    val v = pmod(id, lit(5L))
+    val v = pmod(id, lit(8L))
     when(v === 0, concat(lit("HTTP://WWW."), upper(col("source")),
         lit(".COM:80/articles/"), id.cast("string"),
         lit("?utm_source=feed&id="), pmod(id, lit(97L)).cast("string"),
@@ -42,37 +49,55 @@ object UrlQueries {
         lit(".org:8080/Path/Sub/?fbclid=abc"), id.cast("string")))
       .when(v === 3, concat(lit("https://cdn."), upper(col("source")),
         lit(".IO?ref=home&z=9&gclid=g"), id.cast("string")))
-      .otherwise(concat(
+      .when(v === 4, concat(
         lit("http://ads.tracker.net/click?utm_medium=cpc&cid="),
         id.cast("string")))
+      .when(v === 5, concat(lit("https://"), col("source"),
+        lit(".github.io/post/"), id.cast("string")))
+      .when(v === 6, concat(lit("http://news."), col("source"),
+        lit(".com.bd/story/"), id.cast("string")))
+      .otherwise(concat(lit("https://City.Kawasaki.JP/ward/"),
+        id.cast("string"), lit("?x=1")))
   }
 
   private val urlSql =
-    """CASE doc_id % 5
+    """CASE doc_id % 8
       |  WHEN 0 THEN 'HTTP://WWW.' || upper(source) || '.COM:80/articles/' || doc_id::VARCHAR || '?utm_source=feed&id=' || (doc_id % 97)::VARCHAR || '#top'
       |  WHEN 1 THEN 'https://News.' || source || '.co.uk:443/world/politics?b=2&a=1&utm_campaign=x'
       |  WHEN 2 THEN 'http://' || source || '.org:8080/Path/Sub/?fbclid=abc' || doc_id::VARCHAR
       |  WHEN 3 THEN 'https://cdn.' || upper(source) || '.IO?ref=home&z=9&gclid=g' || doc_id::VARCHAR
-      |  ELSE 'http://ads.tracker.net/click?utm_medium=cpc&cid=' || doc_id::VARCHAR
+      |  WHEN 4 THEN 'http://ads.tracker.net/click?utm_medium=cpc&cid=' || doc_id::VARCHAR
+      |  WHEN 5 THEN 'https://' || source || '.github.io/post/' || doc_id::VARCHAR
+      |  WHEN 6 THEN 'http://news.' || source || '.com.bd/story/' || doc_id::VARCHAR
+      |  ELSE 'https://City.Kawasaki.JP/ward/' || doc_id::VARCHAR || '?x=1'
       |END""".stripMargin
 
-  // interpolated from the SAME constants the kernel uses, so the oracle
-  // and the engine can't drift on the suffix/tracker sets
-  private val suffixList =
-    UrlKernels.MultiPartSuffixes.map(s => s"'$s'").mkString("[", ", ", "]")
+  // interpolated from the SAME rule sets the kernel uses
+  // (PublicSuffixList.builtin), so the oracle and the engine can't
+  // drift on the suffix/tracker sets
+  private val exactList =
+    UrlKernels.Psl.exact.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val wildList =
+    UrlKernels.Psl.wildcard.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
+  private val excList =
+    UrlKernels.Psl.exception.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
   private val trackerList =
     "['fbclid', 'gclid', 'msclkid', 'ref', 'ref_src', 'igshid', 'mc_eid']"
   private val blockList = Blocklist.map(s => s"'$s'").mkString(", ")
 
-  /** The registrable-domain CASE over (host, ls = labels, nl = |ls|). */
+  /** The registrable-domain expression over the dom0 CTE (which
+    * carries hostd, ls, nl, psl_len): public suffix + one label, or
+    * the whole host when it is itself a public suffix or shorter.
+    */
   private val domainSql =
-    s"""CASE WHEN nl <= 2 THEN host
-       |  WHEN list_contains($suffixList, ls[nl-1] || '.' || ls[nl])
-       |    THEN ls[nl-2] || '.' || ls[nl-1] || '.' || ls[nl]
-       |  ELSE ls[nl-1] || '.' || ls[nl] END""".stripMargin
+    """CASE WHEN nl <= psl_len + 1 THEN hostd
+      |  ELSE array_to_string(list_slice(ls, nl - psl_len, nl), '.') END""".stripMargin
 
   /** Shared oracle prelude: synthesized url -> host (lowercased,
-    * port-stripped) + label array, per doc.
+    * port-stripped) + label array + PSL public-suffix length, per doc.
+    * The PSL replay mirrors publicsuffix.org: exception rules win (psl
+    * = rule labels - 1), else the longest exact or `*.base` wildcard
+    * match, else the default rule `*` (psl = 1).
     */
   private val hostCtes =
     s"""d AS (SELECT doc_id, n_chars, source FROM documents),
@@ -86,8 +111,19 @@ object UrlQueries {
        |    lower(split_part(hostport, ':', 1)) AS host,
        |    CASE WHEN contains(hostport, ':') THEN split_part(hostport, ':', 2) ELSE '' END AS port
        |  FROM p3),
-       |lab AS (SELECT *, string_split(host, '.') AS ls,
-       |    len(string_split(host, '.')) AS nl FROM p4)""".stripMargin
+       |lab AS (SELECT *, string_split(hostd, '.') AS ls,
+       |    len(string_split(hostd, '.')) AS nl
+       |  FROM (SELECT *, regexp_replace(host, '\\.$$', '') AS hostd FROM p4)),
+       |psl AS (SELECT *,
+       |    list_max(list_filter(range(1, nl + 1), k ->
+       |      list_contains($excList, array_to_string(list_slice(ls, nl - k + 1, nl), '.')))) AS exck,
+       |    greatest(
+       |      coalesce(list_max(list_filter(range(1, nl + 1), k ->
+       |        list_contains($exactList, array_to_string(list_slice(ls, nl - k + 1, nl), '.')))), 1),
+       |      coalesce(list_max(list_filter(range(2, nl + 1), k ->
+       |        list_contains($wildList, array_to_string(list_slice(ls, nl - k + 2, nl), '.')))), 1)) AS bestk
+       |  FROM lab),
+       |dom0 AS (SELECT *, CASE WHEN exck IS NOT NULL THEN exck - 1 ELSE bestk END AS psl_len FROM psl)""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_normalize" -> { (s, dir) =>
@@ -158,7 +194,7 @@ object UrlQueries {
       val stopIn = graft.functions.TextFunctions.EnglishStopwords
         .map(w => s"'$w'").mkString(", ")
       s"""WITH $hostCtes,
-         |dom AS (SELECT doc_id, $domainSql AS domain FROM lab),
+         |dom AS (SELECT doc_id, $domainSql AS domain FROM dom0),
          |t AS (SELECT doc_id, text, $toks AS toks FROM documents),
          |m AS (SELECT doc_id,
          |  len(toks)::BIGINT AS n_words,
@@ -190,7 +226,7 @@ object UrlQueries {
          |      ELSE split_part(pathq, '?', 1) END AS path,
          |    CASE WHEN contains(pathq, '?')
          |      THEN substr(pathq, strpos(pathq, '?') + 1) ELSE '' END AS query
-         |  FROM lab),
+         |  FROM dom0),
          |p6 AS (SELECT *, list_sort(list_filter(string_split(query, '&'),
          |    p -> p <> '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
          |      AND NOT list_contains($trackerList, split_part(p, '=', 1)))) AS kept
@@ -203,7 +239,7 @@ object UrlQueries {
          |FROM p6 ORDER BY doc_id""".stripMargin,
     "q_domain_filter" ->
       s"""WITH $hostCtes,
-         |dom AS (SELECT doc_id, $domainSql AS domain FROM lab),
+         |dom AS (SELECT doc_id, $domainSql AS domain FROM dom0),
          |stats AS (SELECT domain, count(*) AS n_docs FROM dom GROUP BY 1),
          |tot AS (SELECT count(*) AS total FROM dom),
          |bad AS (SELECT domain FROM stats CROSS JOIN tot

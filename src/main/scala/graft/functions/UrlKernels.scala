@@ -36,24 +36,16 @@ object UrlKernels {
     s
   }
 
-  /** Multi-part public suffixes recognized by [[registrableDomain]]: the
-    * common ccTLD second-level registries. A full public-suffix list is
-    * a deploy-time data file; this fixed set keeps the kernel
-    * dependency-free and the oracle replayable (the list is interpolated
-    * into the SQL).
+  /** Rule sets backing [[registrableDomain]]: the built-in
+    * [[PublicSuffixList]] snapshot (wildcards and exceptions included),
+    * replacing the former fixed 20-entry multi-part-suffix set. Still
+    * SQL-replayable: the three rule lists are interpolated into the
+    * oracle the same way the old set was. A deployment with the
+    * authoritative `public_suffix_list.dat` either swaps the snapshot
+    * at build time or uses the join-based
+    * [[graft.ops.UrlOps.registrableDomainByTable]] runtime path.
     */
-  val MultiPartSuffixes: Array[String] = Array(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk",
-    "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au",
-    "com.br", "com.cn", "co.in", "co.kr", "com.mx",
-    "co.nz", "com.sg", "com.tr", "co.za")
-
-  private val MultiPartSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String]()
-    MultiPartSuffixes.foreach(s.add)
-    s
-  }
+  val Psl: PublicSuffixList.Rules = PublicSuffixList.builtin
 
   private def isTracking(param: String): Boolean = {
     val eq = param.indexOf('=')
@@ -126,27 +118,13 @@ object UrlKernels {
     UTF8String.fromString(h.toLowerCase(Locale.ROOT))
   }
 
-  /** Registrable domain of a host: the last two labels, or the last
-    * three when the final two form a recognized multi-part public
-    * suffix ("news.bbc.co.uk" -> "bbc.co.uk"). Hosts with <= 2 labels
-    * (or exactly the suffix) are returned whole, lowercased.
+  /** Registrable domain of a host under the built-in Public Suffix
+    * List snapshot ([[PublicSuffixList]] semantics: longest rule wins,
+    * `*.x` wildcards, `!y.x` exceptions, default rule `*`). A host
+    * that is itself a public suffix (or shorter) is returned whole,
+    * lowercased; a single trailing root dot is stripped.
     */
-  def registrableDomain(h: UTF8String): UTF8String = {
-    val hostStr = h.toString.toLowerCase(Locale.ROOT)
-    val labels = hostStr.split('.')
-    if (labels.length <= 2) return UTF8String.fromString(hostStr)
-    val lastTwo = labels(labels.length - 2) + "." + labels(labels.length - 1)
-    val n = if (MultiPartSet.contains(lastTwo)) 3 else 2
-    if (labels.length <= n) UTF8String.fromString(hostStr)
-    else {
-      val sb = new java.lang.StringBuilder()
-      var i = labels.length - n
-      while (i < labels.length) {
-        if (i > labels.length - n) sb.append('.')
-        sb.append(labels(i))
-        i += 1
-      }
-      UTF8String.fromString(sb.toString)
-    }
-  }
+  def registrableDomain(h: UTF8String): UTF8String =
+    UTF8String.fromString(
+      PublicSuffixList.registrableDomain(h.toString, Psl))
 }

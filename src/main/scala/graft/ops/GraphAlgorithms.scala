@@ -892,7 +892,7 @@ object GraphAlgorithms {
     val orientedCk = oriented.localCheckpoint() // feeds count + both wedge sides
     val wedgeCount = orientedCk.groupBy(col("lo"))
       .agg(count(lit(1)).as("od"))
-      .agg(sum(col("od") * (col("od") - 1) / 2).cast("long"))
+      .agg(coalesce(sum(col("od") * (col("od") - 1) / 2), lit(0)).cast("long"))
       .head.getLong(0)
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val closureParts = math.min(4096L, math.max(defaultParts.toLong,

@@ -108,7 +108,7 @@ object ClusteredRecallProbe {
     val corpus = clusteredCorpus(emb, clusters = 8, blend = blend)
     val rs = ladderRecalls(corpus)
     println(s"clustered-recall sf=$sfDir n=$n blend=$blend clusters=8 " +
-      s"shortlist=100 (${100.0 * 100 / n}%% of corpus) k=10 queries=20")
+      s"shortlist=100 (${100.0 * 100 / n}% of corpus) k=10 queries=20")
     rs.foreach { case (p, r) => println(f"  $p%-10s recall@10 = $r%.3f") }
     spark.stop()
   }

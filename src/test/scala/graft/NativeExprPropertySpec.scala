@@ -572,11 +572,13 @@ class NativeExprPropertySpec extends SparkSuite {
     // a kernel bug (wrong scan bound, missed tracker, unsorted params)
     // would diverge somewhere in this space
     import org.apache.spark.sql.Column
-    val labelG = Gen.oneOf("ex", "News", "A", "sub2", "WWW", "bbc", "Tr8")
+    val labelG = Gen.oneOf("ex", "News", "A", "sub2", "WWW", "bbc", "Tr8",
+      "city")
     val hostG = for {
       n <- Gen.choose(1, 3)
       ls <- Gen.listOfN(n, labelG)
-      sfx <- Gen.oneOf("", ".co.uk", ".com", ".IO", ".uk")
+      sfx <- Gen.oneOf("", ".co.uk", ".com", ".IO", ".uk", ".github.io",
+        ".kawasaki.jp", ".com.bd", ".ck", ".com.hk", ".blogspot.com")
     } yield ls.mkString(".") + sfx
     val paramG = Gen.oneOf("a=1", "B=2", "utm_source=x", "utm_x", "fbclid=z",
       "ref=h", "k", "", "a=1=2", "gclid=9", "Z=y")
@@ -617,8 +619,15 @@ class NativeExprPropertySpec extends SparkSuite {
         !p.startsWith("utm_") && // bare utm_x params have name == p
         !pname(p).startsWith("utm_") &&
         !array_contains(trackers, pname(p)))))
-    val suffixes = array(graft.functions.UrlKernels.MultiPartSuffixes
-      .toSeq.map(lit): _*)
+    // independent PSL mirror from Spark HOFs over the same rule lists
+    // (exception wins -> longest exact/wildcard -> default rule "*"),
+    // the Column-level sibling of the DuckDB oracle's replay
+    val psl = graft.functions.PublicSuffixList.builtin
+    val exactArr = array(psl.exact.toSeq.sorted.map(lit): _*)
+    val wildArr = array(psl.wildcard.toSeq.sorted.map(lit): _*)
+    val excArr = array(psl.exception.toSeq.sorted.map(lit): _*)
+    def suffixK(k: Column): Column =
+      concat_ws(".", slice(col("ls"), -k, k))
     val checked = withKept
       .withColumn("want_norm", concat(col("scheme"), lit("://"), col("host"),
         col("portnorm"), col("path"),
@@ -626,11 +635,23 @@ class NativeExprPropertySpec extends SparkSuite {
           concat(lit("?"), array_join(col("kept"), "&"))).otherwise("")))
       .withColumn("ls", split(col("host"), "\\."))
       .withColumn("nl", size(col("ls")))
-      .withColumn("want_dom", when(col("nl") <= 2, col("host"))
-        .when(array_contains(suffixes,
-            concat_ws(".", slice(col("ls"), -2, 2))) && col("nl") >= 3,
-          concat_ws(".", slice(col("ls"), -3, 3)))
-        .otherwise(concat_ws(".", slice(col("ls"), -2, 2))))
+      .withColumn("exck", array_max(filter(sequence(lit(1), col("nl")),
+        k => array_contains(excArr, suffixK(k)))))
+      .withColumn("bestk", greatest(
+        coalesce(array_max(filter(sequence(lit(1), col("nl")),
+          k => array_contains(exactArr, suffixK(k)))), lit(1)),
+        coalesce(array_max(filter(sequence(lit(1), col("nl")),
+          // guard: slice with zero length (k=1) is invalid in Spark
+          k => when(k >= 2, array_contains(wildArr,
+            concat_ws(".", slice(col("ls"), lit(1) - k, k - lit(1)))))
+            .otherwise(lit(false)))), lit(1))))
+      .withColumn("psl_len", when(col("exck").isNotNull, col("exck") - 1)
+        .otherwise(col("bestk")))
+      .withColumn("want_dom",
+        when(col("nl") <= col("psl_len") + 1, col("host"))
+          .otherwise(concat_ws(".",
+            slice(col("ls"), -(col("psl_len") + lit(1)),
+              col("psl_len") + lit(1)))))
       .select(col("u"),
         graft.functions.UrlFunctions.urlNormalize(col("u")).as("got_norm"),
         col("want_norm"),

@@ -74,25 +74,96 @@ class UrlSpec extends SparkSuite {
       .toString == "www.ex.com")
   }
 
-  test("registrableDomain: suffix set boundaries") {
-    val cases = Seq(
-      "news.bbc.co.uk" -> "bbc.co.uk", // multi-part suffix -> 3 labels
-      "a.news.bbc.co.uk" -> "bbc.co.uk",
-      "www.example.com" -> "example.com",
-      "deep.sub.example.org" -> "example.org",
-      "example.com" -> "example.com", // already registrable
-      "localhost" -> "localhost", // single label
-      "bbc.co.uk" -> "bbc.co.uk", // exactly suffix + 1
-      "co.uk" -> "co.uk", // the bare suffix: returned whole
-      "UPPER.Example.COM" -> "example.com" // lowercased
-    )
-    val got = cases.map(_._1).toDF("h")
+  private val domainCases = Seq(
+    "news.bbc.co.uk" -> "bbc.co.uk", // multi-part suffix -> 3 labels
+    "a.news.bbc.co.uk" -> "bbc.co.uk",
+    "www.example.com" -> "example.com",
+    "deep.sub.example.org" -> "example.org",
+    "example.com" -> "example.com", // already registrable
+    "localhost" -> "localhost", // single label
+    "bbc.co.uk" -> "bbc.co.uk", // exactly suffix + 1
+    "co.uk" -> "co.uk", // the bare suffix: returned whole
+    "UPPER.Example.COM" -> "example.com", // lowercased
+    // --- Public Suffix List semantics beyond the fixed-set era ---
+    "user.github.io" -> "user.github.io", // private-section suffix
+    "www.user.github.io" -> "user.github.io",
+    "github.io" -> "github.io", // bare private suffix: whole
+    "a.blogspot.co.uk" -> "a.blogspot.co.uk", // 3-label private suffix
+    "www.foo.com.bd" -> "foo.com.bd", // *.bd wildcard: com.bd is a PS
+    "foo.com.bd" -> "foo.com.bd",
+    "com.bd" -> "com.bd", // wildcard-matched suffix itself: whole
+    "www.ck" -> "www.ck", // !www.ck exception beats *.ck
+    "sub.www.ck" -> "www.ck",
+    "shop.foo.ck" -> "shop.foo.ck", // *.ck: foo.ck is a public suffix
+    "city.kawasaki.jp" -> "city.kawasaki.jp", // !city.kawasaki.jp
+    "ward.city.kawasaki.jp" -> "city.kawasaki.jp",
+    "x.mycity.kawasaki.jp" -> "x.mycity.kawasaki.jp", // *.kawasaki.jp
+    "store.example.com.hk" -> "example.com.hk", // suffix beyond old set
+    "a.b.co.id" -> "b.co.id",
+    "example.com." -> "example.com", // trailing root dot stripped
+    "www.example.com." -> "example.com",
+    "deep.example.nosuchtld" -> "example.nosuchtld" // default rule "*"
+  )
+
+  test("registrableDomain: PSL boundaries (exact/wildcard/exception)") {
+    val got = domainCases.map(_._1).toDF("h")
       .select(UrlFunctions.registrableDomain(col("h"))).collect()
       .map(_.getString(0)).toSeq
-    assert(got == cases.map(_._2))
-    cases.foreach { case (in, want) =>
+    domainCases.zip(got).foreach { case ((in, want), g) =>
+      assert(g == want, s"codegen: $in")
       assert(UrlKernels.registrableDomain(UTF8String.fromString(in)).toString
         == want, s"eval: $in")
     }
+  }
+
+  test("PublicSuffixList.parse handles comments, sections, rule classes") {
+    val rules = graft.functions.PublicSuffixList.parse(
+      """// a comment
+        |com
+        |
+        |*.ck
+        |!www.ck
+        |// ===BEGIN PRIVATE DOMAINS===
+        |GitHub.IO
+        |""".stripMargin.linesIterator)
+    assert(rules.exact == Set("com", "github.io"))
+    assert(rules.wildcard == Set("ck"))
+    assert(rules.exception == Set("www.ck"))
+    assert(graft.functions.PublicSuffixList.builtin.exact.size >= 500)
+  }
+
+  test("registrableDomainByTable == kernel on the builtin rules") {
+    import graft.ops.UrlOps
+    val hosts = domainCases.map(_._1)
+    val rules = UrlOps.rulesDf(spark, graft.functions.PublicSuffixList.builtin)
+    val got = UrlOps.registrableDomainByTable(
+        hosts.toDF("h"), col("h"), rules)
+      .orderBy(col("h")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    domainCases.foreach { case (in, want) =>
+      assert(got(in) == want, s"join path: $in")
+    }
+  }
+
+  test("registrableDomainByTable: custom runtime rules change the cut") {
+    import graft.ops.UrlOps
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("rtype", StringType),
+      StructField("rule", StringType)))
+    val custom = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("exact", "internal.corp"),
+        Row("wildcard", "tenants.corp"),
+        Row("exception", "admin.tenants.corp"))), schema)
+    val got = UrlOps.registrableDomainByTable(
+        Seq("a.b.internal.corp", "x.t1.tenants.corp", "y.admin.tenants.corp",
+          "plain.corp").toDF("h"),
+        col("h"), custom)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("a.b.internal.corp") == "b.internal.corp")
+    assert(got("x.t1.tenants.corp") == "x.t1.tenants.corp") // *.tenants.corp
+    assert(got("y.admin.tenants.corp") == "admin.tenants.corp") // exception
+    assert(got("plain.corp") == "plain.corp") // default rule "*"
   }
 }
