@@ -470,17 +470,37 @@ object TextQueries {
     },
     "q_prep_pipeline" -> { (s, dir) =>
       // The composed training-data prep pipeline — the flow a 100 TB
-      // corpus actually runs, as ONE DataFrame chain: language filter →
-      // Gopher quality gate → exact dedup (keep canonical) → pack
-      // survivors into ~1000-token shards. Every stage is the
-      // individually-oracle-verified operator; this query verifies the
-      // COMPOSITION (filters fused into one scan pass, dedup's window
-      // keyed on content hash over survivors only, then the distributed
-      // prefix-sum pack).
+      // corpus actually runs, as ONE DataFrame chain in RefinedWeb
+      // order: URL/domain gate (blocklist + over-cap domains dropped)
+      // → language filter → Gopher quality gate → exact dedup (keep
+      // canonical) → pack survivors into ~1000-token shards. Every
+      // stage is the individually-oracle-verified operator; this query
+      // verifies the COMPOSITION (domain set computed on a
+      // source-only pruned scan and broadcast back, text filters fused
+      // into one scan pass, dedup's window keyed on content hash over
+      // survivors only, then the distributed prefix-sum pack).
+      import graft.functions.UrlFunctions
       val p = s.sessionState.conf.numShufflePartitions
       val docs = load(s, dir, "documents").repartition(p)
       val t = col("text")
-      val kept = docs
+      val domExpr = UrlFunctions.registrableDomain(
+        UrlFunctions.urlHost(UrlQueries.urlExpr))
+      // stage 0, the RefinedWeb domain prior: the (blocklist ∪ >5%
+      // over-cap) domain set comes from a scan pruned to (doc_id,
+      // source) — at 100 TB this pass never touches text — and is
+      // broadcast back as an anti-join on the single main scan
+      val withDom = load(s, dir, "documents")
+        .select(domExpr.as("domain"))
+      val stats = withDom.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+      val total = withDom.agg(count(lit(1)).as("total"))
+      val badDomains = stats.crossJoin(broadcast(total))
+        .filter(col("n_docs") * 20 > col("total") ||
+          col("domain").isin(UrlQueries.Blocklist: _*))
+        .select(col("domain"))
+      val gated = docs.withColumn("domain", domExpr)
+        .join(broadcast(badDomains), Seq("domain"), "left_anti")
+      val kept = gated
         .withColumn("lang_pred", TextFunctions.langId(t))
         .filter(col("lang_pred") === lit("en"))
         .filter(TextFunctions.gopherWordCountOk(t, lo = 20) &&
@@ -494,11 +514,12 @@ object TextQueries {
       // than re-running the kernel for the output column.
       val survivors = DedupOps.exactDuplicates(kept, "doc_id", "text")
         .filter(!col("is_duplicate"))
-        .select(col("doc_id"), lit("en").as("lang_pred"),
+        .select(col("doc_id"), col("domain"), lit("en").as("lang_pred"),
           TextFunctions.tokenCount(t).cast("long").as("n_tokens"))
       graft.ops.ShardOps.packShards(survivors, "doc_id", "n_tokens",
           targetWeight = 1000L)
-        .select(col("doc_id"), col("lang_pred"), col("n_tokens"), col("shard_id"))
+        .select(col("doc_id"), col("domain"), col("lang_pred"),
+          col("n_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))
     },
     "q_decontaminate" -> { (s, dir) =>
@@ -1585,11 +1606,21 @@ object TextQueries {
          |    / 1000.0) AS BIGINT) AS shard_id
          |FROM t ORDER BY doc_id""".stripMargin
 
-    // the composed pipeline reuses the langid CASE chain and the
-    // quality-rule metrics verbatim, then dedups and packs survivors —
-    // any drift between a stage and its standalone oracle shows up here
+    // the composed pipeline reuses the URL/domain CTEs (UrlQueries),
+    // the langid CASE chain and the quality-rule metrics verbatim,
+    // then dedups and packs survivors — any drift between a stage and
+    // its standalone oracle shows up here
     val prepPipeline =
-      s"""WITH t AS (SELECT doc_id, text, $toks AS toks FROM documents),
+      s"""WITH ${UrlQueries.hostCtes},
+         |domt AS (SELECT doc_id, ${UrlQueries.domainSql} AS domain FROM dom0),
+         |dstats AS (SELECT domain, count(*) AS n_docs FROM domt GROUP BY 1),
+         |dtot AS (SELECT count(*) AS total FROM domt),
+         |dbad AS (SELECT domain FROM dstats CROSS JOIN dtot
+         |  WHERE n_docs * 20 > total OR domain IN (${UrlQueries.blockList})),
+         |gated AS (SELECT doc_id, domain FROM domt
+         |  WHERE domain NOT IN (SELECT domain FROM dbad)),
+         |t AS (SELECT d.doc_id, g.domain, d.text, $toks AS toks
+         |  FROM documents d JOIN gated g ON d.doc_id = g.doc_id),
          |h AS (SELECT doc_id,
          |  ${codes.map { c =>
               val ws = graft.functions.TextFunctions.LangStopwords(c)
@@ -1608,18 +1639,18 @@ object TextQueries {
          |    ELSE (length(text) - length(translate(text, '#@~', '')))::DOUBLE / len(toks) END AS symbol_ratio,
          |  len(list_filter(list_distinct(toks), x -> x IN ($stopIn)))::BIGINT AS stop_hits
          |  FROM t),
-         |kept AS (SELECT t.doc_id, t.text, lang.lang_pred, len(t.toks)::BIGINT AS n_tokens
+         |kept AS (SELECT t.doc_id, t.domain, t.text, lang.lang_pred, len(t.toks)::BIGINT AS n_tokens
          |  FROM t JOIN lang ON t.doc_id = lang.doc_id JOIN m ON t.doc_id = m.doc_id
          |  WHERE lang.lang_pred = 'en'
          |    AND m.n_words >= 20 AND m.n_words <= 100000
          |    AND m.mean_len >= 3.0 AND m.mean_len <= 10.0
          |    AND m.symbol_ratio < 0.1 AND m.stop_hits >= 2),
-         |ch AS (SELECT doc_id, lang_pred, n_tokens,
+         |ch AS (SELECT doc_id, domain, lang_pred, n_tokens,
          |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash FROM kept),
-         |surv AS (SELECT doc_id, lang_pred, n_tokens FROM
+         |surv AS (SELECT doc_id, domain, lang_pred, n_tokens FROM
          |  (SELECT ch.*, min(doc_id) OVER (PARTITION BY content_hash) AS keep_id FROM ch)
          |  WHERE doc_id = keep_id)
-         |SELECT doc_id, lang_pred, n_tokens,
+         |SELECT doc_id, domain, lang_pred, n_tokens,
          |  CAST(floor(coalesce(sum(n_tokens) OVER
          |    (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
          |    / 1000.0) AS BIGINT) AS shard_id

@@ -28,7 +28,7 @@ import Tables._
 object UrlQueries {
 
   /** Domains curated out regardless of volume (the editorial blocklist). */
-  private val Blocklist = Seq("src0.com")
+  private[catalog] val Blocklist = Seq("src0.com")
 
   /** Deterministic per-doc URL, identical in Spark and the DuckDB
     * oracle. Variants by doc_id % 8 (see object doc); v5–v7 exercise
@@ -36,7 +36,7 @@ object UrlQueries {
     * private-section suffix (github.io), a wildcard TLD (*.bd), and an
     * exception rule (!city.kawasaki.jp).
     */
-  private def urlExpr: Column = {
+  private[catalog] def urlExpr: Column = {
     val id = col("doc_id")
     val v = pmod(id, lit(8L))
     when(v === 0, concat(lit("HTTP://WWW."), upper(col("source")),
@@ -83,13 +83,13 @@ object UrlQueries {
     UrlKernels.Psl.exception.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
   private val trackerList =
     "['fbclid', 'gclid', 'msclkid', 'ref', 'ref_src', 'igshid', 'mc_eid']"
-  private val blockList = Blocklist.map(s => s"'$s'").mkString(", ")
+  private[catalog] val blockList = Blocklist.map(s => s"'$s'").mkString(", ")
 
   /** The registrable-domain expression over the dom0 CTE (which
     * carries hostd, ls, nl, psl_len): public suffix + one label, or
     * the whole host when it is itself a public suffix or shorter.
     */
-  private val domainSql =
+  private[catalog] val domainSql =
     """CASE WHEN nl <= psl_len + 1 THEN hostd
       |  ELSE array_to_string(list_slice(ls, nl - psl_len, nl), '.') END""".stripMargin
 
@@ -99,7 +99,7 @@ object UrlQueries {
     * = rule labels - 1), else the longest exact or `*.base` wildcard
     * match, else the default rule `*` (psl = 1).
     */
-  private val hostCtes =
+  private[catalog] val hostCtes =
     s"""d AS (SELECT doc_id, n_chars, source FROM documents),
        |u AS (SELECT doc_id, n_chars, $urlSql AS url FROM d),
        |p1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*', '') AS nofrag FROM u),

@@ -80,6 +80,41 @@ object StreamingPrep {
       .filter(col("dsir_weight") >= threshold)
   }
 
+  /** Streaming domain gate — the stream face of the RefinedWeb domain
+    * prior (q_domain_quality / q_prep_pipeline stage 0): extract the
+    * registrable domain of each doc's URL
+    * ([[graft.functions.UrlFunctions.registrableDomain]], full PSL
+    * semantics) and keep docs whose domain the STATIC prior table
+    * marks kept. Like [[importanceGate]], the model is static data and
+    * the computation is stateless per-row kernels + one stream-static
+    * broadcast join, so the gate carries ZERO streaming state; the
+    * prior table (the batch q_domain_quality output, or any
+    * (domain, kept) frame) is re-read per micro-batch when it is a
+    * file source — the "slowly-updated broadcast" refresh pattern.
+    *
+    * `keepUnseen` decides domains absent from the table (a new site
+    * mid-stream): keep by default — the batch prior recomputes on the
+    * next refresh; a strict allowlist deployment passes false.
+    *
+    * Adds `domain`; filters by the prior.
+    */
+  def domainGate(
+      docs: DataFrame,
+      urlCol: String,
+      domainPriors: DataFrame,
+      keepUnseen: Boolean = true
+  ): DataFrame = {
+    import graft.functions.UrlFunctions
+    val priors = broadcast(
+      domainPriors.select(col("domain"), col("kept").as("_domain_kept")))
+    docs
+      .withColumn("domain",
+        UrlFunctions.registrableDomain(UrlFunctions.urlHost(col(urlCol))))
+      .join(priors, Seq("domain"), "left")
+      .filter(coalesce(col("_domain_kept"), lit(keepUnseen)))
+      .drop("_domain_kept")
+  }
+
   private def prepRaw(
       docs: DataFrame,
       idCol: String,

@@ -133,6 +133,32 @@ class PlanSpec extends SparkSuite {
     assert(survivors.count() > 0)
   }
 
+  test("prep pipeline stage 0: domain-stats branch scans a source-only pruned projection") {
+    // the RefinedWeb domain gate computes its (blocklist ∪ over-cap)
+    // set from a scan that must NOT read text — at 100 TB the prior
+    // pass touches only the tiny source/url column, and the bad-domain
+    // set broadcasts back onto the single main scan
+    assume(new java.io.File(s"$SfDir/documents.parquet").exists())
+    import graft.functions.UrlFunctions
+    val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+    val domExpr = UrlFunctions.registrableDomain(
+      UrlFunctions.urlHost(concat(lit("https://"), col("source"), lit(".com/"))))
+    val stats = docs.select(domExpr.as("domain"))
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_docs"))
+    val statsPlan = stats.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(statsPlan).toList
+    assert(readSchemas.nonEmpty, statsPlan.take(1500))
+    readSchemas.foreach { rs =>
+      assert(rs.contains("source") && !rs.contains("text"), rs)
+    }
+    val gated = docs.withColumn("domain", domExpr)
+      .join(broadcast(stats.filter(col("n_docs") > 1000000).select(col("domain"))),
+        Seq("domain"), "left_anti")
+    val gp = plan(gated)
+    assert(gp.contains("BroadcastExchange"), gp.take(2000)) // set broadcasts back
+    assert(gated.count() > 0)
+  }
+
   test("classifier inference broadcasts the model, never shuffles tokens to it") {
     assume(new java.io.File(s"$SfDir/documents.parquet").exists())
     import spark.implicits._

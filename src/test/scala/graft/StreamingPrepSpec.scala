@@ -95,4 +95,44 @@ class StreamingPrepSpec extends SparkSuite {
       assert(kept == Set(10L, 12L), kept.toString)
     } finally query.stop()
   }
+
+  test("domainGate applies the static domain prior across micro-batches") {
+    implicit val sq = spark.sqlContext
+    // the slowly-updated broadcast: a (domain, kept) prior table — the
+    // shape q_domain_quality emits. spam.com is curated out;
+    // user.github.io (full-PSL registrable domain) is kept.
+    val priors = Seq(("spam.com", false), ("user.github.io", true),
+        ("news.co.uk", true))
+      .toDF("domain", "kept")
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val docs = stream.toDF().toDF("ts", "doc_id", "url")
+    val query = StreamingPrep.domainGate(docs, "url", priors)
+      .writeStream.format("memory").queryName("domain_gate_out")
+      .outputMode("append").start()
+    try {
+      def t(minutes: Long) = new Timestamp(T0 + minutes * 60000)
+      stream.addData(
+        (t(1), 1L, "https://www.SPAM.com/offer?id=1"),    // blocked
+        (t(2), 2L, "https://user.github.io/post/2"),      // kept (PSL)
+        (t(3), 3L, "https://brand.new.site/x"))           // unseen: kept
+      query.processAllAvailable()
+      // second micro-batch: the same static prior still applies, and
+      // the gate holds no state between batches
+      stream.addData(
+        (t(5), 4L, "http://a.spam.com:80/again"),          // blocked
+        (t(6), 5L, "https://www.news.co.uk/world"))        // kept
+      query.processAllAvailable()
+      val rows = spark.sql("select doc_id, domain from domain_gate_out")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(rows.keySet == Set(2L, 3L, 5L), rows.toString)
+      assert(rows(2L) == "user.github.io")
+      assert(rows(5L) == "news.co.uk")
+      // strict allowlist mode drops the unseen domain
+      val strict = StreamingPrep.domainGate(
+        Seq((new Timestamp(T0), 9L, "https://brand.new.site/x"))
+          .toDF("ts", "doc_id", "url"),
+        "url", priors, keepUnseen = false)
+      assert(strict.count() == 0)
+    } finally query.stop()
+  }
 }
