@@ -447,6 +447,22 @@ object TextQueries {
         .select(col("rank"), col("piece"), col("freq"))
         .orderBy(col("rank"))
     },
+    "q_unigram_train_round2" -> { (s, dir) =>
+      // ROUND 2 of the unigram trainer, in a scenario where round 2 is
+      // DISTINGUISHING (vocabSize=40, seedFactor=1: the binding seed
+      // cut makes two words re-segment and one piece die in round 2 —
+      // a bug that reused the round-1 model would fail this row). The
+      // oracle chains the round-1 machinery: round 2's re-count is SQL
+      // joined to the pinned independent Viterbi map segmented under
+      // the FROZEN round-1 model (UnigramTrainPinned.SegMapValues2 /
+      // tools/unigram_round1_v40s1_model.json), and the binding final
+      // prune (all singles + best multi to vocabSize) replays in SQL.
+      graft.ops.CorpusOps.unigramTrain(load(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 40, maxPieceLen = 4,
+          emRounds = 2, seedFactor = 1)
+        .select(col("rank"), col("piece"), col("freq"))
+        .orderBy(col("rank"))
+    },
     "q_shard_pack" -> { (s, dir) =>
       // pack the corpus into ~1000-token training shards in doc_id
       // order — two-level distributed prefix sum (ShardOps), never a
@@ -2049,7 +2065,8 @@ object TextQueries {
       "q_pii_redact" -> piiRedact,
       "q_unigram_encode" -> unigramEncodePinned,
       "q_unigram_seed" -> unigramSeed,
-      "q_unigram_train_round" -> unigramTrainRound
+      "q_unigram_train_round" -> unigramTrainRound,
+      "q_unigram_train_round2" -> unigramTrainRound2
     )
   }
 
@@ -2102,6 +2119,43 @@ object TextQueries {
        |SELECT row_number() OVER (ORDER BY freq DESC, piece)::BIGINT AS rank,
        |  piece, freq
        |FROM survived ORDER BY rank""".stripMargin
+  }
+
+  /** Round-2 replay, chained: the re-count joins the pinned Viterbi
+    * map segmented under the FROZEN round-1 model of the vocabSize=40/
+    * seedFactor=1 scenario ([[UnigramTrainPinned.SegMapValues2]]);
+    * survival floor and the BINDING final prune (all singles + best
+    * multi-char pieces to vocabSize, by (freq desc, piece asc)) replay
+    * in SQL over corpus data.
+    */
+  private def unigramTrainRound2: String = {
+    val toks = sqlTokens("text")
+    s"""WITH words AS (SELECT word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest($toks) AS word FROM documents) GROUP BY 1),
+       |seg AS (SELECT * FROM ${UnigramTrainPinned.SegMapValues2}),
+       |counts AS (SELECT s.piece, sum(w.freq)::BIGINT AS cnt
+       |  FROM words w JOIN seg s ON w.word = s.word GROUP BY 1),
+       |chars AS (SELECT DISTINCT unnest(
+       |    [substring(word, s, 1) for s in range(1, length(word) + 1)]) AS piece
+       |  FROM words),
+       |survived AS (
+       |  SELECT c.piece, greatest(coalesce(k.cnt, 0), 1)::BIGINT AS freq,
+       |    1 AS is_single
+       |  FROM chars c LEFT JOIN counts k ON c.piece = k.piece
+       |  UNION ALL
+       |  SELECT piece, cnt AS freq, 0 FROM counts WHERE length(piece) > 1),
+       |nsing AS (SELECT count(*)::BIGINT AS ns FROM survived WHERE is_single = 1),
+       |multi_ranked AS (SELECT piece, freq,
+       |    row_number() OVER (ORDER BY freq DESC, piece) AS mrn
+       |  FROM survived WHERE is_single = 0),
+       |pruned AS (
+       |  SELECT piece, freq FROM survived WHERE is_single = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM multi_ranked CROSS JOIN nsing
+       |  WHERE mrn <= greatest(40 - ns, 0))
+       |SELECT row_number() OVER (ORDER BY freq DESC, piece)::BIGINT AS rank,
+       |  piece, freq
+       |FROM pruned ORDER BY rank""".stripMargin
   }
 
   /** Pinned oracle for the Viterbi unigram ENCODE: the DP is not

@@ -649,18 +649,45 @@ object CorpusOps {
     import spark.implicits._
 
     val words = unigramWords(df, textCol)
-    val (seedSingles, seedMulti) =
-      unigramSeedModel(words, vocabSize, maxPieceLen, seedFactor)
+    val (model, singleSet) =
+      unigramEmModel(words, vocabSize, maxPieceLen, emRounds, seedFactor)
 
     def renorm(cs: Seq[(String, Long)]): (Seq[String], Seq[Double]) =
       unigramRenorm(cs)
 
+    val keptSingles = model.filter(m => singleSet.contains(m._1))
+    val keptMulti = model.filterNot(m => singleSet.contains(m._1))
+      .take(math.max(0, vocabSize - keptSingles.size))
+    val finalModel = (keptSingles ++ keptMulti).sortBy { case (p, c) => (-c, p) }
+    val (_, fl) = renorm(finalModel)
+    finalModel.zip(fl).zipWithIndex
+      .map { case (((p, c), lp), i) => (i + 1L, p, c, lp) }
+      .toDF("rank", "piece", "freq", "logp")
+  }
+
+  /** The seed + `emRounds`× hard-EM core of [[unigramTrain]], returning
+    * (model counts sorted by (-cnt, piece), the seed single-char set).
+    * Shared by the trainer and [[graft.tools.UnigramRoundExport]]
+    * (which freezes a round's output model for the chained
+    * q_unigram_train_round/_round2 pinned replays), so tool and
+    * trainer cannot drift.
+    */
+  private[graft] def unigramEmModel(
+      words: DataFrame,
+      vocabSize: Int,
+      maxPieceLen: Int,
+      emRounds: Int,
+      seedFactor: Int): (Seq[(String, Long)], Set[String]) = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val (seedSingles, seedMulti) =
+      unigramSeedModel(words, vocabSize, maxPieceLen, seedFactor)
     var model: Seq[(String, Long)] =
       (seedSingles ++ seedMulti).sortBy { case (p, c) => (-c, p) }
     val singleSet = seedSingles.map(_._1).toSet
     var r = 0
     while (r < emRounds) {
-      val (pieces, logps) = renorm(model)
+      val (pieces, logps) = unigramRenorm(model)
       val counts = words
         .select(col("freq"),
           explode(graft.functions.TextFunctions.unigramEncode(
@@ -677,15 +704,7 @@ object CorpusOps {
       }.sortBy { case (p, c) => (-c, p) }
       r += 1
     }
-
-    val keptSingles = model.filter(m => singleSet.contains(m._1))
-    val keptMulti = model.filterNot(m => singleSet.contains(m._1))
-      .take(math.max(0, vocabSize - keptSingles.size))
-    val finalModel = (keptSingles ++ keptMulti).sortBy { case (p, c) => (-c, p) }
-    val (_, fl) = renorm(finalModel)
-    finalModel.zip(fl).zipWithIndex
-      .map { case (((p, c), lp), i) => (i + 1L, p, c, lp) }
-      .toDF("rank", "piece", "freq", "logp")
+    (model, singleSet)
   }
 
   /** Collected seed model of [[unigramTrain]]: (singles, topMulti) —

@@ -1,0 +1,58 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** One-shot exporter behind the chained q_unigram_train_round2 oracle:
+  * runs the unigram trainer's seed + `rounds`× hard-EM via the exact
+  * shared code path ([[graft.ops.CorpusOps.unigramEmModel]]) and
+  * writes `tools/unigram_round<rounds>_model.json` as rows of
+  * `[piece, count, logp]` — the model state round `rounds`+1 starts
+  * from. logp serializes via `Double.toString` (shortest round-trip
+  * decimal; Python `float()` parses the identical binary64), so the
+  * independent replay `tools/unigram_train_replay.py --model <file>`
+  * Viterbi-segments under bit-identical ln-probs and every DP tie
+  * resolves exactly as in the kernel.
+  *
+  * Usage: runMain graft.tools.UnigramRoundExport
+  *          <sfDir> [rounds] [vocabSize] [seedFactor]
+  * Re-run only when the pinned scenario changes; the gate's point is
+  * that each round's input model is FROZEN and that round's re-count
+  * is replayed independently. The q_unigram_train_round2 scenario is
+  * (rounds=1, vocabSize=40, seedFactor=1): the binding seed cut makes
+  * round 2 genuinely distinguishing on this corpus — two words
+  * re-segment and one piece dies in round 2 (a converged scenario
+  * would let a round-2 bug that reuses the round-1 model pass).
+  */
+object UnigramRoundExport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 1
+    val vocabSize = if (args.length > 2) args(2).toInt else 500
+    val seedFactor = if (args.length > 3) args(3).toInt else 4
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val words = graft.ops.CorpusOps.unigramWords(docs, "text")
+    val (model, singleSet) = graft.ops.CorpusOps.unigramEmModel(
+      words, vocabSize, maxPieceLen = 4, emRounds = rounds,
+      seedFactor = seedFactor)
+    val (pieces, logps) = graft.ops.CorpusOps.unigramRenorm(model)
+
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+
+    val json = pieces.lazyZip(model.map(_._2)).lazyZip(logps)
+      .map { (p, c, lp) => s"""["${esc(p)}", $c, $lp]""" }
+      .mkString("[\n", ",\n", "\n]\n")
+    val out = s"tools/unigram_round${rounds}_v${vocabSize}s${seedFactor}_model.json"
+    Files.write(Paths.get(out), json.getBytes("UTF-8"))
+    println(s"wrote $out: ${pieces.length} pieces " +
+      s"(${model.count(m => singleSet.contains(m._1))} singles)")
+    spark.stop()
+  }
+}

@@ -19,9 +19,14 @@ q_unigram_train_round oracle joins against its SQL-derived word-
 frequency table — the re-count, survival floor, and ranking all stay
 pure SQL over corpus data.
 
-Usage: unigram_train_replay.py <sf_dir> [--scala]
+Usage: unigram_train_replay.py <sf_dir> [--scala] [--model <file>] [--val <name>]
   default: tab-separated (word, piece) rows
   --scala: the Scala string literal for catalog/UnigramTrainPinned.scala
+  --model: frozen model JSON to segment under (default
+           unigram_seed_model.json -> the round-1 re-count; pass
+           unigram_round1_model.json, exported by
+           graft.tools.UnigramRoundExport, for the round-2 re-count)
+  --val:   Scala val name with --scala (default SegMapValues)
 """
 import json
 import os
@@ -65,8 +70,14 @@ def viterbi(word, lp, max_len):
 def main():
     sf_dir = sys.argv[1]
     as_scala = "--scala" in sys.argv
+    model_file = "unigram_seed_model.json"
+    if "--model" in sys.argv:
+        model_file = sys.argv[sys.argv.index("--model") + 1]
+    val_name = "SegMapValues"
+    if "--val" in sys.argv:
+        val_name = sys.argv[sys.argv.index("--val") + 1]
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "unigram_seed_model.json")) as f:
+    with open(os.path.join(here, model_file)) as f:
         model = json.load(f)
     lp = {p: float(v) for p, c, v in model}
     max_len = max(len(p) for p in lp)
@@ -82,7 +93,7 @@ def main():
             rows.append((w, piece))
 
     if as_scala:
-        print("  val SegMapValues: String =")
+        print(f"  val {val_name}: String =")
         body = ",\n".join(f"    |  ('{w}', '{p}')" for w, p in rows)
         print('    """(VALUES')
         print(body)
