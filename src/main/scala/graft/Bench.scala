@@ -225,9 +225,38 @@ object Bench {
     val RetimeFactor = 1.5
     val RetimeSlackSec = 0.5
     val RetimeCap = 24 // a fully-loaded run must not double its own wall
+    // Per-row quiet CPU bands (VERDICT r12 #1) ride the same walls file
+    // as "name@cpu" keys (promoted by tools/promote_walls.py). They
+    // machine-classify a still-busted row: the r12 driver run showed
+    // the load probe blind to hypervisor/cgroup contention (q_clustering
+    // wall 39.9 s vs 8.55 quiet with cpu 528 s vs ~140 — load read
+    // 0.039, under the 0.1 flag bound), so the cpu column is the
+    // decisive witness and the verdict must be machine-readable, not a
+    // human reading columns.
+    val quietCpu: Map[String, Double] = quietWalls.collect {
+      case (k, v) if k.endsWith("@cpu") => k.stripSuffix("@cpu") -> v
+    }
     def bustsBand(name: String, wall: Double): Boolean =
       quietWalls.get(name).exists(w =>
         wall > math.max(w * RetimeFactor, w + RetimeSlackSec))
+    // verdict for a row still above its wall band after the re-time:
+    //   spill — executor memory pressure shaped the number (real)
+    //   cpu   — consumed jiffies far above the quiet cpu band =
+    //           contention (steal / memory bandwidth): the host did
+    //           more work for the same query
+    //   wall  — cpu within band but wall inflated = dispatch wait /
+    //           descheduling: the work was the same, the clock ran on
+    //   unknown — no committed cpu band (or the proc read failed)
+    def bustVerdict(cpu: Double, spillMem: Long, spillDisk: Long,
+        name: String): String =
+      if (spillMem > 0 || spillDisk > 0) "spill"
+      else if (cpu < 0) "unknown"
+      else quietCpu.get(name) match {
+        case Some(cw) =>
+          if (cpu > math.max(cw * RetimeFactor, cw + RetimeSlackSec)) "cpu"
+          else "wall"
+        case None => "unknown"
+      }
     case class Row(name: String, first: Double, best: Double, load: Double,
       cpu: Double, jobs1: Long, jobs2: Long, spillMem: Long, spillDisk: Long)
     var calMid = -1.0
@@ -457,6 +486,15 @@ object Bench {
     val stillBusted = results.collect {
       case r if r.best >= 0 && bustsBand(r.name, r.best) => r.name }
     val stillBustedJson = stillBusted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // machine classification of every still-busted row (VERDICT r12 #1)
+    val bustedVerdicts: Seq[(String, String)] = results.collect {
+      case r if r.best >= 0 && bustsBand(r.name, r.best) =>
+        r.name -> bustVerdict(r.cpu, r.spillMem, r.spillDisk, r.name)
+    }
+    val bustedVerdictsJson = bustedVerdicts
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    def verdictCount(v: String): Int = bustedVerdicts.count(_._2 == v)
     // per-row job counts, both passes (jobs = the pass the min came
     // from is NOT singled out — pass-1 includes memo builds, pass-2 is
     // the steady state; a banded wall with flat jobs on both passes is
@@ -484,7 +522,7 @@ object Bench {
       "tools/bench_detail_driver.json")
     try {
       val w = new java.io.PrintWriter(detailPath, "UTF-8")
-      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"spill":$spillJson,"spill_total":$spillTotal,"retimed":$retimedJson,"band_busted":$stillBustedJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"jobs_pass1":$jobsJson,"jobs_pass2":$jobs2Json,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
+      try w.println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsFull,"queries_first":$qsFirst,"total_first":$totalFirst,"load":$loadJson,"cpu":$cpuJson,"spill":$spillJson,"spill_total":$spillTotal,"retimed":$retimedJson,"band_busted":$stillBustedJson,"band_busted_verdicts":$bustedVerdictsJson,"load_flagged":$flaggedJson,"load_flag_bound":$LoadFlagBound,"calibration":$calJson,"jobs_pass1":$jobsJson,"jobs_pass2":$jobs2Json,"memo_builds":$memoJson,"recall":$recallJson,"sf":"$sfDir"}""")
       finally w.close()
       System.err.println(s"[bench] full detail written to $detailPath")
     } catch {
@@ -504,9 +542,12 @@ object Bench {
         else ""
       // self-adjudication counters always ride the compact line:
       // flagged rows, re-timed rows, rows still above their quiet band
-      // after the re-time, and total spill bytes (the names and
-      // before/after walls live in the detail file)
-      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)},"load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"spill_total":$spillTotal$cal,"detail":"$detailPath","sf":"$sfDir"}"""
+      // after the re-time — each with its machine verdict — and total
+      // spill bytes (before/after walls live in the detail file)
+      val busted =
+        if (bustedVerdicts.isEmpty) ""
+        else s""","busted":$bustedVerdictsJson"""
+      s"""{"metric":"total","value":${dp(total)},"unit":"sec","queries":$qs,"total_first":${dp(totalFirst)},"load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size}$busted,"spill_total":$spillTotal$cal,"detail":"$detailPath","sf":"$sfDir"}"""
     }
     // Last ladder rungs for a timed list that has outgrown full
     // per-row precision (the 80-row r9 list at 2 decimals is ~2005
@@ -526,7 +567,10 @@ object Bench {
       val header = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
       def footer(foldedN: Int) =
         (if (foldedN > 0) s""","compact_folded_n":$foldedN""" else "") +
-          s""","load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"spill_total":$spillTotal,"sf":"$sfDir"}"""
+          // the slim rungs fold the per-row verdict map into class
+          // counters (bounded at any busted count); the full map
+          // always lives in the detail file
+          s""","load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"busted_cpu_n":${verdictCount("cpu")},"busted_wall_n":${verdictCount("wall")},"busted_spill_n":${verdictCount("spill")},"spill_total":$spillTotal,"sf":"$sfDir"}"""
       val sorted = results.map(r => (r.name, r.best)).sortBy(-_._2)
       val sb = new StringBuilder
       var folded = 0
