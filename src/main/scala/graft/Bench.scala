@@ -565,17 +565,27 @@ object Bench {
       else f"$v%.2f"
     def slimLine(budget: Int): String = {
       val header = s"""{"metric":"total","value":${r2(total)},"unit":"sec","queries":{"""
+      // the slim rungs keep the per-row verdict map while it stays
+      // small (the typical loaded window: single digits busted) and
+      // fold to class counters above the cap — bounded at any busted
+      // count, never a silent drop (busted_overflow names the cut);
+      // the full map always lives in the detail file
+      val bustedSlim =
+        if (bustedVerdicts.isEmpty) ""
+        else if (bustedVerdicts.size <= 12) s""","busted":$bustedVerdictsJson"""
+        else s""","busted_overflow_n":${bustedVerdicts.size}"""
       def footer(foldedN: Int) =
         (if (foldedN > 0) s""","compact_folded_n":$foldedN""" else "") +
-          // the slim rungs fold the per-row verdict map into class
-          // counters (bounded at any busted count); the full map
-          // always lives in the detail file
-          s""","load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"busted_cpu_n":${verdictCount("cpu")},"busted_wall_n":${verdictCount("wall")},"busted_spill_n":${verdictCount("spill")},"spill_total":$spillTotal,"sf":"$sfDir"}"""
+          s""","load_flagged_n":${flagged.size},"retimed_n":${retimed.size},"band_busted_n":${stillBusted.size},"busted_cpu_n":${verdictCount("cpu")},"busted_wall_n":${verdictCount("wall")},"busted_spill_n":${verdictCount("spill")}$bustedSlim,"spill_total":$spillTotal,"sf":"$sfDir"}"""
       val sorted = results.map(r => (r.name, r.best)).sortBy(-_._2)
       val sb = new StringBuilder
       var folded = 0
       var foldSum = 0.0
-      val reserve = 64 // room for the fold entry + footer growth
+      // footer is measured, not guessed — the busted-verdict map rides
+      // it and would otherwise silently push the line past the
+      // driver's stdout tail; reserve covers the fold entry + the
+      // folded-count digits the measured footer(999) already includes
+      val reserve = 40 + footer(999).length
       sorted.foreach { case (k, v) =>
         val enc = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + sig2(v)
         if (header.length + sb.length + enc.length + reserve <= budget) sb.append(enc)

@@ -154,7 +154,7 @@ object SparkEntry {
     "q_communities_refined", "q_modularity_refined", "q_score_crosssession",
     "q_betweenness_sampled", "q_url_normalize", "q_domain_filter",
     "q_domain_quality",
-    "q_unigram_seed", "q_unigram_train_round",
+    "q_unigram_seed", "q_unigram_train_round", "q_unigram_train_round2",
     "q_pipeline_search"
   )
 }

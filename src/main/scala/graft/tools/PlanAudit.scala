@@ -15,9 +15,11 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val registry = graft.SparkEntry.queries ++
+      graft.SparkEntry.benchExtras ++ graft.SparkEntry.benchUntimed
     args.drop(1).foreach { q =>
       println(s"===== $q =====")
-      graft.SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+      registry(q)(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }
