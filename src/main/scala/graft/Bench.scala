@@ -483,14 +483,14 @@ object Bench {
     val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":[" + r3(v._1) + "," + r3(v._2) + "]" }
       .mkString("{", ",", "}")
-    val stillBusted = results.collect {
-      case r if r.best >= 0 && bustsBand(r.name, r.best) => r.name }
-    val stillBustedJson = stillBusted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // machine classification of every still-busted row (VERDICT r12 #1)
+    // machine classification of every still-busted row (VERDICT r12 #1);
+    // the busted-name list derives from it so the two can't diverge
     val bustedVerdicts: Seq[(String, String)] = results.collect {
       case r if r.best >= 0 && bustsBand(r.name, r.best) =>
         r.name -> bustVerdict(r.cpu, r.spillMem, r.spillDisk, r.name)
     }
+    val stillBusted = bustedVerdicts.map(_._1)
+    val stillBustedJson = stillBusted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val bustedVerdictsJson = bustedVerdicts
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")

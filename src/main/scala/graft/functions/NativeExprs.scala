@@ -1122,8 +1122,8 @@ private[functions] object NativeExprs {
   }
 
   /** Registrable-domain extraction from a host
-    * ([[UrlKernels.registrableDomain]]): last two labels, or three over
-    * the fixed multi-part public-suffix set.
+    * ([[UrlKernels.registrableDomain]]): full Public Suffix List
+    * semantics over the built-in [[PublicSuffixList]] snapshot.
     */
   case class RegistrableDomain(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType

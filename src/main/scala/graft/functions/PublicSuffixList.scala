@@ -73,21 +73,25 @@ object PublicSuffixList {
   def publicSuffixLength(labels: Array[String], rules: Rules): Int = {
     val n = labels.length
     var best = 1 // the prevailing default rule "*"
+    var excK = 0 // longest matching exception rule (0 = none)
     var k = 1
     var prev = "" // suffix of k-1 labels, carried between iterations
     while (k <= n) {
       val suffix =
         if (k == 1) labels(n - 1) else labels(n - k) + "." + prev
-      // exception rules win outright: public suffix is the rule minus
-      // its leftmost label
-      if (rules.exception.contains(suffix)) return k - 1
+      // exception rules beat everything; among several (custom tables
+      // can nest them — the real PSL doesn't) the LONGEST prevails,
+      // matching the publicsuffix.org spec, the join path
+      // (UrlOps max(_exck)), and the oracle's list_max
+      if (rules.exception.contains(suffix)) excK = k
       if (rules.exact.contains(suffix) && k > best) best = k
       // "*.base" matches a (k = |base|+1)-label suffix
       if (k >= 2 && rules.wildcard.contains(prev) && k > best) best = k
       prev = suffix
       k += 1
     }
-    math.min(best, n)
+    // exception: public suffix is the rule minus its leftmost label
+    if (excK > 0) excK - 1 else math.min(best, n)
   }
 
   /** Registrable domain of `host` under `rules`: public suffix + one

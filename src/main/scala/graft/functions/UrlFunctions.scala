@@ -21,8 +21,10 @@ object UrlFunctions {
   def urlHost(url: Column): Column =
     GraftSqlShim.column(NativeExprs.UrlHost(GraftSqlShim.expression(url)))
 
-  /** Registrable domain of a host: last two labels, or last three over
-    * the fixed multi-part public-suffix set ([[UrlKernels.MultiPartSuffixes]]).
+  /** Registrable domain of a host under the built-in Public Suffix
+    * List snapshot ([[PublicSuffixList]]: longest rule wins, `*.x`
+    * wildcards, `!y.x` exceptions, default rule `*`; a single trailing
+    * root dot is stripped).
     */
   def registrableDomain(host: Column): Column =
     GraftSqlShim.column(NativeExprs.RegistrableDomain(GraftSqlShim.expression(host)))

@@ -652,14 +652,11 @@ object CorpusOps {
     val (model, singleSet) =
       unigramEmModel(words, vocabSize, maxPieceLen, emRounds, seedFactor)
 
-    def renorm(cs: Seq[(String, Long)]): (Seq[String], Seq[Double]) =
-      unigramRenorm(cs)
-
     val keptSingles = model.filter(m => singleSet.contains(m._1))
     val keptMulti = model.filterNot(m => singleSet.contains(m._1))
       .take(math.max(0, vocabSize - keptSingles.size))
     val finalModel = (keptSingles ++ keptMulti).sortBy { case (p, c) => (-c, p) }
-    val (_, fl) = renorm(finalModel)
+    val (_, fl) = unigramRenorm(finalModel)
     finalModel.zip(fl).zipWithIndex
       .map { case (((p, c), lp), i) => (i + 1L, p, c, lp) }
       .toDF("rank", "piece", "freq", "logp")

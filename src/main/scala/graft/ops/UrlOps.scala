@@ -51,8 +51,13 @@ object UrlOps {
         explode(sequence(lit(1), col("_nl"))).as("_k"))
       .withColumn("_suffix",
         concat_ws(".", slice(col("_ls"), -col("_k"), col("_k"))))
+      // guarded: slice with start 0 / length 0 (the k=1 row) throws in
+      // Spark — don't rely on the downstream _k >= 2 filter being
+      // pushed below this projection
       .withColumn("_base",
-        concat_ws(".", slice(col("_ls"), lit(1) - col("_k"), col("_k") - 1)))
+        when(col("_k") >= 2, concat_ws(".",
+          slice(col("_ls"), lit(1) - col("_k"), col("_k") - 1)))
+          .otherwise(lit("")))
     val r = broadcast(rules.select(col("rtype"), col("rule")))
     // exact + exception match on the full k-label suffix
     val direct = cand.join(r,

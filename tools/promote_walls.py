@@ -9,11 +9,14 @@ re-times, and machine-classifies against (wall band: re-time trigger;
 cpu band: the busted-row verdict "cpu" = contention vs "wall" =
 dispatch wait).
 
-Eligibility is enforced, not assumed: a run whose compact/detail
-record carries load_flagged > 0, band_busted rows with verdict
-spill, or spill_total > 0 is rejected (pass --force to override with
-an explicit stderr note). Rows present in only some runs (new queries
-mid-round) take the min over the runs that have them.
+Eligibility is enforced per row, not assumed: within each run, rows
+named in load_flagged and rows with nonzero spill bytes are skipped
+(their number in THAT run was contended/pressured; other rows of the
+same run remain valid min samples). A run with nothing usable
+contributes nothing. --strict rejects any run with flagged rows or
+spill outright (the old whole-run rule); --force downgrades even that
+to a warning. Rows present in only some runs (new queries mid-round)
+take the min over the runs that have them.
 
 Usage: promote_walls.py <detail.json | series_dir> ... [--out FILE] [--force]
 """
@@ -35,11 +38,17 @@ def collect(paths):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    force = "--force" in sys.argv
+    argv = sys.argv[1:]
+    force = "--force" in argv
+    strict = "--strict" in argv
     out = "tools/bench_walls.json"
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
+    if "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            sys.exit("--out requires a path")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     files = collect(args)
     if not files:
         sys.exit("no detail files given")
@@ -48,23 +57,28 @@ def main():
     for f in files:
         with open(f) as fh:
             d = json.load(fh)
-        flagged = d.get("load_flagged", [])
+        flagged = set(d.get("load_flagged", []))
+        spill = d.get("spill", {})
+        spilled = {n for n, v in spill.items()
+                   if isinstance(v, list) and any(x > 0 for x in v)}
         spill_total = d.get("spill_total", 0)
-        if (flagged or spill_total) and not force:
-            sys.exit(f"{f}: not a quiet run (load_flagged={flagged}, "
+        if strict and (flagged or spill_total) and not force:
+            sys.exit(f"{f}: not a quiet run (load_flagged={sorted(flagged)}, "
                      f"spill_total={spill_total}); use --force to override")
-        if (flagged or spill_total) and force:
-            print(f"WARNING: promoting non-quiet run {f}", file=sys.stderr)
+        if flagged or spilled:
+            print(f"{f}: skipping contended/pressured rows "
+                  f"{sorted(flagged | spilled)}", file=sys.stderr)
         if sf is None:
             sf = d["sf"]
         elif sf != d["sf"]:
             sys.exit(f"{f}: sf {d['sf']} != {sf} — one walls file per sf")
         for name, wall in d["queries"].items():
-            if wall < 0:
+            if wall < 0 or name in flagged or name in spilled:
                 continue
             walls[name] = min(walls.get(name, float("inf")), wall)
         for name, cpu in d.get("cpu", {}).items():
-            if cpu < 0 or d["queries"].get(name, -1) < 0:
+            if cpu < 0 or d["queries"].get(name, -1) < 0 \
+                    or name in flagged or name in spilled:
                 continue
             cpus[name] = min(cpus.get(name, float("inf")), cpu)
     rec = {"_sf": sf}

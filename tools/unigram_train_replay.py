@@ -24,8 +24,9 @@ Usage: unigram_train_replay.py <sf_dir> [--scala] [--model <file>] [--val <name>
   --scala: the Scala string literal for catalog/UnigramTrainPinned.scala
   --model: frozen model JSON to segment under (default
            unigram_seed_model.json -> the round-1 re-count; pass
-           unigram_round1_model.json, exported by
-           graft.tools.UnigramRoundExport, for the round-2 re-count)
+           unigram_round1_v40s1_model.json, exported by
+           graft.tools.UnigramRoundExport for the vocab=40/seedFactor=1
+           scenario, for the round-2 re-count)
   --val:   Scala val name with --scala (default SegMapValues)
 """
 import json
