@@ -166,4 +166,31 @@ class UrlSpec extends SparkSuite {
     assert(got("y.admin.tenants.corp") == "admin.tenants.corp") // exception
     assert(got("plain.corp") == "plain.corp") // default rule "*"
   }
+
+  test("nested exception rules: the longest match prevails, kernel == join path") {
+    // the real PSL never nests exceptions, but custom tables can; the
+    // spec says longest-match — kernel, join path, and oracle replay
+    // all take max(k) over matching exceptions
+    import graft.ops.UrlOps
+    import graft.functions.PublicSuffixList
+    val rules = PublicSuffixList.parse(
+      """*.c
+        |*.b.c
+        |!b.c
+        |!a.b.c
+        |""".stripMargin.linesIterator)
+    // host x.a.b.c: exceptions b.c (k=2) and a.b.c (k=3) both match;
+    // longest (a.b.c) wins -> ps = b.c -> registrable = a.b.c
+    assert(PublicSuffixList.registrableDomain("x.a.b.c", rules) == "a.b.c")
+    assert(PublicSuffixList.registrableDomain("a.b.c", rules) == "a.b.c")
+    // host x.b.c: only !b.c matches -> ps = c -> registrable = b.c
+    assert(PublicSuffixList.registrableDomain("x.b.c", rules) == "b.c")
+    val got = UrlOps.registrableDomainByTable(
+        Seq("x.a.b.c", "a.b.c", "x.b.c").toDF("h"), col("h"),
+        UrlOps.rulesDf(spark, rules))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("x.a.b.c") == "a.b.c")
+    assert(got("a.b.c") == "a.b.c")
+    assert(got("x.b.c") == "b.c")
+  }
 }
