@@ -193,4 +193,48 @@ class UrlSpec extends SparkSuite {
     assert(got("a.b.c") == "a.b.c")
     assert(got("x.b.c") == "b.c")
   }
+
+  test("randomized rule tables: driver algorithm == distributed join path") {
+    // the join path is the DEPLOY path for a runtime
+    // public_suffix_list.dat — sweep random rule tables (exact/
+    // wildcard/exception over a small label alphabet, so collisions,
+    // nesting, and bare-suffix hosts actually occur) against random
+    // hosts and require the distributed result to equal the driver
+    // algorithm row for row
+    import graft.ops.UrlOps
+    import graft.functions.PublicSuffixList
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], n: Int, seed: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+    val label = Gen.oneOf("a", "b", "c", "dd", "e3")
+    val suffixG = for {
+      n <- Gen.choose(1, 3)
+      ls <- Gen.listOfN(n, label)
+    } yield ls.mkString(".")
+    val ruleG: Gen[String] = Gen.frequency(
+      5 -> suffixG,
+      2 -> suffixG.map("*." + _),
+      1 -> suffixG.map("!" + _))
+    val hostG = for {
+      n <- Gen.choose(1, 5)
+      ls <- Gen.listOfN(n, label)
+      dot <- Gen.frequency(9 -> Gen.const(""), 1 -> Gen.const("."))
+    } yield ls.mkString(".") + dot
+    (0 until 5).foreach { round =>
+      val ruleLines = sample(ruleG, 12, seed = 100L * round + 1).distinct
+      val rules = PublicSuffixList.parse(ruleLines.iterator)
+      val hosts = sample(hostG, 60, seed = 100L * round + 7).distinct
+      val want = hosts.map(h =>
+        h -> PublicSuffixList.registrableDomain(h, rules)).toMap
+      val got = UrlOps.registrableDomainByTable(
+          hosts.toDF("h"), col("h"), UrlOps.rulesDf(spark, rules))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      hosts.foreach { h =>
+        assert(got(h) == want(h),
+          s"round $round host $h rules=${ruleLines.mkString(",")}: " +
+            s"join=${got(h)} driver=${want(h)}")
+      }
+    }
+  }
 }
