@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{UrlFunctions, UrlKernels}
+import graft.functions.UrlFunctions
 import Tables._
 
 /** URL/domain-level curation queries — the CCNet/RefinedWeb stage
@@ -16,8 +16,11 @@ import Tables._
   * Public Suffix List edge space — a ccTLD second-level (co.uk), a
   * private-section suffix (github.io), a wildcard TLD (*.bd), and an
   * exception rule (!city.kawasaki.jp). The oracle replays the full PSL
-  * algorithm in SQL over the rule lists interpolated from
-  * [[graft.functions.PublicSuffixList.builtin]].
+  * algorithm in SQL, joining the rule table interpolated from the
+  * AUTHORITATIVE vendored list
+  * ([[graft.functions.PublicSuffixList.authoritative]], ~9.5k rules)
+  * in the same join shape as the runtime
+  * [[graft.ops.UrlOps.registrableDomainByTable]] path.
   *
   * Scale shape: normalization/domain extraction are fused zero-shuffle
   * row kernels; q_domain_filter is one domain-keyed partial-agg shuffle
@@ -72,15 +75,18 @@ object UrlQueries {
       |  ELSE 'https://City.Kawasaki.JP/ward/' || doc_id::VARCHAR || '?x=1'
       |END""".stripMargin
 
-  // interpolated from the SAME rule sets the kernel uses
-  // (PublicSuffixList.builtin), so the oracle and the engine can't
-  // drift on the suffix/tracker sets
-  private val exactList =
-    UrlKernels.Psl.exact.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
-  private val wildList =
-    UrlKernels.Psl.wildcard.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
-  private val excList =
-    UrlKernels.Psl.exception.toSeq.sorted.map(s => s"'$s'").mkString("[", ", ", "]")
+  // interpolated from the SAME rule table the kernel uses — the
+  // AUTHORITATIVE vendored public_suffix_list.dat (~9.5k rules,
+  // PublicSuffixList.authoritative) — so the oracle and the engine
+  // can't drift on the suffix/tracker sets. At this rule count a
+  // lambda list_contains scan is the wrong shape; the oracle instead
+  // JOINS a (section, rtype, rule) VALUES table, mirroring the
+  // runtime UrlOps.registrableDomainByTable plan (distinct hosts →
+  // suffix explode → rule join → precedence agg → join back).
+  private val rulesValues = graft.functions.PublicSuffixList
+    .authoritative.allWithSection
+    .map { case (t, r, s) => s"('$s', '$t', '$r')" }
+    .mkString(",\n")
   private val trackerList =
     "['fbclid', 'gclid', 'msclkid', 'ref', 'ref_src', 'igshid', 'mc_eid']"
   private[catalog] val blockList = Blocklist.map(s => s"'$s'").mkString(", ")
@@ -93,14 +99,28 @@ object UrlQueries {
     """CASE WHEN nl <= psl_len + 1 THEN hostd
       |  ELSE array_to_string(list_slice(ls, nl - psl_len, nl), '.') END""".stripMargin
 
+  /** [[domainSql]] under the ICANN-only suffix length (dom0 also
+    * carries psl_len_icann) — the registrant-level domain.
+    */
+  private[catalog] val domainIcannSql =
+    """CASE WHEN nl <= psl_len_icann + 1 THEN hostd
+      |  ELSE array_to_string(list_slice(ls, nl - psl_len_icann, nl), '.') END""".stripMargin
+
   /** Shared oracle prelude: synthesized url -> host (lowercased,
     * port-stripped) + label array + PSL public-suffix length, per doc.
-    * The PSL replay mirrors publicsuffix.org: exception rules win (psl
-    * = rule labels - 1), else the longest exact or `*.base` wildcard
-    * match, else the default rule `*` (psl = 1).
+    * The PSL replay mirrors publicsuffix.org in the JOIN shape of
+    * `UrlOps.registrableDomainByTable`: distinct hosts explode into
+    * k-label suffixes, suffixes hash-join the rule table (exact and
+    * exception rules on the full suffix, `*.base` wildcards on the
+    * k−1-label base), and a host-keyed agg applies precedence —
+    * exception wins (psl = rule labels − 1), else the longest match,
+    * else the default rule `*` (psl = 1). Both the full-list and the
+    * ICANN-section-only lengths come out of the same agg.
     */
   private[catalog] val hostCtes =
-    s"""d AS (SELECT doc_id, n_chars, source FROM documents),
+    s"""psl_rules(section, rtype, rule) AS (VALUES
+       |$rulesValues),
+       |d AS (SELECT doc_id, n_chars, source FROM documents),
        |u AS (SELECT doc_id, n_chars, $urlSql AS url FROM d),
        |p1 AS (SELECT doc_id, n_chars, regexp_replace(url, '#.*', '') AS nofrag FROM u),
        |p2 AS (SELECT doc_id, n_chars, nofrag,
@@ -114,16 +134,34 @@ object UrlQueries {
        |lab AS (SELECT *, string_split(hostd, '.') AS ls,
        |    len(string_split(hostd, '.')) AS nl
        |  FROM (SELECT *, regexp_replace(host, '\\.$$', '') AS hostd FROM p4)),
-       |psl AS (SELECT *,
-       |    list_max(list_filter(range(1, nl + 1), k ->
-       |      list_contains($excList, array_to_string(list_slice(ls, nl - k + 1, nl), '.')))) AS exck,
-       |    greatest(
-       |      coalesce(list_max(list_filter(range(1, nl + 1), k ->
-       |        list_contains($exactList, array_to_string(list_slice(ls, nl - k + 1, nl), '.')))), 1),
-       |      coalesce(list_max(list_filter(range(2, nl + 1), k ->
-       |        list_contains($wildList, array_to_string(list_slice(ls, nl - k + 2, nl), '.')))), 1)) AS bestk
-       |  FROM lab),
-       |dom0 AS (SELECT *, CASE WHEN exck IS NOT NULL THEN exck - 1 ELSE bestk END AS psl_len FROM psl)""".stripMargin
+       |hosts AS (SELECT DISTINCT hostd, ls AS hls, nl AS hnl FROM lab),
+       |sfx AS (SELECT hostd, hnl, hls, unnest(range(1, hnl + 1)) AS k FROM hosts),
+       |sfx2 AS (SELECT hostd, k,
+       |    array_to_string(list_slice(hls, hnl - k + 1, hnl), '.') AS sfx,
+       |    CASE WHEN k >= 2
+       |      THEN array_to_string(list_slice(hls, hnl - k + 2, hnl), '.')
+       |      ELSE '' END AS base
+       |  FROM sfx),
+       |psl_hits AS (
+       |  SELECT s.hostd, s.k, r.rtype, r.section FROM sfx2 s
+       |    JOIN psl_rules r ON r.rule = s.sfx AND r.rtype <> 'wildcard'
+       |  UNION ALL
+       |  SELECT s.hostd, s.k, r.rtype, r.section FROM sfx2 s
+       |    JOIN psl_rules r ON r.rule = s.base AND r.rtype = 'wildcard' AND s.k >= 2),
+       |psl_m AS (SELECT hostd,
+       |    max(CASE WHEN rtype = 'exception' THEN k END) AS exck,
+       |    max(CASE WHEN rtype <> 'exception' THEN k END) AS bestk,
+       |    max(CASE WHEN rtype = 'exception' AND section = 'icann' THEN k END) AS exck_i,
+       |    max(CASE WHEN rtype <> 'exception' AND section = 'icann' THEN k END) AS bestk_i
+       |  FROM psl_hits GROUP BY hostd),
+       |hostpsl AS (SELECT h.hostd,
+       |    CASE WHEN m.exck IS NOT NULL THEN m.exck - 1
+       |         ELSE greatest(coalesce(m.bestk, 1), 1) END AS psl_len,
+       |    CASE WHEN m.exck_i IS NOT NULL THEN m.exck_i - 1
+       |         ELSE greatest(coalesce(m.bestk_i, 1), 1) END AS psl_len_icann
+       |  FROM hosts h LEFT JOIN psl_m m USING (hostd)),
+       |dom0 AS (SELECT l.*, hp.psl_len, hp.psl_len_icann
+       |  FROM lab l JOIN hostpsl hp USING (hostd))""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_url_normalize" -> { (s, dir) =>
@@ -162,6 +200,20 @@ object UrlQueries {
             .as("pass_rate"),
           (col("n_pass") * 2 >= col("n_docs")).as("kept"))
         .orderBy(col("domain"))
+    },
+    "q_domain_icann" -> { (s, dir) =>
+      // the icann_only knob: full-list domain (site grouping — PRIVATE
+      // hoster suffixes like github.io split sites apart) next to the
+      // ICANN-section-only domain (registrant grouping); private_suffix
+      // marks docs where a PRIVATE rule changed the answer. Both are
+      // fused zero-shuffle row kernels over one scan.
+      val docs = load(s, dir, "documents")
+      val host = UrlFunctions.urlHost(urlExpr)
+      docs.select(col("doc_id"),
+          UrlFunctions.registrableDomain(host).as("domain"),
+          UrlFunctions.registrableDomainIcann(host).as("domain_icann"))
+        .withColumn("private_suffix", col("domain") =!= col("domain_icann"))
+        .orderBy(col("doc_id"))
     },
     "q_domain_filter" -> { (s, dir) =>
       // domain-level curation: per-domain doc counts (tiny agg), then
@@ -237,6 +289,13 @@ object UrlQueries {
          |      ELSE '' END AS url_norm,
          |  $domainSql AS domain
          |FROM p6 ORDER BY doc_id""".stripMargin,
+    "q_domain_icann" ->
+      s"""WITH $hostCtes
+         |SELECT doc_id,
+         |  $domainSql AS domain,
+         |  $domainIcannSql AS domain_icann,
+         |  ($domainSql) <> ($domainIcannSql) AS private_suffix
+         |FROM dom0 ORDER BY doc_id""".stripMargin,
     "q_domain_filter" ->
       s"""WITH $hostCtes,
          |dom AS (SELECT doc_id, $domainSql AS domain FROM dom0),

@@ -1141,4 +1141,25 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): RegistrableDomain =
       copy(child = newChild)
   }
+
+  /** [[RegistrableDomain]] restricted to the ICANN section of the list
+    * ([[UrlKernels.registrableDomainIcann]]): registrant-level domains,
+    * ignoring PRIVATE-section hoster suffixes.
+    */
+  case class RegistrableDomainIcann(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_registrable_domain_icann"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkString(child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      UrlKernels.registrableDomainIcann(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.UrlKernels.registrableDomainIcann($c)")
+    override protected def withNewChildInternal(newChild: Expression): RegistrableDomainIcann =
+      copy(child = newChild)
+  }
 }

@@ -47,6 +47,26 @@ object PublicSuffixList {
         exception.toSeq.sorted.map(("exception", _))
   }
 
+  /** The two sections of the real list, parsed separately. `icann` is
+    * the registry-controlled section (true registrable-domain
+    * semantics); `priv` is the PRIVATE DOMAINS section (hosting
+    * providers like github.io — wanted for site-grouping, unwanted when
+    * the consumer needs the registrant-level domain). [[all]] is their
+    * union, the default grouping key of the URL-curation stage.
+    */
+  final case class Sectioned(icann: Rules, priv: Rules) {
+    lazy val all: Rules = Rules(
+      icann.exact ++ priv.exact,
+      icann.wildcard ++ priv.wildcard,
+      icann.exception ++ priv.exception)
+    /** (rtype, rule, section) rows for the runtime rule-table path and
+      * the DuckDB oracle — section ∈ icann|private.
+      */
+    def allWithSection: Seq[(String, String, String)] =
+      icann.all.map { case (t, r) => (t, r, "icann") } ++
+        priv.all.map { case (t, r) => (t, r, "private") }
+  }
+
   /** Parse PSL file format: skip blanks and `//` comments, classify
     * `!` and `*.` rules, lowercase everything. The private/ICANN
     * section markers are comments, so both sections load uniformly.
@@ -118,6 +138,38 @@ object PublicSuffixList {
       }
       sb.toString
     }
+  }
+
+  /** Section-aware parse of the real `public_suffix_list.dat` layout:
+    * rules before the `===BEGIN PRIVATE DOMAINS===` marker are ICANN,
+    * rules after it are PRIVATE (the markers themselves are `//`
+    * comments, so [[parse]] reads the same file section-blind).
+    */
+  def parseSectioned(lines: Iterator[String]): Sectioned = {
+    val (icannLines, privLines) =
+      (List.newBuilder[String], List.newBuilder[String])
+    var inPrivate = false
+    lines.foreach { raw =>
+      if (raw.contains("===BEGIN PRIVATE DOMAINS===")) inPrivate = true
+      else if (raw.contains("===END PRIVATE DOMAINS===")) inPrivate = false
+      if (inPrivate) privLines += raw else icannLines += raw
+    }
+    Sectioned(parse(icannLines.result().iterator),
+      parse(privLines.result().iterator))
+  }
+
+  /** The authoritative publicsuffix.org list, vendored verbatim at
+    * `src/main/resources/graft/public_suffix_list.dat` (public registry
+    * data, MPL-2.0; ~9.5k rules incl. IDN/UTF-8 entries) and parsed
+    * once per JVM. This is what the production kernels match against;
+    * [[builtin]] below stays as the compact format-documenting snapshot
+    * (and the parse()-roundtrip fixture).
+    */
+  lazy val authoritative: Sectioned = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "vendored public_suffix_list.dat missing from classpath")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parseSectioned(src.getLines()) finally src.close()
   }
 
   /** The built-in snapshot, parsed once. */

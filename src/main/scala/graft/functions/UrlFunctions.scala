@@ -21,11 +21,20 @@ object UrlFunctions {
   def urlHost(url: Column): Column =
     GraftSqlShim.column(NativeExprs.UrlHost(GraftSqlShim.expression(url)))
 
-  /** Registrable domain of a host under the built-in Public Suffix
-    * List snapshot ([[PublicSuffixList]]: longest rule wins, `*.x`
+  /** Registrable domain of a host under the authoritative Public
+    * Suffix List ([[PublicSuffixList]]: longest rule wins, `*.x`
     * wildcards, `!y.x` exceptions, default rule `*`; a single trailing
-    * root dot is stripped).
+    * root dot is stripped). Matches BOTH sections (ICANN + PRIVATE) —
+    * the site-grouping key (`a.github.io` and `b.github.io` are
+    * different sites).
     */
   def registrableDomain(host: Column): Column =
     GraftSqlShim.column(NativeExprs.RegistrableDomain(GraftSqlShim.expression(host)))
+
+  /** Registrable domain under the ICANN section only — the
+    * registrant-level key (`a.github.io` → `github.io`). Use when the
+    * consumer needs who REGISTERED the domain, not which site it is.
+    */
+  def registrableDomainIcann(host: Column): Column =
+    GraftSqlShim.column(NativeExprs.RegistrableDomainIcann(GraftSqlShim.expression(host)))
 }

@@ -36,16 +36,22 @@ object UrlKernels {
     s
   }
 
-  /** Rule sets backing [[registrableDomain]]: the built-in
-    * [[PublicSuffixList]] snapshot (wildcards and exceptions included),
-    * replacing the former fixed 20-entry multi-part-suffix set. Still
-    * SQL-replayable: the three rule lists are interpolated into the
-    * oracle the same way the old set was. A deployment with the
-    * authoritative `public_suffix_list.dat` either swaps the snapshot
-    * at build time or uses the join-based
-    * [[graft.ops.UrlOps.registrableDomainByTable]] runtime path.
+  /** Rule sets backing [[registrableDomain]]: the AUTHORITATIVE
+    * publicsuffix.org list (vendored, ~9.5k rules, ICANN + PRIVATE
+    * sections — see [[PublicSuffixList.authoritative]]). Still
+    * SQL-replayable: the oracle joins the same (rtype, rule, section)
+    * table ([[graft.catalog.UrlQueries]] interpolates it as a VALUES
+    * CTE) instead of lambda-scanning interpolated lists, mirroring the
+    * runtime [[graft.ops.UrlOps.registrableDomainByTable]] path. A
+    * deployment refreshing the list without a rebuild uses that
+    * join-based path with `PublicSuffixList.parse`-d rules.
     */
-  val Psl: PublicSuffixList.Rules = PublicSuffixList.builtin
+  val Psl: PublicSuffixList.Rules = PublicSuffixList.authoritative.all
+
+  /** ICANN-section-only rules: registrant-level domains — private
+    * hoster suffixes (github.io, …) do NOT split sites apart.
+    */
+  val PslIcann: PublicSuffixList.Rules = PublicSuffixList.authoritative.icann
 
   private def isTracking(param: String): Boolean = {
     val eq = param.indexOf('=')
@@ -118,8 +124,8 @@ object UrlKernels {
     UTF8String.fromString(h.toLowerCase(Locale.ROOT))
   }
 
-  /** Registrable domain of a host under the built-in Public Suffix
-    * List snapshot ([[PublicSuffixList]] semantics: longest rule wins,
+  /** Registrable domain of a host under the authoritative Public
+    * Suffix List ([[PublicSuffixList]] semantics: longest rule wins,
     * `*.x` wildcards, `!y.x` exceptions, default rule `*`). A host
     * that is itself a public suffix (or shorter) is returned whole,
     * lowercased; a single trailing root dot is stripped.
@@ -127,4 +133,12 @@ object UrlKernels {
   def registrableDomain(h: UTF8String): UTF8String =
     UTF8String.fromString(
       PublicSuffixList.registrableDomain(h.toString, Psl))
+
+  /** Registrable domain under the ICANN section only — the
+    * registrant-level grouping (`a.github.io` → `github.io`, because
+    * `github.io` is a PRIVATE-section rule, not a registry suffix).
+    */
+  def registrableDomainIcann(h: UTF8String): UTF8String =
+    UTF8String.fromString(
+      PublicSuffixList.registrableDomain(h.toString, PslIcann))
 }

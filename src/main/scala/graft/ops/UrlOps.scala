@@ -43,6 +43,9 @@ object UrlOps {
       hostCol: Column,
       rules: DataFrame,
       out: String = "domain"): DataFrame = {
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists in the input — pick another " +
+        "`out` name (the final join would produce ambiguous duplicates)")
     val prep = df.select(hostCol.as("_host_raw")).distinct()
       .withColumn("_h", regexp_replace(lower(col("_host_raw")), "\\.$", ""))
       .withColumn("_ls", split(col("_h"), "\\."))

@@ -657,7 +657,6 @@ class NativeExprPropertySpec extends SparkSuite {
         col("want_norm"),
         graft.functions.UrlFunctions.urlHost(col("u")).as("got_host"),
         col("host").as("want_host"),
-        graft.functions.UrlFunctions.registrableDomain(col("host")).as("got_dom"),
         col("want_dom"))
       .collect()
     checked.foreach { r =>
@@ -665,8 +664,13 @@ class NativeExprPropertySpec extends SparkSuite {
         s"normalize ${r.getString(0)}: got ${r.getString(1)} want ${r.getString(2)}")
       assert(r.getString(3) == r.getString(4),
         s"host ${r.getString(0)}: got ${r.getString(3)} want ${r.getString(4)}")
-      assert(r.getString(5) == r.getString(6),
-        s"domain ${r.getString(0)}: got ${r.getString(5)} want ${r.getString(6)}")
+      // domain leg: the Column-HOF mirror vs the driver algorithm over
+      // the SAME (snapshot) rules — rule-list-independent, so a vendored
+      // public_suffix_list.dat refresh can't break this property test.
+      // The codegen kernel (authoritative rules) is case-gated in UrlSpec.
+      assert(r.getString(5) == graft.functions.PublicSuffixList
+        .registrableDomain(r.getString(4), psl),
+        s"domain ${r.getString(0)}: mirror ${r.getString(5)} vs driver algo")
     }
   }
 }

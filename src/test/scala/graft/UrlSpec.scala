@@ -132,6 +132,88 @@ class UrlSpec extends SparkSuite {
     assert(graft.functions.PublicSuffixList.builtin.exact.size >= 500)
   }
 
+  test("authoritative vendored list: parse shape and section split") {
+    import graft.functions.PublicSuffixList
+    val a = PublicSuffixList.authoritative
+    val all = a.all
+    // the real list is ~9.5k rules; require the order of magnitude so a
+    // truncated vendor copy fails loudly
+    assert(all.exact.size + all.wildcard.size + all.exception.size >= 9000)
+    assert(all.wildcard.size >= 50)
+    assert(all.exception.size >= 5)
+    assert(a.icann.exact.size >= 5000)
+    assert(a.priv.exact.size >= 1000)
+    // section boundary: registry suffixes are ICANN, hosters PRIVATE
+    assert(a.icann.exact.contains("com"))
+    assert(a.icann.exact.contains("co.uk"))
+    assert(a.icann.wildcard.contains("kawasaki.jp"))
+    assert(a.icann.exception.contains("city.kawasaki.jp"))
+    assert(a.priv.exact.contains("github.io"))
+    assert(a.priv.exact.contains("blogspot.co.uk"))
+    assert(a.priv.wildcard.contains("compute.amazonaws.com"))
+    assert(!a.icann.exact.contains("github.io"))
+    // IDN/UTF-8 rules survive parsing
+    assert(all.exact.exists(_.startsWith("xn--")) ||
+      all.exact.exists(_.exists(_ > 127)))
+  }
+
+  test("registrableDomainIcann: private suffixes stop splitting sites") {
+    val cases = Seq(
+      // (host, full-list domain, icann-only domain)
+      ("a.user.github.io", "user.github.io", "github.io"),
+      ("user.github.io", "user.github.io", "github.io"),
+      ("github.io", "github.io", "github.io"),
+      ("x.a.blogspot.co.uk", "a.blogspot.co.uk", "blogspot.co.uk"),
+      ("foo.duckdns.org", "foo.duckdns.org", "duckdns.org"),
+      // private WILDCARD: *.compute.amazonaws.com
+      ("x.y.eu-west-1.compute.amazonaws.com",
+        "y.eu-west-1.compute.amazonaws.com", "amazonaws.com"),
+      // no private rule involved: both sections agree
+      ("news.bbc.co.uk", "bbc.co.uk", "bbc.co.uk"),
+      ("ward.city.kawasaki.jp", "city.kawasaki.jp", "city.kawasaki.jp"))
+    val got = cases.map(_._1).toDF("h").select(
+        UrlFunctions.registrableDomain(col("h")),
+        UrlFunctions.registrableDomainIcann(col("h"))).collect()
+    cases.zip(got).foreach { case ((in, full, icann), r) =>
+      assert(r.getString(0) == full, s"codegen full: $in")
+      assert(r.getString(1) == icann, s"codegen icann: $in")
+      assert(UrlKernels.registrableDomain(UTF8String.fromString(in)).toString
+        == full, s"eval full: $in")
+      assert(UrlKernels.registrableDomainIcann(UTF8String.fromString(in))
+        .toString == icann, s"eval icann: $in")
+    }
+  }
+
+  test("registrableDomainByTable == kernel on the authoritative rules") {
+    import graft.ops.UrlOps
+    import graft.functions.PublicSuffixList
+    val hosts = domainCases.map(_._1) ++ Seq("a.user.github.io",
+      "x.y.eu-west-1.compute.amazonaws.com", "foo.duckdns.org")
+    val rules = UrlOps.rulesDf(spark, PublicSuffixList.authoritative.all)
+    val got = UrlOps.registrableDomainByTable(
+        hosts.toDF("h"), col("h"), rules)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    hosts.foreach { in =>
+      assert(got(in) ==
+        UrlKernels.registrableDomain(UTF8String.fromString(in)).toString,
+        s"join path vs kernel: $in")
+    }
+  }
+
+  test("registrableDomainByTable refuses a pre-existing output column") {
+    import graft.ops.UrlOps
+    val rules = UrlOps.rulesDf(spark, graft.functions.PublicSuffixList.builtin)
+    val df = Seq(("a.com", "x")).toDF("h", "domain")
+    val e = intercept[IllegalArgumentException] {
+      UrlOps.registrableDomainByTable(df, col("h"), rules)
+    }
+    assert(e.getMessage.contains("domain"))
+    // a different out name on the same input works
+    val ok = UrlOps.registrableDomainByTable(df, col("h"), rules, out = "rd")
+      .collect()
+    assert(ok.head.getString(2) == "a.com")
+  }
+
   test("registrableDomainByTable == kernel on the builtin rules") {
     import graft.ops.UrlOps
     val hosts = domainCases.map(_._1)
