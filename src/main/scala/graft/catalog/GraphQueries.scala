@@ -202,17 +202,25 @@ object GraphQueries {
         |  round(0.6 * least(1.0, ln(1.0 + degree) / ln(11.0)) + 0.4 * shared_ratio, 6) AS topology_score
         |FROM agg ORDER BY mem""".stripMargin,
     "q_graph_reinforcement" ->
+      // the operator's own grouped-join shape (no wide pair
+      // materialization): attach created_at to the M-E edge list ONCE,
+      // derive the deduped (parent, child) key set via GROUP BY, and
+      // join child importance back for the avg. The former
+      // DISTINCT-pairs-with-two-m-joins formulation planned
+      // pathologically in DuckDB at sf0.1 (>20 min); this one is
+      // sub-second there, so A6 is verified at bench scale too.
       """WITH e AS (SELECT DISTINCT l_orderkey AS mem, l_partkey AS ent FROM lineitem),
         |m AS (SELECT o_orderkey AS mem, epoch_ms(o_orderdate) AS created_at,
         |      CASE WHEN o_orderkey % 3 = 0 THEN NULL
         |           ELSE (o_orderkey % 97)::DOUBLE / 128.0 END AS importance
         |      FROM orders),
-        |pairs AS (SELECT DISTINCT l.mem AS parent, r.mem AS child, cm.importance AS c_imp
-        |  FROM e l JOIN e r ON l.ent = r.ent
-        |  JOIN m pm ON l.mem = pm.mem JOIN m cm ON r.mem = cm.mem
-        |  WHERE r.mem <> l.mem AND cm.created_at > pm.created_at),
-        |agg AS (SELECT parent AS mem, avg(coalesce(c_imp, 1.0)) AS avg_child_importance
-        |        FROM pairs GROUP BY parent)
+        |el AS (SELECT e.mem, e.ent, m.created_at FROM e JOIN m ON e.mem = m.mem),
+        |pc AS (SELECT l.mem AS parent, r.mem AS child
+        |       FROM el l JOIN el r ON l.ent = r.ent
+        |       WHERE r.mem <> l.mem AND r.created_at > l.created_at
+        |       GROUP BY 1, 2),
+        |agg AS (SELECT pc.parent AS mem, avg(coalesce(cm.importance, 1.0)) AS avg_child_importance
+        |        FROM pc JOIN m cm ON pc.child = cm.mem GROUP BY 1)
         |SELECT mem, avg_child_importance,
         |  greatest(0.0, least(1.0, 0.3 * avg_child_importance)) AS reinforcement
         |FROM agg ORDER BY mem""".stripMargin,
