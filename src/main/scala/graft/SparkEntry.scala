@@ -23,7 +23,8 @@ object SparkEntry {
       (MultimodalQueries.queries, MultimodalQueries.oracle),
       (MiscQueries.queries, MiscQueries.oracle),
       (SampleQueries.queries, SampleQueries.oracle),
-      (UrlQueries.queries, UrlQueries.oracle)
+      (UrlQueries.queries, UrlQueries.oracle),
+      (HtmlQueries.queries, HtmlQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks

@@ -497,7 +497,22 @@ object TextQueries {
       // survivors only, then the distributed prefix-sum pack).
       import graft.functions.UrlFunctions
       val p = s.sessionState.conf.numShufflePartitions
+      // stage −1, WET-style HTML→text (HtmlQueries): extract the line
+      // array from the synthesized page, gate on the boilerplate line
+      // ratio (integer-exact n_boiler·2 ≤ n_lines), continue on the
+      // boilerplate-free content. All three derivations live in ONE
+      // projection so whole-stage codegen's subexpression elimination
+      // runs the extraction kernel once per row; still zero shuffles.
+      val hxLines = HtmlQueries.linesExpr
       val docs = load(s, dir, "documents").repartition(p)
+        .select(col("doc_id"), col("source"), struct(
+            size(hxLines).as("nl"),
+            (size(filter(hxLines, HtmlQueries.isBoiler _)) * 2).as("nb2"),
+            array_join(filter(hxLines, l => !HtmlQueries.isBoiler(l)), " ")
+              .as("content")).as("_hx"))
+        .filter(col("_hx.nb2") <= col("_hx.nl"))
+        .withColumn("text", col("_hx.content"))
+        .drop("_hx")
       val t = col("text")
       val domExpr = UrlFunctions.registrableDomain(
         UrlFunctions.urlHost(UrlQueries.urlExpr))
@@ -1628,6 +1643,7 @@ object TextQueries {
     // its standalone oracle shows up here
     val prepPipeline =
       s"""WITH ${UrlQueries.hostCtes},
+         |${HtmlQueries.hxCtes},
          |domt AS (SELECT doc_id, ${UrlQueries.domainSql} AS domain FROM dom0),
          |dstats AS (SELECT domain, count(*) AS n_docs FROM domt GROUP BY 1),
          |dtot AS (SELECT count(*) AS total FROM domt),
@@ -1635,8 +1651,10 @@ object TextQueries {
          |  WHERE n_docs * 20 > total OR domain IN (${UrlQueries.blockList})),
          |gated AS (SELECT doc_id, domain FROM domt
          |  WHERE domain NOT IN (SELECT domain FROM dbad)),
-         |t AS (SELECT d.doc_id, g.domain, d.text, $toks AS toks
-         |  FROM documents d JOIN gated g ON d.doc_id = g.doc_id),
+         |t AS (SELECT g.doc_id, g.domain, hx.content AS text,
+         |    ${Tables.sqlTokens("hx.content")} AS toks
+         |  FROM gated g JOIN hx ON g.doc_id = hx.doc_id
+         |    AND hx.n_boiler * 2 <= hx.n_lines),
          |h AS (SELECT doc_id,
          |  ${codes.map { c =>
               val ws = graft.functions.TextFunctions.LangStopwords(c)

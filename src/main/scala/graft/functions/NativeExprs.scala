@@ -1162,4 +1162,26 @@ private[functions] object NativeExprs {
     override protected def withNewChildInternal(newChild: Expression): RegistrableDomainIcann =
       copy(child = newChild)
   }
+
+  /** HTML→text extraction ([[HtmlKernels.extractText]]): script/style/
+    * comment strip, block tags → line breaks, inline tags removed,
+    * entity decode, whitespace collapse — the WET-style stage ahead of
+    * language-ID, as one fused zero-shuffle row kernel.
+    */
+  case class HtmlToText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = child.nullable
+    override def prettyName: String = "graft_html_to_text"
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      checkString(child.dataType)
+    override protected def nullSafeEval(input: Any): Any =
+      HtmlKernels.extractText(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.HtmlKernels.extractText($c)")
+    override protected def withNewChildInternal(newChild: Expression): HtmlToText =
+      copy(child = newChild)
+  }
 }

@@ -22,6 +22,16 @@ object TextFunctions {
     GraftSqlShim.column(NativeExprs.Tokens(GraftSqlShim.expression(text)))
   }
 
+  /** HTML→text extraction (codegen'd [[HtmlKernels.extractText]]): the
+    * WET-style stage ahead of language-ID — script/style/comment strip,
+    * block tags → line breaks, inline tags removed, entities decoded,
+    * whitespace collapsed; output is `\n`-separated non-empty lines.
+    */
+  def htmlToText(html: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(NativeExprs.HtmlToText(GraftSqlShim.expression(html)))
+  }
+
   /** Unicode NFC canonicalization (codegen'd) — run before any
     * content-hash dedup so combining-mark encoding variants of the
     * same text collide. Mirrors DuckDB's `nfc_normalize`
