@@ -30,11 +30,31 @@ import sys
 
 DIAG_ROWS = 10
 
+# Declared engine-parity float-boundary classes (README "cross-scale"
+# note): the column holds round(x, 6) outputs whose pre-round inputs
+# accumulate float-sum-order ulp drift (ln/PageRank-style sums); when
+# the two engines' values straddle a half-ulp-at-6dp boundary the
+# rounded outputs differ by exactly 1e-6. For declared queries such
+# divergences on the declared columns are COUNTED (reported as
+# float_boundary_rows) instead of failing, up to max_rows; anything
+# larger, any divergence > one 6dp step, or any divergence on an
+# undeclared column still fails. Row alignment for declared queries is
+# keyed on the non-declared columns so a boundary value can't shuffle
+# the canon sort.
+FLOAT_BOUNDARY = {
+    "q_score_crosssession": {"cols": {"boosted"}, "max_rows": 8},
+}
+BOUNDARY_STEP = 1.1e-6  # one 6dp rounding step, with float-repr slack
 
-def canon(df):
+
+def canon(df, tol_cols=()):
     cols = sorted(df.columns)
     df = df[cols]
-    df = df.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    # tolerance columns sort LAST so the declared-divergence rows still
+    # align by their (unique) key columns
+    order = [c for c in cols if c not in tol_cols] + \
+        [c for c in cols if c in tol_cols]
+    df = df.sort_values(by=order, kind="mergesort").reset_index(drop=True)
     return df
 
 
@@ -76,9 +96,11 @@ def main():
         sql = oracle[name]
         spark_path = f"{outdir}/{name}"
         entry = {"rows_match": False, "schema_match": False, "hash_match": False}
+        tol = FLOAT_BOUNDARY.get(name, {})
+        tol_cols = tol.get("cols", set())
         try:
-            sdf = canon(con.sql(f"select * from '{spark_path}/*.parquet'").df())
-            ddf = canon(con.sql(sql).df())
+            sdf = canon(con.sql(f"select * from '{spark_path}/*.parquet'").df(), tol_cols)
+            ddf = canon(con.sql(sql).df(), tol_cols)
             entry["spark_rows"] = len(sdf)
             entry["duck_rows"] = len(ddf)
             entry["rows_match"] = len(sdf) == len(ddf)
@@ -101,6 +123,7 @@ def main():
                 if dtype_bad:
                     entry["dtype_mismatch"] = dtype_bad
                 ok = True
+                boundary_rows = 0
                 for c in sdf.columns:
                     sv, dv = list(sdf[c]), list(ddf[c])
                     for i, (x, y) in enumerate(zip(sv, dv)):
@@ -111,6 +134,10 @@ def main():
                             if xn and yn:
                                 continue
                             if xn != yn or x != y:
+                                if (c in tol_cols and not xn and not yn
+                                        and abs(x - y) <= BOUNDARY_STEP):
+                                    boundary_rows += 1
+                                    continue
                                 ok = False
                                 diffs.append({"col": c, "row": i, "spark": repr(x), "duck": repr(y)})
                                 if len(diffs) >= DIAG_ROWS:
@@ -122,6 +149,14 @@ def main():
                                 break
                     if len(diffs) >= DIAG_ROWS:
                         break
+                if boundary_rows:
+                    entry["float_boundary_rows"] = boundary_rows
+                    entry["float_boundary_max"] = tol.get("max_rows", 0)
+                    if boundary_rows > tol.get("max_rows", 0):
+                        ok = False
+                        diffs.append({"col": sorted(tol_cols)[0], "row": -1,
+                                      "spark": f"{boundary_rows} boundary rows",
+                                      "duck": f"max {tol.get('max_rows', 0)}"})
                 if diffs:
                     entry["first_diff"] = (
                         f"col={diffs[0]['col']} row={diffs[0]['row']} "
