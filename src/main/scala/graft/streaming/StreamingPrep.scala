@@ -105,8 +105,13 @@ object StreamingPrep {
       keepUnseen: Boolean = true
   ): DataFrame = {
     import graft.functions.UrlFunctions
+    // dropDuplicates: a prior table rebuilt by appending batch outputs
+    // can carry duplicate domain keys, and a duplicated key would FAN
+    // OUT stream rows through the join — dedup the (small, broadcast)
+    // side, keeping any one verdict per domain
     val priors = broadcast(
-      domainPriors.select(col("domain"), col("kept").as("_domain_kept")))
+      domainPriors.select(col("domain"), col("kept").as("_domain_kept"))
+        .dropDuplicates("domain"))
     docs
       .withColumn("domain",
         UrlFunctions.registrableDomain(UrlFunctions.urlHost(col(urlCol))))

@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 /** One-shot exporter behind the chained q_unigram_train_round2 oracle:
   * runs the unigram trainer's seed + `rounds`× hard-EM via the exact
   * shared code path ([[graft.ops.CorpusOps.unigramEmModel]]) and
-  * writes `tools/unigram_round<rounds>_model.json` as rows of
+  * writes `tools/unigram_round<rounds>_v<vocabSize>s<seedFactor>_model.json`
+  * as rows of
   * `[piece, count, logp]` — the model state round `rounds`+1 starts
   * from. logp serializes via `Double.toString` (shortest round-trip
   * decimal; Python `float()` parses the identical binary64), so the

@@ -135,4 +135,22 @@ class StreamingPrepSpec extends SparkSuite {
       assert(strict.count() == 0)
     } finally query.stop()
   }
+
+  test("domainGate dedups a prior table with duplicate domain keys") {
+    // a prior rebuilt by appending batch outputs can carry the same
+    // domain more than once; a duplicated key must not fan stream rows
+    // out through the join (one output row per input doc, any one
+    // verdict per domain)
+    implicit val sq = spark.sqlContext
+    val dupPriors = Seq(("news.co.uk", true), ("news.co.uk", true),
+        ("spam.com", false), ("spam.com", false))
+      .toDF("domain", "kept")
+    val docs = Seq(
+        (new Timestamp(T0), 1L, "https://www.news.co.uk/a"),
+        (new Timestamp(T0), 2L, "https://x.spam.com/b"))
+      .toDF("ts", "doc_id", "url")
+    val out = StreamingPrep.domainGate(docs, "url", dupPriors)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L), out.toString) // exactly once, not twice
+  }
 }
