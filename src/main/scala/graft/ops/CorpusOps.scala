@@ -269,14 +269,21 @@ object CorpusOps {
         .select(col("doc"), col("y"),
           (lit(1.0) / (lit(1.0) +
             exp(-(coalesce(col("raw"), lit(0.0)) + lit(bias))))).as("pr"))
+      // one combined gradient job (r14): the bias gradient Σ(pr−y)/n is
+      // exactly a weight gradient with f ≡ 1, so it rides the same
+      // bucket-keyed aggregation under the sentinel bucket −1 (the id
+      // the output row already uses for bias) — probs is evaluated once
+      // per iteration instead of twice and the per-iteration action
+      // count drops from 2 to 1
       val grads = feat.join(probs, Seq("doc"))
+        .select(col("bucket"), ((col("pr") - col("y")) * col("f")).as("_gc"))
+        .unionByName(probs.select(lit(-1L).as("bucket"),
+          (col("pr") - col("y")).as("_gc")))
         .groupBy(col("bucket"))
-        .agg((sum((col("pr") - col("y")) * col("f")) / n).as("g"))
+        .agg((sum(col("_gc")) / n).as("g"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val gBias = probs.agg((sum(col("pr") - col("y")) / n).as("g"))
-        .collect().head.getDouble(0)
       w = w.map { case (b, v) => b -> q6(v - lr * grads.getOrElse(b, 0.0)) }
-      bias = q6(bias - lr * gBias)
+      bias = q6(bias - lr * grads.getOrElse(-1L, 0.0))
       it += 1
     }
     (w.toSeq :+ (-1L -> bias)).toDF("bucket", "weight")
@@ -1052,6 +1059,22 @@ object CorpusOps {
         trainPred.getOrElse(lit(true)).as("_train"))
       .repartition(p)
       .localCheckpoint() // feeds unigrams, bigrams, and the final left join
+    bigramLmScoreToks(toks, idCol, vocabTopK, bigramTopK)
+  }
+
+  /** [[bigramLmScore]] over an ALREADY-tokenized (idCol, _t, _train)
+    * table (typically a projection of a shared checkpoint): lets
+    * [[excessLoss]] tokenize and materialize the corpus ONCE for its
+    * proxy and reference passes instead of once per pass. The per-pass
+    * plan below the token table is byte-identical to the single-pass
+    * path.
+    */
+  private[graft] def bigramLmScoreToks(
+      toks: DataFrame,
+      idCol: String,
+      vocabTopK: Int,
+      bigramTopK: Int): DataFrame = {
+    require(vocabTopK > 0 && bigramTopK > 0, "model sizes must be positive")
     val uni = toks
       .filter(col("_train"))
       .select(explode(col("_t")).as("w1"))
@@ -1164,12 +1187,66 @@ object CorpusOps {
       refPred: Column,
       vocabTopK: Int = 4096,
       bigramTopK: Int = 16384): DataFrame = {
-    val p = bigramLmScore(df, idCol, textCol, vocabTopK, bigramTopK)
-      .select(col(idCol), round(col("lm_score"), 6).as("_sp"))
-    val r = bigramLmScore(df, idCol, textCol, vocabTopK, bigramTopK,
-        trainPred = Some(refPred))
-      .select(col(idCol), round(col("lm_score"), 6).as("_sr"))
-    p.join(r, Seq(idCol))
+    // FUSED proxy+reference computation (r14). Previously two full
+    // [[bigramLmScore]] passes, each tokenizing the corpus, exploding
+    // unigrams and bigrams for its model, and exploding bigrams again
+    // to score every document. Now: ONE tokenize+checkpoint, ONE
+    // unigram count agg carrying (proxy, ref) counts side by side, ONE
+    // bigram count agg likewise (the two top-k prunes share the agg's
+    // exchange via ReuseExchange), ONE scoring explode joined against
+    // all four pruned model tables, ONE doc-keyed agg producing both
+    // means. The model contents are value-identical: the ref counts
+    // sum over the refPred rows exactly as the filtered pass did, rows
+    // a filtered pass never saw are excluded from the ref prune by the
+    // _c1r/_c2r > 0 guard, and the prune ordering (count desc, token
+    // asc) is unchanged exact-integer arithmetic.
+    val shp = df.sparkSession.sessionState.conf.numShufflePartitions
+    val toks = df.select(col(idCol),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("_t"),
+        refPred.as("_ref"))
+      .repartition(shp)
+      .localCheckpoint()
+    val refOne = when(col("_ref"), 1L).otherwise(0L)
+    val uniBoth = toks
+      .select(explode(col("_t")).as("w1"), refOne.as("_r1"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("_c1p"), sum(col("_r1")).as("_c1r"))
+    val uniP = uniBoth.select(col("w1"), col("_c1p").as("_c1"))
+      .orderBy(col("_c1").desc, col("w1").asc).limit(vocabTopK)
+    val uniR = uniBoth.filter(col("_c1r") > 0L)
+      .select(col("w1"), col("_c1r").as("_c1"))
+      .orderBy(col("_c1").desc, col("w1").asc).limit(vocabTopK)
+    val bigrams = toks
+      .filter(size(col("_t")) >= 2)
+      .select(col(idCol), col("_ref"), explode(expr(
+        "transform(sequence(0, size(_t) - 2), i -> struct(_t[i] AS w1, _t[i + 1] AS w2))")).as("_bg"))
+      .select(col(idCol), col("_ref"), col("_bg.w1").as("w1"), col("_bg.w2").as("w2"))
+    val biBoth = bigrams
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("_c2p"),
+        sum(when(col("_ref"), 1L).otherwise(0L)).as("_c2r"))
+    val biP = biBoth.select(col("w1"), col("w2"), col("_c2p").as("_c2"))
+      .orderBy(col("_c2").desc, col("w1").asc, col("w2").asc).limit(bigramTopK)
+    val biR = biBoth.filter(col("_c2r") > 0L)
+      .select(col("w1"), col("w2"), col("_c2r").as("_c2"))
+      .orderBy(col("_c2").desc, col("w1").asc, col("w2").asc).limit(bigramTopK)
+    val scored = bigrams
+      .join(broadcast(biP.withColumnRenamed("_c2", "_c2p")), Seq("w1", "w2"), "left")
+      .join(broadcast(biR.withColumnRenamed("_c2", "_c2r")), Seq("w1", "w2"), "left")
+      .join(broadcast(uniP.withColumnRenamed("_c1", "_c1p")), Seq("w1"), "left")
+      .join(broadcast(uniR.withColumnRenamed("_c1", "_c1r")), Seq("w1"), "left")
+      .withColumn("_lpp", log(
+        (coalesce(col("_c2p"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_c1p"), lit(0L)) + vocabTopK)))
+      .withColumn("_lpr", log(
+        (coalesce(col("_c2r"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("_c1r"), lit(0L)) + vocabTopK)))
+      .groupBy(col(idCol))
+      .agg(avg(col("_lpp")).as("_lmp"), avg(col("_lpr")).as("_lmr"))
+    toks.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), round(col("_lmp"), 6).as("_sp"),
+        round(col("_lmr"), 6).as("_sr"))
       .select(col(idCol),
         when(col("_sp").isNull || col("_sr").isNull,
           lit(null).cast("double"))

@@ -308,13 +308,17 @@ object GraphAlgorithms {
     var sinceCkpt = 0
     var done = false
     while (!done) {
+      // the emptiness probe rides the checkpoint job as an observed row
+      // count (r14) — previously a separate isEmpty action per level
+      val obsW = new org.apache.spark.sql.Observation()
       val (next, releaseNext) = Checkpoints.withRelease(frontiers.last
         .join(e, frontiers.last("node") === e("src"))
         .select(col("root"), e("dst").as("node"), col("sigma"))
         .groupBy(col("root"), col("node"))
         .agg(sum(col("sigma")).as("sigma"))
-        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti"))
-      if (next.isEmpty) { done = true; releaseNext() }
+        .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
+        .observe(obsW, count(lit(1)).as("n")))
+      if (obsW.get("n").asInstanceOf[Long] == 0L) { done = true; releaseNext() }
       else {
         visited = visited.unionByName(next)
         sinceCkpt += 1
@@ -663,15 +667,21 @@ object GraphAlgorithms {
       // checkpoint EVERY round: a round references comm three times
       // (σ, gather, stay rows), so carrying lazy lineage would
       // re-evaluate each prior round ~3× per level — the opposite of
-      // LPA, whose single state reference makes sparse checkpoints a win
-      val (ck, rel) = Checkpoints.withRelease(next)
+      // LPA, whose single state reference makes sparse checkpoints a win.
+      // The stable-cycle move count rides the checkpoint job itself as
+      // an observed metric (r14) — previously a separate per-round
+      // action over the just-written blocks, ~2 extra scheduler round
+      // trips per round for a number the materialization already knows.
+      val obs = new org.apache.spark.sql.Observation()
+      val (ck, rel) = Checkpoints.withRelease(
+        if (stopOnStableCycle)
+          next.observe(obs, coalesce(sum(col("moved")), lit(0L)).as("moved"))
+        else next)
       releaseLast()
       releaseLast = rel
       comm = ck
       if (stopOnStableCycle) {
-        // rides the checkpoint just materialized — a partition-local sum,
-        // no shuffle, no recompute of the round
-        val moved = ck.agg(coalesce(sum(col("moved")), lit(0L))).first().getLong(0)
+        val moved = obs.get("moved").asInstanceOf[Long]
         stableRounds = if (moved == 0L) stableRounds + 1 else 0
       }
       r += 1
@@ -1025,18 +1035,26 @@ object GraphAlgorithms {
         .unionAll(m.select(col("m").as("a"), col("u").as("b")))
         .filter(col("a") =!= col("b")).distinct()
     }
-    def fingerprint(e: DataFrame): (Long, String) = {
-      // hash-sum in decimal(38,0): order-free and overflow-free (the
-      // long sum would trip ANSI overflow on a handful of rows)
-      val r = e.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect().head
-      (r.getLong(0), if (r.isNullAt(1)) "" else r.getDecimal(1).toString)
+    // fingerprint rides the group's checkpoint job as OBSERVED metrics
+    // (r14) — previously a separate agg action per round over the
+    // just-written blocks. hash-sum in decimal(38,0): order-free and
+    // overflow-free (the long sum would trip ANSI overflow on a
+    // handful of rows).
+    def observed(e: DataFrame, obs: org.apache.spark.sql.Observation)
+        : DataFrame =
+      e.observe(obs, count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("h"))
+    def fpOf(obs: org.apache.spark.sql.Observation): (Long, String) = {
+      val m = obs.get
+      val h = m("h")
+      (m("n").asInstanceOf[Long], if (h == null) "" else h.toString)
     }
 
-    var (cur, release) = Checkpoints.withRelease(und)
-    var fp = fingerprint(cur)
+    val obs0 = new org.apache.spark.sql.Observation()
+    var (cur, release) = Checkpoints.withRelease(observed(und, obs0))
+    var fp = fpOf(obs0)
     var rounds = 0
-    var converged = cur.isEmpty
+    var converged = fp._1 == 0L
     while (!converged && rounds < maxRounds) {
       // each round materializes (the star plans re-reference their
       // input heavily); only the LAST checkpoint of the group survives,
@@ -1044,13 +1062,20 @@ object GraphAlgorithms {
       var groupRels = List.empty[() => Unit]
       var stepped = cur
       var r = 0
+      var obsG: org.apache.spark.sql.Observation = null
       while (r < fuse) {
-        val (n, rel) = Checkpoints.withRelease(smallStar(largeStar(stepped)))
+        val step = smallStar(largeStar(stepped))
+        val wrapped =
+          if (r == fuse - 1) {
+            obsG = new org.apache.spark.sql.Observation()
+            observed(step, obsG)
+          } else step
+        val (n, rel) = Checkpoints.withRelease(wrapped)
         stepped = n
         groupRels = rel :: groupRels
         r += 1
       }
-      val nfp = fingerprint(stepped)
+      val nfp = fpOf(obsG)
       release()
       groupRels.tail.foreach(_.apply()) // intermediates of this group
       cur = stepped; release = groupRels.head
@@ -1112,12 +1137,15 @@ object GraphAlgorithms {
     var done = false
     if (fuse == 1) {
       // the measured-fastest shape at local[32]: per round one dropped-set
-      // checkpoint, one (cheap, tiny-input) emptiness probe, one survivor
-      // checkpoint — no edge counts anywhere
+      // checkpoint (whose emptiness probe rides the checkpoint job as an
+      // observed metric, r14 — previously a separate per-round action)
+      // and one survivor checkpoint — no edge counts anywhere
       while (!done && rounds < maxRounds) {
+        val obs = new org.apache.spark.sql.Observation()
         val bad = degrees(cur).filter(col("degree") < k)
-          .select(col("node")).localCheckpoint()
-        if (bad.isEmpty) done = true
+          .select(col("node"))
+          .observe(obs, count(lit(1)).as("n")).localCheckpoint()
+        if (obs.get("n").asInstanceOf[Long] == 0L) done = true
         else {
           val (next, nextRelease) = Checkpoints.withRelease(
             cur.join(bad.select(col("node").as("a")), Seq("a"), "left_anti")
@@ -1193,10 +1221,18 @@ object GraphAlgorithms {
     val seed = roots.toDF("root")
       .join(nodes.select(col("node").as("root")), Seq("root"))
       .select(col("root"), col("root").as("node"), lit(0L).as("dist"))
-    var (dist, releaseDist) = Checkpoints.withRelease(seed)
-    var (frontier, releaseFrontier) = Checkpoints.withRelease(seed)
+    // the frontier-emptiness probe rides each checkpoint job as an
+    // observed row count (r14) — previously a separate isEmpty action
+    // per wave over the just-written blocks
+    def counted(e: DataFrame, obs: org.apache.spark.sql.Observation)
+        : DataFrame = e.observe(obs, count(lit(1)).as("n"))
+    val obs0 = new org.apache.spark.sql.Observation()
+    var (frontier, releaseFrontier) =
+      Checkpoints.withRelease(counted(seed, obs0))
+    var frontierN = obs0.get("n").asInstanceOf[Long]
+    var (dist, releaseDist) = Checkpoints.withRelease(frontier)
     var depth = 0
-    while (depth < maxDepth && !frontier.isEmpty) {
+    while (depth < maxDepth && frontierN > 0L) {
       val expanded = frontier.join(sym, frontier("node") === sym("u"))
         .select(col("root"), col("v").as("node"),
           (col("dist") + 1L).as("dist"))
@@ -1204,11 +1240,13 @@ object GraphAlgorithms {
           Seq("root", "node"), "left_anti")
         .groupBy(col("root"), col("node"))
         .agg(min(col("dist")).as("dist"))
-      val (nf, relNf) = Checkpoints.withRelease(expanded)
+      val obsW = new org.apache.spark.sql.Observation()
+      val (nf, relNf) = Checkpoints.withRelease(counted(expanded, obsW))
       val (nd, relNd) = Checkpoints.withRelease(dist.unionByName(nf))
       releaseFrontier(); releaseDist()
       frontier = nf; releaseFrontier = relNf
       dist = nd; releaseDist = relNd
+      frontierN = obsW.get("n").asInstanceOf[Long]
       depth += 1
     }
     val out = nodes

@@ -888,10 +888,14 @@ object SimilarityOps {
     require(n > 0, "empty input")
     val pairs = DedupOps.embeddingNearDupPairs(df, idCol, embCol,
       threshold, dims, bands, rowsPerBand)
+    // materialized once (r14): sym feeds BOTH the positives window and
+    // the negatives anti-join — lazy lineage re-ran the whole banded
+    // LSH pair generation a second time for the anti-join side
     val sym = pairs
       .select(col("doc_a").as("anchor"), col("doc_b").as("partner"), col("cosine"))
       .unionByName(pairs
         .select(col("doc_b").as("anchor"), col("doc_a").as("partner"), col("cosine")))
+      .localCheckpoint()
     val posW = Window.partitionBy(col("anchor"))
       .orderBy(col("cosine").desc, col("partner").asc)
     val pos = sym.withColumn("_rn", row_number().over(posW))
