@@ -543,24 +543,36 @@ object CorpusOps {
     var exhausted = false
     var k = 0
     while (k < numMerges && !exhausted) {
-      val pairs = words
+      def pairRows = words
         .select(col("freq"),
           explode(zip_with(col("syms"),
             slice(col("syms"), lit(2), greatest(lit(0), size(col("syms")) - 1)),
             (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
         .filter(col("p.r").isNotNull)
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("freq")).as("cnt"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("freq"))
       val best =
         if (!wordpiece)
-          pairs.withColumn("score", lit(-1.0))
+          pairRows
+            .groupBy(col("l"), col("r"))
+            .agg(sum(col("freq")).as("cnt"))
+            .withColumn("score", lit(-1.0))
             .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
             .limit(1).select(col("l"), col("r"), col("cnt"), col("score"))
             .collect()
         else {
-          val symFreq = words
-            .select(col("freq"), explode(col("syms")).as("s"))
-            .groupBy(col("s")).agg(sum(col("freq")).as("sf"))
+          // fused pair + symbol frequency aggregation (r14): symbol
+          // rows ride the SAME exchange as pair rows under a null-`r`
+          // marker, so a round pays one shuffle instead of two (the
+          // three consumers below share the exchange via
+          // ReuseExchange); counts are the same exact integers
+          val counts = pairRows
+            .unionByName(words.select(explode(col("syms")).as("l"),
+              lit(null).cast("string").as("r"), col("freq")))
+            .groupBy(col("l"), col("r"))
+            .agg(sum(col("freq")).as("cnt"))
+          val pairs = counts.filter(col("r").isNotNull)
+          val symFreq = counts.filter(col("r").isNull)
+            .select(col("l").as("s"), col("cnt").as("sf"))
           pairs
             .join(symFreq.select(col("s").as("l"), col("sf").as("lf")), Seq("l"))
             .join(symFreq.select(col("s").as("r"), col("sf").as("rf")), Seq("r"))

@@ -627,29 +627,38 @@ object DedupOps {
     */
   private def clustersMinLabel(pairs: DataFrame): DataFrame = {
     val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val und = e
+    val (und, releaseUnd) = graft.ops.Checkpoints.withRelease(e
       .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
+      .distinct())
     val nodes = und.select(col("src").as("doc")).distinct()
-    var labels = nodes.withColumn("cluster", col("doc")).localCheckpoint()
+    var (labelsCk, releaseLabels) = graft.ops.Checkpoints.withRelease(
+      nodes.withColumn("cluster", col("doc")))
+    var labels = labelsCk
     var changed = 1L
     while (changed > 0) {
       // ONE checkpoint per round; the label view derives from it lazily
       // (a second checkpoint of the same materialized data bought
-      // nothing and doubled the block-manager footprint per round)
-      val next = und
+      // nothing and doubled the block-manager footprint per round).
+      // The changed-label count rides the checkpoint job as an observed
+      // metric (r14) — previously a separate filter+count action per
+      // round — and superseded rounds release their actual checkpoint
+      // blocks (Dataset.unpersist does not reach them; Checkpoints.scala)
+      val obs = new org.apache.spark.sql.Observation()
+      val (next, relNext) = graft.ops.Checkpoints.withRelease(und
         .join(labels.withColumnRenamed("doc", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc"))
         .agg(min(col("cluster")).as("nbr_min"))
         .join(labels, Seq("doc"))
         .select(col("doc"), col("cluster"),
           least(col("cluster"), col("nbr_min")).as("next_cluster"))
-        .localCheckpoint()
-      changed = next.filter(col("next_cluster") < col("cluster")).count()
-      labels.unpersist(blocking = false)
+        .observe(obs, coalesce(sum(when(col("next_cluster") < col("cluster"),
+          1L).otherwise(0L)), lit(0L)).as("c")))
+      changed = obs.get("c").asInstanceOf[Long]
+      releaseLabels()
+      releaseLabels = relNext
       labels = next.select(col("doc"), col("next_cluster").as("cluster"))
     }
+    releaseUnd()
     labels.withColumn("is_canonical", col("doc") === col("cluster"))
   }
 

@@ -806,10 +806,18 @@ object GraphAlgorithms {
   def modularity(edges: DataFrame, communities: DataFrame): DataFrame = {
     val dir = edges.select(col("src"), col("dst")).distinct()
       .filter(col("src") =!= col("dst"))
+    // checkpointed with the edge count riding the materialization as an
+    // observed metric (r14): previously m = und.count() was one full
+    // evaluation of the double-distinct canon and the final agg (which
+    // references und twice more) a second — the canon now materializes
+    // exactly once and both downstream passes read its blocks
+    val obs = new org.apache.spark.sql.Observation()
     val und = dir.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
-    val m = und.count().toDouble
+      .observe(obs, count(lit(1)).as("m"))
+      .localCheckpoint()
+    val m = obs.get("m").asInstanceOf[Long].toDouble
     val lab = communities.select(col("node"), col("community"))
     val withC = und
       .join(lab.select(col("node").as("a"), col("community").as("ca")), "a")

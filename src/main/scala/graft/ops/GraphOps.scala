@@ -153,31 +153,36 @@ object GraphOps {
       .localCheckpoint() // eager
     val frontiers = scala.collection.mutable.ArrayBuffer(f0)
     var visited = f0.select(col("root"), col("node"))
-    var visitedCkpt: DataFrame = null // the re-checkpoint copy we own
+    var releaseVisited: () => Unit = null // the re-checkpoint copy we own
     var sinceCkpt = 0
     var depth = 1
     var exhausted = false
     while (depth <= maxDepth && !exhausted) {
       val prev = frontiers.last.select(col("root"), col("node"))
-      val next = prev
+      // the emptiness probe rides the checkpoint job as an observed row
+      // count (r14 — previously a separate isEmpty action per wave), and
+      // superseded state releases its actual checkpoint blocks
+      // (Dataset.unpersist does not reach them; see Checkpoints.scala)
+      val obs = new org.apache.spark.sql.Observation()
+      val (next, relNext) = graft.ops.Checkpoints.withRelease(prev
         .join(e, prev("node") === e("src"))
         .select(col("root"), col("dst").as("node"))
         .distinct()
         .join(visited, Seq("root", "node"), "left_anti")
         .withColumn("depth", lit(depth))
-        .localCheckpoint() // eager
-      if (next.isEmpty) {
+        .observe(obs, count(lit(1)).as("n")))
+      if (obs.get("n").asInstanceOf[Long] == 0L) {
         exhausted = true // empty frontier — no deeper paths exist
-        next.unpersist(blocking = false)
+        relNext()
       } else {
         visited = visited.unionByName(next.select(col("root"), col("node")))
         sinceCkpt += 1
         if (sinceCkpt >= 4) {
           // free the superseded visited copy once the new one is
           // materialized (frontier checkpoints stay — they are the output)
-          val ck = visited.localCheckpoint()
-          if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false)
-          visitedCkpt = ck
+          val (ck, rel) = graft.ops.Checkpoints.withRelease(visited)
+          if (releaseVisited != null) releaseVisited()
+          releaseVisited = rel
           visited = ck
           sinceCkpt = 0
         }
@@ -185,7 +190,7 @@ object GraphOps {
       }
       depth += 1
     }
-    if (visitedCkpt != null) visitedCkpt.unpersist(blocking = false) // traversal-only state
+    if (releaseVisited != null) releaseVisited() // traversal-only state
     // depth-0 seed rows are internal state, not output
     frontiers.drop(1).reduceOption(_ unionByName _)
       .getOrElse(f0.filter(col("depth") > 0))

@@ -196,13 +196,20 @@ object QuantileOps {
       groupCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // both cutoff tables materialized (r14): group-cardinality rows by
+    // contract, and each is referenced from every downstream evaluation
+    // of `dev` (the mad pass evaluates dev three times by design — two
+    // scans + the output join); left lazy, the entire p50 subtree was
+    // re-planned and re-run inside each one
     val med = exactPercentiles(df, valueCol, groupCol, Map("p50" -> 50))
       .select(col(groupCol), col("quantile").as("med"))
+      .localCheckpoint()
     val dev = df.filter(col(valueCol).isNotNull)
       .join(broadcast(med), Seq(groupCol))
       .withColumn("dev", abs(col(valueCol).cast("long") - col("med")))
     val mad = exactPercentiles(dev, "dev", groupCol, Map("p50" -> 50))
       .select(col(groupCol), col("quantile").as("mad"))
+      .localCheckpoint()
     dev.join(broadcast(mad), Seq(groupCol))
       .filter(col("dev") > lit(k.toLong) * col("mad"))
   }
