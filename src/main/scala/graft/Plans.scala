@@ -41,10 +41,19 @@ object Plans {
         if (df != null) {
           df.explain("formatted")
           outDir.foreach { d =>
-            val w = new java.io.PrintWriter(s"$d/$n$suffix.txt", "UTF-8")
-            try w.println(df.queryExecution.explainString(
-              org.apache.spark.sql.execution.FormattedMode))
-            finally w.close()
+            // a missing/typo'd output dir must not abort the remaining
+            // queries mid-loop (ADVICE r14): create it, and degrade a
+            // write failure to a stderr note like plan construction does
+            try {
+              java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+              val w = new java.io.PrintWriter(s"$d/$n$suffix.txt", "UTF-8")
+              try w.println(df.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode))
+              finally w.close()
+            } catch {
+              case t: Throwable =>
+                System.err.println(s"[plans] $n plan write failed: ${t.getMessage}")
+            }
           }
         }
       }

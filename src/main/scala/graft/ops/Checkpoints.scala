@@ -46,4 +46,37 @@ private[graft] object Checkpoints {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _              => ()
   }
+
+  /** Bounded Observation read (ADVICE r14). `Observation.get` blocks
+    * forever if the metrics row is never delivered, and
+    * observe-metrics-on-eager-localCheckpoint is validated empirically
+    * on Spark 4.1 (graft.tools.ObserveProbe) — a Spark upgrade that
+    * re-routes Dataset.checkpoint's action must degrade every iterative
+    * loop to its pre-r14 direct-aggregation probe, not hang it. Awaits
+    * the observation's public metrics future up to `timeoutMs`; on a
+    * healthy session the metrics land with the action and the deadline
+    * is never approached. `fallback` recomputes the same exact metrics
+    * from the already-materialized checkpoint blocks.
+    */
+  def observedOr(obs: org.apache.spark.sql.Observation,
+      timeoutMs: Long = 10000L)(
+      fallback: => Map[String, Any]): Map[String, Any] =
+    try {
+      val row = scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(timeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS))
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    } catch {
+      case _: java.util.concurrent.TimeoutException => fallback
+    }
+
+  /** [[observedOr]] for the common single-long-metric probes (counts,
+    * exact-integer sums) — `fallback` re-aggregates from the checkpoint.
+    */
+  def observedLong(obs: org.apache.spark.sql.Observation, key: String,
+      timeoutMs: Long = 10000L)(fallback: => Long): Long =
+    observedOr(obs, timeoutMs)(Map(key -> fallback))(key) match {
+      case n: java.lang.Number => n.longValue()
+      case other => other.asInstanceOf[Long]
+    }
 }

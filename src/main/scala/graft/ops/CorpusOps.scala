@@ -27,6 +27,13 @@ object CorpusOps {
     * hex chars = 32 bits — uniform, and `conv` stays well inside long
     * range.
     */
+  /** INVARIANT (ADVICE r14): always non-negative — `pmod` of a
+    * non-negative base. [[trainQualityClassifier]]'s fused gradient job
+    * couples to this: its bias gradient rides the bucket-keyed
+    * aggregation under sentinel bucket −1, which must never collide
+    * with a real bucket id. A signed-hash rewrite here must keep the
+    * sentinel disjoint (the `require` at the trainer guards it).
+    */
   def hashBucket(id: Column, buckets: Int): Column =
     pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
       lit(buckets.toLong))
@@ -259,6 +266,11 @@ object CorpusOps {
     var w: Map[Long, Double] =
       feat.select(col("bucket")).distinct().collect()
         .map(r => r.getLong(0) -> 0.0).toMap
+    // the fused gradient job below keys the bias gradient on sentinel
+    // bucket −1; a real bucket at −1 (a signed-hash hashBucket rewrite)
+    // would silently merge its gradient with the bias — fail loudly
+    require(w.keys.forall(_ >= 0L),
+      "trainQualityClassifier: bucket ids must be non-negative (bias sentinel = -1)")
     var bias = 0.0
     var it = 0
     while (it < iters) {

@@ -653,7 +653,9 @@ object DedupOps {
           least(col("cluster"), col("nbr_min")).as("next_cluster"))
         .observe(obs, coalesce(sum(when(col("next_cluster") < col("cluster"),
           1L).otherwise(0L)), lit(0L)).as("c")))
-      changed = obs.get("c").asInstanceOf[Long]
+      changed = Checkpoints.observedLong(obs, "c")(
+        next.agg(coalesce(sum(when(col("next_cluster") < col("cluster"),
+          1L).otherwise(0L)), lit(0L))).head.getLong(0))
       releaseLabels()
       releaseLabels = relNext
       labels = next.select(col("doc"), col("next_cluster").as("cluster"))

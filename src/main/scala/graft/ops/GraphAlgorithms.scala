@@ -318,7 +318,9 @@ object GraphAlgorithms {
         .agg(sum(col("sigma")).as("sigma"))
         .join(visited.select(col("root"), col("node")), Seq("root", "node"), "left_anti")
         .observe(obsW, count(lit(1)).as("n")))
-      if (obsW.get("n").asInstanceOf[Long] == 0L) { done = true; releaseNext() }
+      if (Checkpoints.observedLong(obsW, "n")(next.count()) == 0L) {
+        done = true; releaseNext()
+      }
       else {
         visited = visited.unionByName(next)
         sinceCkpt += 1
@@ -681,7 +683,8 @@ object GraphAlgorithms {
       releaseLast = rel
       comm = ck
       if (stopOnStableCycle) {
-        val moved = obs.get("moved").asInstanceOf[Long]
+        val moved = Checkpoints.observedLong(obs, "moved")(
+          ck.agg(coalesce(sum(col("moved")), lit(0L))).head.getLong(0))
         stableRounds = if (moved == 0L) stableRounds + 1 else 0
       }
       r += 1
@@ -810,14 +813,19 @@ object GraphAlgorithms {
     // observed metric (r14): previously m = und.count() was one full
     // evaluation of the double-distinct canon and the final agg (which
     // references und twice more) a second — the canon now materializes
-    // exactly once and both downstream passes read its blocks
+    // exactly once and both downstream passes read its blocks.
+    // Lifetime (ADVICE r14): the blocks back the returned one-row
+    // aggregate's plan until the consumer drops it (ContextCleaner);
+    // no release handle on purpose — the result is driver-tiny and the
+    // canon is edge-table-sized, held only while the caller holds the
+    // unevaluated result.
     val obs = new org.apache.spark.sql.Observation()
     val und = dir.select(
       least(col("src"), col("dst")).as("a"),
       greatest(col("src"), col("dst")).as("b")).distinct()
       .observe(obs, count(lit(1)).as("m"))
       .localCheckpoint()
-    val m = obs.get("m").asInstanceOf[Long].toDouble
+    val m = Checkpoints.observedLong(obs, "m")(und.count()).toDouble
     val lab = communities.select(col("node"), col("community"))
     val withC = und
       .join(lab.select(col("node").as("a"), col("community").as("ca")), "a")
@@ -867,9 +875,20 @@ object GraphAlgorithms {
     * case and far less on real degree distributions. No nested loop,
     * no per-node adjacency collection.
     *
-    * Pressure bound (VERDICT r11 #2): the closure join's input is the
-    * WEDGE stream — Σ C(outdeg, 2) rows, typically ≫ m (the sf0.1
-    * co-purchase graph has 1.2 M edges but ~100 M wedges). At the
+    * Closure-check strategy (guide §3.1/§2.4): the closure join's
+    * probe input is the WEDGE stream — Σ C(outdeg, 2) rows, typically
+    * ≫ m (the sf0.1 co-purchase graph has 1.2 M edges but ~97 M
+    * wedges) — while its build side is the m-row canonical edge list.
+    * Shuffling the wedge stream to sort-merge it against m rows moves
+    * (and sorts) the largest intermediate of the whole query for no
+    * reason when m is broadcastable: with the edge list broadcast, the
+    * wedges are generated, probed, exploded and partially aggregated
+    * inside ONE codegen stage and never hit an exchange. `m` is known
+    * exactly (same tiny agg that sizes the wedge stream), so the
+    * choice is gated on `closureBroadcastEdges` — above it, the
+    * pre-r15 shuffled path runs unchanged.
+    *
+    * Pressure bound for the shuffled path (VERDICT r11 #2): at the
     * session default of 32 shuffle partitions each closure task sorts
     * millions of rows; on a memory-contended host that degrades to
     * spill-heavy 3-4× cpu blow-ups (the r11 loaded-window exhibit).
@@ -880,12 +899,21 @@ object GraphAlgorithms {
     * repartition keys are the join keys, so no extra exchange beyond
     * the one the join needed anyway.
     *
+    * `closureBroadcastEdges`: edge-count bound at or below which the
+    * canonical edge list is broadcast into the closure join (two longs
+    * per row — the default 4M rows builds a hash relation of a couple
+    * hundred MB, well under the 8 GB broadcast cap; at 100 TB the
+    * edge list outgrows it and the gate falls back to the shuffled
+    * join). 0 forces the shuffled path — test/bench hook, results are
+    * identical (AlgoSpec).
+    *
     * Output: (node, triangles, degree, lcc round6 = 2·t/(d·(d−1)),
     * 0 when degree < 2) for every node incident to an edge.
     */
   def localClustering(
       edges: DataFrame,
-      wedgeRowsPerTask: Long = 2000000L): DataFrame = {
+      wedgeRowsPerTask: Long = 2000000L,
+      closureBroadcastEdges: Long = 4000000L): DataFrame = {
     val und = canonicalEdges(edges).localCheckpoint()
     val deg = und.select(col("a").as("node")).unionAll(
         und.select(col("b").as("node")))
@@ -908,10 +936,25 @@ object GraphAlgorithms {
     // default: one tiny agg gives the exact wedge count Σ C(outdeg, 2)
     val spark = edges.sparkSession
     val orientedCk = oriented.localCheckpoint() // feeds count + both wedge sides
-    val wedgeCount = orientedCk.groupBy(col("lo"))
-      .agg(count(lit(1)).as("od"))
-      .agg(coalesce(sum(col("od") * (col("od") - 1) / 2), lit(0)).cast("long"))
-      .head.getLong(0)
+    // one tiny agg sizes BOTH decisions: the wedge count (shuffled-path
+    // partition sizing) and the edge count m = Σ outdeg (broadcast gate)
+    val sized = orientedCk.groupBy(col("lo"))
+      .agg(count(lit(1)).as("od"),
+        max(greatest(col("lo"), col("hi"))).as("mx"),
+        min(least(col("lo"), col("hi"))).as("mn"))
+      .agg(
+        coalesce(sum(col("od") * (col("od") - 1) / 2), lit(0)).cast("long"),
+        coalesce(sum(col("od")), lit(0)).cast("long"),
+        coalesce(max(col("mx")), lit(0L)),
+        coalesce(min(col("mn")), lit(0L)))
+      .head
+    val wedgeCount = sized.getLong(0)
+    val edgeCount = sized.getLong(1)
+    // node ids inside [0, 2³¹): the closure join key (v, w) packs into
+    // ONE long — a single-long-key broadcast hash relation probes
+    // several times faster than the two-key binary map, and the packing
+    // ((v << 32) | w) is bijective so the join is semantically identical
+    val packableIds = sized.getLong(3) >= 0L && sized.getLong(2) < (1L << 31)
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val closureParts = math.min(4096L, math.max(defaultParts.toLong,
       (wedgeCount + wedgeRowsPerTask - 1) / math.max(1L, wedgeRowsPerTask))).toInt
@@ -919,13 +962,38 @@ object GraphAlgorithms {
     val o1 = orientedCk.select(col("lo").as("u"), col("hi").as("v"))
     val o2 = orientedCk.select(col("lo").as("u"), col("hi").as("w"))
     val wedges = o1.join(o2, Seq("u")).filter(col("v") < col("w"))
-    val wedgesP =
-      if (closureParts > defaultParts)
-        wedges.repartition(closureParts, col("v"), col("w"))
-      else wedges
-    val tris = wedgesP.join(
-        und.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
-      .select(col("u"), col("v"), col("w"))
+    val tris =
+      (if (packableIds) {
+        // packed closure key on both paths: broadcast probes become
+        // single-long lookups; the shuffled fallback moves/sorts one
+        // long instead of two
+        val closureK = und.select(
+          (shiftleft(col("a"), 32).bitwiseOR(col("b"))).as("_vw"))
+        val wedgesK = wedges
+          .withColumn("_vw", shiftleft(col("v"), 32).bitwiseOR(col("w")))
+        if (edgeCount <= closureBroadcastEdges)
+          // broadcast closure check: the wedge stream never leaves its
+          // generating stage — no exchange, no sort of ~wedgeCount rows
+          wedgesK.join(broadcast(closureK), Seq("_vw"))
+        else {
+          val wedgesP =
+            if (closureParts > defaultParts)
+              wedgesK.repartition(closureParts, col("_vw"))
+            else wedgesK
+          wedgesP.join(closureK, Seq("_vw"))
+        }
+      } else {
+        val closure = und.select(col("a").as("v"), col("b").as("w"))
+        if (edgeCount <= closureBroadcastEdges)
+          wedges.join(broadcast(closure), Seq("v", "w"))
+        else {
+          val wedgesP =
+            if (closureParts > defaultParts)
+              wedges.repartition(closureParts, col("v"), col("w"))
+            else wedges
+          wedgesP.join(closure, Seq("v", "w"))
+        }
+      }).select(col("u"), col("v"), col("w"))
     val perNode = tris
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
@@ -1052,15 +1120,23 @@ object GraphAlgorithms {
         : DataFrame =
       e.observe(obs, count(lit(1)).as("n"),
         sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)")).as("h"))
-    def fpOf(obs: org.apache.spark.sql.Observation): (Long, String) = {
-      val m = obs.get
+    def fpOf(obs: org.apache.spark.sql.Observation, ck: DataFrame)
+        : (Long, String) = {
+      val m = Checkpoints.observedOr(obs) {
+        val r = ck.agg(count(lit(1)),
+          sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).head
+        Map("n" -> r.getLong(0), "h" -> r.get(1))
+      }
       val h = m("h")
-      (m("n").asInstanceOf[Long], if (h == null) "" else h.toString)
+      (m("n") match {
+        case n: java.lang.Number => n.longValue()
+        case v => v.asInstanceOf[Long]
+      }, if (h == null) "" else h.toString)
     }
 
     val obs0 = new org.apache.spark.sql.Observation()
     var (cur, release) = Checkpoints.withRelease(observed(und, obs0))
-    var fp = fpOf(obs0)
+    var fp = fpOf(obs0, cur)
     var rounds = 0
     var converged = fp._1 == 0L
     while (!converged && rounds < maxRounds) {
@@ -1083,7 +1159,7 @@ object GraphAlgorithms {
         groupRels = rel :: groupRels
         r += 1
       }
-      val nfp = fpOf(obsG)
+      val nfp = fpOf(obsG, stepped)
       release()
       groupRels.tail.foreach(_.apply()) // intermediates of this group
       cur = stepped; release = groupRels.head
@@ -1153,7 +1229,7 @@ object GraphAlgorithms {
         val bad = degrees(cur).filter(col("degree") < k)
           .select(col("node"))
           .observe(obs, count(lit(1)).as("n")).localCheckpoint()
-        if (obs.get("n").asInstanceOf[Long] == 0L) done = true
+        if (Checkpoints.observedLong(obs, "n")(bad.count()) == 0L) done = true
         else {
           val (next, nextRelease) = Checkpoints.withRelease(
             cur.join(bad.select(col("node").as("a")), Seq("a"), "left_anti")
@@ -1254,7 +1330,7 @@ object GraphAlgorithms {
       releaseFrontier(); releaseDist()
       frontier = nf; releaseFrontier = relNf
       dist = nd; releaseDist = relNd
-      frontierN = obsW.get("n").asInstanceOf[Long]
+      frontierN = Checkpoints.observedLong(obsW, "n")(nf.count())
       depth += 1
     }
     val out = nodes

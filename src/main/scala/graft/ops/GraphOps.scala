@@ -171,7 +171,7 @@ object GraphOps {
         .join(visited, Seq("root", "node"), "left_anti")
         .withColumn("depth", lit(depth))
         .observe(obs, count(lit(1)).as("n")))
-      if (obs.get("n").asInstanceOf[Long] == 0L) {
+      if (Checkpoints.observedLong(obs, "n")(next.count()) == 0L) {
         exhausted = true // empty frontier — no deeper paths exist
         relNext()
       } else {

@@ -200,7 +200,12 @@ object QuantileOps {
     // contract, and each is referenced from every downstream evaluation
     // of `dev` (the mad pass evaluates dev three times by design — two
     // scans + the output join); left lazy, the entire p50 subtree was
-    // re-planned and re-run inside each one
+    // re-planned and re-run inside each one.
+    // Checkpoint lifetime (ADVICE r14): both checkpoints BACK the
+    // returned DataFrame, so their blocks intentionally live until the
+    // consumer drops its reference and the ContextCleaner collects them
+    // — a release handle here would let an eager caller corrupt the
+    // result. Bounded by contract: group-cardinality rows only.
     val med = exactPercentiles(df, valueCol, groupCol, Map("p50" -> 50))
       .select(col(groupCol), col("quantile").as("med"))
       .localCheckpoint()

@@ -42,12 +42,18 @@ object ClusteringPressureProbe {
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
 
-    def run(label: String, rowsPerTask: Long): Unit = {
+    // closureBroadcastEdges = 0 pins the SHUFFLED closure path — the
+    // wedgeRowsPerTask bound this probe measures only exists there (the
+    // r15 default broadcasts the closure side and has no wedge shuffle
+    // to size); the final row measures the broadcast path itself
+    def run(label: String, rowsPerTask: Long,
+        broadcastEdges: Long = 0L): Unit = {
       Thread.sleep(500)
       spillMem.set(0L); spillDisk.set(0L)
       val t0 = System.nanoTime()
       val n = graft.ops.GraphAlgorithms
-        .localClustering(edges, wedgeRowsPerTask = rowsPerTask).count()
+        .localClustering(edges, wedgeRowsPerTask = rowsPerTask,
+          closureBroadcastEdges = broadcastEdges).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(1000) // let stage-completed posts drain
       println(f"$label%-12s wall=$wall%.2f s rows=$n " +
@@ -67,6 +73,8 @@ object ClusteringPressureProbe {
     // widens the closure join
     run("bound500k", 500000L)
     run("bound125k", 125000L)
+    run("broadcast", 2000000L, broadcastEdges = Long.MaxValue)
+    run("broadcast2", 2000000L, broadcastEdges = Long.MaxValue)
     spark.stop()
   }
 }

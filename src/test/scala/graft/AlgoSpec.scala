@@ -500,10 +500,11 @@ class AlgoSpec extends SparkSuite {
     assert(stSq.getLong(0) == 2L)
 
     // the wedge-volume pressure bound is oracle-neutral: forcing one
-    // wedge row per closure task (maximal repartition) must produce the
-    // identical per-node table, and the chosen partition count must
-    // actually respond to the bound
-    val forced = GraphAlgorithms.localClustering(k4, wedgeRowsPerTask = 1L)
+    // wedge row per closure task (maximal repartition, broadcast gate
+    // off) must produce the identical per-node table, and the chosen
+    // partition count must actually respond to the bound
+    val forced = GraphAlgorithms.localClustering(k4, wedgeRowsPerTask = 1L,
+        closureBroadcastEdges = 0L)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
       .toMap
@@ -515,11 +516,20 @@ class AlgoSpec extends SparkSuite {
     val lcK5 = GraphAlgorithms.localClustering(k5).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
     assert(lcK5.values.forall(_ == ((6L, 1.0)))) // K5: every node in C(4,2) tris
-    val lcK5f = GraphAlgorithms.localClustering(k5, wedgeRowsPerTask = 1L)
+    val lcK5f = GraphAlgorithms.localClustering(k5, wedgeRowsPerTask = 1L,
+        closureBroadcastEdges = 0L)
       .collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
     assert(lcK5f == lcK5)
     assert(GraphAlgorithms.lastWedgeParts == 10)
+    // the broadcast-closure path (the default when m fits) and the
+    // forced shuffled path must be bit-identical — same join keys,
+    // same exact-integer counts, only the physical strategy differs
+    val lcK5shuf = GraphAlgorithms.localClustering(k5,
+        closureBroadcastEdges = 0L)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(lcK5shuf == lcK5)
   }
 
   test("personalizedPageRank: matches a driver-side replay, mass concentrates at sources") {
