@@ -171,6 +171,23 @@ object SampleOps {
     * d² doubles; SketchSpec asserts equality), so the oracle-gated
     * recompute path certifies the carry path too.
     *
+    * Batched selection on the carry path (r15, VERDICT r14 #8): the
+    * loop's floor is the per-ACTION cost (~30-75 ms SQL layer,
+    * LoopOverheadProbe), so each scan now collects the top
+    * `selectBatch` frontier rows (same (d desc, id) order) and the
+    * driver greedily accepts within the batch using a bit-identical
+    * replica of the d² kernel (DotProduct accumulates left-to-right in
+    * a double; min is exact) — a candidate is accepted only while its
+    * UPDATED distance stays STRICTLY above the last collected row's
+    * distance, which certifies no uncollected point can beat or tie it
+    * (uncollected d ≤ that bound, and ties there would need the id
+    * order the driver cannot see). The first accept per batch is
+    * unconditionally exact (it IS the collected global argmax under
+    * the full (d, id) order). Accepted centers fold into the carried
+    * column in one flat `least` — the same min the stepwise updates
+    * computed. Selection sequence provably identical; SketchSpec
+    * asserts carry == recompute on data.
+    *
     * Output: (rank, id, dist) — dist is the squared-L2 farthest
     * distance at selection time (0.0 for the seed), full precision.
     * Fewer than k rows when the distinct geometry is exhausted (every
@@ -183,9 +200,11 @@ object SampleOps {
       vecCol: String,
       k: Int,
       carryMinDist: Boolean = false,
-      checkpointEvery: Int = 4): DataFrame = {
+      checkpointEvery: Int = 4,
+      selectBatch: Int = 64): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(selectBatch >= 1, "selectBatch must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     import graft.functions.VectorFunctions
@@ -227,27 +246,95 @@ object SampleOps {
     } else null
     var i = 1
     var exhausted = false
+    // driver replica of the d² column, bit-identical by construction:
+    // DotProduct accumulates products left-to-right in a double, and
+    // the expression evaluates (⟨v,v⟩ − 2·⟨v,c⟩) + cc in this order
+    def d2Driver(v: Array[Double], c: Array[Double]): Double = {
+      var dvv = 0.0; var dvc = 0.0; var cc = 0.0; var j = 0
+      while (j < v.length) {
+        dvv += v(j) * v(j); dvc += v(j) * c(j); j += 1
+      }
+      j = 0
+      while (j < c.length) { cc += c(j) * c(j); j += 1 }
+      dvv - 2.0 * dvc + cc
+    }
+    var sinceCkpt = 0
     while (i < k && !exhausted) {
-      val scored =
-        if (carryMinDist) carried
+      if (carryMinDist) {
+        // batched step: one action fetches the top-selectBatch frontier
+        // (selectBatch = 1 degenerates to the r14 one-scan-per-center
+        // sequential loop)
+        val b = selectBatch
+        val rows = carried.orderBy(col("d").desc, col("id")).limit(b).collect()
+        // < b rows back ⇒ the batch IS the whole table: no uncollected
+        // point exists and the certificate bound vanishes
+        val certBound =
+          if (rows.length < b) Double.NegativeInfinity
+          else rows.last.getDouble(2)
+        val cand = scala.collection.mutable.ArrayBuffer(
+          rows.map(r => (r.getLong(0), toArr(r.getSeq[Any](1)),
+            r.getDouble(2))): _*)
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[Array[Double]]
+        var more = true
+        var firstInBatch = true
+        while (more && i < k && !exhausted && cand.nonEmpty) {
+          // batch argmax under the SAME total order the scan used
+          var bi = 0
+          var bd = cand(0)._3; var bid = cand(0)._1
+          var j = 1
+          while (j < cand.length) {
+            val (cid, _, cd) = cand(j)
+            if (cd > bd || (cd == bd && cid < bid)) { bi = j; bd = cd; bid = cid }
+            j += 1
+          }
+          // first pick per batch is the collected global argmax (exact
+          // unconditionally); later picks must beat every uncollected
+          // point STRICTLY — a tie there is broken by ids the driver
+          // cannot see, so it forces a fresh scan instead
+          if (!firstInBatch && bd <= certBound) more = false
+          else if (bd <= 0.0) { exhausted = true } // global max ≤ 0: done
+          else {
+            val (cid, cv, _) = cand.remove(bi)
+            chosen += ((cid, cv, bd))
+            accepted += cv
+            i += 1
+            // exact update of the remaining candidates' min-distance
+            var j2 = 0
+            while (j2 < cand.length) {
+              val (xid, xv, xd) = cand(j2)
+              val nd = d2Driver(xv, cv)
+              if (nd < xd) cand(j2) = (xid, xv, nd)
+              j2 += 1
+            }
+          }
+          firstInBatch = false
+        }
+        if (accepted.nonEmpty && i < k && !exhausted) {
+          // fold ALL accepted centers into the carried column at once —
+          // the same exact min the stepwise least(...) chain computes
+          carried = carried.withColumn("d",
+            least((col("d") +: accepted.toSeq.map(cv => d2(cv))): _*))
+          sinceCkpt += accepted.size
+          if (sinceCkpt >= checkpointEvery) {
+            carried = carried.localCheckpoint()
+            sinceCkpt = 0
+          }
+        }
+      } else {
+        val dists = chosen.map { case (_, cv, _) => d2(cv) }
+        val scored = pts.withColumn("d",
+          if (dists.size == 1) dists.head else least(dists.toSeq: _*))
+        val top = scored.orderBy(col("d").desc, col("id")).limit(1).head()
+        // max min-distance 0 = every remaining point coincides with a
+        // chosen center (k exceeds the distinct geometry): stop instead
+        // of emitting duplicate centers
+        if (top.getDouble(2) <= 0.0) exhausted = true
         else {
-          val dists = chosen.map { case (_, cv, _) => d2(cv) }
-          pts.withColumn("d",
-            if (dists.size == 1) dists.head else least(dists.toSeq: _*))
+          val cv = toArr(top.getSeq[Any](1))
+          chosen += ((top.getLong(0), cv, top.getDouble(2)))
+          i += 1
         }
-      val top = scored.orderBy(col("d").desc, col("id")).limit(1).head()
-      // max min-distance 0 = every remaining point coincides with a
-      // chosen center (k exceeds the distinct geometry): stop instead
-      // of emitting duplicate centers
-      if (top.getDouble(2) <= 0.0) exhausted = true
-      else {
-        val cv = toArr(top.getSeq[Any](1))
-        chosen += ((top.getLong(0), cv, top.getDouble(2)))
-        if (carryMinDist) {
-          carried = carried.withColumn("d", least(col("d"), d2(cv)))
-          if (i % checkpointEvery == 0) carried = carried.localCheckpoint()
-        }
-        i += 1
       }
     }
     chosen.zipWithIndex

@@ -333,10 +333,12 @@ object SearchOps {
       k: Int,
       lambda: Double = 0.5,
       fetchKOpt: Option[Int] = None,
-      checkpointEvery: Int = 8
+      checkpointEvery: Int = 8,
+      selectBatch: Int = 64
   ): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    require(selectBatch >= 1, "selectBatch must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
     val fetchK = fetchKOpt.getOrElse(4 * k)
@@ -345,24 +347,96 @@ object SearchOps {
         col("score"))
       .withColumn("_maxSel", lit(0.0))
       .localCheckpoint()
+    // driver replica of the CosineSim kernel (the same bit-equality
+    // contract the driver-loop mmr documents): per-side norms and the
+    // dot each accumulate left-to-right in doubles, zero-norm → 0.0,
+    // result = dot / (sqrt(na) * sqrt(nb))
+    def cosDriver(a: Array[Float], b: Array[Float]): Double = {
+      var na = 0.0; var nb = 0.0; var dot = 0.0; var i = 0
+      while (i < a.length) { val v = a(i).toDouble; na += v * v; i += 1 }
+      i = 0
+      while (i < b.length) { val v = b(i).toDouble; nb += v * v; i += 1 }
+      i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); i += 1 }
+      if (math.sqrt(na) == 0.0 || math.sqrt(nb) == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var done = false
+    var sinceCkpt = 0
+    // batched selection (r15, same certificate as kCenterSelect): one
+    // action fetches the top-selectBatch frontier by the argmax order;
+    // the driver greedily accepts within the batch (exact cosine
+    // updates) while the updated best STRICTLY beats the last collected
+    // row's value — MMR values only decrease as the selection grows, so
+    // every uncollected point stays at or below that bound. The first
+    // accept per batch is the collected global argmax (exact
+    // unconditionally); selectBatch = 1 is the r14 sequential loop.
     while (selected.length < k && !done) {
       val v = lit(lambda) * col("score") - lit(1 - lambda) * col("_maxSel")
-      val top = remaining.withColumn("_v", v)
-        .orderBy(col("_v").desc, col("_id").asc).limit(1)
-        .select(col("_id"), col("_emb"), col("score")).collect()
-      if (top.isEmpty) done = true
+      val rows = remaining.withColumn("_v", v)
+        .orderBy(col("_v").desc, col("_id").asc).limit(selectBatch)
+        .select(col("_id"), col("_emb"), col("score"), col("_maxSel"),
+          col("_v"))
+        .collect()
+      if (rows.isEmpty) done = true
       else {
-        val row = top.head
-        val id = row.getLong(0)
-        val emb = row.getSeq[Float](1).toArray
-        selected += ((id, row.getDouble(2)))
-        remaining = remaining.filter(col("_id") =!= id)
-          .withColumn("_maxSel", greatest(col("_maxSel"),
-            VectorFunctions.cosineToQuery(col("_emb"), emb)))
-        if (selected.length % checkpointEvery == 0)
-          remaining = remaining.localCheckpoint()
+        val certBound =
+          if (rows.length < selectBatch) Double.NegativeInfinity
+          else rows.last.getDouble(4)
+        val candId = rows.map(_.getLong(0))
+        val candEmb = rows.map(_.getSeq[Float](1).toArray)
+        val candScore = rows.map(_.getDouble(2))
+        val candMaxSel = rows.map(_.getDouble(3))
+        val live = Array.fill(rows.length)(true)
+        val accepted = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Float])]
+        var more = true
+        var firstInBatch = true
+        while (more && selected.length < k) {
+          var bi = -1
+          var bv = Double.NegativeInfinity
+          var bid = Long.MaxValue
+          var j = 0
+          while (j < candId.length) {
+            if (live(j)) {
+              val cv = lambda * candScore(j) - (1 - lambda) * candMaxSel(j)
+              if (cv > bv || (cv == bv && candId(j) < bid)) {
+                bi = j; bv = cv; bid = candId(j)
+              }
+            }
+            j += 1
+          }
+          if (bi < 0) more = false // batch exhausted
+          else if (!firstInBatch && bv <= certBound) more = false
+          else {
+            live(bi) = false
+            selected += ((candId(bi), candScore(bi)))
+            accepted += ((candId(bi), candEmb(bi)))
+            var j2 = 0
+            while (j2 < candId.length) {
+              if (live(j2)) {
+                val ns = cosDriver(candEmb(j2), candEmb(bi))
+                if (ns > candMaxSel(j2)) candMaxSel(j2) = ns
+              }
+              j2 += 1
+            }
+          }
+          firstInBatch = false
+        }
+        if (accepted.nonEmpty && selected.length < k) {
+          val keep = accepted.map(_._1)
+            .foldLeft(lit(true))((acc, id) => acc && (col("_id") =!= id))
+          remaining = remaining.filter(keep)
+            .withColumn("_maxSel", greatest(
+              (col("_maxSel") +: accepted.toSeq.map { case (_, e) =>
+                VectorFunctions.cosineToQuery(col("_emb"), e) }): _*))
+          sinceCkpt += accepted.size
+          if (sinceCkpt >= checkpointEvery) {
+            remaining = remaining.localCheckpoint()
+            sinceCkpt = 0
+          }
+        }
       }
     }
     selected.zipWithIndex

@@ -69,6 +69,15 @@ class FixtureSpec extends SparkSuite {
       checkpointEvery = 4))
     assert(dist == loop)
     assert(loop.length == 25)
+    // batched selection (r15): every batch size must reproduce the
+    // sequential loop exactly (certificate-gated in-batch accepts,
+    // bit-identical driver cosine); selectBatch = 1 IS the r14 loop
+    for (bs <- Seq(1, 3, 8, 64)) {
+      val b = canon(graft.ops.SearchOps.mmrIterative(
+        emb, "embedding", "vec_id", q, k = 25, lambda = 0.5,
+        checkpointEvery = 4, selectBatch = bs))
+      assert(b == loop, s"selectBatch=$bs diverged")
+    }
   }
 
   test("pipeline fixture: q_pipeline_search pinned at sf0.001") {

@@ -125,6 +125,48 @@ class SketchSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(carry == a, s"carry=$carry recompute=$a")
 
+    // batched carry selection (r15): every batch size must reproduce
+    // the sequential selection exactly — the certificate only accepts
+    // in-batch picks that strictly beat every uncollected point, and
+    // the driver d² replica is bit-identical to the column kernel.
+    // Checked on a larger pseudo-random cloud where batches genuinely
+    // truncate (ties, collapsing frontiers) plus the cluster fixture.
+    val cloud = (0L until 60L).map { i =>
+      def h(s: Long) = {
+        var x = i * 2654435761L + s * 40503L
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL; x ^= x >>> 33
+        (math.abs(x % 1000L)).toDouble / 10.0
+      }
+      (i, Array(h(1).toFloat, h(2).toFloat, h(3).toFloat))
+    }
+    val cloudDf = cloud.toDF("vec_id", "embedding")
+    val cloudSeq = graft.ops.SampleOps
+      .kCenterSelect(cloudDf, "vec_id", "embedding", k = 20,
+        carryMinDist = true, selectBatch = 1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (bs <- Seq(2, 5, 16, 64)) {
+      val got = graft.ops.SampleOps
+        .kCenterSelect(cloudDf, "vec_id", "embedding", k = 20,
+          carryMinDist = true, selectBatch = bs)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got == cloudSeq, s"selectBatch=$bs diverged")
+    }
+    val carryB = graft.ops.SampleOps
+      .kCenterSelect(pts.toDF("vec_id", "embedding").repartition(3),
+        "vec_id", "embedding", k = 4, carryMinDist = true,
+        checkpointEvery = 2, selectBatch = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(carryB == a, s"carryB=$carryB recompute=$a")
+    // exhausted geometry through the batched carry path: duplicates
+    // must stop the selection, not emit duplicate centers
+    val dupC = Seq((1L, v(0, 0)), (2L, v(0, 0)), (3L, v(5, 5)))
+      .toDF("vec_id", "embedding")
+    val gotC = graft.ops.SampleOps
+      .kCenterSelect(dupC, "vec_id", "embedding", k = 3,
+        carryMinDist = true, selectBatch = 4)
+      .collect().map(_.getLong(1)).toSeq
+    assert(gotC == Seq(1L, 3L), gotC.toString)
+
     // exhausted geometry: k larger than the distinct point set stops
     // early instead of emitting duplicate centers; empty input → empty
     val dup = Seq((1L, v(0, 0)), (2L, v(0, 0)), (3L, v(5, 5)))
