@@ -74,17 +74,50 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   def importanceVersion: Long = importanceVer
   def textVersion: Long = textVer
 
+  /** Driver-appended rows arrive SIZE-SLICED (r15, guide §2/§6):
+    * `createDataset` of an in-process list parallelizes to
+    * defaultParallelism slices regardless of size, so a store grown by
+    * chunked appends accumulated 32 near-empty partitions PER APPEND —
+    * a 5000-row sf0.1 store reached 160-partition tables and every
+    * search stage scheduled ~90 tasks to scan 5000 rows (the
+    * q_pipeline_search_scaled dispatch-overhead exhibit: 8 cores beat
+    * 32 by 3.4×). One slice per ~256 rows (capped at
+    * defaultParallelism) keeps single-row adds at one partition while a
+    * bulk chunk still re-executes its downstream lineage (per-add
+    * patches, candidate scans) with real parallelism — a constant 1
+    * was measured to serialize q_write_reconcile's per-add lineage
+    * (5.6 → 8.8 s). Append batches are driver-small by the API
+    * contract; [[boundParts]] bounds the accumulated union at
+    * checkpoint time.
+    */
+  private def newRows[T](ds: org.apache.spark.sql.Dataset[T],
+      n: Int): DataFrame =
+    ds.toDF().coalesce(math.max(1,
+      math.min(spark.sparkContext.defaultParallelism, n / 256)))
+
+  /** Partition bound applied when the periodic checkpoint materializes
+    * a table: long-lived sessions accumulate one partition per append
+    * (plus the loaded base's), so cap at 2× defaultParallelism and
+    * coalesce (narrow, no shuffle) back to defaultParallelism. The
+    * in-session store is the documented driver-small hot state — the
+    * warehouse-scale path writes parquet partitions instead.
+    */
+  private def boundParts(df: DataFrame): DataFrame = {
+    val par = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions > 2 * par) df.coalesce(par) else df
+  }
+
   private def tick(structural: Boolean = false): Unit = {
     version += 1
     if (structural) graphVer += 1
     mutations += 1
     if (mutations % checkpointEvery == 0) {
-      memories = memories.localCheckpoint()
-      entities = entities.localCheckpoint()
-      episodes = episodes.localCheckpoint()
-      communities = communities.localCheckpoint()
-      history = history.localCheckpoint()
-      edges = edges.localCheckpoint()
+      memories = boundParts(memories).localCheckpoint()
+      entities = boundParts(entities).localCheckpoint()
+      episodes = boundParts(episodes).localCheckpoint()
+      communities = boundParts(communities).localCheckpoint()
+      history = boundParts(history).localCheckpoint()
+      edges = boundParts(edges).localCheckpoint()
     }
   }
 
@@ -92,7 +125,7 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
 
   def appendMemories(rows: Seq[MemoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      memories = memories.unionByName(spark.createDataset(rows).toDF())
+      memories = memories.unionByName(newRows(spark.createDataset(rows), rows.size))
       importanceVer += 1
       textVer += 1
       tick()
@@ -100,31 +133,31 @@ final class GraphStore(val spark: SparkSession, checkpointEvery: Int = 16) {
   }
   def appendEntities(rows: Seq[EntityRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      entities = entities.unionByName(spark.createDataset(rows).toDF())
+      entities = entities.unionByName(newRows(spark.createDataset(rows), rows.size))
       tick()
     }
   }
   def appendEpisodes(rows: Seq[EpisodeRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      episodes = episodes.unionByName(spark.createDataset(rows).toDF())
+      episodes = episodes.unionByName(newRows(spark.createDataset(rows), rows.size))
       tick()
     }
   }
   def appendCommunities(rows: Seq[CommunityRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      communities = communities.unionByName(spark.createDataset(rows).toDF())
+      communities = communities.unionByName(newRows(spark.createDataset(rows), rows.size))
       tick()
     }
   }
   def appendHistory(rows: Seq[HistoryRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      history = history.unionByName(spark.createDataset(rows).toDF())
+      history = history.unionByName(newRows(spark.createDataset(rows), rows.size))
       tick()
     }
   }
   def appendEdges(rows: Seq[EdgeRow]): Unit = this.synchronized {
     if (rows.nonEmpty) {
-      edges = edges.unionByName(spark.createDataset(rows).toDF())
+      edges = edges.unionByName(newRows(spark.createDataset(rows), rows.size))
       tick(structural = true)
     }
   }
