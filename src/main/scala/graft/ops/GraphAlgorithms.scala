@@ -85,7 +85,7 @@ object GraphAlgorithms {
         .join(contribs.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      if (i % 2 == 0 || i == iters) {
+      if (i % 4 == 0 || i == iters) {
         val (ck, rel) = Checkpoints.withRelease(next)
         if (releaseLast != null) releaseLast()
         releaseLast = rel
@@ -146,7 +146,7 @@ object GraphAlgorithms {
         .select(col("node"),
           (lit(1.0 - damping) * reset +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-      if (i % 2 == 0 || i == iters) {
+      if (i % 4 == 0 || i == iters) {
         val (ck, rel) = Checkpoints.withRelease(next)
         if (releaseLast != null) releaseLast()
         releaseLast = rel
