@@ -633,16 +633,21 @@ object GraphAlgorithms {
       // node-keyed exchange, and the repartition satisfies
       // ClusteredDistribution for both aggregation levels — the same
       // single-exchange round layout LPA uses.
+      // w = edge count into c = group rows MINUS the marked stay row
+      // (exactly one per (node, cn) group, zero elsewhere) — the former
+      // explicit `one` column was derivable, so the union shuffles one
+      // long less per row and the aggregate keeps one fewer buffer (r15)
       val gathered = und
         .join(comm.select(col("node"), col("community")).hint("shuffle_hash"),
           und("dst") === comm("node"))
-        .select(und("src").as("node"), col("community"), lit(1L).as("one"),
+        .select(und("src").as("node"), col("community"),
           col("deg_src").as("deg"), lit(0L).as("stay"))
-        .unionByName(comm.select(col("node"), col("community"), lit(0L).as("one"),
+        .unionByName(comm.select(col("node"), col("community"),
           col("deg"), lit(1L).as("stay")))
       val cand = gathered.repartition(col("node"))
         .groupBy(col("node"), col("community"))
-        .agg(sum(col("one")).as("w"), max(col("deg")).as("deg"),
+        .agg((count(lit(1)) - max(col("stay"))).as("w"),
+          max(col("deg")).as("deg"),
           max(col("stay")).as("is_stay"))
         .join(sigma, Seq("community"))
       // gain(n→c) = 2m·w − k·σ(c); staying credits k back out of σ(cn).
